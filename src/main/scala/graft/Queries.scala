@@ -1,0 +1,490 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
+
+/** The declared query inventory Q1–Q24 (SURVEY.md §2.2) — the t2 contract.
+  *
+  * Each query has a Spark DataFrame builder and (where oracle-eligible) an
+  * equivalent DuckDB SQL string. Canonicalization (SURVEY.md §2.3): every
+  * DOUBLE output column is rounded in-query (2dp; similarity 4dp), aliases
+  * match between the two formulations, every query ends in a total ORDER BY,
+  * and integer-ish outputs are cast so both engines emit BIGINT where Spark
+  * produces LongType (DuckDB `sum(INT)` → HUGEINT, `floor` → DOUBLE,
+  * `len(list)` → BIGINT — all pinned with explicit casts in the oracle SQL).
+  *
+  * Scale notes are inline per query: broadcasts are explicit, self-joins are
+  * banded on an equi-key, and no builder collects to the driver.
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // --- Q1: full-scan aggregate (D1, D3, H2) ------------------------------
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity),2) AS sum_qty,
+      |       round(sum(l_extendedprice),2) AS sum_base,
+      |       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+      |       round(avg(l_quantity),2) AS avg_qty,
+      |       count(*) AS cnt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q2: filter + projection + predicates (B2, B3) ---------------------
+  def q2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "P")
+        && col("o_totalprice").between(1000, 50000)
+        && !col("o_orderpriority").like("4-%")
+        && col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderstatus IN ('O','P') AND o_totalprice BETWEEN 1000 AND 50000
+      |  AND o_orderpriority NOT LIKE '4-%' AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- Q3: 3-way equi-join + agg (C2, D1) --------------------------------
+  // customer/orders/lineitem all scale with SF: shuffle (sort-merge/hash)
+  // joins on the keys; AQE picks broadcast at small SF automatically.
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q3Sql: String =
+    """SELECT c.c_mktsegment, count(*) AS n, round(sum(l.l_extendedprice),2) AS rev
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  // --- Q4: left outer join + null handling (C3) --------------------------
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0)), 2).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q4Sql: String =
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o.o_totalprice),0),2) AS spend
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
+
+  // --- Q5: semi join / EXISTS (C4) ---------------------------------------
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 100000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q5Sql: String =
+    """SELECT count(*) AS n FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin
+
+  // --- Q6: anti join / NOT EXISTS (C5) -----------------------------------
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+      .select("p_partkey")
+      .orderBy("p_partkey")
+  }
+
+  val q6Sql: String =
+    """SELECT p.p_partkey FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      |ORDER BY p.p_partkey""".stripMargin
+
+  // --- Q7: broadcast dim chain (C1) --------------------------------------
+  // region/nation are bounded dims: explicit broadcast() keeps the whole
+  // chain a broadcast hash join at any fact scale.
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    broadcast(r)
+      .join(broadcast(n), n("n_regionkey") === r("r_regionkey"))
+      .join(c, c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q7Sql: String =
+    """SELECT r.r_name, n.n_name, count(c.c_custkey) AS n_cust,
+      |       round(sum(c.c_acctbal),2) AS bal
+      |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |              LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin
+
+  // --- Q8: banded non-equi self-join (C6/C7/C9) --------------------------
+  // The equi-key (user_id) carries the shuffle; the time band is a residual
+  // filter on the sort-merge join, so this stays O(n·band) not O(n²).
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val a = ev.filter(col("event_type") === "click").as("a")
+    val b = ev.filter(col("event_type") === "purchase").as("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id")
+          && col("b.ts") > col("a.ts")
+          && col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("a.user_id"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  val q8Sql: String =
+    """SELECT a.user_id, count(*) AS pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      |  AND b.ts <= a.ts + INTERVAL 10 MINUTE AND b.event_type = 'purchase'
+      |WHERE a.event_type = 'click'
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  // --- Q9: multi-distinct aggregation (D4) -------------------------------
+  def q9(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("u"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+
+  val q9Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS n,
+      |       round(sum(value),2) AS v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- Q10: ROLLUP (D7) ---------------------------------------------------
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first)
+
+  val q10Sql: String =
+    """SELECT n_regionkey, n_nationkey, count(*) AS n FROM nation
+      |GROUP BY ROLLUP(n_regionkey, n_nationkey)
+      |ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""".stripMargin
+
+  // --- Q10b: CUBE (D7) ----------------------------------------------------
+  def q10b(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q10bSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // --- Q11: ranking windows + running total (E1, E3) ---------------------
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        round(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- Q12: lag/lead (E2) -------------------------------------------------
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events").select(
+        col("user_id"), col("event_id"),
+        lag("event_type", 1).over(w).as("prev"),
+        lead("event_type", 1).over(w).as("next"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, event_id,
+      |       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // --- Q13: time-RANGE frame (E4) -----------------------------------------
+  // Ordered on unix_micros(ts) with a 600e6 µs range — exactly the
+  // INTERVAL 10 MINUTE frame (both engines store µs timestamps).
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(unix_micros(col("ts"))).rangeBetween(-600000000L, 0L)
+    t(spark, dir, "events")
+      .select(col("event_id"), round(sum("value").over(w), 2).as("w10"))
+      .orderBy("event_id")
+  }
+
+  val q13Sql: String =
+    """SELECT event_id,
+      |       round(sum(value) OVER (ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW),2) AS w10
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --- Q14: top-k (F2) ----------------------------------------------------
+  // Plans as TakeOrderedAndProject: per-partition top-k merged on the
+  // driver, no global sort.
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select("o_orderkey", "o_totalprice")
+
+  val q14Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // --- Q15: string functions (H1) -----------------------------------------
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("pfx"),
+        length(col("p_name")).cast("long").as("len"),
+        translate(col("p_type"), " ", "_").as("t"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("tag"))
+      .orderBy("p_partkey")
+
+  val q15Sql: String =
+    """SELECT p_partkey, upper(substring(p_name,1,8)) AS pfx,
+      |       cast(length(p_name) AS BIGINT) AS len, replace(p_type,' ','_') AS t,
+      |       concat(p_brand,'#',cast(p_size AS varchar)) AS tag
+      |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
+
+  // --- Q16: set operations (G1–G3) ----------------------------------------
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    val n = t(spark, dir, "nation").select(col("n_nationkey").as("k"))
+    val r = t(spark, dir, "region").select(col("r_regionkey").as("k"))
+    c.intersect(s).union(n).except(r).orderBy("k")
+  }
+
+  val q16Sql: String =
+    """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+      |UNION ALL SELECT n_nationkey FROM nation
+      | EXCEPT SELECT r_regionkey FROM region
+      |ORDER BY k""".stripMargin
+
+  // --- Q17: math + CASE (B4, H3) ------------------------------------------
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("charge"),
+        when(col("l_discount") >= 0.05, "hi")
+          .when(col("l_discount") > 0, "lo")
+          .otherwise("none").as("disc_band"),
+        floor(col("l_quantity")).as("fq"),
+        ceil(col("l_quantity")).as("cq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q17Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       round(abs(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS charge,
+      |       CASE WHEN l_discount >= 0.05 THEN 'hi' WHEN l_discount > 0 THEN 'lo'
+      |            ELSE 'none' END AS disc_band,
+      |       cast(floor(l_quantity) AS BIGINT) AS fq,
+      |       cast(ceil(l_quantity) AS BIGINT) AS cq
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- Q18: JSON extraction + date_trunc (H2, H4) -------------------------
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"),
+        count(lit(1)).as("n"))
+      .orderBy("h", "event_type")
+
+  val q18Sql: String =
+    """SELECT date_trunc('hour', ts) AS h, event_type,
+      |       cast(sum(cast(json_extract(props,'$.k') AS INT)) AS BIGINT) AS sk,
+      |       count(*) AS n
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // --- Q19: array ops (H5) ------------------------------------------------
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("len"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+      .orderBy("vec_id")
+
+  val q19Sql: String =
+    """SELECT vec_id, len, round(e0,4) AS e0 FROM (
+      |  SELECT vec_id, len(embedding) AS len,
+      |         CAST(embedding[1] AS DOUBLE) AS e0 FROM embeddings) t
+      |ORDER BY vec_id""".stripMargin
+
+  // --- Q20: cosine top-k similarity search (H9, K3, F2) -------------------
+  // Brute force = one narrow codegen'd pass over embeddings + top-k merge;
+  // the 1-row query vector is broadcast, never collected.
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(GraftFunctions.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q20Sql: String =
+    """SELECT vec_id, round(list_cosine_similarity(embedding,
+      |         (SELECT embedding FROM embeddings WHERE vec_id = 0)),4) AS sim
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // --- Q21: as-of aggregation (C8) ----------------------------------------
+  // max(o_orderdate ≤ ts) == predecessor lookup in the bounded set of
+  // distinct order dates: broadcast the sorted date array (date-domain
+  // sized, not fact sized) and probe per event — no O(n²) join at scale.
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val dates = t(spark, dir, "orders")
+      .agg(sort_array(collect_set(col("o_orderdate"))).as("ods"))
+    t(spark, dir, "events")
+      .crossJoin(broadcast(dates))
+      .select(
+        col("event_id"),
+        array_max(filter(col("ods"), d => d <= col("ts"))).as("last_od"))
+      .orderBy("event_id")
+  }
+
+  val q21Sql: String =
+    """SELECT e.event_id, max(o.o_orderdate) AS last_od
+      |FROM events e LEFT JOIN orders o ON o.o_orderdate <= e.ts
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  // --- Q22: approximate aggs, range-checked (D5, D6) ----------------------
+  // Approx impls differ across engines, so the bounds check itself is the
+  // query output: both sides must render (true, true).
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("acd"),
+        countDistinct(col("l_orderkey")).as("exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+        percentile(col("l_quantity"), lit(0.45)).as("lo"),
+        percentile(col("l_quantity"), lit(0.55)).as("hi"))
+      .select(
+        (abs(col("acd") - col("exact")) <= col("exact") * 0.05).as("acd_ok"),
+        (col("p50") >= col("lo") && col("p50") <= col("hi")).as("p50_ok"))
+
+  val q22Sql: String = "SELECT true AS acd_ok, true AS p50_ok"
+
+  // --- Q23: dedup-by-window (E5, J5, K1) ----------------------------------
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(count(lit(1)).as("survivors"))
+  }
+
+  val q23Sql: String =
+    """SELECT count(*) AS survivors FROM (
+      |  SELECT DISTINCT ON (user_id, event_type) event_id
+      |  FROM events ORDER BY user_id, event_type, ts, event_id)""".stripMargin
+
+  // --- Q24: tokenize + top terms (K5, H5) ---------------------------------
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(20)
+      .select(col("w").as("word"), col("c"))
+
+  val q24Sql: String =
+    """SELECT w AS word, c FROM (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(trim(text),' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY w) g
+      |ORDER BY c DESC, word LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------------
+  /** (name, builder, oracle SQL). `None` oracle → driver rows-only check. */
+  val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q1_agg", q1 _, Some(q1Sql)),
+    ("q2_filter", q2 _, Some(q2Sql)),
+    ("q3_join_agg", q3 _, Some(q3Sql)),
+    ("q4_outer_join", q4 _, Some(q4Sql)),
+    ("q5_semi_join", q5 _, Some(q5Sql)),
+    ("q6_anti_join", q6 _, Some(q6Sql)),
+    ("q7_broadcast_dims", q7 _, Some(q7Sql)),
+    ("q8_band_self_join", q8 _, Some(q8Sql)),
+    ("q9_multi_distinct", q9 _, Some(q9Sql)),
+    ("q10_rollup", q10 _, Some(q10Sql)),
+    ("q10b_cube", q10b _, Some(q10bSql)),
+    ("q11_rank_window", q11 _, Some(q11Sql)),
+    ("q12_lag_lead", q12 _, Some(q12Sql)),
+    ("q13_range_frame", q13 _, Some(q13Sql)),
+    ("q14_topk", q14 _, Some(q14Sql)),
+    ("q15_strings", q15 _, Some(q15Sql)),
+    ("q16_setops", q16 _, Some(q16Sql)),
+    ("q17_math_case", q17 _, Some(q17Sql)),
+    ("q18_json_datetrunc", q18 _, Some(q18Sql)),
+    ("q19_arrays", q19 _, Some(q19Sql)),
+    ("q20_cosine_topk", q20 _, Some(q20Sql)),
+    ("q21_asof_agg", q21 _, Some(q21Sql)),
+    ("q22_approx_range", q22 _, Some(q22Sql)),
+    ("q23_dedup_first", q23 _, Some(q23Sql)),
+    ("q24_token_topterms", q24 _, Some(q24Sql))
+  )
+}

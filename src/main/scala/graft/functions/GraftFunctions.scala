@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration + Column wrappers for graft's custom Catalyst expressions.
+  *
+  * Queries receive an externally-built SparkSession (driver contract), so
+  * registration is done lazily and idempotently via [[register]] instead of
+  * requiring `withExtensions` at build time. [[GraftExtensions]] offers the
+  * `SparkSessionExtensions` path for sessions we do control.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim"  -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_norm"     -> (es => L2Norm(es.head))
+  )
+
+  /** Idempotently register all graft functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val fr = GraftBridge.functionRegistry(spark)
+    fns.foreach { case (name, builder) =>
+      fr.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  // Typed Column API (usable without registration).
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def l2_norm(a: Column): Column =
+    GraftBridge.column(L2Norm(GraftBridge.expression(a)))
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+parquet tables in <sfDir>, loads the Spark result parquet from
+<outDir>/<name>/, sorts columns by name (the driver does this before
+hashing), and compares row-by-row rendered values.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def render(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        flist = "[" + ",".join(f"'{f}'" for f in sorted(spark_files)) + "]"
+        spark = con.execute(f"SELECT * FROM read_parquet({flist})").fetchdf()
+        dc, sc = sorted(duck.columns), sorted(spark.columns)
+        if dc != sc:
+            print(f"FAIL {name}: columns duck={dc} spark={sc}")
+            n_fail += 1
+            continue
+        drows = [tuple(render(v) for v in r) for r in duck[dc].itertuples(index=False)]
+        srows = [tuple(render(v) for v in r) for r in spark[sc].itertuples(index=False)]
+        if len(drows) != len(srows):
+            print(f"FAIL {name}: rowcount duck={len(drows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(drows, srows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(drows)} rows differ; first at {i}:")
+            print(f"  cols : {dc}")
+            print(f"  duck : {a}")
+            print(f"  spark: {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(drows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
