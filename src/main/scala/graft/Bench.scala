@@ -1,24 +1,63 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness (BASELINE.md protocol).
+  *
+  * Fixes over round 1 (VERDICT.md "What's wrong" #2): each query is fully
+  * materialized through the `noop` sink — a bare `.count()` let Catalyst
+  * prune projections, window sums, and trailing sorts, so the old numbers
+  * measured row-count scans. Protocol: 1 warm-up + 3 timed runs, median
+  * reported. Query failures are printed to stderr and reported as -1, never
+  * silently swallowed.
+  *
+  * Only batch queries (q*, k*) are benchmarked; streaming (s*) and pipeline
+  * (p*) entries manage their own sinks/checkpoints and are correctness-only.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val benchable = SparkEntry.queries.toSeq
+      .filter { case (name, _) => name.startsWith("q") || name.startsWith("k") }
+      .sortBy(_._1)
+
+    val results = benchable.map { case (name, fn) =>
+      val timings =
+        try {
+          materialize(fn(spark, sfDir)) // warm-up (JIT + codegen cache)
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            materialize(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Seq.empty[Double]
+        }
+      val median = if (timings.isEmpty) -1.0 else timings(timings.size / 2)
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

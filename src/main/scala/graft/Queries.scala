@@ -316,12 +316,25 @@ object Queries {
       |ORDER BY k""".stripMargin
 
   // --- Q17: math + CASE (B4, H3) ------------------------------------------
+  // `charge` is computed entirely in DECIMAL (SURVEY.md §2.3 rule 2
+  // fallback): inputs are exact 2dp values, so the decimal product is exact
+  // and the final 2dp rounding is identical on both engines — unlike
+  // round(double, 2), where Spark (HALF_UP on the shortest decimal
+  // rendering) and DuckDB (scale-then-round-half-away, carrying fp error)
+  // disagreed on 11/60,000 `.xx5`-boundary rows in round 1.
+  // NOTE: `round(decimal, 2)` — not a DECIMAL(18,2) cast — because DuckDB's
+  // decimal→decimal downscale cast truncates while Spark's rounds; round()
+  // is half-away-from-zero on exact decimals in both engines.
+  private val q17ChargeSql: String =
+    """CAST(round(abs(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |  * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)""".stripMargin
+
   def q17(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(abs(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("charge"),
+        expr(q17ChargeSql).as("charge"),
         when(col("l_discount") >= 0.05, "hi")
           .when(col("l_discount") > 0, "lo")
           .otherwise("none").as("disc_band"),
@@ -330,8 +343,8 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
 
   val q17Sql: String =
-    """SELECT l_orderkey, l_linenumber,
-      |       round(abs(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS charge,
+    s"""SELECT l_orderkey, l_linenumber,
+      |       ${q17ChargeSql.replace("\n", " ")} AS charge,
       |       CASE WHEN l_discount >= 0.05 THEN 'hi' WHEN l_discount > 0 THEN 'lo'
       |            ELSE 'none' END AS disc_band,
       |       cast(floor(l_quantity) AS BIGINT) AS fq,

@@ -25,11 +25,17 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as nanos-since-epoch LONG and truncate to a µs
-    * timestamp — identical to how DuckDB (µs-resolution TIMESTAMP) reads the
-    * same file, so oracle parity is preserved.
+    * timestamp. DuckDB 1.0 reads the same file at full ns resolution
+    * (TIMESTAMP_NS); the fixture's ts gaps are minute-scale, so no declared
+    * query's comparison lands within 1 µs of a boundary — oracle parity holds
+    * (verified: all ts-comparing queries hash-matched in round 1).
+    *
+    * The legacy conf is the only switch for nanos reads (no per-read
+    * option), so it is set here — guarded, once per session.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -10,18 +10,28 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def render(v):
-    if v is None:
+def render(v, f32=False):
+    if v is None or v != v:
         return "NULL"
-    if isinstance(v, float):
-        return repr(v)
+    if f32:
+        # pandas itertuples widens float32 to float64 ('0.37000000476837158');
+        # shortest-repr of the 32-bit value is what both engines print.
+        return np.format_float_positional(np.float32(v), trim="0")
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+def rows_of(df, cols):
+    f32 = [str(df[c].dtype) == "float32" for c in cols]
+    return [tuple(render(v, f) for v, f in zip(r, f32))
+            for r in df[cols].itertuples(index=False)]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -52,8 +62,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns duck={dc} spark={sc}")
             n_fail += 1
             continue
-        drows = [tuple(render(v) for v in r) for r in duck[dc].itertuples(index=False)]
-        srows = [tuple(render(v) for v in r) for r in spark[sc].itertuples(index=False)]
+        drows = rows_of(duck, dc)
+        srows = rows_of(spark, sc)
         if len(drows) != len(srows):
             print(f"FAIL {name}: rowcount duck={len(drows)} spark={len(srows)}")
             n_fail += 1
