@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression lock (SURVEY.md §5 "plan" tier).
+  *
+  * Asserts the physical shapes the 100 TB design depends on: explicit
+  * broadcasts stay broadcast, top-k plans as TakeOrderedAndProject (no global
+  * sort), EXISTS/NOT EXISTS plan as semi/anti joins, and filters reach the
+  * parquet scan as pushed filters.
+  */
+class PlanSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  /** Pre-AQE physical plan — shapes chosen by the planner, not runtime. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("q7 dims join as BroadcastHashJoin") {
+    assert(plan("q7_broadcast_dims").contains("BroadcastHashJoin"))
+  }
+
+  test("q14 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 EXISTS plans as LeftSemi") {
+    assert(plan("q5_semi_join").contains("LeftSemi"))
+  }
+
+  test("q6 NOT EXISTS plans as LeftAnti, with the quantity filter pushed to the scan") {
+    val p = plan("q6_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+  }
+
+  test("q2 filter predicates reach the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("o_totalprice"))
+  }
+
+  test("q20 cosine scan stays in whole-stage codegen") {
+    val df = SparkEntry.queries("q20_cosine_topk")(spark, sf)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("cosine_sim"))
+    // whole-stage-codegen spans render as "*(n) " prefixes in toString
+    assert(executed.contains("*(2) Project") || executed.contains("*(1) Project"),
+      s"cosine Project not inside a codegen span:\n$executed")
+  }
+
+  test("q8 band join rides the user_id equi-key (sort-merge/hash, not nested loop)") {
+    val p = plan("q8_band_self_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q1 aggregate is partial+final hash agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+  }
+}
