@@ -11,12 +11,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q3(spark, "/root/testdata/sf0.001")
 
+  private def allDeclared =
+    Queries.declared ++ graft.streaming.StreamQueries.declared
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.declared.map { case (name, fn, _) => name -> fn }.toMap
+    allDeclared.map { case (name, fn, _) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.declared.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+    allDeclared.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

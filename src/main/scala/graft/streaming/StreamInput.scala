@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Deterministic streaming replay inputs (FIXTURES.md §B3), generated FROM
+  * the read-only testdata into `target/stream/` at first use.
+  *
+  * The events table is re-written as 4 parquet files so
+  * `maxFilesPerTrigger=1` yields ≥4 micro-batches (I1), and a second copy
+  * carries ~5% seeded duplicate rows for the dedup suite (S5/P3). Re-written
+  * files carry µs timestamps, so streaming reads skip the nanosAsLong
+  * special-casing in [[Tables.loadEvents]].
+  */
+object StreamInput {
+
+  private val root = "target/stream"
+
+  private def key(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+
+  private def ensure(dir: String)(write: String => Unit): String = {
+    val marker = Paths.get(dir, "_SUCCESS")
+    if (!Files.exists(marker)) {
+      deleteRecursively(Paths.get(dir))
+      write(dir)
+      staggerModTimes(dir)
+    }
+    dir
+  }
+
+  /** FileStreamSource orders files by modification time; the four range
+    * partitions are written concurrently, so stamp strictly increasing
+    * mtimes in part-file order to pin batch order = time order.
+    */
+  private def staggerModTimes(dir: String): Unit = {
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    val base = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+  }
+
+  /** events re-written as 4 time-ordered files (µs timestamps).
+    *
+    * Range-partitioned by `ts` so micro-batches replay in event-time order —
+    * a replay whose files each span the whole time range would push the
+    * watermark to (global max − delay) after the first batch and every later
+    * batch would be dropped as late (the failure mode S5 guards against).
+    */
+  def eventsDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/events") { dir =>
+      Tables.load(spark, sfDir, "events")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** events plus a seeded ~5% duplicate sample (same rows repeated).
+    * Duplicates carry identical `ts`, so range partitioning keeps each
+    * duplicate in the same file (same micro-batch) as its original —
+    * within any watermark's dedup horizon.
+    */
+  def eventsDupDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/events_dup") { dir =>
+      val ev = Tables.load(spark, sfDir, "events")
+      ev.union(ev.sample(withReplacement = false, 0.05, seed = 42))
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
+  def freshCheckpoint(name: String, sfDir: String): String = {
+    val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")
+    deleteRecursively(dir)
+    dir.toString
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** Streaming reader over a prepared dir, one file per micro-batch. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming suite S1–S6 (SURVEY.md §2.1-I, §2.2-S).
+  *
+  * Correctness contract is batch-equivalence: each entry replays the events
+  * table as an unbounded file stream (`Trigger.AvailableNow`, one file per
+  * micro-batch), runs the streaming computation to completion, and returns
+  * the result as a batch DataFrame whose DuckDB oracle is the equivalent
+  * batch query over the same events — so the driver's hash gate checks
+  * stream == batch directly.
+  *
+  * Scale notes: all stateful ops are keyed (no global state), watermarks
+  * bound state (I2/I8), and the memory sink is test-harness-only — the
+  * production sink path is the JDBC upsert (A5, graft.etl).
+  *
+  * Operator coverage: I1 micro-batch ingest (s1), I2 watermark (s2, s5),
+  * I3 tumbling (s2), I4 sliding (s3), I5 session window (s4), I6 streaming
+  * dedup (s5), I7 arbitrary state via mapGroupsWithState (s6), I8 late-data
+  * semantics via watermark + observe metric (s2), I10 stream–static join
+  * (s3). I9 (exactly-once JDBC) lives in the pipeline suite (P3).
+  */
+object StreamQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink and
+    * return the sink contents as a batch DataFrame. Fresh checkpoint per
+    * run → deterministic full replay.
+    */
+  private def runToTable(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      sfDir: String,
+      mode: OutputMode): DataFrame = {
+    val table = s"${name}_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint(name, sfDir))
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  // --- S1: micro-batch ingest replay (I1, A6) ------------------------------
+  // Count + value checksum over the full replay; complete-mode aggregation.
+  def s1(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+    val agg = in.agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+    runToTable(spark, agg, "s1_ingest", sfDir, OutputMode.Complete())
+  }
+
+  val s1Sql: String =
+    "SELECT count(*) AS n, round(sum(value),2) AS v FROM events"
+
+  // --- S2: tumbling 1-hour window + watermark (I2, I3, I8) -----------------
+  // Complete mode so the stream's final answer covers every window (append
+  // mode would hold back windows newer than the final watermark — the
+  // documented late-data semantics; the watermark still bounds state).
+  // `observe` hangs a row-count metric on the stream (I8 metric surface).
+  def s2(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+    val agg = in
+      .observe("s2_metrics", count(lit(1)).as("rows_seen"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+    runToTable(spark, agg, "s2_tumbling", sfDir, OutputMode.Complete())
+      .orderBy("h", "event_type")
+  }
+
+  val s2Sql: String =
+    """SELECT date_trunc('hour', ts) AS h, event_type,
+      |       count(*) AS n, round(sum(value),2) AS v
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // --- S3: sliding window over a stream–static join (I4, I10) --------------
+  // The static side is a tiny dim joined broadcast-style into the stream
+  // before the windowed aggregation.
+  private def categoryDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "ops")
+    ).toDF("event_type", "category")
+  }
+
+  def s3(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+    val joined = in.join(broadcast(categoryDim(spark)), Seq("event_type"))
+    val agg = joined
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("category"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("w_start"), col("category"), col("n"), col("v"))
+    runToTable(spark, agg, "s3_sliding", sfDir, OutputMode.Complete())
+      .orderBy("w_start", "category")
+  }
+
+  // Each event falls in exactly two 10-min/5-min-slide windows: the one
+  // starting at floor5(ts) and the one 5 minutes earlier.
+  val s3Sql: String =
+    """SELECT ws AS w_start, category, count(*) AS n, round(sum(value),2) AS v
+      |FROM (
+      |  SELECT CAST(unnest([to_timestamp(floor(epoch(ts)/300)*300),
+      |                      to_timestamp(floor(epoch(ts)/300)*300 - 300)]) AS TIMESTAMP) AS ws,
+      |         CASE WHEN event_type IN ('click','view') THEN 'engagement'
+      |              WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |              ELSE 'ops' END AS category,
+      |         value
+      |  FROM events)
+      |GROUP BY ws, category ORDER BY ws, category""".stripMargin
+
+  // --- S4: session windows, 30-minute gap (I5) -----------------------------
+  def s4(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+    val agg = in
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("user_id"), col("n"), col("v"))
+    runToTable(spark, agg, "s4_session", sfDir, OutputMode.Complete())
+      .orderBy("user_id", "s_start")
+  }
+
+  // Batch sessionization: lag-gap flag → running session id → group.
+  val s4Sql: String =
+    """SELECT CAST(min(ts) AS TIMESTAMP) AS s_start, user_id,
+      |       count(*) AS n, round(sum(value),2) AS v
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, value, event_id,
+      |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                     IS NULL
+      |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                     > INTERVAL 30 MINUTE
+      |                THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  // --- S5: streaming dedup within watermark (I2, I6, J5) -------------------
+  // Input carries ~5% duplicated rows; dedup restores the original table, so
+  // the oracle is the plain batch aggregate over events.
+  def s5(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDupDir(spark, sfDir))
+    val deduped = in
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val unique = runToTable(spark, deduped, "s5_dedup", sfDir, OutputMode.Append())
+    unique.agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+  }
+
+  val s5Sql: String =
+    "SELECT count(*) AS n, round(sum(value),2) AS v FROM events"
+
+  // --- S6: arbitrary keyed state via mapGroupsWithState (I7) ---------------
+  // Per-user running (count, value-sum) state emitted in Update mode; each
+  // update for a key strictly increases `n`, so the final state per user is
+  // the max-`n` row in the sink — batch-equivalent to GROUP BY user_id.
+  def s6(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+
+    val updates = in
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Double)],
+              state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "n", "v")
+
+    val sink = runToTable(spark, updates, "s6_state", sfDir, OutputMode.Update())
+    val latest = Window.partitionBy("user_id").orderBy(col("n").desc)
+    sink.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), round(col("v"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
+  val s6Sql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value),2) AS v
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("s1_ingest_replay", s1 _, Some(s1Sql)),
+    ("s2_tumbling_window", s2 _, Some(s2Sql)),
+    ("s3_sliding_static_join", s3 _, Some(s3Sql)),
+    ("s4_session_window", s4 _, Some(s4Sql)),
+    ("s5_stream_dedup", s5 _, Some(s5Sql)),
+    ("s6_stateful_agg", s6 _, Some(s6Sql))
+  )
+}
