@@ -12,7 +12,8 @@ object SparkEntry {
     Queries.q3(spark, "/root/testdata/sf0.001")
 
   private def allDeclared =
-    Queries.declared ++ graft.streaming.StreamQueries.declared
+    Queries.declared ++ graft.streaming.StreamQueries.declared ++
+      graft.etl.PipelineQueries.declared
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
