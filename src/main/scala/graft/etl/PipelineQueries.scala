@@ -1,6 +1,7 @@
 package graft.etl
 
 import java.nio.file.Paths
+import java.sql.DriverManager
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,10 +78,81 @@ object PipelineQueries {
        |GROUP BY activity_kind ORDER BY activity_kind""".stripMargin
   }
 
+  // --- P3/P4: JDBC upsert sink + read-back on embedded Derby ---------------
+
+  private def sfKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+
+  /** Shut down + delete an embedded Derby db for a deterministic re-run. */
+  private def freshDerby(dbDir: String): String = {
+    try DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = shutdown OK
+    graft.streaming.StreamInput.deleteRecursively(Paths.get(dbDir))
+    s"jdbc:derby:$dbDir;create=true"
+  }
+
+  /** P3 (A5, A6, I6, I9): stream the duplicated events replay into Derby
+    * through the checkpointed upsert sink, then REPLAY IT AGAIN from a fresh
+    * checkpoint. Key-idempotent upsert ⇒ the second full replay must leave
+    * the table at exactly the batch answer — which is what the oracle
+    * checks (duplicates collapse onto the event_id primary key).
+    */
+  def p3(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = freshDerby(s"target/derby/p3_${sfKey(sfDir)}")
+    val table = "events_sink"
+    val inDir = graft.streaming.StreamInput.eventsDupDir(spark, sfDir)
+    val schema = spark.read.parquet(inDir).drop("props").schema
+    JdbcUpsert.ensureTable(url, table, schema, Seq("event_id"))
+
+    (1 to 2).foreach { replay =>
+      val stream = graft.streaming.StreamInput.readEventsStream(spark, inDir)
+        .drop("props")
+      JdbcUpsert.sink(stream, url, table, Seq("event_id"),
+          graft.streaming.StreamInput.freshCheckpoint(s"p3_replay$replay", sfDir))
+        .start().awaitTermination()
+    }
+
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("d"),
+        round(sum("value"), 2).as("v"))
+  }
+
+  val p3Sql: String =
+    """SELECT count(*) AS n, count(DISTINCT event_id) AS d,
+      |       round(sum(value),2) AS v FROM events""".stripMargin
+
+  /** P4 (A4, A5): batch upsert path — write customer twice (second pass
+    * exercises the UPDATE branch on every row), read back via the JDBC
+    * source, aggregate. Oracle = same aggregate over the parquet table.
+    */
+  def p4(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = freshDerby(s"target/derby/p4_${sfKey(sfDir)}")
+    val table = "customer_sink"
+    val customer = graft.Tables.load(spark, sfDir, "customer")
+    JdbcUpsert.ensureTable(url, table, customer.schema, Seq("c_custkey"))
+    JdbcUpsert.upsertBatch(customer, url, table, Seq("c_custkey"))
+    JdbcUpsert.upsertBatch(customer, url, table, Seq("c_custkey")) // all-UPDATE pass
+
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey")
+  }
+
+  val p4Sql: String =
+    """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal),2) AS bal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("p1_snowplow_good", p1Good _, None),
     ("p1_snowplow_badrows", p1BadRows _, None),
     ("p1_snowplow_shred", p1Shred _, None),
-    ("p2_adjust_parse", p2 _, Some(p2Sql))
+    ("p2_adjust_parse", p2 _, Some(p2Sql)),
+    ("p3_jdbc_upsert_stream", p3 _, Some(p3Sql)),
+    ("p4_jdbc_readback", p4 _, Some(p4Sql))
   )
 }
