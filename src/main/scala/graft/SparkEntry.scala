@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDeclared =
     Queries.declared ++ graft.streaming.StreamQueries.declared ++
-      graft.etl.PipelineQueries.declared
+      graft.etl.PipelineQueries.declared ++ graft.ops.KQueries.declared
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declared LLM-pipeline queries (SURVEY.md §2.1-K): the dedup family over
+  * `documents`/`embeddings`, each with a DuckDB oracle where the semantics
+  * are SQL-expressible (the oracle brute-forces what the Spark side computes
+  * via LSH — planted duplicates make recall provably 1 for checked pairs).
+  */
+object KQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // --- K1: exact dedup by content hash (H7) --------------------------------
+  def k1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .agg(
+        countDistinct(xxhash64(col("text"))).as("uniq"),
+        count(lit(1)).as("total"))
+
+  val k1Sql: String =
+    "SELECT count(DISTINCT text) AS uniq, count(*) AS total FROM documents"
+
+  // --- J5: event-fingerprint dedup (H7) ------------------------------------
+  def j5(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(
+        countDistinct(Dedup.fingerprint(Seq(
+          col("user_id"), col("event_type"), col("value"), col("props"))))
+          .as("fingerprints"),
+        count(lit(1)).as("total"))
+
+  val j5Sql: String =
+    """SELECT count(DISTINCT (user_id, event_type, value, props)) AS fingerprints,
+      |       count(*) AS total FROM events""".stripMargin
+
+  // --- K2: MinHash-LSH near-dedup ------------------------------------------
+  // Corpus = documents plus, for every doc with >= 4 words, a copy with the
+  // last word dropped (id + 100000) — planted near-duplicates at Jaccard
+  // (n-3-1)/(n-3+... ) >= 0.8 for long docs. The oracle brute-forces exact
+  // shingle-Jaccard over the same augmented corpus.
+  private def augmentedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val words = split(trim(col("text")), "\\s+")
+    val perturbed = t(spark, dir, "documents")
+      .filter(size(words) >= 4)
+      .select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(words, lit(1), size(words) - 1), " ").as("text"))
+    docs.union(perturbed)
+  }
+
+  def k2(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(augmentedDocs(spark, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.8)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        // integer outputs only: a rounded sum-of-doubles flaked on a .xx5
+        // boundary between engines; counts at two thresholds are exact
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_tight"))
+
+  val k2Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(w[1:len(w)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 4
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM corpus)
+      |  WHERE len(w) >= 3
+      |)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_tight
+      |FROM (
+      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / len(list_distinct(a.s || b.s)) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.8""".stripMargin
+
+  // --- K2b: embedding near-dup via sign-LSH + cosine verify ----------------
+  // Corpus = embeddings plus exact copies (id + 100000): identical vectors
+  // always share an LSH bucket, so recall is 1 for every oracle pair.
+  def k2b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val aug = emb.union(
+      emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Similarity.cosinePairs(aug, "vec_id", "embedding", threshold = 0.95)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val k2bSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings)
+      |SELECT count(*) AS n_pairs
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
+
+  // --- SimHash near-dup signal (not oracle-expressible: xxhash64-based) ----
+  // Hamming distance between each doc's signature and its one-word-dropped
+  // copy; integer outputs, fully deterministic — rows-only at the driver,
+  // value-checked in DedupSpec.
+  def kSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = augmentedDocs(spark, dir)
+      .withColumn("sig", Dedup.simhash("split(trim(text), '\\\\s+')"))
+    val orig = sig.filter(col("doc_id") < 100000)
+      .select(col("doc_id"), col("sig").as("sig_o"))
+    val pert = sig.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("doc_id"), col("sig").as("sig_p"))
+    orig.join(pert, "doc_id")
+      .select(col("doc_id"), Dedup.hamming64(col("sig_o"), col("sig_p")).as("dist"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dist") <= 16, 1).otherwise(0)).as("n_close"),
+        round(avg("dist"), 2).as("avg_dist"))
+  }
+
+  val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("k1_exact_dedup", k1 _, Some(k1Sql)),
+    ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
+    ("k2_minhash_neardup", k2 _, Some(k2Sql)),
+    ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
+    ("k_simhash_neardup", kSimhash _, None)
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Embedding similarity operators (SURVEY.md §2.1 K3/K4 scale path).
+  *
+  * Random-hyperplane sign-LSH: `bits` seeded hyperplanes project each
+  * vector (via the codegen'd [[graft.functions.DotProduct]] expression) to a
+  * sign bit; the packed bits are the bucket key. Joining on the bucket makes
+  * the near-dup join local — candidate pairs exist only within buckets, so
+  * the shuffle is keyed and there is no all-pairs cross join.
+  *
+  * Recall caveat (documented, standard LSH trade-off): pairs straddling a
+  * hyperplane land in different buckets; identical/near-identical vectors
+  * always collide. Raise recall with fewer bits or multi-probe; the declared
+  * oracle plants exact duplicates so recall is provably 1 for the checked
+  * pairs.
+  */
+object Similarity {
+
+  /** Deterministic unit-ish hyperplanes from a seeded RNG. */
+  def planes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Packed sign-bit bucket id for a float/double vector column. */
+  def signBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    planes(bits, dim, seed).zipWithIndex
+      .map { case (p, j) =>
+        when(GraftFunctions.dot_product(vec, typedlit(p)) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits, dim, seed).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", GraftFunctions.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}
