@@ -128,7 +128,64 @@ object KQueries {
         round(avg("dist"), 2).as("avg_dist"))
   }
 
+  // --- D9: typed Aggregator — per-label vector centroid --------------------
+  def d9(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(graft.functions.VectorCentroid)
+    t(spark, dir, "embeddings")
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
+      .select(
+        col("label"),
+        round(element_at(col("c"), 1), 4).as("c0"),
+        round(element_at(col("c"), 2), 4).as("c1"),
+        round(element_at(col("c"), 64), 4).as("c63"),
+        col("n"))
+      .orderBy("label")
+  }
+
+  val d9Sql: String =
+    """SELECT label, round(avg(CAST(embedding[1] AS DOUBLE)),4) AS c0,
+      |       round(avg(CAST(embedding[2] AS DOUBLE)),4) AS c1,
+      |       round(avg(CAST(embedding[64] AS DOUBLE)),4) AS c63,
+      |       count(*) AS n
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // --- K4: dot product / l2 norm / normalize over the query vector --------
+  // Exercises the codegen'd DotProduct + L2Norm expressions end-to-end
+  // (VERDICT.md "implemented-but-dead"). Both engines loop the 64 elements
+  // sequentially in double, so 4dp rounding is stable.
+  def k4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(dot_product(col("embedding"), col("qvec")), 4).as("dot_q"),
+        round(l2_norm(col("embedding")), 4).as("l2"),
+        round(
+          dot_product(col("embedding"), col("qvec")) /
+            (l2_norm(col("embedding")) * l2_norm(col("qvec"))), 4).as("cos_via_k4"))
+      .orderBy("vec_id")
+  }
+
+  val k4Sql: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |       round(list_inner_product(ev, qv), 4) AS dot_q,
+      |       round(sqrt(list_inner_product(ev, ev)), 4) AS l2,
+      |       round(list_inner_product(ev, qv)
+      |             / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))), 4)
+      |         AS cos_via_k4
+      |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |      FROM embeddings WHERE vec_id <> 0), q
+      |ORDER BY vec_id""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("d9_vector_centroid", d9 _, Some(d9Sql)),
+    ("k4_vector_math", k4 _, Some(k4Sql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
