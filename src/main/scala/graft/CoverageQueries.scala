@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Coverage queries closing the function-family gaps VERDICT.md flagged as
+  * implemented-but-untested (H1–H8, D3, F3, G2, E1/E2), plus the scale-safe
+  * banded reformulation of q13's global window.
+  *
+  * Same contract as [[Queries]]: every DOUBLE output rounded in-query,
+  * aliases identical on both sides, total ORDER BY.
+  */
+object CoverageQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // --- q13b: trailing 10-min sum WITHOUT a global window -------------------
+  // q13's oracle shape (Window.orderBy with no partition) funnels every row
+  // through one task — correct, but a scale-killer (VERDICT.md wrong #3).
+  // This variant computes the identical answer as a banded self-join keyed
+  // on 10-minute time buckets: each event contributes to its own bucket and
+  // the next, targets join contributors on the bucket (keyed shuffle, no
+  // single-task stage), and the band condition is a residual filter.
+  def q13b(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / 600000000L) // 10-minute buckets (µs)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("b", bucket(col("ts")))
+    val contrib = ev.select(
+      col("ts").as("cts"), col("value").as("cv"),
+      explode(array(col("b"), col("b") + 1)).as("b"))
+    ev.join(contrib, Seq("b"))
+      .filter(col("cts") <= col("ts")
+        && col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy("event_id")
+      .agg(round(sum("cv"), 2).as("w10"))
+      .orderBy("event_id")
+  }
+
+  // Identical semantics to q13 — reuse its oracle formulation.
+  val q13bSql: String = Queries.q13Sql
+
+  // --- q25: math family (H3) -----------------------------------------------
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(pow(col("l_quantity"), 2), 2).as("pq"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice")), 4).as("lne"),
+        round(log10(col("l_extendedprice")), 4).as("lg"),
+        (col("l_quantity").cast("int") % 7).as("m"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        round(greatest(col("l_tax"), col("l_discount")), 2).as("g"),
+        round(least(col("l_tax"), col("l_discount")), 2).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q25Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       round(power(l_quantity, 2), 2) AS pq,
+      |       round(sqrt(l_extendedprice), 4) AS sq,
+      |       round(ln(l_extendedprice), 4) AS lne,
+      |       round(log10(l_extendedprice), 4) AS lg,
+      |       CAST(mod(CAST(l_quantity AS INT), 7) AS INT) AS m,
+      |       CAST(sign(l_discount - 0.05) AS INT) AS sg,
+      |       round(greatest(l_tax, l_discount), 2) AS g,
+      |       round(least(l_tax, l_discount), 2) AS l
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- q26: date/time family (H2) ------------------------------------------
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("dd"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        make_timestamp(
+          year(col("o_orderdate")), month(col("o_orderdate")),
+          dayofmonth(col("o_orderdate")), lit(12), lit(0), lit(0)).as("noon"))
+      .orderBy("o_orderkey")
+
+  val q26Sql: String =
+    """SELECT o_orderkey,
+      |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS dd,
+      |       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS d30,
+      |       CAST(extract(year FROM o_orderdate) AS INT) AS y,
+      |       CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+      |       CAST(extract(day FROM o_orderdate) AS INT) AS d,
+      |       CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+      |       make_timestamp(CAST(extract(year FROM o_orderdate) AS BIGINT),
+      |                      CAST(extract(month FROM o_orderdate) AS BIGINT),
+      |                      CAST(extract(day FROM o_orderdate) AS BIGINT),
+      |                      12, 0, 0.0) AS noon
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --- q27: stddev/var/min/max (D3) ----------------------------------------
+  // var_samp is scaled before rounding: both engines use stable one-pass
+  // co-moments but merge order differs; stddev at 2dp and var/1e6 at 4dp
+  // leave ~6 orders of magnitude of slack.
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_extendedprice")) / 1e6, 4).as("var_price_m"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag")
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |       round(var_samp(l_quantity), 4) AS var_qty,
+      |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |       round(var_samp(l_extendedprice) / 1e6, 4) AS var_price_m,
+      |       min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+      |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q28: LIMIT/OFFSET (F3) ----------------------------------------------
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(20)
+      .select("o_orderkey", "o_totalprice")
+
+  val q28Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin
+
+  // --- q29: UNION distinct (G2) --------------------------------------------
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(col("event_type").as("v"))
+      .union(t(spark, dir, "orders").select(col("o_orderstatus").as("v")))
+      .distinct()
+      .orderBy("v")
+
+  val q29Sql: String =
+    """SELECT event_type AS v FROM events
+      |UNION SELECT o_orderstatus FROM orders ORDER BY v""".stripMargin
+
+  // --- q30: regex + string family gaps (H1, B3) ----------------------------
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_type").rlike("^[A-Z]"))
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("w1"),
+        regexp_replace(col("p_type"), "[AEIOUaeiou]", "_").as("devow"),
+        lpad(col("p_brand"), 12, "*").as("pad"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("cw"),
+        instr(col("p_name"), "a").cast("int").as("ia"),
+        col("p_name").startsWith("a").as("sa"))
+      .orderBy("p_partkey")
+
+  val q30Sql: String =
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '([a-z]+)', 1) AS w1,
+      |       regexp_replace(p_type, '[AEIOUaeiou]', '_', 'g') AS devow,
+      |       lpad(p_brand, 12, '*') AS pad,
+      |       concat_ws('/', p_brand, p_type) AS cw,
+      |       CAST(instr(p_name, 'a') AS INT) AS ia,
+      |       starts_with(p_name, 'a') AS sa
+      |FROM part WHERE regexp_matches(p_type, '^[A-Z]')
+      |ORDER BY p_partkey""".stripMargin
+
+  // --- q31: ntile / first_value / last_value (E1, E2) ----------------------
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("q"),
+        first_value(col("o_orderkey")).over(w).as("fo"),
+        last_value(col("o_orderkey")).over(wFull).as("lo"))
+      .orderBy("o_orderkey")
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderkey, o_custkey, ntile(4) OVER w AS q,
+      |       first_value(o_orderkey) OVER w AS fo,
+      |       last_value(o_orderkey) OVER
+      |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lo
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- q32: map functions over shredded JSON (H4, H6) ----------------------
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.IntegerType))
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        element_at(m, "k").as("k"),
+        size(map_keys(m)).as("nk"),
+        element_at(map_values(m), 1).as("v1"))
+      .orderBy("event_id")
+  }
+
+  val q32Sql: String =
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS INT) AS k,
+      |       CAST(len(json_keys(props)) AS INT) AS nk,
+      |       CAST(json_extract(props, '$.k') AS INT) AS v1
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --- q33: hash family (H7) -----------------------------------------------
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("m"),
+        sha2(col("text"), 256).as("s"))
+      .orderBy("doc_id")
+
+  val q33Sql: String =
+    """SELECT doc_id, md5(text) AS m, sha256(text) AS s
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- q34: URL parsing (H8) -----------------------------------------------
+  // URLs synthesized from documents columns; DuckDB re-parses the same
+  // string with regexes (no parse_url there).
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/d/"),
+      col("doc_id"), lit("?lang="), col("lang"), lit("&v=2"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("qlang"))
+      .orderBy("doc_id")
+  }
+
+  val q34Sql: String =
+    """SELECT doc_id,
+      |       regexp_extract(u, 'https://([^/]+)', 1) AS host,
+      |       regexp_extract(u, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |       regexp_extract(u, '\?(.*)$', 1) AS query,
+      |       regexp_extract(u, '[?&]lang=([^&]*)', 1) AS qlang
+      |FROM (SELECT doc_id,
+      |        'https://' || source || '.example.com/d/' || doc_id ||
+      |        '?lang=' || lang || '&v=2' AS u
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q13b_banded_window", q13b _, Some(q13bSql)),
+    ("q25_math2", q25 _, Some(q25Sql)),
+    ("q26_dates", q26 _, Some(q26Sql)),
+    ("q27_stats", q27 _, Some(q27Sql)),
+    ("q28_offset", q28 _, Some(q28Sql)),
+    ("q29_union_distinct", q29 _, Some(q29Sql)),
+    ("q30_regex_strings", q30 _, Some(q30Sql)),
+    ("q31_ntile_firstlast", q31 _, Some(q31Sql)),
+    ("q32_map_functions", q32 _, Some(q32Sql)),
+    ("q33_hashes", q33 _, Some(q33Sql)),
+    ("q34_parse_url", q34 _, Some(q34Sql))
+  )
+}

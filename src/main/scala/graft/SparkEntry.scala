@@ -12,7 +12,8 @@ object SparkEntry {
     Queries.q3(spark, "/root/testdata/sf0.001")
 
   private def allDeclared =
-    Queries.declared ++ graft.streaming.StreamQueries.declared ++
+    Queries.declared ++ CoverageQueries.declared ++
+      graft.streaming.StreamQueries.declared ++
       graft.etl.PipelineQueries.declared ++ graft.ops.KQueries.declared
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -63,4 +63,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q13b banded variant has NO single-partition window operator") {
+    val p = plan("q13b_banded_window")
+    assert(!p.contains("Window"), s"q13b must not plan a Window:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q21 collect_set plans via ObjectHashAggregate (D2 sort-agg family)") {
+    val p = plan("q21_asof_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("q28 offset+limit plans without a full global sort materialization") {
+    val p = plan("q28_offset")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
