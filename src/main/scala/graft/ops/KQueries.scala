@@ -183,9 +183,124 @@ object KQueries {
       |      FROM embeddings WHERE vec_id <> 0), q
       |ORDER BY vec_id""".stripMargin
 
+  // --- K6: sentiment lexicon scoring (broadcast join) ----------------------
+  def k6(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(Text.tokens(col("text"))).as("word"))
+    tok.join(broadcast(Text.lexiconDf(spark)), Seq("word"))
+      .groupBy("lang")
+      .agg(
+        sum("score").as("score_sum"),
+        count(lit(1)).as("n_matched"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val k6Sql: String = {
+    val values = Text.lexicon.map { case (w, s) => s"('$w', $s)" }.mkString(", ")
+    s"""WITH lex(word, score) AS (VALUES $values),
+       |tok AS (SELECT doc_id, lang,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |SELECT lang, CAST(sum(l.score) AS BIGINT) AS score_sum,
+       |       count(*) AS n_matched, count(DISTINCT doc_id) AS n_docs
+       |FROM tok t JOIN lex l USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- K7: multimodal struct + per-mime stats ------------------------------
+  def k7(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.asMedia(t(spark, dir, "documents"))
+      .groupBy(col("media.mime").as("mime"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("media.data"))).as("total_bytes"),
+        min(length(col("media.data"))).as("min_bytes"),
+        max(length(col("media.data"))).as("max_bytes"))
+      .orderBy("mime")
+
+  val k7Sql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |            ELSE 'video/mp4' END AS mime,
+      |       count(*) AS n,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |       CAST(min(octet_length(encode(text))) AS INT) AS min_bytes,
+      |       CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- K8: text quality filters --------------------------------------------
+  def k8(spark: SparkSession, dir: String): DataFrame =
+    Text.withQualityMetrics(t(spark, dir, "documents"), "text")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(Text.qualityKeep, 1L).otherwise(0L)).as("n_keep"),
+        round(avg("mean_wlen"), 4).as("avg_wlen"),
+        round(avg("stop_ratio"), 4).as("avg_stop"))
+      .orderBy("lang")
+
+  val k8Sql: String = {
+    val stop = Text.stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT lang, count(*) AS n,
+       |       CAST(sum(CASE WHEN n_words >= 5 AND mean_wlen BETWEEN 2.0 AND 12.0
+       |                      AND stop_ratio <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_keep,
+       |       round(avg(mean_wlen), 4) AS avg_wlen,
+       |       round(avg(stop_ratio), 4) AS avg_stop
+       |FROM (
+       |  SELECT lang, len(w) AS n_words,
+       |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |           / len(w) AS mean_wlen,
+       |         CAST(len(list_filter(w, x -> x IN ($stop))) AS DOUBLE)
+       |           / len(w) AS stop_ratio
+       |  FROM (SELECT lang, text, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents))
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- Language ID heuristic (rows-only: marker argmax, no SQL oracle) -----
+  def kLangid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(Text.langid(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("predicted")
+
+  // --- Document fingerprint sketch (rows-only: xxhash64-based) -------------
+  def kFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sk = augmentedDocs(spark, dir)
+      .withColumn("sketch", Text.fingerprintSketch(col("text"), 3, 16))
+      .filter(size(col("sketch")) > 0)
+    val orig = sk.filter(col("doc_id") < 100000)
+      .select(col("doc_id"), col("sketch").as("sk_o"))
+    val pert = sk.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("doc_id"), col("sketch").as("sk_p"))
+    orig.join(pert, "doc_id")
+      .select(col("doc_id"),
+        Text.sketchSimilarity(col("sk_o"), col("sk_p")).as("est"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_similar"))
+  }
+
+  // --- K3 scale path: ANN top-k via sign-LSH multi-probe (rows-only) -------
+  def k3Ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    Similarity.annTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
+    ("k6_sentiment", k6 _, Some(k6Sql)),
+    ("k7_multimodal_stats", k7 _, Some(k7Sql)),
+    ("k8_quality_filters", k8 _, Some(k8Sql)),
+    ("k_langid", kLangid _, None),
+    ("k_fingerprint_sketch", kFingerprint _, None),
+    ("k3_ann_topk", k3Ann _, None),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),

@@ -37,6 +37,44 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** K3 scale path: approximate top-k by sign-LSH multi-probe.
+    *
+    * Brute force (q20) scans the full corpus per query — fine once,
+    * wrong at 100 TB per-lookup. Here every row carries a small packed
+    * sign-bucket; candidates are rows whose bucket is within `maxHamming`
+    * bits of the query's bucket, and only candidates pay the cosine. At
+    * scale the bucket is a stored/bucketBy column, so the probe prunes
+    * partitions instead of filtering a scan.
+    *
+    * Recall is the standard LSH trade-off (random data at moderate cosine
+    * probes poorly; near-identical vectors probe at ~1) — measured
+    * honestly in SimilaritySpec rather than assumed.
+    */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      bits: Int = 8,
+      maxHamming: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits, dim, seed).as("bucket"))
+    val q = query.select(
+      col("qvec"), signBucket(col("qvec"), bits, dim, seed).as("qbucket"))
+    bucketed
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= maxHamming)
+      .select(
+        col("id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(
       df: DataFrame,

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus prep (SURVEY.md §2.1 K5/K6/K8 +
+  * language-ID and document fingerprinting from the builder brief).
+  *
+  * Everything is column expressions over tokens — narrow, codegen'd, no
+  * UDFs; the lexicon join broadcasts (dim-sized at any corpus scale).
+  */
+object Text {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  // --- K6: sentiment lexicon scoring ---------------------------------------
+
+  /** Integer-scored lexicon over the corpus vocabulary (FIXTURES.md §B4).
+    * Integer scores keep the per-lang aggregates exactly oracle-matchable.
+    */
+  val lexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 2, "small" -> 1, "key" -> 1, "index" -> 1, "sort" -> 1,
+    "merge" -> 1, "hash" -> 1, "join" -> 1, "window" -> 1, "column" -> 1,
+    "table" -> 0, "order" -> 0, "part" -> 0, "the" -> 0, "scan" -> -1,
+    "slow" -> -2, "error" -> -2, "fail" -> -2, "null" -> -1, "skew" -> -1,
+    "spill" -> -2, "shuffle" -> -1, "big" -> 0, "filter" -> 1, "limit" -> 0)
+
+  def lexiconDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    lexicon.toDF("word", "score")
+  }
+
+  /** Per-document sentiment: explode tokens, broadcast-join the lexicon,
+    * sum matched scores. Returns (doc rows + score_sum, n_matched).
+    */
+  def sentiment(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    tok.join(broadcast(lexiconDf(spark)), Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("score").as("score_sum"), count(lit(1)).as("n_matched"))
+  }
+
+  // --- K8: text quality filters --------------------------------------------
+
+  /** Quality metrics: word count, mean word length, stopword ratio,
+    * non-space char count. All integer-or-exact-ratio valued.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks)
+    val nChars = length(regexp_replace(col(textCol), "\\s+", ""))
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    df.withColumn("n_words", nWords)
+      .withColumn("n_chars_ns", nChars)
+      .withColumn("mean_wlen", nChars.cast("double") / nWords)
+      .withColumn("stop_ratio", nStop.cast("double") / nWords)
+  }
+
+  /** The keep/drop rule a corpus-prep pipeline would apply. */
+  def qualityKeep: Column =
+    col("n_words") >= 5 && col("mean_wlen").between(2.0, 12.0) &&
+      col("stop_ratio") <= 0.5
+
+  // --- Language ID (n-gram/marker heuristic) -------------------------------
+
+  /** Per-language marker words (tiny, genuinely distinctive function
+    * words). Prediction = language with the most marker hits (ties break to
+    * the lexicographically greatest language, deterministically); zero hits
+    * → 'und'. Heuristic by design — no model, no network.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "不"))
+
+  def langid(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct compare: hits first, lang tiebreak
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- Document fingerprinting (bottom-m sketch over shingle hashes) ------
+
+  /** Bottom-m MinHash sketch: the m smallest xxhash64 values over word
+    * shingles — a compact fingerprint whose overlap estimates Jaccard
+    * (classic bottom-k sketch). Deterministic, narrow, no shuffle.
+    */
+  def fingerprintSketch(text: Column, shingleSize: Int, m: Int): Column =
+    slice(
+      array_sort(transform(Dedup.shingles(text, shingleSize), s => xxhash64(s))),
+      1, m)
+
+  /** Jaccard estimate from two bottom-m sketches. */
+  def sketchSimilarity(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+}

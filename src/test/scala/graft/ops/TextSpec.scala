@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** K5/K6/K8 + langid + fingerprint sketch unit coverage. */
+class TextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langid identifies real-language samples via marker words") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and the dog is here"),
+      ("de", "der hund und die katze das ist gut"),
+      ("es", "el perro y la casa que los gatos es bueno"),
+      ("fr", "le chien est dans la maison les chats une porte"),
+      ("zh", "这 是 一个 测试 的 句子 在 这里 了"),
+      ("und", "qwerty asdfgh zxcvbn"))
+    val got = samples.toDF("expected", "text")
+      .withColumn("predicted", Text.langid($"text"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("predicted") == r.getAs[String]("expected"),
+        s"text: ${r.getAs[String]("text")}")
+    }
+  }
+
+  test("sentiment: lexicon hits sum per doc; docs without hits absent") {
+    val docs = Seq(
+      (1L, "fast join fast error"), // 2+1+2-2 = 3, 4 matches
+      (2L, "zzz qqq")
+    ).toDF("doc_id", "text")
+    val got = Text.sentiment(spark, docs, "text", "doc_id").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("score_sum") == 3L)
+    assert(got.head.getAs[Long]("n_matched") == 4L)
+  }
+
+  test("quality metrics and keep rule") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // keep
+      (2L, "a b"),                                 // too few words
+      (3L, "the the the the of of of and and to") // stopword ratio 1.0
+    ).toDF("doc_id", "text")
+    val q = Text.withQualityMetrics(df, "text")
+    val kept = q.filter(Text.qualityKeep).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    val r1 = q.filter($"doc_id" === 1).head()
+    assert(r1.getAs[Int]("n_words") == 6)
+    assert(math.abs(r1.getAs[Double]("stop_ratio")) < 1e-12)
+  }
+
+  test("fingerprint sketch: identical docs → similarity 1; near docs high; " +
+    "disjoint docs 0") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 39).map(i => s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((a, a), (a, b), (a, c)).toDF("t1", "t2")
+      .select(Text.sketchSimilarity(
+        Text.fingerprintSketch($"t1", 3, 16),
+        Text.fingerprintSketch($"t2", 3, 16)).as("sim"))
+    val sims = df.collect().map(_.getDouble(0))
+    assert(sims(0) == 1.0)
+    assert(sims(1) > 0.5)
+    assert(sims(2) == 0.0)
+  }
+}
