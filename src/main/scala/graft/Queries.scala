@@ -405,7 +405,9 @@ object Queries {
   // --- Q21: as-of aggregation (C8) ----------------------------------------
   // max(o_orderdate ≤ ts) == predecessor lookup in the bounded set of
   // distinct order dates: broadcast the sorted date array (date-domain
-  // sized, not fact sized) and probe per event — no O(n²) join at scale.
+  // sized, not fact sized) and binary-search per event via the codegen'd
+  // array_predecessor expression — O(log D) per row. (Round 1's
+  // array_max(filter(...)) O(D) probe was 62 s of the sf0.1 bench.)
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val dates = t(spark, dir, "orders")
       .agg(sort_array(collect_set(col("o_orderdate"))).as("ods"))
@@ -413,7 +415,7 @@ object Queries {
       .crossJoin(broadcast(dates))
       .select(
         col("event_id"),
-        array_max(filter(col("ods"), d => d <= col("ts"))).as("last_od"))
+        GraftFunctions.array_predecessor(col("ods"), col("ts")).as("last_od"))
       .orderBy("event_id")
   }
 
@@ -425,17 +427,38 @@ object Queries {
   // --- Q22: approximate aggs, range-checked (D5, D6) ----------------------
   // Approx impls differ across engines, so the bounds check itself is the
   // query output: both sides must render (true, true).
-  def q22(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("acd"),
-        countDistinct(col("l_orderkey")).as("exact"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
-        percentile(col("l_quantity"), lit(0.45)).as("lo"),
-        percentile(col("l_quantity"), lit(0.55)).as("hi"))
-      .select(
-        (abs(col("acd") - col("exact")) <= col("exact") * 0.05).as("acd_ok"),
-        (col("p50") >= col("lo") && col("p50") <= col("hi")).as("p50_ok"))
+  //
+  // The p45/p55 bounds bracketing the approximate median are EXACT but
+  // computed from a value histogram: l_quantity's domain is tiny (integers
+  // 1–50), so groupBy + a 50-row cumulative window is ~free, where both an
+  // exact percentile() sort (24.6 s) and high-accuracy percentile_approx
+  // sketches (128 s) dominated the whole sf0.1 bench.
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    // Three separate single-aggregate scans, cross-joined: combining a
+    // DISTINCT agg with the HLL and percentile sketches in ONE agg triggers
+    // the Expand-based multi-distinct rewrite, which degrades the sketch
+    // buffers catastrophically (measured: 0.4 s each alone, 61 s together
+    // at sf0.1). Three scans of a columnar source are cheaper than one
+    // Expand.
+    val approx = li.agg(approx_count_distinct(col("l_orderkey")).as("acd"))
+      .crossJoin(broadcast(li.agg(countDistinct(col("l_orderkey")).as("exact"))))
+      .crossJoin(broadcast(
+        li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"))))
+    // 50-row histogram; the unpartitioned window is domain-bounded, not
+    // fact-bounded, so the single task holds ≤50 rows at any scale factor
+    val w = Window.orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = li.groupBy("l_quantity").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+    val total = hist.agg(sum("cnt").as("total"))
+    val bounds = hist.crossJoin(broadcast(total)).agg(
+      min(when(col("cum") >= col("total") * 0.45, col("l_quantity"))).as("lo"),
+      min(when(col("cum") >= col("total") * 0.55, col("l_quantity"))).as("hi"))
+    approx.crossJoin(broadcast(bounds)).select(
+      (abs(col("acd") - col("exact")) <= col("exact") * 0.05).as("acd_ok"),
+      (col("p50") >= col("lo") && col("p50") <= col("hi")).as("p50_ok"))
+  }
 
   val q22Sql: String = "SELECT true AS acd_ok, true AS p50_ok"
 

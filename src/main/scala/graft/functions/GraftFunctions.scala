@@ -15,9 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim"  -> (es => CosineSimilarity(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "l2_norm"     -> (es => L2Norm(es.head))
+    "cosine_sim"        -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product"       -> (es => DotProduct(es(0), es(1))),
+    "l2_norm"           -> (es => L2Norm(es.head)),
+    "array_predecessor" -> (es => ArrayPredecessor(es(0), es(1)))
   )
 
   /** Idempotently register all graft functions on an existing session. */
@@ -37,6 +38,17 @@ object GraftFunctions {
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def l2_norm(a: Column): Column =
     GraftBridge.column(L2Norm(GraftBridge.expression(a)))
+  def array_predecessor(arr: Column, v: Column): Column =
+    GraftBridge.column(
+      ArrayPredecessor(GraftBridge.expression(arr), GraftBridge.expression(v)))
+  def word_hashes(text: Column): Column =
+    GraftBridge.column(WordHashes(GraftBridge.expression(text)))
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingleHashes(GraftBridge.expression(text), n))
+  def minhash_signature(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
+  def simhash64(hashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */

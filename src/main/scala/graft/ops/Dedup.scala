@@ -37,25 +37,37 @@ object Dedup {
     * the shingle list is built with transform over an index sequence — no
     * UDF, no explode until the LSH banding step).
     */
-  def shingles(text: Column, n: Int): Column = {
+  private def shinglesRaw(text: Column, n: Int): Column = {
     val words = split(trim(text), "\\s+")
     // guard: sequence(0, negative) infers step -1 and would slice from the
     // end — docs shorter than one shingle must yield an empty set instead
     when(size(words) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + lit(1), lit(n)), " "))))
+      transform(
+        sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes, each
-    * `min_s xxhash64(seed_i || s)` over the shingle set.
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesRaw(text, n))
+
+  /** Sorted distinct shingle hashes — the working representation for
+    * minhash/banding/fingerprinting, via the native
+    * [[graft.functions.WordShingleHashes]] kernel. Working on 64-bit hashes
+    * instead of shingle strings keeps dedup/compare/shuffle on longs (a
+    * collision merging two distinct shingles is ~n²/2⁶⁴ — negligible at the
+    * Jaccard thresholds used here), and the native loop replaces
+    * interpreted HOF lambdas (measured 15–30 s/query at sf0.1).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(concat(i, lit("|"), s)))))
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_shingle_hashes(text, n)
+
+  /** MinHash signature over pre-hashed shingles: `numHashes` independent
+    * min-hashes, each `min_h hashLong(h, seed_i)` — one native loop via
+    * [[graft.functions.MinHashSignature]].
+    */
+  def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    graft.functions.GraftFunctions.minhash_signature(shingleHashCol, numHashes)
 
   /** Near-duplicate pairs by MinHash banding + exact-Jaccard verification.
     *
@@ -81,29 +93,38 @@ object Dedup {
     val r = numHashes / bands
 
     val shingled = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+
+    // Banding rows carry ONLY (bucket, id): carrying the shingle array
+    // through the 32-way explode shuffled 32 copies of it per doc (the
+    // dominant k2 cost at sf0.1). Candidate pairs re-join the slim shingle
+    // table afterwards — two keyed joins over one copy of the sets.
+    val banded = shingled
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(concat_ws(",",
+                transform(slice(col("mh"), b * r + 1, lit(r)), _.cast("string"))))
+                .as("bh"))))
+          .as("bucket"))
 
-    val banded = shingled.select(
-      col("id"), col("sh"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("mh"), b * r + 1, lit(r)), _.cast("string"))))
-              .as("bh"))))
-        .as("bucket"))
-
-    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    val sets = shingled.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -113,22 +134,15 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, signature bit
-    * is the vote sign. Pure higher-order-function expression — narrow, no
-    * shuffle, codegen-friendly. Written as SQL text because the Scala
-    * `shiftleft`/`shiftright` wrappers only accept literal Int shift
-    * amounts, while the SQL functions take the lambda-bound bit index.
-    *
-    * @param tokensSql SQL expression yielding an ARRAY<STRING> of tokens
+  /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes
+    * ±1, signature bit is the vote sign — one native pass via the
+    * [[graft.functions.WordHashes]] → [[graft.functions.SimHash64]]
+    * kernels (the HOF formulation ran interpreted per element: 15 s at
+    * sf0.1 for what is now sub-second).
     */
-  def simhash(tokensSql: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 63), CAST(0 AS BIGINT),
-       |  (acc, j) -> acc + IF(
-       |    aggregate($tokensSql, CAST(0 AS BIGINT),
-       |      (a, t) -> a + IF((shiftright(xxhash64(t), j) & 1) = 1,
-       |                       CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+  def simhashOf(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(
+      graft.functions.GraftFunctions.word_hashes(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

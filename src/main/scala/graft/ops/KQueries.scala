@@ -115,7 +115,7 @@ object KQueries {
   // value-checked in DedupSpec.
   def kSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = augmentedDocs(spark, dir)
-      .withColumn("sig", Dedup.simhash("split(trim(text), '\\\\s+')"))
+      .withColumn("sig", Dedup.simhashOf(col("text")))
     val orig = sig.filter(col("doc_id") < 100000)
       .select(col("doc_id"), col("sig").as("sig_o"))
     val pert = sig.filter(col("doc_id") >= 100000)

@@ -93,12 +93,12 @@ object Text {
 
   /** Bottom-m MinHash sketch: the m smallest xxhash64 values over word
     * shingles — a compact fingerprint whose overlap estimates Jaccard
-    * (classic bottom-k sketch). Deterministic, narrow, no shuffle.
+    * (classic bottom-k sketch). Deterministic, narrow, no shuffle; built on
+    * pre-hashed shingles (dedup on longs, not strings — see
+    * [[Dedup.shingleHashes]]).
     */
   def fingerprintSketch(text: Column, shingleSize: Int, m: Int): Column =
-    slice(
-      array_sort(transform(Dedup.shingles(text, shingleSize), s => xxhash64(s))),
-      1, m)
+    slice(array_sort(Dedup.shingleHashes(text, shingleSize)), 1, m)
 
   /** Jaccard estimate from two bottom-m sketches. */
   def sketchSimilarity(a: Column, b: Column): Column =

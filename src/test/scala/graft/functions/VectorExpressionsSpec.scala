@@ -92,6 +92,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  // ---- array_predecessor (binary search) ----------------------------------
+
+  test("array_predecessor: interpreted binary search over longs") {
+    def longArr(xs: Seq[Long]): Literal =
+      Literal.create(new GenericArrayData(xs.map(x => x: Any).toArray),
+        ArrayType(LongType))
+    def pred(xs: Seq[Long], v: Long): Any =
+      ArrayPredecessor(longArr(xs), Literal(v)).eval(null)
+    val a = Seq(10L, 20L, 30L, 40L)
+    assert(pred(a, 25L) == 20L)
+    assert(pred(a, 40L) == 40L)   // exact hit, last element
+    assert(pred(a, 10L) == 10L)   // exact hit, first element
+    assert(pred(a, 9L) == null)   // all greater
+    assert(pred(a, 99L) == 40L)   // past the end
+    assert(pred(Seq.empty[Long], 5L) == null)
+  }
+
+  test("array_predecessor: codegen path through a DataFrame equals interpreted") {
+    val df = Seq(
+      (Seq(1L, 5L, 9L), 6L), (Seq(1L, 5L, 9L), 0L), (Seq(2L), 2L)
+    ).toDF("arr", "v")
+      .select(GraftFunctions.array_predecessor(col("arr"), col("v")).as("p"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      == Seq(5L, null, 2L))
+  }
+
+  test("array_predecessor: int-backed arrays work") {
+    val df = Seq((Seq(1, 3, 7), 5)).toDF("arr", "v")
+      .select(GraftFunctions.array_predecessor(col("arr"), col("v")).as("p"))
+    assert(df.head().getInt(0) == 3)
+  }
+
   // ---- SQL registration surface -------------------------------------------
 
   test("registered SQL names are callable") {

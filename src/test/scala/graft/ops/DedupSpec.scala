@@ -46,7 +46,7 @@ class DedupSpec extends AnyFunSuite {
   test("minhash signature is deterministic across invocations") {
     val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     def sig() = df.select(
-      Dedup.minhashSignature(Dedup.shingles($"text", 3), 16)).head().getSeq[Long](0)
+      Dedup.minhashSignature(Dedup.shingleHashes($"text", 3), 16)).head().getSeq[Long](0)
     assert(sig() == sig())
   }
 
@@ -56,7 +56,7 @@ class DedupSpec extends AnyFunSuite {
     val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
     val far = (200 to 240).map(i => s"far$i").mkString(" ")
     val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
-      .withColumn("sig", Dedup.simhash("split(trim(text), '\\\\s+')"))
+      .withColumn("sig", Dedup.simhashOf($"text"))
     val sigs = df.orderBy("id").collect().map(_.getAs[Long]("sig"))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sigs(0) == sigs(1))
