@@ -157,12 +157,10 @@ object Queries {
   // filter on the sort-merge join, so this stays O(n·band) not O(n²).
   def q8(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-    val a = ev.filter(col("event_type") === "click").as("a")
-    val b = ev.filter(col("event_type") === "purchase").as("b")
-    a.join(b,
-        col("a.user_id") === col("b.user_id")
-          && col("b.ts") > col("a.ts")
-          && col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"))
+    val a = ev.filter(col("event_type") === "click")
+    val b = ev.filter(col("event_type") === "purchase")
+    graft.ops.Joins.bandJoin(a, b, "user_id", "ts", "ts", "10 MINUTES",
+        leftAlias = "a", rightAlias = "b")
       .groupBy(col("a.user_id"))
       .agg(count(lit(1)).as("pairs"))
       .orderBy("user_id")
@@ -408,16 +406,12 @@ object Queries {
   // sized, not fact sized) and binary-search per event via the codegen'd
   // array_predecessor expression — O(log D) per row. (Round 1's
   // array_max(filter(...)) O(D) probe was 62 s of the sf0.1 bench.)
-  def q21(spark: SparkSession, dir: String): DataFrame = {
-    val dates = t(spark, dir, "orders")
-      .agg(sort_array(collect_set(col("o_orderdate"))).as("ods"))
-    t(spark, dir, "events")
-      .crossJoin(broadcast(dates))
-      .select(
-        col("event_id"),
-        GraftFunctions.array_predecessor(col("ods"), col("ts")).as("last_od"))
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Joins.asofLookup(
+        t(spark, dir, "events"), t(spark, dir, "orders"),
+        "ts", "o_orderdate", "last_od")
+      .select("event_id", "last_od")
       .orderBy("event_id")
-  }
 
   val q21Sql: String =
     """SELECT e.event_id, max(o.o_orderdate) AS last_od

@@ -147,12 +147,32 @@ object PipelineQueries {
     """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal),2) AS bal
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** P5 (J6): the full silvia load path end-to-end — parse the Snowplow
+    * fixture, map to atomic + child target tables, upsert each into Derby
+    * TWICE (idempotency), read back per-table row counts. Rows-only at the
+    * driver; exact counts are golden-checked in TargetMappingSpec.
+    */
+  def p5(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = freshDerby(s"target/derby/p5_${sfKey(sfDir)}")
+    val good = SnowplowParser.read(spark, EtlFixtures.snowplowTsv()).good
+    TargetMapping.loadAll(good, url)
+    TargetMapping.loadAll(good, url) // replay: counts must not change
+    val counts = TargetMapping.allTargets(good).map { case (table, _, _) =>
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table).load()
+        .agg(count(lit(1)).as("n"))
+        .select(lit(table).as("target_table"), col("n"))
+    }
+    counts.reduce(_.unionByName(_)).orderBy("target_table")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("p1_snowplow_good", p1Good _, None),
     ("p1_snowplow_badrows", p1BadRows _, None),
     ("p1_snowplow_shred", p1Shred _, None),
     ("p2_adjust_parse", p2 _, Some(p2Sql)),
     ("p3_jdbc_upsert_stream", p3 _, Some(p3Sql)),
-    ("p4_jdbc_readback", p4 _, Some(p4Sql))
+    ("p4_jdbc_readback", p4 _, Some(p4Sql)),
+    ("p5_target_mapping", p5 _, None)
   )
 }

@@ -18,7 +18,9 @@ object GraftFunctions {
     "cosine_sim"        -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"       -> (es => DotProduct(es(0), es(1))),
     "l2_norm"           -> (es => L2Norm(es.head)),
-    "array_predecessor" -> (es => ArrayPredecessor(es(0), es(1)))
+    "array_predecessor" -> (es => ArrayPredecessor(es(0), es(1))),
+    "word_hashes"       -> (es => WordHashes(es.head)),
+    "simhash64"         -> (es => SimHash64(es.head))
   )
 
   /** Idempotently register all graft functions on an existing session. */
@@ -66,5 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       (es: Seq[Expression]) => L2Norm(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_predecessor"),
+      new ExpressionInfo(classOf[ArrayPredecessor].getName, "array_predecessor"),
+      (es: Seq[Expression]) => ArrayPredecessor(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      (es: Seq[Expression]) => WordHashes(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
   }
 }
