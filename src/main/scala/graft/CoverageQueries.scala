@@ -263,7 +263,26 @@ object CoverageQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --- q35: salted aggregation (skew mitigation, SURVEY §4) ----------------
+  // The salt only changes physical distribution; the oracle is the PLAIN
+  // GROUP BY — hash-matching proves the two-phase rewrite is value-exact.
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedStats(
+        t(spark, dir, "events"), Seq("user_id"), "value", saltBuckets = 8)
+      .select(
+        col("user_id"), col("count"),
+        round(col("sum"), 2).as("sum"),
+        round(col("min"), 2).as("min"),
+        round(col("max"), 2).as("max"))
+      .orderBy("user_id")
+
+  val q35Sql: String =
+    """SELECT user_id, count(*) AS count, round(sum(value),2) AS sum,
+      |       round(min(value),2) AS min, round(max(value),2) AS max
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q35_salted_agg", q35 _, Some(q35Sql)),
     ("q13b_banded_window", q13b _, Some(q13bSql)),
     ("q25_math2", q25 _, Some(q25Sql)),
     ("q26_dates", q26 _, Some(q26Sql)),

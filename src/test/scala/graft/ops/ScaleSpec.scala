@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB design rules, demonstrated instead of asserted (SURVEY.md §4):
+  * salted aggregation for skewed keys, partition pruning on a date-laid-out
+  * table, and shuffle-free co-located joins on bucketed tables.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("salted aggregation equals plain aggregation (skew mitigation)") {
+    val ev = Tables.load(spark, sf, "events")
+    val salted = Skew.saltedStats(ev, Seq("user_id"), "value", saltBuckets = 8)
+      .orderBy("user_id").collect()
+    val plain = ev.groupBy("user_id")
+      .agg(sum("value").as("sum"), count(lit(1)).as("count"),
+        min("value").as("min"), max("value").as("max"))
+      .orderBy("user_id").collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getAs[Long]("user_id") == p.getAs[Long]("user_id"))
+      assert(s.getAs[Long]("count") == p.getAs[Long]("count"))
+      assert(math.abs(s.getAs[Double]("sum") - p.getAs[Double]("sum")) < 1e-6)
+      assert(s.getAs[Double]("min") == p.getAs[Double]("min"))
+      assert(s.getAs[Double]("max") == p.getAs[Double]("max"))
+    }
+  }
+
+  test("salted aggregation plans two keyed aggregate phases") {
+    val ev = Tables.load(spark, sf, "events")
+    val p = Skew.saltedStats(ev, Seq("user_id"), "value", 8)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("_salt"))
+    // partial on (key, salt), final on key — both hash aggregates present
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = "target/scale/events_by_day"
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+    // and the pruned read returns exactly that day's rows
+    val expected = ev.filter(col("day") === "2024-01-01").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their files
+    // persist in the warehouse dir — clear them or the re-create fails
+    Seq("b_orders", "b_lineitem").foreach(t =>
+      graft.streaming.StreamInput.deleteRecursively(
+        java.nio.file.Paths.get(s"target/warehouse/$t")))
+    Tables.load(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.load(spark, sf, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == Tables.load(spark, sf, "lineitem").count())
+  }
+}
