@@ -292,6 +292,14 @@ object KQueries {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
   }
 
+  // --- K3 scale path #2: IVF top-k (rows-only) -----------------------------
+  def k3Ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
@@ -301,6 +309,7 @@ object KQueries {
     ("k_langid", kLangid _, None),
     ("k_fingerprint_sketch", kFingerprint _, None),
     ("k3_ann_topk", k3Ann _, None),
+    ("k3_ivf_topk", k3Ivf _, None),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),

@@ -75,6 +75,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** K3 scale path #2: IVF (inverted-file) top-k.
+    *
+    * A coarse k-means quantizer (spark.ml, seeded) assigns every vector to
+    * one of `nLists` inverted lists; a query probes only its `nProbe`
+    * nearest lists and pays the exact cosine on that fraction of the
+    * corpus. At scale the list id is a partition/bucket column, so probing
+    * prunes partitions. Everything stays distributed: the query's probe
+    * lists are picked with a crossJoin against the (nLists-row) centroid
+    * frame, never a driver-side scan of the corpus; only the centroid
+    * matrix itself (nLists × dim, model state) lives on the driver —
+    * bounded by the quantizer, not the data.
+    *
+    * Higher recall than sign-LSH multi-probe on spread-out data (lists
+    * partition the sphere adaptively); measured honestly in SimilaritySpec.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select(col("id"), col("v"), col("list_id"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+
+    val probeLists = query
+      .crossJoin(broadcast(centroids))
+      .select(col("list_id"),
+        GraftFunctions.cosine_sim(
+          col("centroid"), col("qvec").cast("array<double>")).as("csim"))
+      .orderBy(col("csim").desc, col("list_id"))
+      .limit(nProbe)
+      .select("list_id")
+
+    assigned
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(
+        col("id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(
       df: DataFrame,

@@ -41,6 +41,25 @@ class SimilaritySpec extends AnyFunSuite {
       "multi-probe should recover at least the easy fraction of true neighbors")
   }
 
+  test("IVF finds a planted exact duplicate with recall 1") {
+    val planted = corpus.select("vec_id", "embedding").union(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val got = Similarity.ivfTopK(planted, "vec_id", "embedding", query, k = 1)
+      .head()
+    assert(got.getAs[Long]("id") == 999999L)
+    assert(got.getAs[Double]("cos") >= 0.999)
+  }
+
+  test("IVF recall vs brute force beats blind chance and is reported") {
+    val k = 10
+    val brute = bruteTopK(k).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", query, k)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val recall = (brute & ivf).size.toDouble / k
+    info(s"IVF recall@10 (nProbe=4/16 lists) on random unit vectors: $recall")
+    assert(recall >= 0.3)
+  }
+
   test("ANN is deterministic across runs (seeded planes)") {
     def run() = Similarity.annTopK(corpus, "vec_id", "embedding", query, 10)
       .collect().map(_.getAs[Long]("id")).toSeq
