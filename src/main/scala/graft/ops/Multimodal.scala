@@ -40,6 +40,50 @@ object Multimodal {
           lit("n_chars"), col("n_chars").cast("string")).as("meta"))
         .as("media"))
 
+  /** "Resize" stub for image payloads: caps the payload at `maxBytes` and
+    * stamps the meta map. The byte-truncation stands in for a real
+    * image-scaling codec; the struct surgery (payload rewrite + meta
+    * update, mime-gated) is the real pipeline shape.
+    */
+  def resizeImages(media: DataFrame, maxBytes: Int): DataFrame = {
+    val m = col("media")
+    val resized = struct(
+      // ---- STUB: a real impl decodes, scales, re-encodes here ----
+      expr(s"substring(media.data, 1, $maxBytes)").as("data"),
+      m.getField("mime").as("mime"),
+      map_concat(m.getField("meta"),
+        map(lit("resized"), lit("true"))).as("meta"))
+    media.withColumn("media",
+      when(m.getField("mime").startsWith("image/")
+        && length(m.getField("data")) > maxBytes, resized).otherwise(m))
+  }
+
+  /** Frame sampling for video payloads: split the payload into fixed-size
+    * "frames" and keep every `everyNth` one, one output row per kept frame
+    * (frame_idx, frame bytes). The fixed-size chunking is the stub standing
+    * in for codec frame extraction; the explode-per-frame row shape,
+    * mime gating, and bounded frame arrays are the real plumbing.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    val data = col("media.data")
+    val nFrames = ceil(length(data).cast("double") / frameBytes).cast("int")
+    // empty-payload guard: sequence(0, -1) would infer step -1
+    val frames = when(nFrames > 0,
+      transform(
+        sequence(lit(0), nFrames - 1),
+        i => data.substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+    media
+      .filter(col("media.mime") === "video/mp4")
+      .select(
+        col("doc_id"),
+        posexplode(filter(frames, (_, i) => i % everyNth === 0)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .withColumn("frame_bytes", length(col("frame")))
+  }
+
   /** Per-partition decode/feature-extract over the opaque payloads.
     * Iterates cells in partition-sized batches exactly as a codec UDF
     * would; the feature computation is the deterministic stub.

@@ -39,4 +39,43 @@ class MultimodalSpec extends AnyFunSuite {
     val r = media.select(element_at(col("media.meta"), "lang").as("lang")).head()
     assert(Seq("de", "en", "es", "fr", "zh").contains(r.getString(0)))
   }
+
+  test("resizeImages caps only oversized image payloads and stamps meta") {
+    val resized = Multimodal.resizeImages(media, maxBytes = 50)
+    val images = resized.filter(col("media.mime") === "image/png")
+    assert(images.filter(length(col("media.data")) > 50).count() == 0)
+    val stamped = images
+      .filter(element_at(col("media.meta"), "resized") === "true").count()
+    assert(stamped > 0)
+    // non-image payloads untouched
+    val audio = resized.filter(col("media.mime") === "audio/wav")
+    assert(audio.filter(element_at(col("media.meta"), "resized").isNotNull)
+      .count() == 0)
+  }
+
+  test("frameSample emits every nth fixed-size chunk of video payloads") {
+    val frames = Multimodal.frameSample(media, frameBytes = 32, everyNth = 2)
+    assert(frames.count() > 0)
+    val r = frames.head()
+    assert(r.getAs[Int]("frame_bytes") <= 32)
+    // frame indices are the kept (0, 2, 4, ...) positions re-enumerated
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("frame_idx").as("mx")).head()
+    assert(perDoc.getAs[Int]("mx") == perDoc.getAs[Long]("n").toInt - 1)
+    // only video mime contributes
+    val videoDocs = media.filter(col("media.mime") === "video/mp4")
+      .select("doc_id").distinct().count()
+    assert(frames.select("doc_id").distinct().count() == videoDocs)
+  }
+
+  test("A8: CSV sink round-trips a projection") {
+    val dir = "target/scale/csv_sink"
+    graft.streaming.StreamInput.deleteRecursively(java.nio.file.Paths.get(dir))
+    val src = media.select(col("doc_id"), col("media.mime").as("mime"))
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("doc_id LONG, mime STRING").csv(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty)
+  }
 }
