@@ -61,6 +61,65 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(stream, batch)
   }
 
+  test("I8: a row later than the watermark is dropped in append mode") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+
+    val dir = "target/stream/latetest/in"
+    StreamInput.deleteRecursively(Paths.get("target/stream/latetest"))
+    Files.createDirectories(Paths.get(dir))
+
+    def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    // batch 1: on-time rows up to 10:50 → watermark advances to 10:40
+    Seq((1L, ts(0), 1.0), (2L, ts(30), 1.0), (3L, ts(50), 1.0))
+      .toDF("id", "ts", "v").coalesce(1).write.parquet(s"$dir/f1")
+    // batch 2: on-time row (lets the batch-1 watermark take effect)
+    Seq((5L, ts(55), 1.0))
+      .toDF("id", "ts", "v").coalesce(1).write.parquet(s"$dir/f2")
+    // batch 3: one LATE row at 10:05, far behind the 10:40+ watermark
+    Seq((4L, ts(5), 100.0))
+      .toDF("id", "ts", "v").coalesce(1).write.parquet(s"$dir/f3")
+    // stage the three files as an ordered stream input
+    val streamDir = "target/stream/latetest/stream"
+    Files.createDirectories(Paths.get(streamDir))
+    Seq("f1", "f2", "f3").zipWithIndex.foreach { case (f, i) =>
+      val part = Files.list(Paths.get(s"$dir/$f")).toArray.map(_.toString)
+        .filter(p => p.contains("part-") && p.endsWith(".parquet")).head
+      val dst = Paths.get(f"$streamDir/000$i.parquet")
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (3 - i) * 2000L))
+    }
+
+    val schema = spark.read.parquet(streamDir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum("v").as("v"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("v"), col("n"))
+
+    val q = agg.writeStream.format("memory").queryName("latetest")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        StreamInput.freshCheckpoint("latetest", "unit"))
+      .start()
+    q.awaitTermination()
+    info(s"micro-batches: ${q.recentProgress.map(p => p.numInputRows).mkString(",")}")
+
+    val out = spark.table("latetest").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2)))
+      .toSet
+    // the late id=4 row (v=100 at 10:05) must NOT appear in any emitted
+    // window: its window [10:00,10:10) was finalized by the batch-1
+    // watermark before the row arrived
+    assert(!out.exists(_._2 >= 100.0), s"late row leaked into: $out")
+    // and the on-time 10:00 window WAS emitted with only the on-time row
+    assert(out.contains(("2024-01-01 10:00:00.0", 1.0, 1L)), s"got: $out")
+  }
+
   test("A7: rate source produces rows (dev/test source)") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "100").load()
