@@ -281,8 +281,39 @@ object CoverageQueries {
       |       round(min(value),2) AS min, round(max(value),2) AS max
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- q36: token counting — whitespace + BPE-ish regex (K5) ---------------
+  // The regex pre-tokenizer splits letter runs / digit runs / punctuation
+  // runs (the GPT-2-style pre-tokenization shape, RE2-compatible so the
+  // DuckDB oracle evaluates the identical pattern).
+  private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("ws"),
+        // Spark's SQL string literal consumes backslash escapes ('\s'→'s'),
+        // DuckDB's does not — escape for the Spark side only
+        size(expr(s"regexp_extract_all(text, '${bpeIsh.replace("\\", "\\\\")}', 0)"))
+          .as("bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .orderBy("lang")
+
+  val q36Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |         AS ws_tokens,
+       |       CAST(sum(len(regexp_extract_all(text, '$bpeIsh'))) AS BIGINT)
+       |         AS bpe_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("q35_salted_agg", q35 _, Some(q35Sql)),
+    ("q36_token_count", q36 _, Some(q36Sql)),
     ("q13b_banded_window", q13b _, Some(q13bSql)),
     ("q25_math2", q25 _, Some(q25Sql)),
     ("q26_dates", q26 _, Some(q26Sql)),
