@@ -62,6 +62,15 @@ class EtlSpec extends AnyFunSuite {
     assert(errs.contains("bad_double:tr_total"))
   }
 
+  test("P1: a line with MORE than 131 fields also dead-letters") {
+    import spark.implicits._
+    val tooMany = EtlFixtures.goodPageView + "\textra_field"
+    val res = SnowplowParser.parseLines(Seq(tooMany).toDF("value"))
+    assert(res.good.count() == 0)
+    val errs = res.bad.select(explode(col("errors"))).collect().map(_.getString(0))
+    assert(errs.contains("field_count:132"))
+  }
+
   test("P1: empty TSV fields become NULL, not empty strings") {
     val r = sp.good.filter(col("event_id") === EtlFixtures.uuidStruct).head()
     assert(r.isNullAt(r.fieldIndex("page_url")))
