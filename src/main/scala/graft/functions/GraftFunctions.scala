@@ -51,6 +51,10 @@ object GraftFunctions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+  def bottom_k_sketch(hashes: Column, k: Int): Column =
+    GraftBridge.column(
+      BottomKSketchAgg(GraftBridge.expression(hashes), k)
+        .toAggregateExpression())
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */

@@ -300,7 +300,38 @@ object KQueries {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
   }
 
+  // --- L4: TypedImperativeAggregate — bottom-k distinct sketch -------------
+  // Per-source sketch over text hashes. At the oracle SF every source has
+  // fewer distinct texts than k, where the sketch IS the exact distinct set
+  // — so `sketch_ok` is a hard equality against count(DISTINCT text), not a
+  // tolerance. Beyond k the estimator branch takes over (range-checked in
+  // BottomKSketchSpec).
+  def l4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val k = 64
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        GraftFunctions.bottom_k_sketch(xxhash64(col("text")), k).as("sk"),
+        countDistinct(col("text")).as("exact"))
+      .select(
+        col("source"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long") === col("exact"))
+          .otherwise(
+            abs(lit(k - 1) * lit(math.pow(2, 64)) /
+              (element_at(col("sk"), k).cast("double") - lit(Long.MinValue.toDouble))
+              - col("exact")) <= col("exact") * 0.4)
+          .as("sketch_ok"),
+        col("exact"))
+      .orderBy("source")
+  }
+
+  val l4Sql: String =
+    """SELECT source, true AS sketch_ok, count(DISTINCT text) AS exact
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
     ("k6_sentiment", k6 _, Some(k6Sql)),
