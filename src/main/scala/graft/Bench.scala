@@ -30,8 +30,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // exclude-list, not include-list: only streaming (s*) and pipeline (p*)
+    // entries manage their own sinks/state and are correctness-only — a
+    // prefix include-list silently dropped d9/l4 from the bench
     val benchable = SparkEntry.queries.toSeq
-      .filter { case (name, _) => name.startsWith("q") || name.startsWith("k") }
+      .filter { case (name, _) => !name.startsWith("s") && !name.startsWith("p") }
       .sortBy(_._1)
 
     val results = benchable.map { case (name, fn) =>
