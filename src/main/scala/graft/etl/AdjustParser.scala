@@ -25,9 +25,18 @@ object AdjustParser {
     "device_name", "is_organic", "revenue_float", "currency"
   ).map(StructField(_, StringType, nullable = true)))
 
+  /** Parse schema = RAW_SCHEMA + a corrupt-record column: Spark 3+'s
+    * PERMISSIVE from_json never returns a NULL struct for malformed JSON
+    * (all fields come back null instead — ADVICE r2), so malformed lines
+    * are detected explicitly via columnNameOfCorruptRecord.
+    */
+  private val PARSE_SCHEMA: StructType =
+    RAW_SCHEMA.add(StructField("_corrupt", StringType, nullable = true))
+
   def parseLines(raw: DataFrame): ParseResult = {
     val parsed = raw.withColumn(
-      "_r", from_json(col("value"), RAW_SCHEMA)) // null on malformed JSON
+      "_r", from_json(col("value"), PARSE_SCHEMA,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
 
     val typed = parsed
       .withColumn("created_at_ts",
@@ -37,9 +46,12 @@ object AdjustParser {
         expr("CASE WHEN _r.is_organic = '1' THEN true " +
           "WHEN _r.is_organic = '0' THEN false END"))
       .withColumn("_errors", expr(
-        s"""filter(array(
-           |  CASE WHEN _r IS NULL THEN 'bad_json' END,
-           |  CASE WHEN _r IS NOT NULL AND _r.created_at IS NULL
+        // bad_json is the SOLE error for a malformed line — the per-field
+        // labels below would all fire spuriously on its null-struct fields
+        s"""CASE WHEN _r IS NULL OR _r._corrupt IS NOT NULL
+           |     THEN array('bad_json')
+           |ELSE filter(array(
+           |  CASE WHEN _r.created_at IS NULL
            |       THEN 'missing:created_at' END,
            |  CASE WHEN _r.created_at IS NOT NULL
            |        AND try_cast(_r.created_at AS BIGINT) IS NULL
@@ -50,7 +62,8 @@ object AdjustParser {
            |  CASE WHEN _r.activity_kind IS NULL
            |        OR _r.activity_kind NOT IN (${ACTIVITY_KINDS.map("'" + _ + "'").mkString(",")})
            |       THEN 'bad_activity_kind' END
-           |), x -> x IS NOT NULL)""".stripMargin))
+           |), x -> x IS NOT NULL)
+           |END""".stripMargin))
 
     val good = typed
       .filter(size(col("_errors")) === 0)

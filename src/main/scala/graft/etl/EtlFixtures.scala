@@ -131,13 +131,19 @@ object EtlFixtures {
     // bad: missing created_at
     """{"activity_kind":"install","app_token":"4w565xzmb54d","adid":"ffffffffffffffffffffffffffffffff","country":"ru","os_name":"android","is_organic":"1"}""",
     // bad: non-numeric revenue
-    """{"activity_kind":"event","event_token":"f0ob4r","app_token":"4w565xzmb54d","adid":"18546f6171f67e29d1cb983322ad1329","created_at":"1704110500","revenue_float":"one.99","currency":"USD","is_organic":"0"}""")
+    """{"activity_kind":"event","event_token":"f0ob4r","app_token":"4w565xzmb54d","adid":"18546f6171f67e29d1cb983322ad1329","created_at":"1704110500","revenue_float":"one.99","currency":"USD","is_organic":"0"}""",
+    // bad: malformed JSON (truncated object) — must dead-letter as bad_json,
+    // not under a spurious per-field label (ADVICE r2)
+    """{"activity_kind":"install","created_at":"1704110600""")
 
   private def writeOnce(path: String, lines: Seq[String]): String = {
     val p = Paths.get(path)
-    if (!Files.exists(p)) {
+    val content = lines.mkString("", "\n", "\n")
+    // rewrite on content drift too — a stale target/ file from a previous
+    // build would silently pin the old fixture
+    if (!Files.exists(p) || Files.readString(p) != content) {
       Files.createDirectories(p.getParent)
-      Files.writeString(p, lines.mkString("", "\n", "\n"))
+      Files.writeString(p, content)
     }
     path
   }

@@ -148,10 +148,12 @@ object StreamQueries {
       |                             ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM (
       |    SELECT user_id, ts, value, event_id,
+      |           -- >= not >: Spark session_window is half-open [ts, ts+gap),
+      |           -- so a gap of exactly 30 min starts a NEW session (ADVICE r2)
       |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |                     IS NULL
       |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                     > INTERVAL 30 MINUTE
+      |                     >= INTERVAL 30 MINUTE
       |                THEN 1 ELSE 0 END AS new_sess
       |    FROM events))
       |GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin

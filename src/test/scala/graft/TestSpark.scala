@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One SparkSession per test JVM (Test/fork := true → one per `sbt test`). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

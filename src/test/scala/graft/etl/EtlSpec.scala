@@ -102,11 +102,18 @@ class EtlSpec extends AnyFunSuite {
 
   private lazy val adj = AdjustParser.read(spark, EtlFixtures.adjustJsonl())
 
-  test("P2: 3 good rows, 2 bad rows with exact reasons") {
+  test("P2: 3 good rows, 3 bad rows with exact reasons") {
     assert(adj.good.count() == 3)
+    assert(adj.bad.count() == 3)
     val errs = adj.bad.select(explode(col("errors")).as("e"))
       .collect().map(_.getString(0)).toSet
-    assert(errs == Set("missing:created_at", "bad_double:revenue_float"))
+    assert(errs == Set("missing:created_at", "bad_double:revenue_float", "bad_json"))
+  }
+
+  test("P2: malformed JSON dead-letters as bad_json ONLY (no spurious labels)") {
+    val r = adj.bad.filter(col("line").startsWith("""{"activity_kind":"install","created_at":"1704110600"""))
+      .head()
+    assert(r.getSeq[String](r.fieldIndex("errors")).toList == List("bad_json"))
   }
 
   test("P2: typed golden values for the revenue event") {

@@ -16,8 +16,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def render(v, f32=False):
-    if v is None or v != v:
+    if v is None:
         return "NULL"
+    if v != v:
+        # distinct token: NaN-vs-NULL divergence must FAIL, not pass (ADVICE r2)
+        return "NaN"
     if f32:
         # pandas itertuples widens float32 to float64 ('0.37000000476837158');
         # shortest-repr of the 32-bit value is what both engines print.
