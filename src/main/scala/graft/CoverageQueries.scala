@@ -311,7 +311,105 @@ object CoverageQueries {
        |         AS bpe_tokens
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- q37: RIGHT OUTER join (C3) ------------------------------------------
+  // orders ⟖ customer: customers with no orders surface as null-side rows;
+  // the aggregate proves the null side survives (n_no_orders > 0).
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_nationkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_orders"))
+      .orderBy("c_nationkey")
+
+  val q37Sql: String =
+    """SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_no_orders
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // --- q38: FULL OUTER join (C3) -------------------------------------------
+  // Asymmetric filters make BOTH null sides non-empty at the oracle SF
+  // (7 supplier-only + 8 customer-only nations at sf0.01).
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, dir, "supplier").filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nk") === col("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val q38Sql: String =
+    """SELECT coalesce(c.nk, s.nk) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      |      WHERE c_acctbal > 9900 GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal > 8000 GROUP BY 1) s
+      |ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
+  // --- q39: pure non-equi join → BroadcastNestedLoopJoin (C6) --------------
+  // The ONLY join condition is an inequality band over a broadcast 4-row
+  // table, so the planner must pick BNLJ (plan-locked in PlanSpec). Safe at
+  // any scale because the inner side is a constant-size band list.
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 300.0), ("vhigh", 300.0, 1e6))
+      .toDF("band", "lo", "hi")
+    t(spark, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("band")
+  }
+
+  val q39Sql: String =
+    """SELECT band, count(*) AS n, round(sum(value),2) AS v
+      |FROM events
+      |JOIN (VALUES ('low',0.0,50.0),('mid',50.0,150.0),
+      |             ('high',150.0,300.0),('vhigh',300.0,1000000.0))
+      |       AS b(band,lo,hi)
+      |  ON value >= lo AND value < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // --- q40: uuid() + crc32 (H7 tail) ---------------------------------------
+  // uuid() is nondeterministic, so the check is structural: every generated
+  // id is RFC-4122 v4-shaped and distinct. crc32 is checked as
+  // collision-free over the corpus's distinct texts (deterministic at the
+  // oracle SF; count(DISTINCT text) on the oracle side).
+  private val uuidV4Re =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(expr("uuid()").as("u"), col("text"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("u")).as("n_uuid_distinct"),
+        sum(when(col("u").rlike(uuidV4Re), 1L).otherwise(0L)).as("n_uuid_v4"),
+        countDistinct(crc32(col("text"))).as("n_crc_distinct"))
+
+  val q40Sql: String =
+    """SELECT count(*) AS n, count(*) AS n_uuid_distinct, count(*) AS n_uuid_v4,
+      |       count(DISTINCT text) AS n_crc_distinct
+      |FROM documents""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q37_right_outer", q37 _, Some(q37Sql)),
+    ("q38_full_outer", q38 _, Some(q38Sql)),
+    ("q39_bnlj_bands", q39 _, Some(q39Sql)),
+    ("q40_uuid_crc", q40 _, Some(q40Sql)),
     ("q35_salted_agg", q35 _, Some(q35Sql)),
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q13b_banded_window", q13b _, Some(q13bSql)),

@@ -435,7 +435,9 @@ object Queries {
     // buffers catastrophically (measured: 0.4 s each alone, 61 s together
     // at sf0.1). Three scans of a columnar source are cheaper than one
     // Expand.
-    val approx = li.agg(approx_count_distinct(col("l_orderkey")).as("acd"))
+    // rsd=0.01 so the 5% acceptance bound is ~5σ, not ~1σ of the sketch's
+    // own error (the default 0.05 rsd flaked the bound at sf0.001)
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.01).as("acd"))
       .crossJoin(broadcast(li.agg(countDistinct(col("l_orderkey")).as("exact"))))
       .crossJoin(broadcast(
         li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"))))

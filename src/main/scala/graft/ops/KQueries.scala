@@ -300,6 +300,57 @@ object KQueries {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
   }
 
+  // --- K3 recall gate: ANN/IVF quality, driver-checked (VERDICT r2 #7) -----
+  // The approximate top-k paths get a hard driver-checked quality number:
+  // recall@10 vs the in-Spark brute-force answer must clear the pinned
+  // bounds (ANN ≥ 0.2, IVF ≥ 0.3 — the SimilaritySpec bounds for random
+  // unit vectors, LSH's worst case), and a PLANTED exact duplicate of the
+  // query vector must come back at rank 1 (recall 1 on near-identical
+  // vectors — the case near-dedup actually relies on). All inputs are
+  // seeded, so the booleans are deterministic; the oracle pins them true.
+  def k3Recall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+
+    val brute = corpus.crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        GraftFunctions.cosine_sim(col("embedding"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(10).select("id")
+
+    val planted = corpus.select("vec_id", "embedding").union(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+
+    def gate(name: String, topK: DataFrame, plantedTop1: DataFrame,
+        minHits: Int): DataFrame = {
+      val hits = topK.select("id").join(brute, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val found = plantedTop1.limit(1)
+        .agg(max(when(col("id") === 999999L, true).otherwise(false)).as("pf"))
+      hits.crossJoin(found).select(
+        lit(name).as("variant"),
+        (col("hits") >= minHits).as("recall_ok"),
+        col("pf").as("planted_found"))
+    }
+
+    val ann = gate("ann",
+      Similarity.annTopK(corpus, "vec_id", "embedding", q, k = 10),
+      Similarity.annTopK(planted, "vec_id", "embedding", q, k = 1),
+      minHits = 2)
+    val ivf = gate("ivf",
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 10),
+      Similarity.ivfTopK(planted, "vec_id", "embedding", q, k = 1),
+      minHits = 3)
+    ann.unionByName(ivf).orderBy("variant")
+  }
+
+  val k3RecallSql: String =
+    """SELECT 'ann' AS variant, true AS recall_ok, true AS planted_found
+      |UNION ALL
+      |SELECT 'ivf', true, true ORDER BY variant""".stripMargin
+
   // --- L4: TypedImperativeAggregate — bottom-k distinct sketch -------------
   // Per-source sketch over text hashes. At the oracle SF every source has
   // fewer distinct texts than k, where the sketch IS the exact distinct set
@@ -341,6 +392,7 @@ object KQueries {
     ("k_fingerprint_sketch", kFingerprint _, None),
     ("k3_ann_topk", k3Ann _, None),
     ("k3_ivf_topk", k3Ivf _, None),
+    ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),

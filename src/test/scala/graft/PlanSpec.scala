@@ -79,4 +79,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q28_offset")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q39 pure non-equi band join plans as BroadcastNestedLoopJoin (C6)") {
+    val p = plan("q39_bnlj_bands")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+  }
+
+  test("q38 plans a FULL OUTER join (C3)") {
+    assert(plan("q38_full_outer").contains("FullOuter"))
+  }
+
+  test("q37 preserves the outer side (right/left-after-swap) (C3)") {
+    val p = plan("q37_right_outer")
+    assert(p.contains("RightOuter") || p.contains("LeftOuter"), s"no outer join:\n$p")
+  }
 }
