@@ -1,12 +1,14 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.time.Duration
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Streaming suite S1–S6 (SURVEY.md §2.1-I, §2.2-S).
   *
@@ -209,6 +211,98 @@ object StreamQueries {
     """SELECT user_id, count(*) AS n, round(sum(value),2) AS v
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- S6b: transformWithState — I7's named API, with a state TTL ----------
+  // Same per-user running (count, sum) as s6, re-expressed on the modern
+  // arbitrary-state API (Spark 4 StatefulProcessor): typed ValueState with a
+  // processing-time TTL (SURVEY §4's bounded-state rule — abandoned keys
+  // expire instead of accreting forever), RocksDB state store (the provider
+  // the API requires; also the one a 100 TB deployment would run for
+  // larger-than-heap state). Batch-equivalence oracle identical to s6.
+  private class RunningAgg
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], TTLConfig(Duration.ofHours(1)))
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var v = v0
+      rows.foreach { r => n += 1; v += r._2 }
+      state.update((n, v))
+      Iterator.single((user, n, v))
+    }
+  }
+
+  /** Run an Update-mode stream until its source is DRAINED, then stop.
+    *
+    * A processing-time stateful operator (TWS with TTL) reports
+    * `shouldRunAnotherBatch = true` on every batch — timers could expire at
+    * any wall-clock instant — so `Trigger.AvailableNow` alone never
+    * terminates: the engine loops zero-input batches forever after the file
+    * list is exhausted (observed: 2 290 empty batches at a pinned
+    * logOffset). Replay-to-completion therefore polls progress and stops
+    * the query at the first zero-input batch, which by AvailableNow's
+    * prepared file list implies every data batch has committed. Empty
+    * batches emit no Update rows, so the sink contents are identical to
+    * the pure-replay runs.
+    */
+  private def runToTableUntilDrained(
+      spark: SparkSession,
+      stream: DataFrame,
+      name: String,
+      sfDir: String): DataFrame = {
+    val table = s"${name}_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint(name, sfDir))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (q.isActive && System.currentTimeMillis() < deadline &&
+          !q.recentProgress.exists(_.numInputRows == 0))
+        Thread.sleep(50)
+    } finally if (q.isActive) q.stop()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  def s6b(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+
+      val updates = in
+        .groupByKey(_._1)
+        .transformWithState(new RunningAgg,
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "n", "v")
+
+      val sink = runToTableUntilDrained(spark, updates, "s6b_tws", sfDir)
+      val latest = Window.partitionBy("user_id").orderBy(col("n").desc)
+      sink.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), round(col("v"), 2).as("v"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -216,6 +310,7 @@ object StreamQueries {
     ("s3_sliding_static_join", s3 _, Some(s3Sql)),
     ("s4_session_window", s4 _, Some(s4Sql)),
     ("s5_stream_dedup", s5 _, Some(s5Sql)),
-    ("s6_stateful_agg", s6 _, Some(s6Sql))
+    ("s6_stateful_agg", s6 _, Some(s6Sql)),
+    ("s6b_transform_with_state", s6b _, Some(s6Sql))
   )
 }

@@ -61,6 +61,14 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(stream, batch)
   }
 
+  test("S6b: transformWithState (TTL'd ValueState, RocksDB) equals batch GROUP BY") {
+    val stream = StreamQueries.s6b(spark, sf)
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("user_id")
+    assertSameRows(stream, batch)
+  }
+
   test("I8: a row later than the watermark is dropped in append mode") {
     import java.nio.file.{Files, Paths}
     import java.sql.Timestamp
