@@ -122,6 +122,26 @@ object SnowplowOracle {
        |ORDER BY error""".stripMargin
   }
 
+  /** Oracle for p5_target_mapping: per-target row counts derived from the
+    * same TSV + parse rules. The JDBC upsert is keyed on event_id (unique
+    * in the fixture) and the double load is idempotent, so the loaded
+    * counts must equal the fixture-derived counts exactly.
+    */
+  def p5Sql: String = {
+    val ev = raw(idx("event"))
+    s"""WITH $linesCte,
+       |good AS (SELECT f FROM lines WHERE $goodCond)
+       |SELECT * FROM (
+       |  SELECT 'atomic_events' AS target_table, count(*) AS n FROM good
+       |  UNION ALL SELECT 'structured_events', count(*) FROM good
+       |    WHERE $ev = 'struct'
+       |  UNION ALL SELECT 'transactions', count(*) FROM good
+       |    WHERE $ev = 'transaction'
+       |  UNION ALL SELECT 'transaction_items', count(*) FROM good
+       |    WHERE $ev = 'transaction_item')
+       |ORDER BY target_table""".stripMargin
+  }
+
   /** Oracle for p1_snowplow_shred: explode the contexts envelope of good
     * rows — one row per attached context, keys joined scalar, tier value.
     */

@@ -260,12 +260,83 @@ object KQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
-  // --- Language ID heuristic (rows-only: marker argmax, no SQL oracle) -----
+  // --- Language ID heuristic (marker-word argmax) --------------------------
   def kLangid(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .groupBy(Text.langid(col("text")).as("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("predicted")
+
+  /** DuckDB re-implementation of the marker argmax, generated from
+    * [[Text.langMarkers]]. `list_sort(structs)[-1]` reproduces Spark's
+    * `greatest(struct(hits, lang))` exactly: structs order by hits first,
+    * then lang, so ties break to the lexicographically greatest language.
+    */
+  val kLangidSql: String = {
+    val structs = Text.langMarkers.map { case (lang, markers) =>
+      val in = markers.map("'" + _ + "'").mkString(", ")
+      s"{'hits': len(list_filter(w, x -> x IN ($in))), 'lang': '$lang'}"
+    }.mkString(",\n        ")
+    s"""SELECT predicted, count(*) AS n FROM (
+       |  SELECT CASE WHEN struct_extract(best, 'hits') > 0
+       |              THEN struct_extract(best, 'lang') ELSE 'und' END AS predicted
+       |  FROM (
+       |    SELECT list_sort([
+       |        $structs])[-1] AS best
+       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+       |          FROM documents)))
+       |GROUP BY predicted ORDER BY predicted""".stripMargin
+  }
+
+  // --- K9: exact n-gram Jaccard over planted near-dup pairs ----------------
+  // The EXACT-similarity member of the dedup family (brief: "n-gram
+  // Jaccard"): each planted (original, one-word-dropped) pair gets its full
+  // shingle-set overlap measured in Spark with string shingles; the oracle
+  // recomputes identical integer set sizes in DuckDB. Integer outputs only —
+  // immune to float rendering. MinHash (k2) approximates THIS quantity; at
+  // scale the pair list comes from LSH banding, never all-pairs.
+  def k9(spark: SparkSession, dir: String): DataFrame = {
+    val sh = augmentedDocs(spark, dir)
+      .withColumn("s", Dedup.shingles(col("text"), 3))
+      .filter(size(col("s")) > 0)
+    val orig = sh.filter(col("doc_id") < 100000)
+      .select(col("doc_id"), col("s").as("s_o"))
+    val pert = sh.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("doc_id"), col("s").as("s_p"))
+    orig.join(pert, "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("s_o")).as("n_o"),
+        size(col("s_p")).as("n_p"),
+        size(array_intersect(col("s_o"), col("s_p"))).as("n_int"),
+        size(array_union(col("s_o"), col("s_p"))).as("n_uni"))
+      .orderBy("doc_id")
+  }
+
+  val k9Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(w[1:len(w)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 4
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM corpus)
+      |  WHERE len(w) >= 3
+      |)
+      |SELECT a.doc_id AS doc_id,
+      |       CAST(len(a.s) AS INT) AS n_o,
+      |       CAST(len(b.s) AS INT) AS n_p,
+      |       CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_int,
+      |       CAST(len(list_distinct(a.s || b.s)) AS INT) AS n_uni
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+      |ORDER BY doc_id""".stripMargin
 
   // --- Document fingerprint sketch (rows-only: xxhash64-based) -------------
   def kFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -388,7 +459,8 @@ object KQueries {
     ("k6_sentiment", k6 _, Some(k6Sql)),
     ("k7_multimodal_stats", k7 _, Some(k7Sql)),
     ("k8_quality_filters", k8 _, Some(k8Sql)),
-    ("k_langid", kLangid _, None),
+    ("k_langid", kLangid _, Some(kLangidSql)),
+    ("k9_ngram_jaccard", k9 _, Some(k9Sql)),
     ("k_fingerprint_sketch", kFingerprint _, None),
     ("k3_ann_topk", k3Ann _, None),
     ("k3_ivf_topk", k3Ivf _, None),
