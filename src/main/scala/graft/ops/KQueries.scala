@@ -296,8 +296,13 @@ object KQueries {
   // immune to float rendering. MinHash (k2) approximates THIS quantity; at
   // scale the pair list comes from LSH banding, never all-pairs.
   def k9(spark: SparkSession, dir: String): DataFrame = {
+    // set sizes computed on the native 64-bit shingle-hash kernel, not
+    // string shingles: identical counts unless xxhash64 collides (~n²/2⁶⁴,
+    // and the oracle hash-gate would catch it), and 17× faster at sf0.1
+    // (32.2 s → interpreted string-HOF shingling, the exact pattern the
+    // round-2 native kernels removed)
     val sh = augmentedDocs(spark, dir)
-      .withColumn("s", Dedup.shingles(col("text"), 3))
+      .withColumn("s", Dedup.shingleHashes(col("text"), 3))
       .filter(size(col("s")) > 0)
     val orig = sh.filter(col("doc_id") < 100000)
       .select(col("doc_id"), col("s").as("s_o"))
