@@ -109,10 +109,12 @@ object KQueries {
       |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
 
-  // --- SimHash near-dup signal (not oracle-expressible: xxhash64-based) ----
+  // --- SimHash near-dup signal ---------------------------------------------
   // Hamming distance between each doc's signature and its one-word-dropped
-  // copy; integer outputs, fully deterministic — rows-only at the driver,
-  // value-checked in DedupSpec.
+  // copy. The signature itself is xxhash64-based (no DuckDB equivalent),
+  // but the CHECK is oracle-expressible: the pair count is recomputed
+  // independently (docs with ≥ 4 words), and every planted near-identical
+  // pair must sit within 16/64 bits — deterministic on the fixed corpus.
   def kSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = augmentedDocs(spark, dir)
       .withColumn("sig", Dedup.simhashOf(col("text")))
@@ -123,10 +125,14 @@ object KQueries {
     orig.join(pert, "doc_id")
       .select(col("doc_id"), Dedup.hamming64(col("sig_o"), col("sig_p")).as("dist"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("dist") <= 16, 1).otherwise(0)).as("n_close"),
-        round(avg("dist"), 2).as("avg_dist"))
+        count(lit(1)).as("n_pairs"),
+        (sum(when(col("dist") <= 16, 1L).otherwise(0L)) === count(lit(1)))
+          .as("all_close_16"))
   }
+
+  val kSimhashSql: String =
+    """SELECT count(*) AS n_pairs, true AS all_close_16 FROM documents
+      |WHERE len(string_split_regex(trim(text), '\s+')) >= 4""".stripMargin
 
   // --- D9: typed Aggregator — per-label vector centroid --------------------
   def d9(spark: SparkSession, dir: String): DataFrame = {
@@ -343,7 +349,11 @@ object KQueries {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
       |ORDER BY doc_id""".stripMargin
 
-  // --- Document fingerprint sketch (rows-only: xxhash64-based) -------------
+  // --- Document fingerprint sketch -----------------------------------------
+  // Bottom-m MinHash sketch similarity between each doc and its planted
+  // near-dup. Sketch hashes aren't DuckDB-expressible, but the pair count
+  // is, and every planted pair's similarity estimate must clear 0.5 —
+  // deterministic on the fixed corpus (same self-check shape as l4).
   def kFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sk = augmentedDocs(spark, dir)
       .withColumn("sketch", Text.fingerprintSketch(col("text"), 3, 16))
@@ -356,9 +366,14 @@ object KQueries {
       .select(col("doc_id"),
         Text.sketchSimilarity(col("sk_o"), col("sk_p")).as("est"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_similar"))
+        count(lit(1)).as("n_pairs"),
+        (sum(when(col("est") >= 0.5, 1L).otherwise(0L)) === count(lit(1)))
+          .as("all_similar"))
   }
+
+  val kFingerprintSql: String =
+    """SELECT count(*) AS n_pairs, true AS all_similar FROM documents
+      |WHERE len(string_split_regex(trim(text), '\s+')) >= 4""".stripMargin
 
   // --- K3 scale path: ANN top-k via sign-LSH multi-probe (rows-only) -------
   def k3Ann(spark: SparkSession, dir: String): DataFrame = {
@@ -466,7 +481,7 @@ object KQueries {
     ("k8_quality_filters", k8 _, Some(k8Sql)),
     ("k_langid", kLangid _, Some(kLangidSql)),
     ("k9_ngram_jaccard", k9 _, Some(k9Sql)),
-    ("k_fingerprint_sketch", kFingerprint _, None),
+    ("k_fingerprint_sketch", kFingerprint _, Some(kFingerprintSql)),
     ("k3_ann_topk", k3Ann _, None),
     ("k3_ivf_topk", k3Ivf _, None),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
@@ -474,6 +489,6 @@ object KQueries {
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
-    ("k_simhash_neardup", kSimhash _, None)
+    ("k_simhash_neardup", kSimhash _, Some(kSimhashSql))
   )
 }

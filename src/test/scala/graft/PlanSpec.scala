@@ -93,4 +93,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q37_right_outer")
     assert(p.contains("RightOuter") || p.contains("LeftOuter"), s"no outer join:\n$p")
   }
+
+  test("p6 read-back prunes partitions on the day filter (A8, §4 layout)") {
+    // write once via the declared query, then lock the read plan shape
+    graft.etl.PipelineQueries.p6(spark, sf).collect()
+    val outDir = "target/etl/events_by_day_" +
+      sf.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val p = graft.etl.PipelineQueries.p6Read(spark, outDir)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("day"),
+      s"no partition pruning:\n$p")
+    // the day bounds must appear inside PartitionFilters, not as a data filter
+    val pf = p.substring(p.indexOf("PartitionFilters"))
+    assert(pf.contains("2024-01-10") || pf.contains("19732"),
+      s"day bound not in PartitionFilters:\n$pf")
+  }
 }
