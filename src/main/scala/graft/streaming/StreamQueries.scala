@@ -7,8 +7,9 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger,
+  ValueState}
 
 /** Streaming suite S1–S6 (SURVEY.md §2.1-I, §2.2-S).
   *
@@ -303,6 +304,68 @@ object StreamQueries {
     }
   }
 
+  // --- S7: composite keyed state via MapState (I7 state-type depth) --------
+  // Per-user map event_type → running count: the state shape silvia's
+  // per-entity enrichments use (one composite value per sub-key, updated
+  // incrementally, point-readable without deserializing the whole map —
+  // which is exactly what MapState-on-RocksDB gives at 100 TB state sizes,
+  // vs. a ValueState[Map] that rewrites the full map per update).
+  private class PerTypeCounts
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val batchAdds = rows.foldLeft(Map.empty[String, Long]) {
+        case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      batchAdds.iterator.map { case (t, add) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + add
+        counts.updateValue(t, n)
+        (user, t, n)
+      }
+    }
+  }
+
+  def s7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+
+      val updates = in
+        .groupByKey(_._1)
+        .transformWithState(new PerTypeCounts, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n")
+
+      val sink = runToTableUntilDrained(spark, updates, "s7_mapstate", sfDir)
+      val latest = Window.partitionBy("user_id", "event_type").orderBy(col("n").desc)
+      sink.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("n"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  val s7Sql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -311,6 +374,7 @@ object StreamQueries {
     ("s4_session_window", s4 _, Some(s4Sql)),
     ("s5_stream_dedup", s5 _, Some(s5Sql)),
     ("s6_stateful_agg", s6 _, Some(s6Sql)),
-    ("s6b_transform_with_state", s6b _, Some(s6Sql))
+    ("s6b_transform_with_state", s6b _, Some(s6Sql)),
+    ("s7_mapstate_counts", s7 _, Some(s7Sql))
   )
 }

@@ -69,6 +69,14 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(stream, batch)
   }
 
+  test("S7: MapState per-type counts equal batch GROUP BY user_id, event_type") {
+    val stream = StreamQueries.s7(spark, sf)
+    val batch = batchEvents.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+    assertSameRows(stream, batch)
+  }
+
   test("I8: a row later than the watermark is dropped in append mode") {
     import java.nio.file.{Files, Paths}
     import java.sql.Timestamp
