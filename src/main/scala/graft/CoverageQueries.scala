@@ -405,7 +405,58 @@ object CoverageQueries {
       |       count(DISTINCT text) AS n_crc_distinct
       |FROM documents""".stripMargin
 
+  // --- q41: string family long tail (H1) -----------------------------------
+  // levenshtein / translate / reverse / ascii / repeat / substring_index —
+  // all codegen'd built-ins with exact DuckDB equivalents (substring_index
+  // ≡ split_part for positive indexes).
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        reverse(col("p_brand")).as("rev"),
+        ascii(col("p_name")).as("a0"),
+        repeat(col("p_brand"), 2).as("rep"),
+        substring_index(col("p_type"), " ", 1).as("w0"))
+      .orderBy("p_partkey")
+
+  val q41Sql: String =
+    """SELECT p_partkey,
+      |       CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+      |       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+      |       reverse(p_brand) AS rev,
+      |       CAST(ascii(p_name) AS INT) AS a0,
+      |       repeat(p_brand, 2) AS rep,
+      |       split_part(p_type, ' ', 1) AS w0
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --- q42: date/time family long tail (H2) --------------------------------
+  // last_day / add_months (end-of-month clamped in both engines) / ISO
+  // weekofyear / dayofweek (Spark 1=Sunday ≡ DuckDB dow+1) / epoch seconds.
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate")).as("ld"),
+        add_months(col("o_orderdate"), 3).as("am"),
+        weekofyear(col("o_orderdate")).as("wy"),
+        dayofweek(col("o_orderdate")).as("dw"),
+        unix_timestamp(col("o_orderdate")).as("ut"))
+      .orderBy("o_orderkey")
+
+  val q42Sql: String =
+    """SELECT o_orderkey,
+      |       last_day(o_orderdate) AS ld,
+      |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS am,
+      |       CAST(extract(week FROM o_orderdate) AS INT) AS wy,
+      |       CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dw,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS ut
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q41_strings2", q41 _, Some(q41Sql)),
+    ("q42_dates2", q42 _, Some(q42Sql)),
     ("q37_right_outer", q37 _, Some(q37Sql)),
     ("q38_full_outer", q38 _, Some(q38Sql)),
     ("q39_bnlj_bands", q39 _, Some(q39Sql)),
