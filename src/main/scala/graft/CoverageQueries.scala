@@ -454,7 +454,38 @@ object CoverageQueries {
       |       CAST(epoch(o_orderdate) AS BIGINT) AS ut
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --- q43: pure-SQL surface with registered native functions --------------
+  // A user on the SQL API (spark.sql, no Column DSL) gets the graft
+  // expressions by name after GraftFunctions.register — the declared entry
+  // proves the whole path end-to-end: temp view, SQL text, codegen'd
+  // custom expressions inside a SQL projection, value-checked vs DuckDB.
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      """SELECT e.vec_id,
+        |       round(cosine_sim(e.embedding, q.embedding), 4) AS cos,
+        |       round(l2_norm(e.embedding), 4) AS l2
+        |FROM embeddings_v e
+        |CROSS JOIN (SELECT embedding FROM embeddings_v WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 AND e.vec_id < 100
+        |ORDER BY e.vec_id""".stripMargin)
+  }
+
+  val q43Sql: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |       round(list_inner_product(ev, qv)
+      |             / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))), 4)
+      |         AS cos,
+      |       round(sqrt(list_inner_product(ev, ev)), 4) AS l2
+      |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |      FROM embeddings WHERE vec_id <> 0 AND vec_id < 100), q
+      |ORDER BY vec_id""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q43_sql_surface", q43 _, Some(q43Sql)),
     ("q41_strings2", q41 _, Some(q41Sql)),
     ("q42_dates2", q42 _, Some(q42Sql)),
     ("q37_right_outer", q37 _, Some(q37Sql)),

@@ -252,7 +252,7 @@ object StreamQueries {
     * batches emit no Update rows, so the sink contents are identical to
     * the pure-replay runs.
     */
-  private def runToTableUntilDrained(
+  private[streaming] def runToTableUntilDrained(
       spark: SparkSession,
       stream: DataFrame,
       name: String,

@@ -77,6 +77,35 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(stream, batch)
   }
 
+  test("I7: ListState appends per-key values across micro-batches") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sf))
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val sizes = in.groupByKey(_._1)
+        .transformWithState(new ValueListProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_appended")
+      val sink = StreamQueries.runToTableUntilDrained(
+        spark, sizes, "spec_liststate", sf)
+      // final (max) appended-count per user == batch row count per user
+      val finalCounts = sink.groupBy("user_id")
+        .agg(max("n_appended").as("n"))
+      val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(finalCounts.join(batch, Seq("user_id"))
+        .filter(finalCounts("n") =!= batch("n")).count() == 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("I8: a row later than the watermark is dropped in append mode") {
     import java.nio.file.{Files, Paths}
     import java.sql.Timestamp
@@ -161,5 +190,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(!w(1).getTimestamp(1).before(w(0).getTimestamp(2)),
         "file ranges overlap more than a boundary")
     }
+  }
+}
+
+/** ListState probe: append every value for the key, emit the running count
+  * of appended elements (top-level class — Spark serializes the processor).
+  */
+class ValueListProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long)] {
+  @transient private var vals: org.apache.spark.sql.streaming.ListState[Double] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    vals = getHandle.getListState[Double]("vals",
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    rows.foreach(r => vals.appendValue(r._2))
+    Iterator.single((user, vals.get().size.toLong))
   }
 }
