@@ -23,12 +23,20 @@ object GraftFunctions {
     "simhash64"         -> (es => SimHash64(es.head))
   )
 
-  /** Idempotently register all graft functions on an existing session. */
+  /** Idempotently register all graft functions on an existing session,
+    * and install the [[graft.plans.GlobalWindowGuard]] lint rule through
+    * the public `experimental.extraOptimizations` hook (the only injection
+    * point for sessions graft did not build — the driver contract).
+    */
   def register(spark: SparkSession): Unit = {
     val fr = GraftBridge.functionRegistry(spark)
     fns.foreach { case (name, builder) =>
       fr.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[graft.plans.GlobalWindowGuard]))
+      spark.experimental.extraOptimizations =
+        existing :+ new graft.plans.GlobalWindowGuard(spark)
   }
 
   // Typed Column API (usable without registration).
@@ -60,6 +68,7 @@ object GraftFunctions {
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(spark => new graft.plans.GlobalWindowGuard(spark))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
