@@ -25,22 +25,12 @@ object CoverageQueries {
   // on 10-minute time buckets: each event contributes to its own bucket and
   // the next, targets join contributors on the bucket (keyed shuffle, no
   // single-task stage), and the band condition is a residual filter.
-  def q13b(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (c: org.apache.spark.sql.Column) =>
-      floor(unix_micros(c) / 600000000L) // 10-minute buckets (µs)
-    val ev = t(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("value"))
-      .withColumn("b", bucket(col("ts")))
-    val contrib = ev.select(
-      col("ts").as("cts"), col("value").as("cv"),
-      explode(array(col("b"), col("b") + 1)).as("b"))
-    ev.join(contrib, Seq("b"))
-      .filter(col("cts") <= col("ts")
-        && col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES"))
-      .groupBy("event_id")
-      .agg(round(sum("cv"), 2).as("w10"))
+  def q13b(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.bandedTrailingSum(
+        t(spark, dir, "events"), "event_id", "ts", "value",
+        windowMicros = 600000000L) // 10 minutes
+      .select(col("event_id"), round(col("w_sum"), 2).as("w10"))
       .orderBy("event_id")
-  }
 
   // Identical semantics to q13 — reuse its oracle formulation.
   val q13bSql: String = Queries.q13Sql

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property lock on the banded trailing-window math (the rewrite the
+  * GlobalWindowGuard recommends): on random small event sets — duplicate
+  * timestamps included, so RANGE-frame peer semantics are exercised — the
+  * keyed banded form must equal a brute-force O(n²) trailing sum exactly.
+  * Spark job per case, so the case count is kept modest.
+  */
+object BandedWindowPropertiesSpec extends Properties("BandedWindow") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private val WINDOW_SEC = 600L
+
+  // clustered timestamps (mod 1800s) force duplicates + cross-bucket edges
+  private val rowsGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    ts <- Gen.listOfN(n, Gen.chooseNum(0L, 1800L))
+    vs <- Gen.listOfN(n, Gen.chooseNum(-10, 10))
+  } yield ts.zip(vs).zipWithIndex.map { case ((t, v), i) =>
+    (i.toLong, t, v.toDouble)
+  }
+
+  property("banded trailing sum == brute force (peers + bucket edges)") =
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "sec", "v")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("sec")))
+      val got = Windows
+        .bandedTrailingSum(df, "id", "ts", "v", WINDOW_SEC * 1000000L)
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
+      val want = rows.map { case (id, t, _) =>
+        id -> rows.collect {
+          case (_, ct, cv) if ct <= t && ct >= t - WINDOW_SEC => cv
+        }.sum
+      }.toMap
+      got.keySet == want.keySet && want.forall { case (id, w) =>
+        math.abs(got(id) - w) < 1e-9
+      }
+    }
+}

@@ -30,6 +30,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left side lands on key 0 → one shuffle partition dwarfs
+      // the 2KB advisory/threshold sizes; AQE must split it at runtime
+      val left = spark.range(60000)
+        .select(
+          when($"id" < 54000, 0L).otherwise($"id").as("k"),
+          $"id".as("v"), lit("x" * 200).as("pad"))
+      val right = spark.range(100).select($"id".as("k"), lit(1).as("w"))
+      // global agg, NOT groupBy("k"): a downstream stage that reuses the
+      // join's hash partitioning forbids the skew split (Spark refuses to
+      // break the partitioning guarantee); a partial-aggregable global
+      // count leaves AQE free to split
+      val j = left.join(right, "k").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation plans two keyed aggregate phases") {
     val ev = Tables.load(spark, sf, "events")
     val p = Skew.saltedStats(ev, Seq("user_id"), "value", 8)
