@@ -454,7 +454,7 @@ object CoverageQueries {
     t(spark, dir, "embeddings").createOrReplaceTempView("embeddings_v")
     spark.sql(
       """SELECT e.vec_id,
-        |       round(cosine_sim(e.embedding, q.embedding), 4) AS cos,
+        |       round(cosine_sim(e.embedding, q.embedding), 4) + 0.0 AS cos,
         |       round(l2_norm(e.embedding), 4) AS l2
         |FROM embeddings_v e
         |CROSS JOIN (SELECT embedding FROM embeddings_v WHERE vec_id = 0) q

@@ -370,11 +370,14 @@ object Queries {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("len"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        // + 0.0 normalizes IEEE negative zero: Spark's BigDecimal round
+        // gives 0.0 for round(-2e-5, 4) where DuckDB keeps -0.0 — a
+        // data-dependent hash divergence first seen at sf0.1 (vec 1753)
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("e0"))
       .orderBy("vec_id")
 
   val q19Sql: String =
-    """SELECT vec_id, len, round(e0,4) AS e0 FROM (
+    """SELECT vec_id, len, round(e0,4) + 0.0 AS e0 FROM (
       |  SELECT vec_id, len(embedding) AS len,
       |         CAST(embedding[1] AS DOUBLE) AS e0 FROM embeddings) t
       |ORDER BY vec_id""".stripMargin
@@ -389,7 +392,7 @@ object Queries {
       .crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
-        round(GraftFunctions.cosine_sim(col("embedding"), col("qvec")), 4).as("sim"))
+        (round(GraftFunctions.cosine_sim(col("embedding"), col("qvec")), 4) + 0.0).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

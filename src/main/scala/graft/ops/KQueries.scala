@@ -142,17 +142,17 @@ object KQueries {
       .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
       .select(
         col("label"),
-        round(element_at(col("c"), 1), 4).as("c0"),
-        round(element_at(col("c"), 2), 4).as("c1"),
-        round(element_at(col("c"), 64), 4).as("c63"),
+        (round(element_at(col("c"), 1), 4) + 0.0).as("c0"),
+        (round(element_at(col("c"), 2), 4) + 0.0).as("c1"),
+        (round(element_at(col("c"), 64), 4) + 0.0).as("c63"),
         col("n"))
       .orderBy("label")
   }
 
   val d9Sql: String =
-    """SELECT label, round(avg(CAST(embedding[1] AS DOUBLE)),4) AS c0,
-      |       round(avg(CAST(embedding[2] AS DOUBLE)),4) AS c1,
-      |       round(avg(CAST(embedding[64] AS DOUBLE)),4) AS c63,
+    """SELECT label, round(avg(CAST(embedding[1] AS DOUBLE)),4) + 0.0 AS c0,
+      |       round(avg(CAST(embedding[2] AS DOUBLE)),4) + 0.0 AS c1,
+      |       round(avg(CAST(embedding[64] AS DOUBLE)),4) + 0.0 AS c63,
       |       count(*) AS n
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
@@ -168,11 +168,12 @@ object KQueries {
       .crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
-        round(dot_product(col("embedding"), col("qvec")), 4).as("dot_q"),
+        (round(dot_product(col("embedding"), col("qvec")), 4) + 0.0).as("dot_q"),
         round(l2_norm(col("embedding")), 4).as("l2"),
-        round(
+        (round(
           dot_product(col("embedding"), col("qvec")) /
-            (l2_norm(col("embedding")) * l2_norm(col("qvec"))), 4).as("cos_via_k4"))
+            (l2_norm(col("embedding")) * l2_norm(col("qvec"))), 4) + 0.0)
+          .as("cos_via_k4"))
       .orderBy("vec_id")
   }
 
@@ -180,11 +181,11 @@ object KQueries {
     """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
       |           FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
-      |       round(list_inner_product(ev, qv), 4) AS dot_q,
+      |       round(list_inner_product(ev, qv), 4) + 0.0 AS dot_q,
       |       round(sqrt(list_inner_product(ev, ev)), 4) AS l2,
       |       round(list_inner_product(ev, qv)
       |             / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))), 4)
-      |         AS cos_via_k4
+      |         + 0.0 AS cos_via_k4
       |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
       |      FROM embeddings WHERE vec_id <> 0), q
       |ORDER BY vec_id""".stripMargin
