@@ -77,6 +77,34 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(stream, batch)
   }
 
+  test("I7: flatMapGroupsWithState running totals equal batch GROUP BY") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sf))
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val updates = in.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator.single((user, n, v))
+      }
+      .toDF("user_id", "n", "v")
+    val sink = StreamQueries.runToTableUntilDrained(
+      spark, updates, "spec_fmgws", sf)
+    val finalRows = sink.groupBy("user_id")
+      .agg(max("n").as("n"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalRows.join(batch, Seq("user_id"))
+      .filter(finalRows("n") =!= batch("n")).count() == 0)
+    assert(finalRows.count() == batch.count())
+  }
+
   test("I7: ListState appends per-key values across micro-batches") {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
