@@ -431,9 +431,16 @@ object KQueries {
       Similarity.annTopK(corpus, "vec_id", "embedding", q, k = 10),
       Similarity.annTopK(planted, "vec_id", "embedding", q, k = 1),
       minHits = 2)
+    // ONE quantizer fit: the recall probe uses the corpus index, and the
+    // planted duplicate enters via the incremental ivfAdd path (assign to
+    // nearest centroid, no refit) — exercising the production insert flow
+    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
+    val plantedIndex = Similarity.ivfAdd(index,
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding")
     val ivf = gate("ivf",
-      Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 10),
-      Similarity.ivfTopK(planted, "vec_id", "embedding", q, k = 1),
+      Similarity.ivfProbe(index, q, k = 10),
+      Similarity.ivfProbe(plantedIndex, q, k = 1),
       minHits = 3)
     ann.unionByName(ivf).orderBy("variant")
   }

@@ -90,15 +90,21 @@ object Similarity {
     * Higher recall than sign-LSH multi-probe on spread-out data (lists
     * partition the sphere adaptively); measured honestly in SimilaritySpec.
     */
-  def ivfTopK(
+  /** A built IVF index: every corpus vector assigned to an inverted list,
+    * plus the (nLists-row) centroid frame. Build ONCE, probe many — the
+    * production shape: at scale `assigned` is written bucketed/partitioned
+    * by `list_id` so a probe prunes storage partitions, and only the
+    * centroid matrix (model-sized) is driver-resident.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Fit the coarse quantizer and assign every vector to a list. */
+  def ivfBuild(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      query: DataFrame, // single row, column "qvec"
-      k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -115,9 +121,48 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("list_id", "centroid")
+    IvfIndex(assigned, centroids)
+  }
 
+  /** Incremental insert WITHOUT refitting the quantizer — how IVF absorbs
+    * new data in production: assign each new vector to its nearest centroid
+    * by squared euclidean distance (the k-means criterion, so the result
+    * matches what `model.transform` would have assigned), union into the
+    * inverted lists. The quantizer drifts only as the data distribution
+    * does; periodic rebuilds are a maintenance job, not an ingest cost.
+    */
+  def ivfAdd(
+      index: IvfIndex,
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String): IvfIndex = {
+    import org.apache.spark.sql.expressions.Window
+    // ||v - c||² = ||v||² − 2·v·c + ||c||²; ||v||² is constant per row, so
+    // ranking by (||c||² − 2·v·c) is the same order — two codegen'd dots
+    val v = col("v").cast("array<double>")
+    val score =
+      GraftFunctions.dot_product(col("centroid"), col("centroid")) -
+        lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
+    val w = Window.partitionBy("id").orderBy(col("__d"), col("list_id"))
+    val newAssigned = rows
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("__d", score)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("list_id"))
+    IvfIndex(index.assigned.unionByName(newAssigned), index.centroids)
+  }
+
+  /** Probe a built index: rank lists by query-to-centroid cosine, pay the
+    * exact cosine only on the `nProbe` nearest lists. */
+  def ivfProbe(
+      index: IvfIndex,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
     val probeLists = query
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(index.centroids))
       .select(col("list_id"),
         GraftFunctions.cosine_sim(
           col("centroid"), col("qvec").cast("array<double>")).as("csim"))
@@ -125,7 +170,7 @@ object Similarity {
       .limit(nProbe)
       .select("list_id")
 
-    assigned
+    index.assigned
       .join(broadcast(probeLists), Seq("list_id"), "left_semi")
       .crossJoin(broadcast(query))
       .select(
@@ -134,6 +179,18 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  /** One-shot convenience: build + probe (the declared-query form). */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame =
+    ivfProbe(ivfBuild(df, idCol, vecCol, nLists, seed), query, k, nProbe)
 
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(

@@ -60,6 +60,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3)
   }
 
+  test("ivfAdd assigns like the fitted quantizer and makes inserts findable") {
+    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
+    // re-adding copies of existing vectors must land on their original lists
+    val sample = corpus.limit(20)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    val grown = Similarity.ivfAdd(index, sample, "vec_id", "embedding")
+    val lists = grown.assigned
+      .select(col("id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sample.collect().map(_.getLong(0)).foreach { id =>
+      assert(lists(id) == lists(id - 500000),
+        s"copy $id assigned list ${lists(id)} != original ${lists(id - 500000)}")
+    }
+    // a freshly-inserted exact duplicate of the query is findable at rank 1
+    val planted = Similarity.ivfAdd(index,
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding")
+    val top = Similarity.ivfProbe(planted, query, k = 1).head()
+    assert(top.getAs[Long]("id") == 999999L)
+    assert(top.getAs[Double]("cos") >= 0.999)
+  }
+
   test("ANN is deterministic across runs (seeded planes)") {
     def run() = Similarity.annTopK(corpus, "vec_id", "embedding", query, 10)
       .collect().map(_.getAs[Long]("id")).toSeq
