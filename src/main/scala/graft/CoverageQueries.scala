@@ -474,7 +474,91 @@ object CoverageQueries {
       |      FROM embeddings WHERE vec_id <> 0 AND vec_id < 100), q
       |ORDER BY vec_id""".stripMargin
 
+  // --- q44: exact percentiles + correlation/covariance (D3/D6 exact tier) --
+  // percentile() is the EXACT sort-based aggregate (q22 covers the sketch
+  // tier); quartile interpolation lands on .0025 granularity for 2-dp
+  // inputs, so 4-dp rounding is identity-safe across engines. covar is
+  // scaled before rounding (q27 rule).
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1e3, 4)
+          .as("cov_qp_k"))
+      .orderBy("l_returnflag")
+
+  val q44Sql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |       round(covar_samp(l_quantity, l_extendedprice) / 1e3, 4) AS cov_qp_k
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q45: GROUPING SETS + grouping() markers (D7 beyond rollup/cube) -----
+  // NULL ordering differs across engines (Spark ASC = NULLS FIRST, DuckDB
+  // NULLS LAST), so the total order goes through the grouping flags and
+  // coalesced keys.
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g1,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g2,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g1, g2, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')
+        |""".stripMargin)
+  }
+
+  val q45Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g1,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g2,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g1, g2, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin
+
+  // --- q46: scalar + correlated + IN subqueries in SQL form (B/C SQL tier) -
+  // Catalyst decorrelates the per-customer count into a left outer
+  // aggregate join and the IN into a semi join — the SQL-surface route to
+  // the same physical shapes q4/q5 lock via the DSL.
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders_v o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation_v
+        |                      WHERE n_regionkey = 1)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q46Sql: String =
+    """SELECT c_custkey,
+      |       (SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey = 1)
+      |ORDER BY c_custkey""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q44_exact_stats", q44 _, Some(q44Sql)),
+    ("q45_grouping_sets", q45 _, Some(q45Sql)),
+    ("q46_subqueries", q46 _, Some(q46Sql)),
     ("q43_sql_surface", q43 _, Some(q43Sql)),
     ("q41_strings2", q41 _, Some(q41Sql)),
     ("q42_dates2", q42 _, Some(q42Sql)),
