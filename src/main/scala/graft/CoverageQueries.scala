@@ -563,7 +563,51 @@ object CoverageQueries {
       |                      WHERE n_regionkey = 1)
       |ORDER BY c_custkey""".stripMargin
 
+  // --- q47: pivot (wide per-category columns) ------------------------------
+  // Explicit value list keeps the schema static (an unlisted category can't
+  // widen the output at 100 TB); each cell is a conditional aggregate, so
+  // the oracle is plain CASE aggregation.
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0, eventTypes)
+      .orderBy("user_id")
+
+  val q47Sql: String = {
+    val cells = eventTypes.map(t =>
+      s"coalesce(round(sum(CASE WHEN event_type = '$t' THEN value END), 2), 0) AS $t")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cells
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // --- q48: unpivot / melt (long form) -------------------------------------
+  def q48(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_tax"), col("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val q48Sql: String =
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS val
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q47_pivot", q47 _, Some(q47Sql)),
+    ("q48_unpivot", q48 _, Some(q48Sql)),
     ("q44_exact_stats", q44 _, Some(q44Sql)),
     ("q45_grouping_sets", q45 _, Some(q45Sql)),
     ("q46_subqueries", q46 _, Some(q46Sql)),
