@@ -388,11 +388,22 @@ object CoverageQueries {
         count(lit(1)).as("n"),
         countDistinct(col("u")).as("n_uuid_distinct"),
         sum(when(col("u").rlike(uuidV4Re), 1L).otherwise(0L)).as("n_uuid_v4"),
-        countDistinct(crc32(col("text"))).as("n_crc_distinct"))
+        countDistinct(crc32(col("text"))).as("crc_d"),
+        countDistinct(col("text")).as("txt_d"))
+      // 32-bit crc32 expects ~d²/2³³ birthday collisions, so equality with
+      // count(DISTINCT text) stops holding near ~77k distinct texts (ADVICE
+      // r3). Check injectivity-up-to-expected-collisions as a boolean with a
+      // d²/2³¹ allowance (≈4× the expectation, floor 1) instead of exact
+      // equality, so the entry stays green at every scale factor.
+      .select(
+        col("n"), col("n_uuid_distinct"), col("n_uuid_v4"),
+        (col("crc_d") >= col("txt_d") -
+          greatest(lit(1L), (col("txt_d") * col("txt_d")) / lit(2147483648L)))
+          .as("crc_ok"))
 
   val q40Sql: String =
     """SELECT count(*) AS n, count(*) AS n_uuid_distinct, count(*) AS n_uuid_v4,
-      |       count(DISTINCT text) AS n_crc_distinct
+      |       TRUE AS crc_ok
       |FROM documents""".stripMargin
 
   // --- q41: string family long tail (H1) -----------------------------------

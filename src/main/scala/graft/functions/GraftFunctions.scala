@@ -23,20 +23,37 @@ object GraftFunctions {
     "simhash64"         -> (es => SimHash64(es.head))
   )
 
+  /** Session-local flag marking that a [[graft.plans.GlobalWindowGuard]]
+    * instance is already active, whichever injection path installed it —
+    * `GraftExtensions.injectOptimizerRule` (build-time) or [[register]]
+    * (`experimental.extraOptimizations`, run-time). Without it a session
+    * built with the extensions that also calls register() would run TWO
+    * guard instances and double-log every flagged plan (ADVICE r3).
+    */
+  private[graft] val GuardInstalledKey = "graft.lint.globalWindowGuard.installed"
+
   /** Idempotently register all graft functions on an existing session,
     * and install the [[graft.plans.GlobalWindowGuard]] lint rule through
     * the public `experimental.extraOptimizations` hook (the only injection
     * point for sessions graft did not build — the driver contract).
+    * The lint-rule side effect is documented here deliberately: register()
+    * is graft's single "attach to a foreign session" entry point.
     */
   def register(spark: SparkSession): Unit = {
     val fr = GraftBridge.functionRegistry(spark)
     fns.foreach { case (name, builder) =>
       fr.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[graft.plans.GlobalWindowGuard]))
+    val alreadyActive =
+      spark.conf.getOption(GuardInstalledKey).contains("true") ||
+        spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.GlobalWindowGuard])
+    if (!alreadyActive) {
       spark.experimental.extraOptimizations =
-        existing :+ new graft.plans.GlobalWindowGuard(spark)
+        spark.experimental.extraOptimizations :+
+          new graft.plans.GlobalWindowGuard(spark)
+      spark.conf.set(GuardInstalledKey, "true")
+    }
   }
 
   // Typed Column API (usable without registration).
@@ -68,7 +85,13 @@ object GraftFunctions {
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(spark => new graft.plans.GlobalWindowGuard(spark))
+    ext.injectOptimizerRule { spark =>
+      // builder runs once per session at optimizer construction; flag the
+      // session so a later GraftFunctions.register() doesn't add a second
+      // guard via experimental.extraOptimizations
+      spark.conf.set(GraftFunctions.GuardInstalledKey, "true")
+      new graft.plans.GlobalWindowGuard(spark)
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

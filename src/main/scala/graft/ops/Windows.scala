@@ -22,7 +22,16 @@ object Windows {
   /** Per-row trailing-window sum: for each input row, the sum of `valCol`
     * over all rows whose `tsCol` lies in `[ts − windowMicros, ts]`
     * (inclusive both ends — RANGE-frame semantics, peers included).
-    * Returns (`idCol`, `w_sum`). `idCol` must identify rows uniquely.
+    * Returns (`idCol`, `w_sum`).
+    *
+    * Preconditions (ADVICE r3): `idCol` must identify rows uniquely (rows
+    * sharing an id would merge into one output group), and `tsCol` must be
+    * non-null — a NULL timestamp gets a NULL band and silently joins
+    * nothing, whereas the RANGE-frame Window this replaces keeps NULL-ts
+    * rows in its null-first peer group. The null-ts precondition is
+    * enforced at runtime (a free in-codegen `raise_error` guard — no extra
+    * pass); id-uniqueness would cost an extra aggregate to verify, so it
+    * stays a documented contract.
     */
   def bandedTrailingSum(
       df: DataFrame,
@@ -31,8 +40,11 @@ object Windows {
       valCol: String,
       windowMicros: Long): DataFrame = {
     val bucket = (c: Column) => floor(unix_micros(c) / windowMicros)
+    val tsChecked = when(col(tsCol).isNull,
+      raise_error(lit(s"bandedTrailingSum: NULL $tsCol — banded form requires non-null timestamps")))
+      .otherwise(col(tsCol))
     val ev = df
-      .select(col(idCol), col(tsCol).as("__ts"), col(valCol).as("__v"))
+      .select(col(idCol), tsChecked.as("__ts"), col(valCol).as("__v"))
       .withColumn("__b", bucket(col("__ts")))
     val contrib = ev.select(
       col("__ts").as("__cts"), col("__v").as("__cv"),

@@ -270,6 +270,12 @@ object StreamQueries {
       while (q.isActive && System.currentTimeMillis() < deadline &&
           !q.recentProgress.exists(_.numInputRows == 0))
         Thread.sleep(50)
+      // A partial sink table would surface later as a confusing oracle
+      // mismatch; fail loudly at the source instead (ADVICE r3).
+      if (q.isActive && !q.recentProgress.exists(_.numInputRows == 0))
+        throw new IllegalStateException(
+          s"stream '$name' did not drain within 120 s " +
+            s"(last progress: ${q.recentProgress.lastOption.fold("none")(_.numInputRows.toString)} input rows)")
     } finally if (q.isActive) q.stop()
     q.awaitTermination()
     spark.table(table)

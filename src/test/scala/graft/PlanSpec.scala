@@ -97,9 +97,7 @@ class PlanSpec extends AnyFunSuite {
   test("p6 read-back prunes partitions on the day filter (A8, §4 layout)") {
     // write once via the declared query, then lock the read plan shape
     graft.etl.PipelineQueries.p6(spark, sf).collect()
-    val outDir = "target/etl/events_by_day_" +
-      sf.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-    val p = graft.etl.PipelineQueries.p6Read(spark, outDir)
+    val p = graft.etl.PipelineQueries.p6Read(spark, graft.etl.PipelineQueries.p6OutDir(sf))
       .queryExecution.sparkPlan.toString
     assert(p.contains("PartitionFilters: [") && p.contains("day"),
       s"no partition pruning:\n$p")
