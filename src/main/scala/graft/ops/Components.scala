@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the cluster-
+  * consolidation step a near-dedup pipeline needs AFTER pairwise detection
+  * (SURVEY.md §2.1-K2): MinHash-LSH / exact similarity joins emit PAIRS, but
+  * "keep one document per duplicate group" requires the transitive closure
+  * of those pairs, or chained duplicates (A~B, B~C, A≁C) survive as two
+  * overlapping groups and the corpus keeps 2 of 3 copies.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — public).
+  * Each round is two groupBy-min + join passes over the edge list, i.e.
+  * pure keyed shuffles; the edge set converges to one star per component
+  * (every member pointing at its component's minimum id) in O(log n)
+  * rounds even on adversarial path graphs — unlike naive min-label
+  * propagation, whose round count is the graph DIAMETER (a 1000-link
+  * near-dup chain would need 1000 shuffles; star contraction needs ~10).
+  * No driver-side state: the driver loop only compares a (count, hash-sum)
+  * fixpoint checksum per round.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as an edge list.
+    *
+    * @param edges  DataFrame with two integral id columns; self-loops are
+    *               dropped, direction and duplicates are ignored.
+    * @return (id, comp) — one row per distinct node appearing in `edges`,
+    *         where comp is the minimum node id of its component. Nodes not
+    *         present in `edges` (singletons) are the caller's to union in.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // canonical directed form: (u, v) with u > v. Every round ends in an
+    // eager localCheckpoint: without it each iteration's plan embeds the
+    // previous one ~6× (sym/large/small each reference it), so a ~10-round
+    // run builds a 6¹⁰-node tree — unanalyzable, and a StackOverflow just
+    // printing it. Truncating lineage per round is the standard iterative-
+    // graph pattern (GraphX checkpoints the same way); the cost is keeping
+    // each round's edge RDD cached until the loop ends (≤ maxIter copies
+    // of an edge list that shrinks toward one row per node).
+    var e = edges
+      .select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // (row count, order-independent hash fold): equal across a round ⇔ the
+    // distinct edge set reached the algorithm's fixpoint (stars). XOR, not
+    // sum — full-range xxhash64 values overflow a long sum under ANSI mode,
+    // and XOR over a DISTINCT row set is an equally sound set fingerprint.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged && it < maxIter) {
+      // large-star: ∀u, ∀v ∈ Γ(u) with v > u: emit (v, min(Γ(u) ∪ {u}))
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // small-star: ∀u with L = {v ∈ Γ(u): v < u} ≠ ∅, m = min(L):
+      // emit (u, m) and (v, m) for v ∈ L \ {m}. On the canonical form L is
+      // exactly u's edge partners, so one groupBy-min + one join suffices.
+      val minsS = large.groupBy("u").agg(min("v").as("mv"))
+      val small = large.join(minsS, "u")
+        .filter(col("v") =!= col("mv"))
+        .select(col("v").as("u"), col("mv").as("v"))
+        .union(minsS.select(col("u"), col("mv").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+
+      val cur = checksum(small)
+      e = small
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // converged edges are stars (member -> root); roots map to themselves
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")).distinct())
+      .distinct()
+  }
+
+  /** Keep one row per duplicate cluster: given pairwise duplicate `pairs`
+    * over `df`'s `idCol`, drops every clustered row except the minimum-id
+    * representative of each component. Rows in no pair survive untouched.
+    */
+  def consolidate(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      pairSrc: String = "id_a",
+      pairDst: String = "id_b"): DataFrame = {
+    val victims = connectedComponents(pairs, pairSrc, pairDst)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+}

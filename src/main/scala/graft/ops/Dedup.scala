@@ -132,6 +132,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // --- Exact similarity join (prefix filtering) ----------------------------
+
+  /** EXACT near-duplicate pairs at `threshold` Jaccard via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, public
+    * literature): a pair with J(A,B) ≥ t must share at least one element
+    * among each side's first `|S| − ⌈t·|S|⌉ + 1` shingles under any fixed
+    * global order (here: the sorted 64-bit shingle hashes). Candidates are
+    * generated by a keyed equi-join on those prefix tokens only — no
+    * all-pairs stage anywhere — then exact-Jaccard verified on the full
+    * sets. Unlike [[minhashPairs]] this has recall exactly 1, at the cost
+    * of posting-list-sized candidate sets; at 100 TB the prefix tokens are
+    * the rare end of the shingle distribution, so posting lists stay short
+    * and the join remains a bounded keyed shuffle.
+    */
+  def exactJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // shingleHashes is sorted ascending, so the prefix is a plain slice
+    val prefLen =
+      (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
+    val pref = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
+
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes

@@ -350,7 +350,104 @@ object KQueries {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
       |ORDER BY doc_id""".stripMargin
 
-  // --- Document fingerprint sketch -----------------------------------------
+  // --- K10: duplicate-cluster consolidation (connected components) ---------
+  // The step AFTER pairwise near-dedup: group pairs into clusters by
+  // transitive closure and keep one representative per cluster. Corpus =
+  // documents ∪ drop-last-word (id+100000) ∪ drop-last-2-words (id+200000):
+  // at Jaccard ≥ 0.9 short docs chain (D~P1, P1~P2, but D≁P2), and the
+  // testdata's own planted near-dup docs bridge families — components up
+  // to size 12 at sf0.01, so the closure is genuinely exercised. Edges
+  // come from the EXACT prefix-filtered similarity join (recall 1 — an LSH
+  // edge set would differ from the oracle's by its miss probability);
+  // components from Components.connectedComponents (star contraction).
+  // The oracle recomputes edges by brute prefix-filter in DuckDB and the
+  // closure with a recursive CTE. Integer outputs only.
+  private def chainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val words = split(trim(col("text")), "\\s+")
+    def dropped(k: Int, offset: Long) = t(spark, dir, "documents")
+      .filter(size(words) >= k + 3)
+      .select(
+        (col("doc_id") + offset).as("doc_id"),
+        array_join(slice(words, lit(1), size(words) - k), " ").as("text"))
+    docs.union(dropped(1, 100000L)).union(dropped(2, 200000L))
+  }
+
+  def k10(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = chainCorpus(spark, dir)
+    val edges = Dedup.exactJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+    val comp = Components.connectedComponents(edges, "id_a", "id_b")
+
+    val nodes = corpus
+      .select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("id"))
+    val labeled = nodes.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+
+    labeled.groupBy("comp")
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        sum("sz").as("n_docs"),
+        count(lit(1)).as("n_survivors"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters"),
+        sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).as("n_clustered_docs"),
+        max("sz").as("max_cluster"),
+        sum(when(col("sz") >= 2, col("comp")).otherwise(0L)).as("root_sum"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+  }
+
+  val k10Sql: String =
+    """WITH RECURSIVE corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 4
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 5
+      |), sh AS MATERIALIZED (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)
+      |  WHERE len(w) >= 3
+      |), pref AS MATERIALIZED (
+      |  SELECT doc_id, unnest(s[1 : CAST(len(s) - ceil(0.9 * len(s)) + 1 AS INT)]) AS h
+      |  FROM sh
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+      |), e AS MATERIALIZED (
+      |  SELECT c.u, c.v
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.u JOIN sh sb ON sb.doc_id = c.v
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |          / len(list_distinct(sa.s || sb.s)) >= 0.9
+      |), es AS MATERIALIZED (
+      |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+      |), reach AS (
+      |  SELECT u AS a, v AS b FROM es
+      |  UNION
+      |  SELECT r.a, es.v AS b FROM reach r JOIN es ON r.b = es.u
+      |), compm AS (
+      |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+      |), fullc AS (
+      |  SELECT n.doc_id AS id, coalesce(c.comp, n.doc_id) AS comp
+      |  FROM sh n LEFT JOIN compm c ON n.doc_id = c.id
+      |), sizes AS (
+      |  SELECT comp, count(*) AS sz FROM fullc GROUP BY comp
+      |)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+      |       count(*) AS n_survivors,
+      |       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+      |       CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+      |       CAST(max(sz) AS BIGINT) AS max_cluster,
+      |       CAST(sum(CASE WHEN sz >= 2 THEN comp ELSE 0 END) AS BIGINT) AS root_sum,
+      |       (SELECT count(*) FROM e) AS n_edges
+      |FROM sizes""".stripMargin
   // Bottom-m MinHash sketch similarity between each doc and its planted
   // near-dup. Sketch hashes aren't DuckDB-expressible, but the pair count
   // is, and every planted pair's similarity estimate must clear 0.5 —
@@ -497,6 +594,7 @@ object KQueries {
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
+    ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql))
   )
 }
