@@ -372,6 +372,35 @@ object StreamQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- S8: stream–stream join (click → purchase within 10 min) -------------
+  // The one join family S1–S7 left uncovered: BOTH sides unbounded, joined
+  // on an equi-key plus an event-time band. Watermarks on both sides let
+  // the engine evict buffered rows once they can no longer match (state is
+  // bounded by key × 20 min of events — the same band-join shape q8 runs
+  // in batch). Inner joins emit eagerly on match, so the append-mode sink
+  // after a full AvailableNow replay holds exactly the batch join; the
+  // post-sink aggregation is batch-side, keeping the streaming operator
+  // under test the join itself. Oracle = q8's SQL (stream == batch).
+  def s8(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StreamInput.eventsDir(spark, sfDir)
+    val clicks = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val purchases = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+    runToTable(spark, joined, "s8_ss_join", sfDir, OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -381,6 +410,7 @@ object StreamQueries {
     ("s5_stream_dedup", s5 _, Some(s5Sql)),
     ("s6_stateful_agg", s6 _, Some(s6Sql)),
     ("s6b_transform_with_state", s6b _, Some(s6Sql)),
-    ("s7_mapstate_counts", s7 _, Some(s7Sql))
+    ("s7_mapstate_counts", s7 _, Some(s7Sql)),
+    ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql))
   )
 }
