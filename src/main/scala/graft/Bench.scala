@@ -40,8 +40,14 @@ object Bench {
     // correctness-only. Excluded names are logged, never silent.
     val excluded = (graft.streaming.StreamQueries.declared ++
       graft.etl.PipelineQueries.declared).map(_._1).toSet
+    // Optional args tail = local-iteration name filter (driver passes none);
+    // unknown names fail loudly (same rationale as Verify — ADVICE r4).
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
     val benchable = SparkEntry.queries.toSeq
-      .filter { case (name, _) => !excluded(name) }
+      .filter { case (name, _) => !excluded(name) && (only.isEmpty || only(name)) }
       .sortBy(_._1)
     System.err.println(
       s"[bench] excluded (streaming/pipeline suites): ${excluded.toSeq.sorted.mkString(", ")}")

@@ -394,11 +394,16 @@ object CoverageQueries {
       // count(DISTINCT text) stops holding near ~77k distinct texts (ADVICE
       // r3). Check injectivity-up-to-expected-collisions as a boolean with a
       // d²/2³¹ allowance (≈4× the expectation, floor 1) instead of exact
-      // equality, so the entry stays green at every scale factor.
+      // equality, so the entry stays green at every scale factor. The square
+      // is computed in double — a LongType d² overflows (and under ANSI,
+      // throws) past ~3e9 distinct texts (ADVICE r4); doubles lose only
+      // ulp-level precision there, irrelevant to a ≥ slack bound.
       .select(
         col("n"), col("n_uuid_distinct"), col("n_uuid_v4"),
         (col("crc_d") >= col("txt_d") -
-          greatest(lit(1L), (col("txt_d") * col("txt_d")) / lit(2147483648L)))
+          greatest(lit(1.0),
+            col("txt_d").cast("double") * col("txt_d").cast("double")
+              / lit(2147483648.0)).cast("long"))
           .as("crc_ok"))
 
   val q40Sql: String =

@@ -10,6 +10,11 @@ object Verify {
     // local-iteration filter only; the driver always passes exactly two.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // A typo'd name would silently match nothing and exit green having
+    // written no parquet (ADVICE r4) — fail loudly instead.
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

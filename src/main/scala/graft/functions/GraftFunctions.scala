@@ -20,7 +20,8 @@ object GraftFunctions {
     "l2_norm"           -> (es => L2Norm(es.head)),
     "array_predecessor" -> (es => ArrayPredecessor(es(0), es(1))),
     "word_hashes"       -> (es => WordHashes(es.head)),
-    "simhash64"         -> (es => SimHash64(es.head))
+    "simhash64"         -> (es => SimHash64(es.head)),
+    "sorted_intersect_size" -> (es => SortedIntersectSize(es(0), es(1)))
   )
 
   /** Session-local flag marking that a [[graft.plans.GlobalWindowGuard]]
@@ -29,6 +30,11 @@ object GraftFunctions {
     * (`experimental.extraOptimizations`, run-time). Without it a session
     * built with the extensions that also calls register() would run TWO
     * guard instances and double-log every flagged plan (ADVICE r3).
+    * The flag check is order-dependent (the extensions builder only runs
+    * at first optimizer execution — ADVICE r4), so the log/throw site
+    * itself also dedupes via a per-Window-node tag
+    * ([[graft.plans.GlobalWindowGuard.Warned]]); a redundant second
+    * instance can still end up in the rule list, but it is silent.
     */
   private[graft] val GuardInstalledKey = "graft.lint.globalWindowGuard.installed"
 
@@ -42,7 +48,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val fr = GraftBridge.functionRegistry(spark)
     fns.foreach { case (name, builder) =>
-      fr.createOrReplaceTempFunction(name, builder, "built-in")
+      // skip names already present: re-registering is a no-op semantically
+      // but logs one "function X replaced" WARN per name per call, which
+      // buries Bench's JSON output line under dozens of warnings
+      if (!fr.functionExists(FunctionIdentifier(name)))
+        fr.createOrReplaceTempFunction(name, builder, "built-in")
     }
     val alreadyActive =
       spark.conf.getOption(GuardInstalledKey).contains("true") ||
@@ -76,6 +86,9 @@ object GraftFunctions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
   def bottom_k_sketch(hashes: Column, k: Int): Column =
     GraftBridge.column(
       BottomKSketchAgg(GraftBridge.expression(hashes), k)
@@ -116,5 +129,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the cluster-
@@ -41,9 +42,14 @@ object Components {
     // previous one ~6× (sym/large/small each reference it), so a ~10-round
     // run builds a 6¹⁰-node tree — unanalyzable, and a StackOverflow just
     // printing it. Truncating lineage per round is the standard iterative-
-    // graph pattern (GraphX checkpoints the same way); the cost is keeping
-    // each round's edge RDD cached until the loop ends (≤ maxIter copies
-    // of an edge list that shrinks toward one row per node).
+    // graph pattern (GraphX checkpoints the same way). Once a round's
+    // checkpoint has materialized, its predecessor's blocks are dead
+    // weight and are unpersisted below — only ONE round's edge list is
+    // resident at a time, not ≤ maxIter copies (ADVICE r4). Local (not
+    // reliable) checkpointing does mean an executor loss mid-loop fails
+    // the job; on a real cluster pass a reliable `checkpoint()`-style
+    // truncation instead if the loop must survive executor churn — the
+    // loop itself is restart-safe (pure function of `edges`).
     var e = edges
       .select(
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
@@ -89,6 +95,7 @@ object Components {
         .localCheckpoint(true)
 
       val cur = checksum(small)
+      unpersistCheckpoint(e) // small has materialized; last round's blocks are dead
       e = small
       converged = cur == prev
       prev = cur
@@ -101,6 +108,16 @@ object Components {
       .union(e.select(col("v").as("id"), col("v").as("comp")).distinct())
       .distinct()
   }
+
+  /** Drop the cached blocks behind an eagerly-localCheckpointed frame.
+    * Safe only once every downstream consumer has materialized — a
+    * local checkpoint has no lineage to recompute from.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
+    }
 
   /** Keep one row per duplicate cluster: given pairwise duplicate `pairs`
     * over `df`'s `idCol`, drops every clustered row except the minimum-id

@@ -4,6 +4,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
 /** Optimizer guard against the one plan shape that cannot scale: a Window
   * operator with an EMPTY partition spec funnels every row of its input
@@ -30,7 +31,18 @@ class GlobalWindowGuard(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
-      case w: Window if w.partitionSpec.isEmpty =>
+      // The per-node tag dedupes across everything that would otherwise
+      // repeat the warning for one query: fixed-point batch iterations,
+      // and the double-instance case where a session built with
+      // GraftExtensions also calls register() before its first query (the
+      // injected builder — which sets GuardInstalledKey — only runs at
+      // first optimizer execution, so register()'s flag check cannot see
+      // it yet and appends a second guard; ADVICE r4). Rule application
+      // copies tags onto rewritten nodes, so the marker survives batches.
+      case w: Window
+          if w.partitionSpec.isEmpty &&
+            w.getTagValue(GlobalWindowGuard.Warned).isEmpty =>
+        w.setTagValue(GlobalWindowGuard.Warned, true)
         val what = w.windowExpressions.map(_.name).mkString(", ")
         val msg =
           s"unpartitioned Window over [$what]: every input row is routed " +
@@ -43,4 +55,9 @@ class GlobalWindowGuard(spark: SparkSession) extends Rule[LogicalPlan]
     }
     plan
   }
+}
+
+object GlobalWindowGuard {
+  /** Marks a Window node already reported by some guard instance. */
+  private[plans] val Warned = TreeNodeTag[Boolean]("graft.globalWindowGuard.warned")
 }
