@@ -587,6 +587,83 @@ object KQueries {
     """SELECT source, true AS sketch_ok, count(DISTINCT text) AS exact
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K11: TF-IDF document scoring (K5 term-stats extension) --------------
+  // The standard relevance/quality weighting a training-data pipeline runs
+  // before filtering or mixture sampling: tf·idf summed per document.
+  // Pure keyed aggregations — explode → (doc,term) count → term df → join —
+  // every shuffle is on doc_id or term, no driver state; the 1-row corpus
+  // count N is the only broadcast. Value-oracled: DuckDB recomputes the
+  // identical sum; round(4) absorbs summation-order ulps (q25 precedent
+  // holds per-term ln to 4 decimals at sf0.1).
+  def k11(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("txt"))
+      .filter(col("txt") =!= "")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("txt"), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 4)
+          .as("tfidf_sum"))
+      .orderBy("doc_id")
+  }
+
+  val k11Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lower(trim(text)) AS txt FROM documents
+      |  WHERE trim(text) <> ''
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(txt, '\s+')) AS term FROM docs
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(*) AS n FROM docs)
+      |SELECT tf.doc_id AS doc_id, count(*) AS n_terms,
+      |       round(sum(tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 4) AS tfidf_sum
+      |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+
+  // --- K12: stratified sampling (mixture control) --------------------------
+  // Down-sampling by class is how a 100 TB corpus becomes a training mix
+  // with chosen proportions. `sampleBy` is a narrow per-row Bernoulli
+  // filter (rand(seed) < fraction(stratum)) — no shuffle at all until the
+  // audit counts. Sampling is seeded-random, so the oracle is a self-check:
+  // per-stratum acceptance count within 6σ of n·p (binomial), and a repeat
+  // run with the same seed is bit-identical (partition-deterministic rand).
+  def k12(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8)
+    def sampleCounts(): DataFrame =
+      t(spark, dir, "lineitem")
+        .stat.sampleBy("l_returnflag", fractions, 42L)
+        .groupBy(col("l_returnflag").as("stratum"))
+        .agg(count(lit(1)).as("m"))
+    val base = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val frac = typedLit(fractions).apply(col("stratum"))
+    val tol = lit(6.0) * sqrt(col("n") * frac * (lit(1.0) - frac)) + lit(10.0)
+    base
+      .join(sampleCounts(), Seq("stratum"), "left")
+      .join(sampleCounts().withColumnRenamed("m", "m2"), Seq("stratum"), "left")
+      .select(
+        col("stratum"),
+        (abs(coalesce(col("m"), lit(0L)) - col("n") * frac) <= tol).as("in_bounds"),
+        (coalesce(col("m"), lit(0L)) === coalesce(col("m2"), lit(0L)))
+          .as("deterministic"))
+      .orderBy("stratum")
+  }
+
+  val k12Sql: String =
+    """SELECT l_returnflag AS stratum, TRUE AS in_bounds, TRUE AS deterministic
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
@@ -605,6 +682,8 @@ object KQueries {
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
-    ("k_simhash_neardup", kSimhash _, Some(kSimhashSql))
+    ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),
+    ("k11_tfidf", k11 _, Some(k11Sql)),
+    ("k12_stratified_sample", k12 _, Some(k12Sql))
   )
 }

@@ -19,6 +19,17 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.sparkPlan.toString
   }
 
+  /** Run `body` with session confs set, restoring prior values after. */
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q7 dims join as BroadcastHashJoin") {
     assert(plan("q7_broadcast_dims").contains("BroadcastHashJoin"))
   }
@@ -92,6 +103,21 @@ class PlanSpec extends AnyFunSuite {
   test("q37 preserves the outer side (right/left-after-swap) (C3)") {
     val p = plan("q37_right_outer")
     assert(p.contains("RightOuter") || p.contains("LeftOuter"), s"no outer join:\n$p")
+  }
+
+  test("p7 bucketed join runs with ZERO exchanges below the join (§4 layout)") {
+    val (ot, lt) = graft.etl.PipelineQueries.p7BucketTables(spark, sf)
+    // force the sort-merge path: a broadcast side would trivially have no
+    // exchange and prove nothing about bucketing
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = graft.etl.PipelineQueries.p7Join(spark, ot, lt)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n$p")
+    }
   }
 
   test("p6 read-back prunes partitions on the day filter (A8, §4 layout)") {
