@@ -78,10 +78,13 @@ object Components {
       val minsL = sym.groupBy("u")
         .agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: the join is 1:1 (minsL has one row per u), so
+      // `large` carries at most |e| rows either way; min-aggregations are
+      // duplicate-insensitive and the round's final distinct dedupes the
+      // output — dropping it saves a full (u,v) shuffle per round
       val large = sym.filter(col("v") > col("u"))
         .join(minsL, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
 
       // small-star: ∀u with L = {v ∈ Γ(u): v < u} ≠ ∅, m = min(L):
       // emit (u, m) and (v, m) for v ∈ L \ {m}. On the canonical form L is
