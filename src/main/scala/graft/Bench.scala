@@ -31,8 +31,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bench the scale-safe plan, not the single-task window (q13)
+      .config("spark.graft.rewriteGlobalTrailingWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
 
     // Exclude by SUITE MEMBERSHIP, not name prefix (ADVICE r2: a future
     // `simhash_*` query would silently vanish under startsWith("s")):

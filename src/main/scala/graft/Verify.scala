@@ -22,8 +22,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // exercise the scale-safe trailing-window rewrite through the oracle
+      // gate: q13 plans as the banded join yet must stay hash-identical
+      .config("spark.graft.rewriteGlobalTrailingWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -59,8 +59,11 @@ object GraftFunctions {
         spark.experimental.extraOptimizations
           .exists(_.isInstanceOf[graft.plans.GlobalWindowGuard])
     if (!alreadyActive) {
+      // rewrite first, guard second: when the opt-in rewrite fires there is
+      // no unpartitioned Window left for the guard to warn about
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
+          new graft.plans.RewriteGlobalTrailingWindow(spark) :+
           new graft.plans.GlobalWindowGuard(spark)
       spark.conf.set(GuardInstalledKey, "true")
     }
@@ -98,6 +101,8 @@ object GraftFunctions {
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(spark =>
+      new graft.plans.RewriteGlobalTrailingWindow(spark))
     ext.injectOptimizerRule { spark =>
       // builder runs once per session at optimizer construction; flag the
       // session so a later GraftFunctions.register() doesn't add a second

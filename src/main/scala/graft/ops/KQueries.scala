@@ -664,6 +664,60 @@ object KQueries {
     """SELECT l_returnflag AS stratum, TRUE AS in_bounds, TRUE AS deterministic
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- K13: int8 embedding quantization (K4/K7 extension) ------------------
+  // Symmetric per-vector int8 quantization — the 4× storage/bandwidth cut
+  // an embedding store takes before ANN indexing. q_i = floor(v_i/s + 0.5)
+  // clamped to ±127 with s = max|v|/127: every step is an IEEE double op
+  // both engines execute identically (float32→double widening is exact,
+  // floor avoids engine-specific round-half modes), so q_sum is an EXACT
+  // integer oracle — any divergence in any lane of any vector breaks it.
+  // err_ok asserts the reconstruction bound |v − q·s| ≤ s/2. HOF lambdas
+  // evaluate per element (no whole-stage codegen) — acceptable for an
+  // audit query; the production path would get a native kernel like the
+  // text-hash family (VERDICT r2's HOF lesson).
+  def k13(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(size(col("v")) > 0)
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12))
+          / lit(127.0))
+      .withColumn("q",
+        transform(col("v"), x =>
+          least(greatest(floor(x / col("scale") + lit(0.5)), lit(-127.0)),
+            lit(127.0)).cast("int")))
+      .withColumn("max_abs_err",
+        array_max(zip_with(col("v"), col("q"),
+          (a, b) => abs(a - b.cast("double") * col("scale")))))
+    e.select(
+      col("vec_id"),
+      size(col("q")).as("dim"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      (col("max_abs_err") <= col("scale") * lit(0.5) + lit(1e-12)).as("err_ok"))
+      .orderBy("vec_id")
+  }
+
+  val k13Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE len(embedding) > 0
+      |), s AS (
+      |  SELECT vec_id, v,
+      |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, v, scale,
+      |         list_transform(v, x ->
+      |           CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS INT)) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, CAST(len(qv) AS INT) AS dim,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       list_max(list_transform(range(1, len(qv) + 1),
+      |         i -> abs(v[i] - qv[i] * scale))) <= scale * 0.5 + 1e-12 AS err_ok
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
@@ -684,6 +738,7 @@ object KQueries {
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),
     ("k11_tfidf", k11 _, Some(k11Sql)),
-    ("k12_stratified_sample", k12 _, Some(k12Sql))
+    ("k12_stratified_sample", k12 _, Some(k12Sql)),
+    ("k13_int8_quantize", k13 _, Some(k13Sql))
   )
 }

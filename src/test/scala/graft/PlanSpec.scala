@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RightOuter") || p.contains("LeftOuter"), s"no outer join:\n$p")
   }
 
+  test("q13 under the rewrite conf plans WITHOUT a Window operator (§4)") {
+    graft.functions.GraftFunctions.register(spark)
+    withConf("spark.graft.rewriteGlobalTrailingWindow" -> "true") {
+      val p = SparkEntry.queries("q13_range_frame")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("Window"),
+        s"rewrite did not fire on the declared q13:\n$p")
+    }
+  }
+
   test("p7 bucketed join runs with ZERO exchanges below the join (§4 layout)") {
     val (ot, lt) = graft.etl.PipelineQueries.p7BucketTables(spark, sf)
     // force the sort-merge path: a broadcast side would trivially have no
