@@ -96,6 +96,9 @@ object GraftFunctions {
     GraftBridge.column(
       BottomKSketchAgg(GraftBridge.expression(hashes), k)
         .toAggregateExpression())
+  def mg_topk(term: Column, k: Int): Column =
+    GraftBridge.column(
+      MisraGriesAgg(GraftBridge.expression(term), k).toAggregateExpression())
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */

@@ -718,6 +718,47 @@ object KQueries {
       |         i -> abs(v[i] - qv[i] * scale))) <= scale * 0.5 + 1e-12 AS err_ok
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // --- K14: heavy-hitter terms via a Misra–Gries sketch (L4/K5) ------------
+  // Frequent-terms without shuffling the vocabulary: the MG summary keeps
+  // ≤ k counters per partition and merges with the same bound, so only
+  // k·partitions counters ever move — vs a full term-keyed shuffle for the
+  // exact count. The sketch's CONTENTS are merge-order-dependent, so the
+  // driver-checked output asserts its deterministic GUARANTEES instead:
+  // (1) n_heavy — exact count of terms with cnt·k > n (DuckDB recomputes
+  // it, integer-exact); (2) every such term is present in the sketch
+  // (MG theorem); (3) the sketch respects its k bound.
+  def k14(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val tok = t(spark, dir, "documents")
+      .select(lower(trim(col("text"))).as("txt"))
+      .filter(col("txt") =!= "")
+      .select(explode(split(col("txt"), "\\s+")).as("term"))
+    val sketch = tok.agg(
+      graft.functions.GraftFunctions.mg_topk(col("term"), k).as("sk"),
+      count(lit(1)).as("n"))
+    val sketchTerms = sketch
+      .select(col("n"), explode(col("sk")).as("e"))
+      .select(col("n"), col("e.term").as("term"))
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val heavy = exact
+      .crossJoin(sketch.select(col("n")))
+      .filter(col("cnt") * k > col("n"))
+    val missing = heavy.join(sketchTerms.select(col("term")), Seq("term"), "left_anti")
+    heavy.agg(count(lit(1)).as("n_heavy"))
+      .crossJoin(missing.agg((count(lit(1)) === 0L).as("all_heavy_present")))
+      .crossJoin(sketch.select((size(col("sk")) <= k).as("size_ok")))
+  }
+
+  val k14Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''
+      |), exact AS (
+      |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+      |), n AS (SELECT count(*) AS n FROM tok)
+      |SELECT (SELECT count(*) FROM exact, n WHERE cnt * 64 > n.n) AS n_heavy,
+      |       TRUE AS all_heavy_present, TRUE AS size_ok""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
@@ -739,6 +780,7 @@ object KQueries {
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),
     ("k11_tfidf", k11 _, Some(k11Sql)),
     ("k12_stratified_sample", k12 _, Some(k12Sql)),
-    ("k13_int8_quantize", k13 _, Some(k13Sql))
+    ("k13_int8_quantize", k13 _, Some(k13Sql)),
+    ("k14_heavy_hitters", k14 _, Some(k14Sql))
   )
 }
