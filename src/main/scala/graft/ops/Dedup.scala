@@ -121,13 +121,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // exact verify on one sorted-merge kernel pass per candidate pair
+    // (|A∪B| = |A|+|B|−|A∩B|; same math, no intersect/union arrays built)
+    val nInt = graft.functions.GraftFunctions
+      .sorted_intersect_size(col("sh_a"), col("sh_b"))
     val sets = shingled.select(col("id"), col("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        nInt.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - nInt))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -85,6 +85,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // §4: Spark injects a bloom filter built from the selective build side
+    // into the probe side's scan — rows that cannot join die at the scan
+    // instead of crossing the shuffle. Default thresholds target real
+    // clusters (10 GB probe scans); lower them to demonstrate at sf.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000) // selective build side
+      val li = Tables.load(spark, sf, "lineitem")
+      val j = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
