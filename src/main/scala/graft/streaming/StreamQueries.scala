@@ -401,6 +401,121 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  // --- S9: stream-stream LEFT OUTER join (I10, outer variant) --------------
+  // Same click→purchase band as s8, but unmatched clicks must ALSO emit —
+  // which only happens once the watermark passes a click's join horizon
+  // (state eviction produces the null-match row). The GLOBAL watermark is
+  // min over both sides of (side's max event time − 10 min delay), and a
+  // click is only guaranteed resolved when its horizon a_ts + 10 min lies
+  // strictly below it — so the deterministic contract scores only clicks
+  // STRICTLY more than delay+window = 20 minutes before
+  // least(max click ts, max purchase ts), and the batch oracle applies the
+  // identical cutoff. (First cut used max over ALL events and <=; one
+  // boundary row flaked s10 — the per-side minimum and strictness matter.)
+  def s9(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StreamInput.eventsDir(spark, sfDir)
+    val clicks = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val purchases = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    runToTable(spark, joined, "s9_ss_left_join", sfDir, OutputMode.Append())
+      .crossJoin(watermarkCutoff(spark, sfDir))
+      .filter(col("a_ts") < col("c"))
+      .groupBy("user_id")
+      .agg(
+        count(col("b_ts")).as("purchased"),
+        count(when(col("b_ts").isNull, 1)).as("no_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Resolution cutoff for the outer stream-stream joins: rows strictly
+    * older than least(max click ts, max purchase ts) − (delay + window)
+    * are guaranteed matched-or-evicted by the final watermark.
+    */
+  private def watermarkCutoff(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .agg((least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        - expr("INTERVAL 20 MINUTES")).as("c"))
+
+  private val cutoffSql: String =
+    """SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+      |             max(ts) FILTER (WHERE event_type = 'purchase'))
+      |       - INTERVAL 20 MINUTE AS c FROM events""".stripMargin
+
+  val s9Sql: String =
+    s"""WITH clicks AS (
+      |  SELECT user_id, ts AS a_ts FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id AS b_user, ts AS b_ts FROM events WHERE event_type = 'purchase'
+      |), cutoff AS (
+      |  $cutoffSql
+      |)
+      |SELECT c.user_id,
+      |       count(p.b_ts) AS purchased,
+      |       count(*) FILTER (WHERE p.b_ts IS NULL) AS no_purchase
+      |FROM clicks c
+      |LEFT JOIN purchases p ON p.b_user = c.user_id
+      |  AND p.b_ts > c.a_ts AND p.b_ts <= c.a_ts + INTERVAL 10 MINUTE
+      |CROSS JOIN cutoff
+      |WHERE c.a_ts < cutoff.c
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  // --- S10: stream-stream FULL OUTER join (I10, completes the family) ------
+  // Both sides emit unmatched rows on state eviction; the 20-minute cutoff
+  // (watermark delay + join window) bounds the undetermined tail on BOTH
+  // sides — a click's horizon is a_ts + window, a purchase's is b_ts.
+  def s10(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StreamInput.eventsDir(spark, sfDir)
+    val clicks = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val purchases = StreamInput.readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    runToTable(spark, joined, "s10_ss_full_join", sfDir, OutputMode.Append())
+      .crossJoin(watermarkCutoff(spark, sfDir))
+      .filter(coalesce(col("a_ts"), col("b_ts")) < col("c"))
+      .agg(
+        count(when(col("a_ts").isNotNull && col("b_ts").isNotNull, 1)).as("pairs"),
+        count(when(col("b_ts").isNull, 1)).as("unmatched_clicks"),
+        count(when(col("a_ts").isNull, 1)).as("unmatched_purchases"))
+  }
+
+  val s10Sql: String =
+    s"""WITH clicks AS (
+      |  SELECT user_id AS a_user, ts AS a_ts FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id AS b_user, ts AS b_ts FROM events WHERE event_type = 'purchase'
+      |), cutoff AS (
+      |  $cutoffSql
+      |)
+      |SELECT count(*) FILTER (WHERE a_ts IS NOT NULL AND b_ts IS NOT NULL) AS pairs,
+      |       count(*) FILTER (WHERE b_ts IS NULL) AS unmatched_clicks,
+      |       count(*) FILTER (WHERE a_ts IS NULL) AS unmatched_purchases
+      |FROM clicks c
+      |FULL OUTER JOIN purchases p ON p.b_user = c.a_user
+      |  AND p.b_ts > c.a_ts AND p.b_ts <= c.a_ts + INTERVAL 10 MINUTE
+      |CROSS JOIN cutoff
+      |WHERE coalesce(a_ts, b_ts) < cutoff.c""".stripMargin
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -411,6 +526,8 @@ object StreamQueries {
     ("s6_stateful_agg", s6 _, Some(s6Sql)),
     ("s6b_transform_with_state", s6b _, Some(s6Sql)),
     ("s7_mapstate_counts", s7 _, Some(s7Sql)),
-    ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql))
+    ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql)),
+    ("s9_ss_left_outer_join", s9 _, Some(s9Sql)),
+    ("s10_ss_full_outer_join", s10 _, Some(s10Sql))
   )
 }
