@@ -87,6 +87,8 @@ object GraftFunctions {
     GraftBridge.column(WordShingleHashes(GraftBridge.expression(text), n))
   def minhash_signature(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
+  def band_hashes(signature: Column, bands: Int): Column =
+    GraftBridge.column(BandHashes(GraftBridge.expression(signature), bands))
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
   def sorted_intersect_size(a: Column, b: Column): Column =

@@ -97,6 +97,28 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** One 64-bit hash per LSH band: fold each run of `len/bands` consecutive
+    * signature values with the same rolling `hashLong` combine the shingle
+    * hash uses, seeded by the band index (so identical band contents in
+    * different bands land in different buckets). Replaces the interpreted
+    * `slice → transform(cast string) → concat_ws → xxhash64` pipeline that
+    * dominated k2's banding stage.
+    */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = XXH64.hashLong(b.toLong, SEED)
+      var j = 0
+      while (j < r) { acc = XXH64.hashLong(sig.getLong(b * r + j), acc); j += 1 }
+      out(b) = java.lang.Long.valueOf(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: per-hash bits vote ±1, sign of each vote is the bit. */
   def simhash(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -176,6 +198,27 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `band_hashes(signature, bands)` → one bucket hash per LSH band. */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with TextHashCheck {
+  require(bands >= 1, "bands must be >= 1")
+  override protected def requiredInput: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"band_hashes requires array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.bandHashes(v.asInstanceOf[ArrayData], bands)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "band_hashes"
 }
 
 /** `simhash64(hashes)` → BIGINT signature. */

@@ -101,18 +101,16 @@ object Dedup {
     // through the 32-way explode shuffled 32 copies of it per doc (the
     // dominant k2 cost at sf0.1). Candidate pairs re-join the slim shingle
     // table afterwards — two keyed joins over one copy of the sets.
+    // Bucket hashes come from the native BandHashes kernel (band index is
+    // folded into the hash seed, so the bare hash IS the bucket key); the
+    // previous slice→transform(cast string)→concat_ws→xxhash64 pipeline
+    // ran interpreted per band — the same HOF trap as round 2's shingling.
+    require(r > 0, "numHashes must be >= bands")
     val banded = shingled
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(
-              b.as("band"),
-              xxhash64(concat_ws(",",
-                transform(slice(col("mh"), b * r + 1, lit(r)), _.cast("string"))))
-                .as("bh"))))
+        explode(graft.functions.GraftFunctions.band_hashes(col("mh"), bands))
           .as("bucket"))
 
     val candidates = banded.as("a")

@@ -35,6 +35,21 @@ class TextHashSpec extends AnyFunSuite {
     assert(ab != ba)
   }
 
+  test("bandHashes: bands count, determinism, band index in the seed") {
+    val sig = TextHash.minhash(
+      TextHash.wordShingleHashes(UTF8String.fromString("a b c d e f g"), 3), 8)
+    val bh = TextHash.bandHashes(sig, 4)
+    assert(bh.numElements() == 4)
+    val again = TextHash.bandHashes(sig, 4)
+    assert((0 until 4).forall(i => bh.getLong(i) == again.getLong(i)))
+    // identical CONTENT in different bands must hash differently (the band
+    // index seeds the fold) — use a constant signature to force equal runs
+    val const = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.fill(8)(7L))
+    val cb = TextHash.bandHashes(const, 4)
+    assert((0 until 4).map(cb.getLong).distinct.size == 4)
+  }
+
   test("codegen path equals interpreted for all four expressions") {
     val df = Seq("alpha beta gamma delta", "x y", "")
       .toDF("t")
