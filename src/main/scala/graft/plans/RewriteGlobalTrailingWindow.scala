@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
@@ -26,9 +26,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * is rewritten only when EVERY condition holds, otherwise it is left
   * untouched:
   *   - empty partition spec, single ASCENDING integral order expression;
-  *   - every window function is a plain `Sum` (no DISTINCT, no FILTER)
-  *     over a `RANGE BETWEEN <negative integral literal> PRECEDING AND
-  *     CURRENT ROW` frame, all frames sharing one width;
+  *   - every window function is a plain `Sum` or `Count` (no DISTINCT,
+  *     no FILTER) over a `RANGE BETWEEN <negative integral literal>
+  *     PRECEDING AND CURRENT ROW` frame, all frames sharing one width;
   *   - order and value expressions are deterministic.
   *
   * Semantics preserved exactly, including RANGE peers (ties contribute to
@@ -57,8 +57,16 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  private def sumsOf(
-      windowExprs: Seq[NamedExpression]): Option[Seq[(Alias, Expression, Long)]] = {
+  /** One rewritable window aggregate: SUM(v) or COUNT(v)/COUNT(*). Both
+    * reduce to "sum the per-distinct-order-value partials over the band":
+    * stage 1 is `sum(v)` resp. `count(v)` per ordering value, stage 2 is
+    * always a sum of the partials.
+    */
+  private case class Entry(
+      alias: Alias, valueExpr: Expression, width: Long, isCount: Boolean)
+
+  private def entriesOf(
+      windowExprs: Seq[NamedExpression]): Option[Seq[Entry]] = {
     val extracted = windowExprs.map {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(Seq(), _,
@@ -66,7 +74,9 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case s: Sum if s.child.deterministic =>
-            widthOf(lower).map(w => (a, s.child, w))
+            widthOf(lower).map(w => Entry(a, s.child, w, isCount = false))
+          case c: Count if c.children.size == 1 && c.children.head.deterministic =>
+            widthOf(lower).map(w => Entry(a, c.children.head, w, isCount = true))
           case _ => None
         }
       case _ => None
@@ -82,13 +92,13 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
             w.orderSpec.head.direction == Ascending &&
             w.orderSpec.head.child.deterministic &&
             integral(w.orderSpec.head.child.dataType) &&
-            sumsOf(w.windowExpressions).exists(s =>
-              s.nonEmpty && s.map(_._3).distinct.size == 1) =>
-        val sums = sumsOf(w.windowExpressions).get
-        val width = sums.head._3
-        val rewritten = build(w.child, w.orderSpec.head.child, sums, width)
+            entriesOf(w.windowExpressions).exists(s =>
+              s.nonEmpty && s.map(_.width).distinct.size == 1) =>
+        val entries = entriesOf(w.windowExpressions).get
+        val width = entries.head.width
+        val rewritten = build(w.child, w.orderSpec.head.child, entries, width)
         logInfo(s"rewrote unpartitioned trailing-range Window " +
-          s"(width=$width, ${sums.size} sum(s)) into a banded self-join")
+          s"(width=$width, ${entries.size} aggregate(s)) into a banded self-join")
         splice(w, rewritten)
     }
   }
@@ -110,15 +120,18 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
   private def build(
       child: LogicalPlan,
       orderExpr: Expression,
-      sums: Seq[(Alias, Expression, Long)],
+      entries: Seq[Entry],
       width: Long): LogicalPlan = {
     val df = GraftBridge.ofRows(spark, child)
     val childCols = child.output.map(a => GraftBridge.column(a))
-    val sCols = sums.indices.map(i => s"$SUM$i")
+    val sCols = entries.indices.map(i => s"$SUM$i")
+    // per-order-value (and null-group) partial for entry i
+    def partial(i: Int): org.apache.spark.sql.Column =
+      if (entries(i).isCount) count(col(s"$VAL$i")) else sum(col(s"$VAL$i"))
 
     var base = df.withColumn(ORD, GraftBridge.column(orderExpr))
-    sums.zipWithIndex.foreach { case ((_, v, _), i) =>
-      base = base.withColumn(s"$VAL$i", GraftBridge.column(v))
+    entries.zipWithIndex.foreach { case (e, i) =>
+      base = base.withColumn(s"$VAL$i", GraftBridge.column(e.valueExpr))
     }
 
     // per-distinct-ordering-value totals, banded on floor(o / width)
@@ -128,12 +141,12 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     val nn = base.filter(col(ORD).isNotNull)
     val perVal = nn.groupBy(col(ORD))
       .agg(
-        sum(col(s"${VAL}0")).as(s"${CVAL}0"),
-        sums.indices.drop(1).map(i => sum(col(s"$VAL$i")).as(s"$CVAL$i")): _*)
+        partial(0).as(s"${CVAL}0"),
+        entries.indices.drop(1).map(i => partial(i).as(s"$CVAL$i")): _*)
       .withColumn(BAND, expr(s"($ORD - pmod($ORD, ${width}L)) div ${width}L"))
     val contrib = perVal.select(
       col(ORD).as(CORD) +:
-        sums.indices.map(i => col(s"$CVAL$i")) :+
+        entries.indices.map(i => col(s"$CVAL$i")) :+
         explode(array(col(BAND), col(BAND) + 1)).as(BAND): _*)
     val perOrd = perVal.select(col(ORD), col(BAND))
       .join(contrib, Seq(BAND))
@@ -141,7 +154,7 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
       .groupBy(col(ORD))
       .agg(
         sum(col(s"${CVAL}0")).as(sCols(0)),
-        sums.indices.drop(1).map(i => sum(col(s"$CVAL$i")).as(sCols(i))): _*)
+        entries.indices.drop(1).map(i => sum(col(s"$CVAL$i")).as(sCols(i))): _*)
     val nnResult = nn.join(perOrd, Seq(ORD))
       .select(childCols ++ sCols.map(col): _*)
 
@@ -149,8 +162,8 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     // a frame covering the whole null peer group
     val nl = base.filter(col(ORD).isNull)
     val nlAgg = nl.agg(
-      sum(col(s"${VAL}0")).as(sCols(0)),
-      sums.indices.drop(1).map(i => sum(col(s"$VAL$i")).as(sCols(i))): _*)
+      partial(0).as(sCols(0)),
+      entries.indices.drop(1).map(i => partial(i).as(sCols(i))): _*)
     // no broadcast() hint here: ResolvedHint nodes are only legal BEFORE
     // the optimizer's hint-elimination pass, which has already run by the
     // time this rule fires — the planner broadcasts a 1-row side on its own

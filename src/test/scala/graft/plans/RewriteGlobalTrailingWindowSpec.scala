@@ -40,7 +40,9 @@ class RewriteGlobalTrailingWindowSpec extends AnyFunSuite {
     val w = Window.orderBy(col("o")).rangeBetween(-width, 0L)
     df.select(col("id"), col("o"), col("v"),
       sum("v").over(w).as("s1"),
-      sum(col("v") * 2).over(w).as("s2"))
+      sum(col("v") * 2).over(w).as("s2"),
+      count(lit(1)).over(w).as("c1"),
+      count(when(col("v") > 0, col("v"))).over(w).as("c2"))
   }
 
   test("rewrite fires: no Window operator, results exactly equal") {
