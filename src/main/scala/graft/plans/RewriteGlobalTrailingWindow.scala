@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * is rewritten only when EVERY condition holds, otherwise it is left
   * untouched:
   *   - empty partition spec, single ASCENDING integral order expression;
-  *   - every window function is a plain `Sum` or `Count` (no DISTINCT,
-  *     no FILTER) over a `RANGE BETWEEN <negative integral literal>
-  *     PRECEDING AND CURRENT ROW` frame, all frames sharing one width;
+  *   - every window function is a plain `Sum`, `Count`, `Min` or `Max`
+  *     (no DISTINCT, no FILTER) over a `RANGE BETWEEN <negative integral
+  *     literal> PRECEDING AND CURRENT ROW` frame, all frames sharing one
+  *     width;
   *   - order and value expressions are deterministic.
   *
   * Semantics preserved exactly, including RANGE peers (ties contribute to
@@ -57,28 +58,38 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** One rewritable window aggregate: SUM(v) or COUNT(v)/COUNT(*). Both
-    * reduce to "sum the per-distinct-order-value partials over the band":
-    * stage 1 is `sum(v)` resp. `count(v)` per ordering value, stage 2 is
-    * always a sum of the partials.
+  /** One rewritable window aggregate: SUM, COUNT (incl. count(*)), MIN or
+    * MAX — every commutative-semigroup aggregate decomposes over the band:
+    * `stage1` combines rows sharing one ordering value, `stage2` combines
+    * the per-value partials across the trailing range. (AVG is excluded:
+    * it needs paired sum/count state, not a single-column partial.)
     */
+  private type AggCol = org.apache.spark.sql.Column => org.apache.spark.sql.Column
   private case class Entry(
-      alias: Alias, valueExpr: Expression, width: Long, isCount: Boolean)
+      alias: Alias, valueExpr: Expression, width: Long,
+      stage1: AggCol, stage2: AggCol)
 
   private def entriesOf(
       windowExprs: Seq[NamedExpression]): Option[Seq[Entry]] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
     val extracted = windowExprs.map {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(Seq(), _,
             SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case s: Sum if s.child.deterministic =>
-            widthOf(lower).map(w => Entry(a, s.child, w, isCount = false))
-          case c: Count if c.children.size == 1 && c.children.head.deterministic =>
-            widthOf(lower).map(w => Entry(a, c.children.head, w, isCount = true))
-          case _ => None
-        }
+        val decomposed: Option[(Expression, AggCol, AggCol)] =
+          ae.aggregateFunction match {
+            case s: Sum if s.child.deterministic => Some((s.child, sum, sum))
+            case c: Count if c.children.size == 1 && c.children.head.deterministic =>
+              Some((c.children.head, count, sum))
+            case m: Min if m.child.deterministic => Some((m.child, min, min))
+            case m: Max if m.child.deterministic => Some((m.child, max, max))
+            case _ => None
+          }
+        for {
+          (v, s1, s2) <- decomposed
+          w <- widthOf(lower)
+        } yield Entry(a, v, w, s1, s2)
       case _ => None
     }
     if (extracted.forall(_.isDefined)) Some(extracted.map(_.get)) else None
@@ -127,7 +138,7 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     val sCols = entries.indices.map(i => s"$SUM$i")
     // per-order-value (and null-group) partial for entry i
     def partial(i: Int): org.apache.spark.sql.Column =
-      if (entries(i).isCount) count(col(s"$VAL$i")) else sum(col(s"$VAL$i"))
+      entries(i).stage1(col(s"$VAL$i"))
 
     var base = df.withColumn(ORD, GraftBridge.column(orderExpr))
     entries.zipWithIndex.foreach { case (e, i) =>
@@ -153,8 +164,9 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
       .filter(col(CORD) <= col(ORD) && col(CORD) >= col(ORD) - width)
       .groupBy(col(ORD))
       .agg(
-        sum(col(s"${CVAL}0")).as(sCols(0)),
-        entries.indices.drop(1).map(i => sum(col(s"$CVAL$i")).as(sCols(i))): _*)
+        entries(0).stage2(col(s"${CVAL}0")).as(sCols(0)),
+        entries.indices.drop(1).map(i =>
+          entries(i).stage2(col(s"$CVAL$i")).as(sCols(i))): _*)
     val nnResult = nn.join(perOrd, Seq(ORD))
       .select(childCols ++ sCols.map(col): _*)
 

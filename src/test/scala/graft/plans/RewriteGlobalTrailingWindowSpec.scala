@@ -42,7 +42,9 @@ class RewriteGlobalTrailingWindowSpec extends AnyFunSuite {
       sum("v").over(w).as("s1"),
       sum(col("v") * 2).over(w).as("s2"),
       count(lit(1)).over(w).as("c1"),
-      count(when(col("v") > 0, col("v"))).over(w).as("c2"))
+      count(when(col("v") > 0, col("v"))).over(w).as("c2"),
+      min("v").over(w).as("m1"),
+      max(col("v") * 3).over(w).as("m2"))
   }
 
   test("rewrite fires: no Window operator, results exactly equal") {
