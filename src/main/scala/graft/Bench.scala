@@ -49,6 +49,13 @@ object Bench {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    // Validate against the POST-exclusion set too (ADVICE r5): a filter of
+    // only streaming/pipeline names passed the keyset check but benched
+    // nothing — the exact silent no-op the unknown-name check exists to stop.
+    val unbenchable = only.intersect(excluded)
+    require(unbenchable.isEmpty,
+      s"filter name(s) are streaming/pipeline entries, which are " +
+        s"correctness-only and never benched: ${unbenchable.toSeq.sorted.mkString(", ")}")
     val benchable = SparkEntry.queries.toSeq
       .filter { case (name, _) => !excluded(name) && (only.isEmpty || only(name)) }
       .sortBy(_._1)

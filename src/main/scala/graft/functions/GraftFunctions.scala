@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * requiring `withExtensions` at build time. [[GraftExtensions]] offers the
   * `SparkSessionExtensions` path for sessions we do control.
   */
-object GraftFunctions {
+object GraftFunctions extends org.apache.spark.internal.Logging {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim"        -> (es => CosineSimilarity(es(0), es(1))),
@@ -38,6 +38,12 @@ object GraftFunctions {
     */
   private[graft] val GuardInstalledKey = "graft.lint.globalWindowGuard.installed"
 
+  /** Session-local flag: graft's function builders are installed in this
+    * session's registry (set by the first [[register]] call; later calls
+    * no-op instead of re-registering every name — ADVICE r5).
+    */
+  private[graft] val FunctionsInstalledKey = "graft.functions.installed"
+
   /** Idempotently register all graft functions on an existing session,
     * and install the [[graft.plans.GlobalWindowGuard]] lint rule through
     * the public `experimental.extraOptimizations` hook (the only injection
@@ -47,12 +53,20 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val fr = GraftBridge.functionRegistry(spark)
-    fns.foreach { case (name, builder) =>
-      // skip names already present: re-registering is a no-op semantically
-      // but logs one "function X replaced" WARN per name per call, which
-      // buries Bench's JSON output line under dozens of warnings
-      if (!fr.functionExists(FunctionIdentifier(name)))
+    // The per-session flag (not a functionExists probe — ADVICE r5) makes
+    // repeated register() calls true no-ops without the WARN-per-name spam
+    // of blind re-registration, while the FIRST call unconditionally
+    // installs graft's builders: a pre-existing foreign function under a
+    // graft name is REPLACED (with a warning naming it), never silently
+    // kept — keeping it would change query semantics with no signal.
+    if (!spark.conf.getOption(FunctionsInstalledKey).contains("true")) {
+      fns.foreach { case (name, builder) =>
+        if (fr.functionExists(FunctionIdentifier(name)))
+          logWarning(s"graft register(): replacing pre-existing function " +
+            s"'$name' with the graft implementation")
         fr.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      spark.conf.set(FunctionsInstalledKey, "true")
     }
     val alreadyActive =
       spark.conf.getOption(GuardInstalledKey).contains("true") ||

