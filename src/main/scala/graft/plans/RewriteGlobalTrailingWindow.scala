@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * is rewritten only when EVERY condition holds, otherwise it is left
   * untouched:
   *   - empty partition spec, single ASCENDING integral order expression;
-  *   - every window function is a plain `Sum`, `Count`, `Min` or `Max`
-  *     (no DISTINCT, no FILTER) over a `RANGE BETWEEN <negative integral
-  *     literal> PRECEDING AND CURRENT ROW` frame, all frames sharing one
-  *     width;
+  *   - every window function is a plain `Sum`, `Count`, `Min`, `Max`, or
+  *     non-decimal-numeric `Average` (no DISTINCT, no FILTER) over a
+  *     `RANGE BETWEEN <negative integral literal> PRECEDING AND CURRENT
+  *     ROW` frame, all frames sharing one width;
   *   - order and value expressions are deterministic.
   *
   * Semantics preserved exactly for integral/decimal aggregates, including
@@ -64,38 +64,59 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** One rewritable window aggregate: SUM, COUNT (incl. count(*)), MIN or
-    * MAX — every commutative-semigroup aggregate decomposes over the band:
-    * `stage1` combines rows sharing one ordering value, `stage2` combines
-    * the per-value partials across the trailing range. (AVG is excluded:
-    * it needs paired sum/count state, not a single-column partial.)
+  /** One rewritable window aggregate: SUM, COUNT (incl. count(*)), MIN,
+    * MAX, or AVG over a non-decimal numeric — each decomposes over the band
+    * into one or more PARTIALS: `stage1` combines rows sharing one ordering
+    * value, `stage2` combines the per-value partials across the trailing
+    * range, and `finish` maps the stage-2 columns to the aggregate's value.
+    * The semigroup aggregates are a single identity-finished partial; AVG
+    * is the paired (sum-as-double, count) partial divided at the end —
+    * mirroring Spark's own `Average`, which for non-decimal input sums in
+    * DOUBLE and divides by the non-null count (decimal AVG is excluded: its
+    * divide carries bespoke precision/scale rules the pair would have to
+    * reproduce bit-exactly). The divide is guarded on count > 0, so an
+    * all-null frame yields NULL without tripping ANSI division.
     */
-  private type AggCol = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+  private type Col = org.apache.spark.sql.Column
+  private type AggCol = Col => Col
+  private case class Partial(valueExpr: Expression, stage1: AggCol, stage2: AggCol)
   private case class Entry(
-      alias: Alias, valueExpr: Expression, width: Long,
-      stage1: AggCol, stage2: AggCol)
+      alias: Alias, width: Long, partials: Seq[Partial], finish: Seq[Col] => Col)
 
   private def entriesOf(
       windowExprs: Seq[NamedExpression]): Option[Seq[Entry]] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Min}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
     val extracted = windowExprs.map {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(Seq(), _,
             SpecifiedWindowFrame(RangeFrame, lower, CurrentRow))), _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        val decomposed: Option[(Expression, AggCol, AggCol)] =
+        val decomposed: Option[(Seq[Partial], Seq[Col] => Col)] =
           ae.aggregateFunction match {
-            case s: Sum if s.child.deterministic => Some((s.child, sum, sum))
+            case s: Sum if s.child.deterministic =>
+              Some((Seq(Partial(s.child, sum, sum)), _.head))
             case c: Count if c.children.size == 1 && c.children.head.deterministic =>
-              Some((c.children.head, count, sum))
-            case m: Min if m.child.deterministic => Some((m.child, min, min))
-            case m: Max if m.child.deterministic => Some((m.child, max, max))
+              Some((Seq(Partial(c.children.head, count, sum)), _.head))
+            case m: Min if m.child.deterministic =>
+              Some((Seq(Partial(m.child, min, min)), _.head))
+            case m: Max if m.child.deterministic =>
+              Some((Seq(Partial(m.child, max, max)), _.head))
+            case av: Average
+                if av.child.deterministic &&
+                  av.child.dataType.isInstanceOf[NumericType] &&
+                  !av.child.dataType.isInstanceOf[DecimalType] =>
+              val asDouble: Expression =
+                if (av.child.dataType == DoubleType) av.child
+                else Cast(av.child, DoubleType)
+              Some((Seq(Partial(asDouble, sum, sum), Partial(av.child, count, sum)),
+                cols => when(cols(1) > 0, cols(0) / cols(1))))
             case _ => None
           }
         for {
-          (v, s1, s2) <- decomposed
+          (ps, fin) <- decomposed
           w <- widthOf(lower)
-        } yield Entry(a, v, w, s1, s2)
+        } yield Entry(a, w, ps, fin)
       case _ => None
     }
     if (extracted.forall(_.isDefined)) Some(extracted.map(_.get)) else None
@@ -142,13 +163,23 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     val df = GraftBridge.ofRows(spark, child)
     val childCols = child.output.map(a => GraftBridge.column(a))
     val sCols = entries.indices.map(i => s"$SUM$i")
-    // per-order-value (and null-group) partial for entry i
-    def partial(i: Int): org.apache.spark.sql.Column =
-      entries(i).stage1(col(s"$VAL$i"))
+    // flattened (entry, partial) index space: every partial of every entry
+    // flows through the banded join as its own column
+    val ij: Seq[(Int, Int)] =
+      entries.indices.flatMap(i => entries(i).partials.indices.map(i -> _))
+    def vName(i: Int, j: Int) = s"$VAL${i}_$j"
+    def cName(i: Int, j: Int) = s"$CVAL${i}_$j"
+    def pName(i: Int, j: Int) = s"$PART${i}_$j"
+    // each entry's aggregate value from its stage-2 (or null-group stage-1)
+    // partial columns
+    val finals: Seq[Col] = entries.zipWithIndex.map { case (e, i) =>
+      e.finish(e.partials.indices.map(j => col(pName(i, j)))).as(sCols(i))
+    }
 
     var base = df.withColumn(ORD, GraftBridge.column(orderExpr))
-    entries.zipWithIndex.foreach { case (e, i) =>
-      base = base.withColumn(s"$VAL$i", GraftBridge.column(e.valueExpr))
+    ij.foreach { case (i, j) =>
+      base = base.withColumn(vName(i, j),
+        GraftBridge.column(entries(i).partials(j).valueExpr))
     }
 
     // per-distinct-ordering-value totals, banded on floor(o / width)
@@ -156,37 +187,40 @@ class RewriteGlobalTrailingWindow(spark: SparkSession) extends Rule[LogicalPlan]
     // double); contributors explode into their own and the next band,
     // the exact trailing range is a residual filter on the band join
     val nn = base.filter(col(ORD).isNotNull)
+    val aggs1 = ij.map { case (i, j) =>
+      entries(i).partials(j).stage1(col(vName(i, j))).as(cName(i, j))
+    }
     val perVal = nn.groupBy(col(ORD))
-      .agg(
-        partial(0).as(s"${CVAL}0"),
-        entries.indices.drop(1).map(i => partial(i).as(s"$CVAL$i")): _*)
+      .agg(aggs1.head, aggs1.tail: _*)
       .withColumn(BAND, expr(s"($ORD - pmod($ORD, ${width}L)) div ${width}L"))
     val contrib = perVal.select(
       col(ORD).as(CORD) +:
-        entries.indices.map(i => col(s"$CVAL$i")) :+
+        ij.map { case (i, j) => col(cName(i, j)) } :+
         explode(array(col(BAND), col(BAND) + 1)).as(BAND): _*)
+    val aggs2 = ij.map { case (i, j) =>
+      entries(i).partials(j).stage2(col(cName(i, j))).as(pName(i, j))
+    }
     val perOrd = perVal.select(col(ORD), col(BAND))
       .join(contrib, Seq(BAND))
       .filter(col(CORD) <= col(ORD) && col(CORD) >= col(ORD) - width)
       .groupBy(col(ORD))
-      .agg(
-        entries(0).stage2(col(s"${CVAL}0")).as(sCols(0)),
-        entries.indices.drop(1).map(i =>
-          entries(i).stage2(col(s"$CVAL$i")).as(sCols(i))): _*)
+      .agg(aggs2.head, aggs2.tail: _*)
     val nnResult = nn.join(perOrd, Seq(ORD))
-      .select(childCols ++ sCols.map(col): _*)
+      .select(childCols ++ finals: _*)
 
     // null ordering group: Spark's RangeFrame gives every null-ordered row
-    // a frame covering the whole null peer group
+    // a frame covering the whole null peer group — one stage-1 pass over
+    // the group IS the frame aggregate, finished the same way
     val nl = base.filter(col(ORD).isNull)
-    val nlAgg = nl.agg(
-      partial(0).as(sCols(0)),
-      entries.indices.drop(1).map(i => partial(i).as(sCols(i))): _*)
+    val aggsNl = ij.map { case (i, j) =>
+      entries(i).partials(j).stage1(col(vName(i, j))).as(pName(i, j))
+    }
+    val nlAgg = nl.agg(aggsNl.head, aggsNl.tail: _*)
     // no broadcast() hint here: ResolvedHint nodes are only legal BEFORE
     // the optimizer's hint-elimination pass, which has already run by the
     // time this rule fires — the planner broadcasts a 1-row side on its own
     val nlResult = nl.crossJoin(nlAgg)
-      .select(childCols ++ sCols.map(col): _*)
+      .select(childCols ++ finals: _*)
 
     GraftBridge.analyzed(nnResult.unionAll(nlResult))
   }
@@ -212,5 +246,6 @@ object RewriteGlobalTrailingWindow {
   private final val VAL  = "__graft_rw_v"
   private final val CVAL = "__graft_rw_cv"
   private final val SUM  = "__graft_rw_s"
+  private final val PART = "__graft_rw_p"
   private final val CORD = "__graft_rw_co"
 }

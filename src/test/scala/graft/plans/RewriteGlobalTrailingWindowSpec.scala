@@ -44,7 +44,9 @@ class RewriteGlobalTrailingWindowSpec extends AnyFunSuite {
       count(lit(1)).over(w).as("c1"),
       count(when(col("v") > 0, col("v"))).over(w).as("c2"),
       min("v").over(w).as("m1"),
-      max(col("v") * 3).over(w).as("m2"))
+      max(col("v") * 3).over(w).as("m2"),
+      avg("v").over(w).as("a1"),          // double child
+      avg(col("id")).over(w).as("a2"))    // integral child → cast-to-double partial
   }
 
   test("rewrite fires: no Window operator, results exactly equal") {
@@ -90,10 +92,28 @@ class RewriteGlobalTrailingWindowSpec extends AnyFunSuite {
       val part = fixture.select(sum("v").over(
         Window.partitionBy("id").orderBy("o").rangeBetween(-100L, 0L)).as("c"))
       assert(optimized(part).contains("Window"))
-      // avg (not sum) → untouched
-      val av = fixture.select(avg("v").over(
+      // decimal avg → untouched (bespoke precision/scale divide rules)
+      val av = fixture.select(avg(col("v").cast("decimal(10,2)")).over(
         Window.orderBy("o").rangeBetween(-100L, 0L)).as("c"))
       assert(optimized(av).contains("Window"))
+    }
+  }
+
+  test("avg: all-null frames yield NULL (no ANSI divide-by-zero), " +
+    "null ordering group averaged as one peer group") {
+    val df = Seq[(Int, java.lang.Long, java.lang.Double)](
+      (1, 0L, null), (2, 5L, null),      // frames entirely null-valued
+      (3, 200L, 4.0), (4, 205L, null),   // mixed frame
+      (5, null, 2.0), (6, null, null)    // null ordering peer group
+    ).toDF("id", "o", "v")
+    def q(d: DataFrame) = d.select(col("id"),
+      avg("v").over(Window.orderBy("o").rangeBetween(-100L, 0L)).as("a"))
+      .orderBy("id")
+    val ref = withRewrite(on = false) { q(df).collect() }
+    withRewrite(on = true) {
+      val out = q(df)
+      assert(!optimized(out).contains("Window"))
+      assert(out.collect().toSeq == ref.toSeq)
     }
   }
 
