@@ -130,6 +130,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p8 star join prunes fact partitions DYNAMICALLY via the dim filter (§4 DPP)") {
+    // write the layout once via the declared query, then lock the plan:
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // subquery (the Monday set is only computable from the dim at runtime)
+    graft.etl.PipelineQueries.p8(spark, sf).collect()
+    val df = graft.etl.PipelineQueries.p8Join(
+      spark, graft.etl.PipelineQueries.p8OutDir(sf))
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    val pf = p.substring(p.indexOf("PartitionFilters"))
+    assert(pf.contains("dynamicpruning"),
+      s"dynamicpruning not inside PartitionFilters:\n$pf")
+  }
+
   test("p6 read-back prunes partitions on the day filter (A8, §4 layout)") {
     // write once via the declared query, then lock the read plan shape
     graft.etl.PipelineQueries.p6(spark, sf).collect()
