@@ -190,15 +190,26 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes / bands > 0, "numHashes must be >= bands")
 
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("__g", xxhash64(col("text")))
+    // The slim frames below are each referenced 2–5 times by the joins that
+    // follow; eager localCheckpoints truncate their lineage ONCE (the
+    // k10/Components pattern). Without them every reference re-ran the
+    // input scan + collapse shuffle + shingle/minhash kernels — r6 shipped
+    // the collapse un-materialized and k2 went 1.1 s → 6.7 s at sf0.1
+    // (BENCH_r06); checkpointed it is back around the r5 number, and the
+    // materialization happens inside the benched region (Bench times the
+    // full query-build + run).
+    val members = df
+      .select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
+      .localCheckpoint(true)
     val shingled = shingledReps(df, idCol, textCol, shingleSize)
+      .localCheckpoint(true)
     val banded = shingled
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
         explode(graft.functions.GraftFunctions.band_hashes(col("mh"), bands))
           .as("bucket"))
+      .localCheckpoint(true)
     val candidates = lshCandidates(banded, maxBucket)
 
     // exact verify on one sorted-merge kernel pass per candidate rep pair
@@ -218,7 +229,6 @@ object Dedup {
     // Re-expansion through the exact-hash groups. All joins are slim and
     // keyed; output order of an expanded pair is re-normalized to
     // id_a < id_b (group members need not straddle their reps' order).
-    val members = docs.select(col("__g"), col("id"))
     val repOf = shingled.select(col("id").as("rep"), col("__g"))
     val cross = repPairs
       .join(repOf.select(col("rep").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
@@ -282,11 +292,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     // Collapse on the shingle SET (a superset of identical-text collapse:
     // `sh` is sorted-distinct, so equal sets hash equal). Same 2⁻⁶⁴
-    // collision caveat as everywhere else in this file.
-    val docs = shIn.select(col("id"), col("sh"))
-      .withColumn("__g", xxhash64(col("sh")))
-    val sh = docs.groupBy("__g")
+    // collision caveat as everywhere else in this file. `members` and `sh`
+    // are referenced 2× and 4× below — eager localCheckpoints truncate the
+    // collapse shuffle to one execution (same rationale as minhashPairs;
+    // without them each reference re-runs it even off a checkpointed shIn).
+    val members = shIn.select(xxhash64(col("sh")).as("__g"), col("id"))
+      .localCheckpoint(true)
+    val sh = shIn.select(col("id"), col("sh"))
+      .groupBy(xxhash64(col("sh")).as("__g"))
       .agg(min("id").as("id"), min_by(col("sh"), col("id")).as("sh"))
+      .localCheckpoint(true)
     // Prefix filtering is valid under ANY fixed global token order; order
     // by ascending DOCUMENT FREQUENCY (ties by hash) instead of raw hash
     // value so prefixes carry each document's RAREST shingles — the
@@ -301,10 +316,13 @@ object Dedup {
       explode(col("sh")).as("h"))
     val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("id").orderBy("df", "h")
+    // pref feeds both sides of the candidate self-join; checkpointing it
+    // halves the df-count + rank pipeline (one shuffle chain, not two).
     val pref = tokens.join(dfreq, Seq("h"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col("id"), col("h"), col("rk"), col("n"))
+      .localCheckpoint(true)
 
     // Candidate join on shared prefix tokens, with two exact filters that
     // discard pairs which CANNOT reach the threshold (PPJoin, Xiao et al.
@@ -342,7 +360,6 @@ object Dedup {
     // each expanded pair back to id_a < id_b); within-group pairs are
     // Jaccard exactly 1 — identical sets — matching what the un-collapsed
     // join computed for them.
-    val members = docs.select(col("__g"), col("id"))
     val repOf = sh.select(col("id").as("rep"), col("__g"))
     val cross = repPairs
       .join(repOf.select(col("rep").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
