@@ -115,6 +115,9 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
   def mg_topk(term: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(term), k).toAggregateExpression())
+  def kll_quantiles(v: Column, k: Int, probs: Seq[Double]): Column =
+    GraftBridge.column(
+      KllQuantilesAgg(GraftBridge.expression(v), k, probs).toAggregateExpression())
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */

@@ -814,6 +814,53 @@ object KQueries {
       |SELECT (SELECT count(*) FROM exact, n WHERE cnt * 64 > n.n) AS n_heavy,
       |       TRUE AS all_heavy_present, TRUE AS size_ok""".stripMargin
 
+  // --- K15: mergeable quantile sketch (KLL) — the scale tier for q44 -------
+  // Exact per-group percentiles (q44) buffer every value; percentile_approx
+  // (q22) is a black box. The KLL aggregate keeps an explicitly-bounded
+  // O(k log n) summary per group across the shuffle with public
+  // mergeability math (Karnin–Lang–Liberty FOCS'16). Sketch contents are
+  // merge-order-dependent, so the gate asserts the GUARANTEE (k14 pattern):
+  // for each probe p the target rank ceil(p·n) must fall within the
+  // estimate's exact rank interval [count(x < v), count(x ≤ v)] widened by
+  // ±eps·n, with the ranks recomputed EXACTLY Spark-side via one broadcast
+  // join — no sort anywhere. DuckDB re-derives n and the probe count; the
+  // bound verdicts are TRUE literals there (deterministically implied by
+  // the KLL bound at this margin).
+  def k15(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    // k=200 ⇒ ~1.65% normalized rank error at 99% confidence (DataSketches'
+    // published figure for the same parameterization); 5% is a wide margin
+    val eps = 0.05
+    val vals = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val sk = vals.agg(
+      graft.functions.GraftFunctions.kll_quantiles(col("x"), 200, probes).as("qs"),
+      count(lit(1)).as("n"))
+    val est = sk.select(col("n"), posexplode(col("qs")).as(Seq("i", "v")))
+    val ranks = vals
+      .crossJoin(broadcast(est))
+      .groupBy("i", "v", "n")
+      .agg(
+        sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("r_le"))
+    val checks = ranks
+      .withColumn("p", element_at(lit(probes.toArray), col("i").cast("int") + 1))
+      .withColumn("target", greatest(lit(1.0), ceil(col("p") * col("n"))))
+      .withColumn("slack", lit(eps) * col("n"))
+      .withColumn("ok",
+        col("target") >= col("r_lt") - col("slack") &&
+          col("target") <= col("r_le") + col("slack"))
+    checks.agg(
+      count(lit(1)).cast("int").as("n_probes"),
+      (sum(when(!col("ok"), 1L).otherwise(0L)) === 0L).as("all_within_bound"),
+      max(col("n")).as("n"))
+  }
+
+  val k15Sql: String =
+    """SELECT CAST(7 AS INT) AS n_probes, TRUE AS all_within_bound,
+      |       count(*) AS n FROM lineitem WHERE l_extendedprice IS NOT NULL""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
@@ -837,6 +884,7 @@ object KQueries {
     ("k11_tfidf", k11 _, Some(k11Sql)),
     ("k12_stratified_sample", k12 _, Some(k12Sql)),
     ("k13_int8_quantize", k13 _, Some(k13Sql)),
-    ("k14_heavy_hitters", k14 _, Some(k14Sql))
+    ("k14_heavy_hitters", k14 _, Some(k14Sql)),
+    ("k15_quantile_sketch", k15 _, Some(k15Sql))
   )
 }
