@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming throughput surface (BASELINE.md streaming protocol; VERDICT
+  * r5 "What's missing" #4): the batch bench deliberately excludes the
+  * s-suite, so the ingest loop — the production core — had no regression
+  * signal. This main replays the two representative streams through their
+  * declared harness: s1 (pure ingest + aggregation: the I/O path) and s8
+  * (stream–stream band join: the stateful path), and reports elapsed
+  * seconds, micro-batch count, input rows, and rows/s.
+  *
+  * Protocol mirrors [[Bench]]: one warm-up (which also builds the
+  * `target/stream` replay inputs, so file prep never pollutes a timed
+  * run) + 3 timed replays, median by elapsed time. Row counts come from
+  * the engine's own progress metrics; s8 reads the events dir on both
+  * join sides, so its rows count both streams — a throughput statement
+  * about the join, not the table.
+  *
+  * Output: ONE JSON line, same shape discipline as Bench —
+  * `{"metric":"stream_total","value":N,"unit":"sec","streams":{...},"sf":...}`.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val targets = Seq("s1_ingest_replay", "s8_stream_stream_join")
+    val results = targets.map { name =>
+      materialize(name) // warm-up: JIT + codegen cache + replay-input prep
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (batches, rows) = graft.streaming.StreamQueries.lastReplay
+        (sec, batches, rows)
+      }.sortBy(_._1)
+      name -> runs(1)
+    }
+
+    val js = results.map { case (n, (sec, batches, rows)) =>
+      val rps = if (sec > 0) math.round(rows / sec) else 0L
+      s""""$n":{"sec":${f"$sec%.3f"},"batches":$batches,""" +
+        s""""rows":$rows,"rows_per_sec":$rps}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"stream_total","value":${f"$total%.3f"},""" +
+      s""""unit":"sec","streams":$js,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -36,6 +36,19 @@ object StreamQueries {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** (micro-batches, input rows) of the most recent completed replay —
+    * engine progress is only reachable from the StreamingQuery handle,
+    * which the runners below own, so they record it here for
+    * [[graft.StreamBench]]'s rows/s surface (BASELINE.md streaming
+    * protocol; VERDICT r5 Missing #4). Runs are sequential per session;
+    * volatile covers the harness-thread handoff. */
+  @volatile private[graft] var lastReplay: (Long, Long) = (0L, 0L)
+
+  private def recordReplay(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prog = q.recentProgress
+    lastReplay = (prog.length.toLong, prog.map(_.numInputRows).sum)
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink and
     * return the sink contents as a batch DataFrame. Fresh checkpoint per
     * run → deterministic full replay.
@@ -55,6 +68,7 @@ object StreamQueries {
       .option("checkpointLocation", StreamInput.freshCheckpoint(name, sfDir))
       .start()
     q.awaitTermination()
+    recordReplay(q)
     spark.table(table)
   }
 
@@ -278,6 +292,7 @@ object StreamQueries {
             s"(last progress: ${q.recentProgress.lastOption.fold("none")(_.numInputRows.toString)} input rows)")
     } finally if (q.isActive) q.stop()
     q.awaitTermination()
+    recordReplay(q)
     spark.table(table)
   }
 
