@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property lock on the banded trailing-window math (the rewrite the
@@ -47,4 +47,36 @@ object BandedWindowPropertiesSpec extends Properties("BandedWindow") {
         math.abs(got(id) - w) < 1e-9
       }
     }
+
+  private def messagesOf(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = e
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  // VERDICT r5 wrong #5: duplicate ids silently merged groups; under the
+  // debug conf the keyed guard must raise, and unique ids must still pass.
+  property("debug conf: duplicate ids raise, unique ids pass") = Prop.secure {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def frame(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i * 10L, 1.0) }
+        .toDF("id", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+    spark.conf.set("spark.graft.debug.checkPreconditions", "true")
+    try {
+      val raised =
+        try {
+          Windows.bandedTrailingSum(frame(Seq(1L, 1L, 2L)), "id", "ts", "v",
+            600L * 1000000L).collect()
+          false
+        } catch {
+          case e: Throwable => messagesOf(e).contains("duplicate id")
+        }
+      val clean = Windows.bandedTrailingSum(frame(Seq(1L, 2L, 3L)), "id", "ts",
+        "v", 600L * 1000000L).count() == 3L
+      raised && clean
+    } finally spark.conf.unset("spark.graft.debug.checkPreconditions")
+  }
 }
