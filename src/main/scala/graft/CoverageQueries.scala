@@ -654,7 +654,108 @@ object CoverageQueries {
       |  FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // --- q49: window long tail — percent_rank / cume_dist / nth_value (E1+) --
+  // percent_rank = (rank-1)/(n-1) and cume_dist = peers≤/n are exact
+  // rationals computed identically in double by both engines, so no
+  // rounding is needed; the unique o_orderkey tiebreak makes every frame
+  // deterministic. nth_value uses the default RANGE UNBOUNDED PRECEDING →
+  // CURRENT ROW frame on both sides (rows 1 of a partition see NULL).
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy("o_orderkey")
+  }
+
+  val q49Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       nth_value(o_orderkey, 2) OVER w AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- q50: LATERAL correlated subquery join (C SQL tier) -------------------
+  // Catalyst decorrelates the per-order aggregate lateral into a left outer
+  // aggregate join (DecorrelateInnerQuery) — a keyed shuffle, never a
+  // per-row re-scan, which is what makes the construct usable at 100 TB.
+  // The aggregate subquery always yields exactly one row, so `, LATERAL`
+  // (cross) and JOIN LATERAL coincide. Money sum goes through integer
+  // cents for bit-deterministic double parity (q13c rule).
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o.o_orderkey, t.n_items, t.max_price, t.charged
+        |FROM orders_v o,
+        |LATERAL (
+        |  SELECT count(*) AS n_items,
+        |         max(l.l_extendedprice) AS max_price,
+        |         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |                  AS BIGINT)) / 100 AS charged
+        |  FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey) t
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT o.o_orderkey, t.n_items, t.max_price, t.charged
+      |FROM orders o,
+      |LATERAL (
+      |  SELECT count(*) AS n_items,
+      |         max(l.l_extendedprice) AS max_price,
+      |         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+      |                  AS BIGINT)) / 100 AS charged
+      |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // --- q51: recursive CTE (Spark 4.x UnionLoop) ------------------------------
+  // A generated monthly calendar — the recursion — left-joined to monthly
+  // order totals. Recursing over an INT and converting via make_date keeps
+  // both engines on DATE (date+interval returns TIMESTAMP in DuckDB, and
+  // date_trunc diverges the same way — make_date(year, month, 1) does not).
+  // Spark executes the loop as UnionLoopExec (driver-iterated, each step a
+  // distributed batch); depth = months, not rows, so the 100 TB cost is the
+  // join, not the recursion.
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH RECURSIVE cal(i) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT i + 1 FROM cal WHERE i < 79
+        |)
+        |SELECT make_date(1995 + i div 12, 1 + i % 12, 1) AS mon,
+        |       count(o.o_orderkey) AS n,
+        |       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100 AS rev
+        |FROM cal LEFT JOIN orders_v o
+        |  ON make_date(year(o.o_orderdate), month(o.o_orderdate), 1)
+        |     = make_date(1995 + i div 12, 1 + i % 12, 1)
+        |GROUP BY mon ORDER BY mon""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """WITH RECURSIVE cal(i) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT i + 1 FROM cal WHERE i < 79
+      |)
+      |SELECT make_date(1995 + i // 12, 1 + i % 12, 1) AS mon,
+      |       count(o.o_orderkey) AS n,
+      |       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100 AS rev
+      |FROM cal LEFT JOIN orders o
+      |  ON make_date(year(o.o_orderdate), month(o.o_orderdate), 1)
+      |     = make_date(1995 + i // 12, 1 + i % 12, 1)
+      |GROUP BY mon ORDER BY mon""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("q49_pctrank_cumedist", q49 _, Some(q49Sql)),
+    ("q50_lateral_join", q50 _, Some(q50Sql)),
+    ("q51_recursive_cte", q51 _, Some(q51Sql)),
     ("q47_pivot", q47 _, Some(q47Sql)),
     ("q48_unpivot", q48 _, Some(q48Sql)),
     ("q44_exact_stats", q44 _, Some(q44Sql)),

@@ -105,6 +105,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RightOuter") || p.contains("LeftOuter"), s"no outer join:\n$p")
   }
 
+  test("q50 LATERAL decorrelates to an aggregate join, never a per-row re-scan") {
+    val p = plan("q50_lateral_join")
+    assert(p.contains("HashAggregate(keys=[l_orderkey"),
+      s"lateral subquery not decorrelated into a keyed aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"lateral planned as a per-row loop:\n$p")
+  }
+
+  test("q51 recursive CTE executes as UnionLoop with a keyed join") {
+    val p = plan("q51_recursive_cte")
+    assert(p.contains("UnionLoop"), s"no UnionLoop in plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"calendar join is not keyed:\n$p")
+  }
+
   test("q13 under the rewrite conf plans WITHOUT a Window operator (§4)") {
     graft.functions.GraftFunctions.register(spark)
     withConf("spark.graft.rewriteGlobalTrailingWindow" -> "true") {
