@@ -852,7 +852,169 @@ object KQueries {
     """SELECT CAST(7 AS INT) AS n_probes, TRUE AS all_within_bound,
       |       count(*) AS n FROM lineitem WHERE l_extendedprice IS NOT NULL""".stripMargin
 
+  // --- K16: PII redaction (scrub before training) ---------------------------
+  // The corpus-hygiene pass every training pipeline runs before tokenizing:
+  // regex-redact emails / phones / IPv4s ([[Text.piiPatterns]] — patterns
+  // kept inside the RE2 ∩ java dialect so DuckDB runs the IDENTICAL regex).
+  // The synthetic documents carry no PII, so each doc gets a deterministic
+  // contact tail synthesized from doc_id IN-QUERY on both engines — the
+  // operator under test is the redaction kernel, not the fixture. Narrow
+  // per-row projection + one keyed agg; at 100 TB this is a map-only stage.
+  def k16(spark: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      col("text"), lit(" reach user"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org call "),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      ((col("doc_id") * 7) % 256).cast("string"))
+    val counts = Text.piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("txt"), lit(pat)).cast("long").as(s"c_$name")
+    }
+    t(spark, dir, "documents")
+      .withColumn("txt", pii)
+      .select(Seq(col("lang"), length(col("txt")).cast("long").as("len_b"),
+        length(Text.redactPii(col("txt"))).cast("long").as("len_a")) ++ counts: _*)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c_email").as("emails"),
+        sum("c_phone").as("phones"),
+        sum("c_ipv4").as("ips"),
+        sum("len_b").as("len_before"),
+        sum("len_a").as("len_after"))
+      .orderBy("lang")
+  }
+
+  val k16Sql: String = {
+    def esc(p: String) = p.replace("'", "''")
+    val Seq(em, ph, ip) = Text.piiPatterns.map(_._2)
+    val Seq(emR, phR, ipR) = Text.piiPatterns.map(_._3)
+    s"""WITH pii AS (
+       |  SELECT lang,
+       |         text || ' reach user' || doc_id || '@ex' || (doc_id % 7)
+       |           || '.org call ' || (doc_id % 900 + 100) || '-555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           || ' from 10.' || (doc_id % 256) || '.0.'
+       |           || ((doc_id * 7) % 256) AS txt
+       |  FROM documents)
+       |SELECT lang, count(*) AS n,
+       |       CAST(sum(len(regexp_extract_all(txt, '${esc(em)}'))) AS BIGINT) AS emails,
+       |       CAST(sum(len(regexp_extract_all(txt, '${esc(ph)}'))) AS BIGINT) AS phones,
+       |       CAST(sum(len(regexp_extract_all(txt, '${esc(ip)}'))) AS BIGINT) AS ips,
+       |       CAST(sum(length(txt)) AS BIGINT) AS len_before,
+       |       CAST(sum(length(
+       |         regexp_replace(regexp_replace(regexp_replace(txt,
+       |           '${esc(em)}', '$emR', 'g'),
+       |           '${esc(ph)}', '$phR', 'g'),
+       |           '${esc(ip)}', '$ipR', 'g'))) AS BIGINT) AS len_after
+       |FROM pii GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- K17: benchmark decontamination (n-gram overlap join) -----------------
+  // Flag corpus documents sharing word-3-gram shingles with a held-out
+  // benchmark set (doc_id % 50 == 0 — the eval suite stand-in) — the
+  // standard pre-training decontamination pass. Spark joins on the NATIVE
+  // 64-bit shingle hash (one codegen'd kernel, (hash)-keyed shuffle against
+  // a broadcast benchmark set); the oracle joins string shingles — counts
+  // agree exactly unless xxhash64 collides (k9's argument, and the hash
+  // gate would catch it). Benchmark sets stay small at any corpus scale,
+  // so the broadcast is the 100 TB shape too; all outputs are integers.
+  def k17(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Dedup.shingleHashes(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("s")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), size(col("s")).as("n_sh"),
+        explode(col("s")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id", "lang", "n_sh")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_overlapping"),
+        sum(when(col("n_hit").cast("double") / col("n_sh") >= 0.2, 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        sum("n_hit").as("total_hits"))
+      .orderBy("lang")
+  }
+
+  val k17Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 50 = 0
+      |), perdoc AS (
+      |  SELECT c.doc_id, any_value(c.lang) AS lang, any_value(c.n_sh) AS n_sh,
+      |         count(b.h) AS n_hit
+      |  FROM (SELECT doc_id, lang, len(s) AS n_sh, unnest(s) AS h
+      |        FROM sh WHERE doc_id % 50 <> 0) c
+      |  LEFT JOIN bench b ON c.h = b.h
+      |  GROUP BY c.doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_overlapping,
+      |       CAST(sum(CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= 0.2
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |       CAST(sum(n_hit) AS BIGINT) AS total_hits
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- K18: repetition quality filter (Gopher-style) -------------------------
+  // Within-document repetition signals: duplicate-token fraction and
+  // duplicate-bigram fraction (Rae et al. 2021's "repetitive documents are
+  // low quality" rules). Distinct counts ride the native shingle-hash
+  // kernel (k=1 tokens, k=2 bigrams — sorted DISTINCT arrays by contract);
+  // the flag threshold compares bit-identical per-row doubles, and the
+  // aggregate is one keyed shuffle. Pure map + agg at any scale.
+  def k18(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "documents")
+      .select(col("source"),
+        size(Text.tokens(col("text"))).as("n_tok"),
+        size(Dedup.shingleHashes(col("text"), 1)).as("n_uni"),
+        size(Dedup.shingleHashes(col("text"), 2)).as("n_bi"))
+      .filter(col("n_tok") >= 2)
+      .withColumn("dup_bi",
+        lit(1.0) - col("n_bi").cast("double") / (col("n_tok") - 1))
+    m.groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dup_bi") >= 0.1, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_tok").cast("long")).as("tot_tok"),
+        sum(col("n_uni").cast("long")).as("tot_uni"),
+        round(avg(lit(1.0) - col("n_uni").cast("double") / col("n_tok")), 4)
+          .as("avg_dup_tok"))
+      .orderBy("source")
+  }
+
+  val k18Sql: String =
+    """SELECT source, count(*) AS n,
+      |       CAST(sum(CASE WHEN 1 - CAST(nb AS DOUBLE) / (nt - 1) >= 0.1
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |       CAST(sum(nt) AS BIGINT) AS tot_tok,
+      |       CAST(sum(nu) AS BIGINT) AS tot_uni,
+      |       round(avg(1 - CAST(nu AS DOUBLE) / nt), 4) AS avg_dup_tok
+      |FROM (
+      |  SELECT source, len(w) AS nt, len(list_distinct(w)) AS nu,
+      |         len(list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1]))) AS nb
+      |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents))
+      |WHERE nt >= 2 GROUP BY source ORDER BY source""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("k16_pii_redaction", k16 _, Some(k16Sql)),
+    ("k17_decontamination", k17 _, Some(k17Sql)),
+    ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),

@@ -104,4 +104,26 @@ object Text {
   def sketchSimilarity(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
+
+  // --- PII scrubbing (k16) --------------------------------------------------
+
+  /** (name, pattern, replacement) triples, applied in order. The patterns
+    * stay inside the RE2 ∩ java.util.regex common dialect (character
+    * classes, bounded repetition, `\b` ASCII word boundary — no lookaround,
+    * no backrefs) so the DuckDB oracle runs the IDENTICAL regex. Email goes
+    * first: its local/domain parts may contain digits and dots that the
+    * phone/IP patterns would otherwise see after partial rewrites.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
+    ("ipv4",  """\b\d{1,3}(\.\d{1,3}){3}\b""", "<IP>"))
+
+  /** All-pattern redaction: one codegen'd regexp_replace per pattern, in
+    * declaration order — narrow, no shuffle, whole-stage-codegen friendly.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
 }

@@ -66,4 +66,26 @@ class TextSpec extends AnyFunSuite {
     assert(sims(1) > 0.5)
     assert(sims(2) == 0.0)
   }
+
+  test("redactPii scrubs emails, phones, IPv4s; idempotent; leaves clean text") {
+    val docs = Seq(
+      ("a", "mail bob.smith+x@sub.example.co.uk now"),
+      ("b", "call 415-555-0199 or visit 192.168.001.1 today"),
+      ("c", "mixed a@b.org 555-555-5555 10.0.0.1"),
+      ("d", "clean text with digits 12345 and dots a.b but no pii"),
+      ("e", "not-an-ip 1.2.3 and 1.2.3.4.5 edge")).toDF("id", "text")
+    val got = docs.select($"id", Text.redactPii($"text").as("r"))
+      .as[(String, String)].collect().toMap
+    assert(got("a") == "mail <EMAIL> now")
+    assert(got("b") == "call <PHONE> or visit <IP> today")
+    assert(got("c") == "mixed <EMAIL> <PHONE> <IP>")
+    assert(got("d") == "clean text with digits 12345 and dots a.b but no pii")
+    // 1.2.3 is not an IP; 1.2.3.4.5 — RE2/java both match the leading
+    // 4-octet run (the \b after '4' holds because '.' is a non-word char)
+    assert(got("e") == "not-an-ip 1.2.3 and <IP>.5 edge")
+    // idempotent: replacement tokens contain no redactable substrings
+    val twice = docs.select(Text.redactPii(Text.redactPii($"text")).as("r"))
+      .as[String].collect().toSet
+    assert(twice == got.values.toSet)
+  }
 }
