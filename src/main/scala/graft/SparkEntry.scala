@@ -14,7 +14,8 @@ object SparkEntry {
   private def allDeclared =
     Queries.declared ++ CoverageQueries.declared ++
       graft.streaming.StreamQueries.declared ++
-      graft.etl.PipelineQueries.declared ++ graft.ops.KQueries.declared
+      graft.etl.PipelineQueries.declared ++ graft.ops.KQueries.declared ++
+      graft.ops.EventQueries.declared
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
