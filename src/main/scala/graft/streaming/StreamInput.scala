@@ -73,9 +73,33 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** events re-written as 4 files range-partitioned by DAY — every file
+    * carries whole days only (a range partitioner maps equal keys to one
+    * partition), so a micro-batch never splits a day across batches. This
+    * is the input-alignment contract S11's per-batch dynamic partition
+    * overwrite needs to be exactly-once: re-delivering a batch rewrites
+    * exactly the partitions it owns.
+    */
+  def eventsByDayAlignedDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/events_day_aligned") { dir =>
+      Tables.load(spark, sfDir, "events")
+        .repartitionByRange(4, org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")
+    deleteRecursively(dir)
+    dir.toString
+  }
+
+  /** A fresh (pre-deleted) output dir for a named streaming sink run —
+    * per-run determinism for sinks that land files (S11's lake).
+    */
+  def lakeDir(name: String, sfDir: String): String = {
+    val dir = Paths.get(s"$root/out/${key(sfDir)}/$name")
     deleteRecursively(dir)
     dir.toString
   }

@@ -531,6 +531,49 @@ object StreamQueries {
       |CROSS JOIN cutoff
       |WHERE coalesce(a_ts, b_ts) < cutoff.c""".stripMargin
 
+  // --- S11: streaming load into a day-partitioned lake (I1 + A8 + §4) ------
+  // The production ingest shape p9 demonstrates in batch: each micro-batch
+  // lands via foreachBatch with partitionOverwriteMode=dynamic, rewriting
+  // ONLY the day partitions it carries. The replay input is DAY-ALIGNED
+  // ([[StreamInput.eventsByDayAlignedDir]]) — whole days per file — which
+  // is exactly the alignment that makes per-batch dynamic overwrite
+  // idempotent under re-delivery (a replayed batch rewrites its own
+  // partitions; nothing appends, nothing else is touched). The oracle
+  // aggregates the final lake per day against the full events table, so a
+  // split day (undercount) or a re-appended one (overcount) both fail.
+  def s11(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = StreamInput.lakeDir("s11_lake", sfDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.eventsByDayAlignedDir(spark, sfDir))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val q = in.withColumn("day", to_date(col("ts")))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").partitionBy("day").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          StreamInput.freshCheckpoint("s11_lake", sfDir))
+        .start()
+      q.awaitTermination()
+      recordReplay(q)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.read.parquet(outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
+  val s11Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value),2) AS v
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -543,6 +586,7 @@ object StreamQueries {
     ("s7_mapstate_counts", s7 _, Some(s7Sql)),
     ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql)),
     ("s9_ss_left_outer_join", s9 _, Some(s9Sql)),
-    ("s10_ss_full_outer_join", s10 _, Some(s10Sql))
+    ("s10_ss_full_outer_join", s10 _, Some(s10Sql)),
+    ("s11_lake_dynamic_overwrite", s11 _, Some(s11Sql))
   )
 }

@@ -207,6 +207,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("rate_smoke").count() >= 0) // source ran without error
   }
 
+  test("S11: lake load equals batch per-day aggregate; re-delivery is idempotent") {
+    val fromStream = StreamQueries.s11(spark, sf).collect()
+    val lake = "target/stream/out/" +
+      sf.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_') + "/s11_lake"
+    // day-aligned replay contract: every input file carries whole days
+    val split = spark.read.parquet(StreamInput.eventsByDayAlignedDir(spark, sf))
+      .select(to_date(col("ts")).as("day"), input_file_name().as("f"))
+      .groupBy("day").agg(countDistinct("f").as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(split == 0, "a day spans more than one replay file")
+    // simulate at-least-once re-delivery: re-land one day's batch again
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day") === lit("2024-01-03"))
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val after = spark.read.parquet(lake)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day").collect()
+    assert(after.toSeq == fromStream.toSeq,
+      "re-delivered batch changed the lake (overwrite not idempotent)")
+  }
+
   test("replay input is time-ordered across files (watermark safety)") {
     val dir = StreamInput.eventsDir(spark, sf)
     val withFile = spark.read.parquet(dir)
