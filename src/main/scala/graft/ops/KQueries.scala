@@ -918,7 +918,12 @@ object KQueries {
   // 64-bit shingle hash (one codegen'd kernel, (hash)-keyed shuffle against
   // a broadcast benchmark set); the oracle joins string shingles — counts
   // agree exactly unless xxhash64 collides (k9's argument, and the hash
-  // gate would catch it). Benchmark sets stay small at any corpus scale,
+  // gate would catch it). The same exposure applies to the n_sh
+  // DENOMINATOR (ADVICE r7): Spark counts distinct shingle HASHES per doc,
+  // the oracle distinct shingle STRINGS, so an in-document collision would
+  // shift the 0.2 contamination ratio — covered by the identical k9
+  // collision argument and the same hash gate. Benchmark sets stay small
+  // at any corpus scale,
   // so the broadcast is the 100 TB shape too; all outputs are integers.
   def k17(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -990,9 +995,14 @@ object KQueries {
         count(lit(1)).as("n"),
         sum(when(col("dup_bi") >= 0.1, 1L).otherwise(0L)).as("n_flagged"),
         sum(col("n_tok").cast("long")).as("tot_tok"),
-        sum(col("n_uni").cast("long")).as("tot_uni"),
-        round(avg(lit(1.0) - col("n_uni").cast("double") / col("n_tok")), 4)
-          .as("avg_dup_tok"))
+        sum(col("n_uni").cast("long")).as("tot_uni"))
+      // Corpus-level duplicate-token fraction, computed exactly from the
+      // integer sums (ADVICE r7): one double division of two BIGINTs is
+      // bit-identical on both engines, unlike the previous avg() of
+      // per-row doubles whose summation order differed and leaned on
+      // round(...,4) to absorb ULP drift.
+      .withColumn("dup_tok_frac",
+        round(lit(1.0) - col("tot_uni").cast("double") / col("tot_tok"), 4))
       .orderBy("source")
   }
 
@@ -1002,7 +1012,7 @@ object KQueries {
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
       |       CAST(sum(nt) AS BIGINT) AS tot_tok,
       |       CAST(sum(nu) AS BIGINT) AS tot_uni,
-      |       round(avg(1 - CAST(nu AS DOUBLE) / nt), 4) AS avg_dup_tok
+      |       round(1 - CAST(sum(nu) AS DOUBLE) / sum(nt), 4) AS dup_tok_frac
       |FROM (
       |  SELECT source, len(w) AS nt, len(list_distinct(w)) AS nu,
       |         len(list_distinct(list_transform(range(1, len(w)),

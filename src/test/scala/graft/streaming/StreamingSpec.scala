@@ -209,8 +209,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("S11: lake load equals batch per-day aggregate; re-delivery is idempotent") {
     val fromStream = StreamQueries.s11(spark, sf).collect()
-    val lake = "target/stream/out/" +
-      sf.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_') + "/s11_lake"
+    val lake = StreamInput.lakePath("s11_lake", sf)
     // day-aligned replay contract: every input file carries whole days
     val split = spark.read.parquet(StreamInput.eventsByDayAlignedDir(spark, sf))
       .select(to_date(col("ts")).as("day"), input_file_name().as("f"))
