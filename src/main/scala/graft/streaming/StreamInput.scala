@@ -88,6 +88,20 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** events re-written as 6 arrival-order shards, each carrying rows from
+    * EVERY day — the realistic ingest arrival shape (a micro-batch is an
+    * arrival-time slice, not an event-time one), so an append-mode lake
+    * load lands one file per day per batch. This is the input that makes
+    * S12's small-files problem real: 6 batches × N days → 6 small files in
+    * every day partition before compaction.
+    */
+  def eventsShardedDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/events_sharded") { dir =>
+      Tables.load(spark, sfDir, "events")
+        .repartition(6)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

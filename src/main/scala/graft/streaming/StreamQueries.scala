@@ -574,6 +574,59 @@ object StreamQueries {
     """SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value),2) AS v
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  // --- S12: append-mode lake load + small-files compaction -----------------
+  // The OTHER production ingest shape (s11 is per-batch dynamic overwrite
+  // over day-aligned input): plain append, where every micro-batch lands
+  // one file in every day partition it carries. Over a sharded arrival
+  // replay (6 batches, each holding rows from every day) this builds the
+  // textbook small-files problem — 6 files per day — which
+  // [[graft.etl.LakeCompaction]] then rewrites to target-size files,
+  // reading ONLY oversized partitions and touching nothing else. The
+  // oracle re-aggregates the compacted lake per day against the batch
+  // events table, so compaction that loses, duplicates, or cross-writes a
+  // row fails the hash; `compacted_ok` additionally pins that (a) the
+  // pre-compaction lake really had the multi-file problem and (b) every
+  // partition ended at its size-derived target file count. Exactly-once
+  // here comes from the single AvailableNow run over a fresh checkpoint
+  // (append is NOT redelivery-idempotent — that trade is s11's subject;
+  // compaction is this one's).
+  def s12(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = StreamInput.lakeDir("s12_lake", sfDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.eventsShardedDir(spark, sfDir))
+    val q = in.withColumn("day", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("day").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        StreamInput.freshCheckpoint("s12_lake", sfDir))
+      .start()
+    q.awaitTermination()
+    recordReplay(q)
+    val target = 256L << 20 // production-sized files; toy days compact to 1
+    val (before, after) =
+      graft.etl.LakeCompaction.compactDayPartitions(spark, outDir, "day", target)
+    val afterByDir = after.map(p => p.dir -> p).toMap
+    val compactedOk = before.nonEmpty &&
+      before.exists(_.files > 1) && // the small-files problem existed
+      before.forall { b =>
+        val a = afterByDir(b.dir)
+        a.files == b.targetFiles(target) && a.bytes > 0
+      }
+    spark.read.parquet(outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .withColumn("compacted_ok", lit(compactedOk))
+      .orderBy("day")
+  }
+
+  val s12Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value),2) AS v,
+      |       TRUE AS compacted_ok
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -589,6 +642,7 @@ object StreamQueries {
     ("s8_stream_stream_join", s8 _, Some(graft.Queries.q8Sql)),
     ("s9_ss_left_outer_join", s9 _, Some(s9Sql)),
     ("s10_ss_full_outer_join", s10 _, Some(s10Sql)),
-    ("s11_lake_dynamic_overwrite", s11 _, Some(s11Sql))
+    ("s11_lake_dynamic_overwrite", s11 _, Some(s11Sql)),
+    ("s12_lake_compaction", s12 _, Some(s12Sql))
   )
 }
