@@ -1021,10 +1021,83 @@ object KQueries {
       |        FROM documents))
       |WHERE nt >= 2 GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K19: incremental near-dedup against a persisted index ----------------
+  // The cross-batch production shape (VERDICT r7 next-round #3): corpus =
+  // documents with doc_id % 5 != 0, summarized ONCE into the hash-only
+  // [[IncrementalDedup]] index; the incoming batch = the held-out docs plus
+  // planted near-duplicates of corpus docs (last word dropped, id+200000 —
+  // the k2 augmentation shape, guaranteeing cross-batch pairs exist). The
+  // probe never re-reads corpus text. Oracle: DuckDB brute-forces exact
+  // shingle-Jaccard over corpus ∪ batch and keeps pairs with >= 1 batch
+  // endpoint — the "incremental == full run restricted to new docs"
+  // equivalence, value-checked.
+  def k19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val words = split(trim(col("text")), "\\s+")
+    val planted = t(spark, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0 && size(words) >= 4)
+      .select(
+        (col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(words, lit(1), size(words) - 1), " ").as("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0).unionAll(planted)
+    val idxDir = "target/minhash_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    IncrementalDedup.buildIndex(corpus, "doc_id", "text", idxDir)
+    val inBatch = (c: org.apache.spark.sql.Column) =>
+      c % 5 === 0 || c >= 200000
+    IncrementalDedup.incrementalPairs(spark, idxDir, batch, "doc_id", "text",
+        threshold = 0.8)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(inBatch(col("id_a")) =!= inBatch(col("id_b")), 1L)
+          .otherwise(0L)).as("n_cross"),
+        sum(when(inBatch(col("id_a")) && inBatch(col("id_b")), 1L)
+          .otherwise(0L)).as("n_within"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_tight"))
+  }
+
+  val k19Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+      |), batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         array_to_string(w[1:len(w)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents WHERE doc_id % 5 <> 0)
+      |  WHERE len(w) >= 4
+      |), alldocs AS (
+      |  SELECT * FROM corpus UNION ALL SELECT * FROM batch
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM alldocs)
+      |  WHERE len(w) >= 3
+      |), pairs AS (
+      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / len(list_distinct(a.s || b.s)) AS j,
+      |         (a.doc_id % 5 = 0 OR a.doc_id >= 200000) AS ba,
+      |         (b.doc_id % 5 = 0 OR b.doc_id >= 200000) AS bb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE (a.doc_id % 5 = 0 OR a.doc_id >= 200000)
+      |     OR (b.doc_id % 5 = 0 OR b.doc_id >= 200000)
+      |)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+      |       CAST(sum(CASE WHEN ba AND bb THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+      |       CAST(sum(CASE WHEN round(j, 4) >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_tight
+      |FROM pairs WHERE j >= 0.8""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
+    ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),

@@ -1,0 +1,119 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for incremental near-dedup (VERDICT r7 next-round #3):
+  * (1) incremental == full-run restricted to pairs with a batch endpoint,
+  * (2) the corpus is provably not re-read (probe works after the corpus
+  * source is DELETED), (3) appendToIndex folds a batch in without minting
+  * a second rep for known texts, and later probes match a fresh rebuild.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(s"target/inc_dedup/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  // tiny corpus with every interesting shape: near-dups, exact dups
+  // (in-corpus, in-batch, and straddling the boundary), and a short doc
+  private val base = "the quick brown fox jumps over the lazy dog tonight"
+  private def corpusDf: DataFrame = Seq(
+    (1L, base),
+    (2L, base + " again"),              // near-dup of 1
+    (3L, base),                         // exact dup of 1 (in-corpus)
+    (4L, "completely different words about spark query planning engines"),
+    (5L, "too short")                   // never shingles (size-3)
+  ).toDF("doc_id", "text")
+  private def batchDf: DataFrame = Seq(
+    (101L, base),                       // exact dup of corpus 1/3
+    (102L, base + " again tonight"),    // near-dup of 1/2/101
+    (103L, base),                       // exact dup WITHIN batch + vs corpus
+    (104L, "fresh unrelated batch document on benchmark decontamination"),
+    (105L, "too short")                 // pairs with nothing (no shingles)
+  ).toDF("doc_id", "text")
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+
+  private val batchIds = Set(101L, 102L, 103L, 104L, 105L)
+
+  private def fullRunRestricted(threshold: Double): Set[(Long, Long, Double)] =
+    collectPairs(Dedup.minhashPairs(
+      corpusDf.unionAll(batchDf), "doc_id", "text", threshold = threshold))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+
+  test("incremental pairs == full corpus+batch run restricted to batch endpoints") {
+    val dir = freshDir("equiv")
+    IncrementalDedup.buildIndex(corpusDf, "doc_id", "text", dir)
+    val inc = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batchDf, "doc_id", "text", threshold = 0.5))
+    val full = fullRunRestricted(0.5)
+    assert(inc == full)
+    // the shapes the fixture plants are actually present
+    assert(inc.contains((1L, 101L, 1.0)), "cross exact dup")
+    assert(inc.contains((101L, 103L, 1.0)), "within-batch exact dup")
+    assert(inc.exists(p => p._1 == 2L && p._2 == 102L), "cross near-dup")
+    assert(!inc.exists(p => p._1 == 5L || batchIds(p._1) && p._1 == 105L ||
+      p._2 == 105L), "short docs never pair")
+    assert(!inc.exists(p => !batchIds(p._1) && !batchIds(p._2)),
+      "corpus-internal pairs are not the probe's business")
+  }
+
+  test("probe works after the corpus source is deleted: nothing re-reads text") {
+    val dir = freshDir("notext")
+    val corpusSrc = freshDir("notext_src")
+    corpusDf.write.mode("overwrite").parquet(corpusSrc)
+    IncrementalDedup.buildIndex(
+      spark.read.parquet(corpusSrc), "doc_id", "text", dir)
+    // delete the corpus parquet: only the hash index remains
+    Files.walk(Paths.get(corpusSrc)).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    val inc = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batchDf, "doc_id", "text", threshold = 0.5))
+    assert(inc == fullRunRestricted(0.5))
+  }
+
+  test("appendToIndex: no duplicate reps for known texts; next probe matches rebuild") {
+    val dir = freshDir("append")
+    IncrementalDedup.buildIndex(corpusDf, "doc_id", "text", dir)
+    IncrementalDedup.appendToIndex(batchDf, "doc_id", "text", dir)
+    // known texts (101/103 == text of 1) must NOT add a second rep
+    val reps = spark.read.parquet(s"$dir/shingles")
+      .groupBy("__g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    assert(reps == 0, "one rep per text-hash group after append")
+    // all ten docs are members
+    assert(spark.read.parquet(s"$dir/members").count() == 10)
+    // a THIRD batch probed against the appended index == probed against a
+    // fresh corpus+batch rebuild
+    val batch3 = Seq(
+      (201L, base + " again"),          // exact dup of 2; near-dup of 1/101...
+      (202L, "fresh unrelated batch document on benchmark decontamination"),
+      (203L, "entirely novel text that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val viaAppend = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batch3, "doc_id", "text", threshold = 0.5))
+    val rebuilt = freshDir("append_rebuilt")
+    IncrementalDedup.buildIndex(
+      corpusDf.unionAll(batchDf), "doc_id", "text", rebuilt)
+    val viaRebuild = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, rebuilt, batch3, "doc_id", "text", threshold = 0.5))
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.contains((2L, 201L, 1.0)))
+    assert(viaAppend.contains((104L, 202L, 1.0)), "pairs against appended docs found")
+    assert(!viaAppend.exists(p => p._1 == 203L || p._2 == 203L))
+  }
+}
