@@ -30,6 +30,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join (OptimizeSkewedJoin fires)") {
+    // SURVEY §4 keeps AQE's skew-join split as the built-in answer to
+    // skewed JOINS (q35's manual salting covers skewed AGGREGATIONS, where
+    // AQE has no rewrite — see ops/Skew.scala). This locks that the rewrite
+    // actually fires on our session settings: a planted hot key (~50% of
+    // fact rows on user 0 — the mirrored-page/bot-user shape), thresholds
+    // scaled to the toy partition sizes exactly the way production scales
+    // them to real ones, and the executed adaptive plan must show the SMJ
+    // with skew=true.
+    import org.apache.spark.sql.functions._
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // payload must survive into the aggregate (else column pruning strips
+      // it and the shuffled rows are too slim to trip the byte thresholds);
+      // md5 hex keeps it incompressible enough that shuffle-write bytes —
+      // what skew detection measures — reflect the planted imbalance.
+      val fact = spark.range(300000).select(
+        when(col("id") % 10 < 7, 0L).otherwise(col("id") % 997).as("user_id"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(997).select(
+        col("id").as("user_id"), (col("id") * 2).as("attr"))
+      val joined = fact.join(dim, "user_id")
+        .agg(count(lit(1)).as("n"), sum("attr").as("s"),
+          sum(length(col("payload"))).as("plen"))
+      val row = joined.collect()(0)
+      assert(row.getLong(0) == 300000L, "every fact row has a dim match")
+      val expected = fact
+        .select(sum(col("user_id") * 2), sum(length(col("payload"))))
+        .collect()(0)
+      assert(row.getLong(1) == expected.getLong(0) &&
+        row.getLong(2) == expected.getLong(1),
+        "skew split must not change the result")
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"expected OptimizeSkewedJoin's skew=true in the executed plan:\n$executed")
+    }
+  }
+
   test("q7 dims join as BroadcastHashJoin") {
     assert(plan("q7_broadcast_dims").contains("BroadcastHashJoin"))
   }
