@@ -1093,11 +1093,96 @@ object KQueries {
       |         AS n_tight
       |FROM pairs WHERE j >= 0.8""".stripMargin
 
+  // --- K20: composed corpus-prep pipeline -----------------------------------
+  // The full training-data chain as ONE declared entry ([[CorpusPrep]]):
+  // quality → redact → exact dedup → near dedup → decontaminate →
+  // repetition filter → per-lang stats, over a single scan of documents.
+  // The oracle re-implements the identical chain in DuckDB CTE-by-CTE —
+  // each stage's rule is the standalone operator's (k8/k16/k1/k2/k17/k18),
+  // so this gate checks the COMPOSITION: stage order, survivor threading,
+  // and the drop rules interacting on one corpus.
+  def k20(spark: SparkSession, dir: String): DataFrame =
+    CorpusPrep.stats(CorpusPrep.prepare(t(spark, dir, "documents")))
+
+  val k20Sql: String = {
+    def esc(p: String) = p.replace("'", "''")
+    val Seq(em, ph, ip) = Text.piiPatterns.map(_._2)
+    val Seq(emR, phR, ipR) = Text.piiPatterns.map(_._3)
+    val stop = Text.stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents WHERE doc_id % 50 = 0)
+       |), quality AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text, len(w) AS n_words,
+       |           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |             / len(w) AS mean_wlen,
+       |           CAST(len(list_filter(w, x -> x IN ($stop))) AS DOUBLE)
+       |             / len(w) AS stop_ratio
+       |    FROM (SELECT doc_id, lang, text,
+       |                 string_split_regex(trim(text), '\\s+') AS w
+       |          FROM documents WHERE doc_id % 50 <> 0))
+       |  WHERE n_words >= 5 AND mean_wlen BETWEEN 2.0 AND 12.0
+       |    AND stop_ratio <= 0.5
+       |), red AS (
+       |  SELECT doc_id, lang,
+       |         regexp_replace(regexp_replace(regexp_replace(text,
+       |           '${esc(em)}', '$emR', 'g'),
+       |           '${esc(ph)}', '$phR', 'g'),
+       |           '${esc(ip)}', '$ipR', 'g') AS txt
+       |  FROM quality
+       |), exact AS (
+       |  SELECT doc_id, lang, txt FROM red r
+       |  WHERE NOT EXISTS (SELECT 1 FROM red r2
+       |                    WHERE r2.txt = r.txt AND r2.doc_id < r.doc_id)
+       |), sh AS (
+       |  SELECT doc_id, lang, txt,
+       |         list_distinct(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM (SELECT doc_id, lang, txt,
+       |               string_split_regex(trim(txt), '\\s+') AS w
+       |        FROM exact)
+       |), near AS (
+       |  SELECT a.doc_id, a.lang, a.txt, a.s FROM sh a
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM sh b WHERE b.doc_id < a.doc_id
+       |      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(a.s || b.s)) >= ${CorpusPrep.NearDupThreshold}
+       |  )
+       |), hits AS (
+       |  SELECT c.doc_id, count(b.h) AS n_hit
+       |  FROM (SELECT doc_id, unnest(s) AS h FROM near) c
+       |  LEFT JOIN bench b ON c.h = b.h
+       |  GROUP BY c.doc_id
+       |), decon AS (
+       |  SELECT n.doc_id, n.lang, n.txt FROM near n
+       |  JOIN hits h ON n.doc_id = h.doc_id
+       |  WHERE CAST(h.n_hit AS DOUBLE) / len(n.s) < ${CorpusPrep.ContaminationMax}
+       |), rep AS (
+       |  SELECT doc_id, lang, txt FROM (
+       |    SELECT doc_id, lang, txt, len(w) AS nt,
+       |           len(list_distinct(list_transform(range(1, len(w)),
+       |             i -> w[i] || ' ' || w[i+1]))) AS nb
+       |    FROM (SELECT doc_id, lang, txt,
+       |                 string_split_regex(trim(txt), '\\s+') AS w
+       |          FROM decon))
+       |  WHERE 1 - CAST(nb AS DOUBLE) / (nt - 1) < ${CorpusPrep.DupBigramMax}
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split_regex(trim(txt), '\\s+'))) AS BIGINT)
+       |         AS n_tokens,
+       |       CAST(sum(length(txt)) AS BIGINT) AS n_chars
+       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
+    ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
