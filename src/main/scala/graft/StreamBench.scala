@@ -40,7 +40,13 @@ object StreamBench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val targets = Seq("s1_ingest_replay", "s8_stream_stream_join")
+    // r8 (VERDICT r7 next-round #8): the stateful-heavy paths join the
+    // surface — s4 (session window: merging window state) and s6b
+    // (transformWithState on RocksDB: the provider-overhead path, expected
+    // to be checkpoint-upload-bound at toy batch sizes; the round-over-
+    // round RATIO is the regression signal, as with s1/s8).
+    val targets = Seq("s1_ingest_replay", "s4_session_window",
+      "s6b_transform_with_state", "s8_stream_stream_join")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
@@ -59,8 +65,14 @@ object StreamBench {
         s""""rows":$rows,"rows_per_sec":$rps}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"stream_total","value":${f"$total%.3f"},""" +
-      s""""unit":"sec","streams":$js,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"stream_total","value":${f"$total%.3f"},""" +
+      s""""unit":"sec","streams":$js,"sf":"$sfDir"}"""
+    // same truncation-proofing as Bench: full artifact on disk, one
+    // compact line on stdout
+    val out = java.nio.file.Paths.get("target", "stream_bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }
