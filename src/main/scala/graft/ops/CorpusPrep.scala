@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *      later stages see the redacted text.
   *   3. exact dedup (k1 shape): first doc_id per distinct redacted text.
   *   4. near dedup (k2): MinHash-LSH pairs at Jaccard >= 0.8 over word
-  *      3-shingles; of each pair the LOWER doc_id survives (a doc is
-  *      dropped iff some smaller-id survivor is its near-duplicate).
+  *      3-shingles; a doc is dropped iff ANY smaller-id doc (itself
+  *      dropped or not — in chain A~B~C with A!~C, C still drops via B)
+  *      is its near-duplicate. Deterministic single-pass rule, mirrored
+  *      exactly by the oracle's NOT EXISTS.
   *   5. decontamination (k17): drop docs whose 3-shingle overlap with the
   *      benchmark set reaches 20%.
   *   6. repetition filter (k18): drop docs with duplicate-bigram fraction

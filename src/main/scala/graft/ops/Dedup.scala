@@ -145,7 +145,9 @@ object Dedup {
     * pass — they cannot produce a pair.
     */
   private[graft] def lshCandidates(
-      banded: DataFrame, maxBucket: Int): DataFrame = {
+      banded: DataFrame,
+      maxBucket: Int,
+      requireNewCol: Option[String] = None): DataFrame = {
     val bsz = banded.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
       .observe(s"graft.lsh.buckets.${obsId.incrementAndGet()}",
         max(col("__bsz")).as("max_bucket"),
@@ -154,11 +156,36 @@ object Dedup {
     val eligible = banded.join(
       bsz.filter(col("__bsz").between(2, maxBucket)).select("bucket"),
       Seq("bucket"))
+    // requireNewCol (incremental probe, [[IncrementalDedup]]): a boolean
+    // column marking batch-side rows; pairs must include >= 1 of them, so
+    // corpus-internal pairs are never re-derived.
+    val newPred = requireNewCol
+      .map(c => col(s"a.$c") || col(s"b.$c"))
+      .getOrElse(lit(true))
     eligible.as("a")
       .join(eligible.as("b"), col("a.bucket") === col("b.bucket"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(col("a.id") < col("b.id") && newPred)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification shared by the batch and incremental LSH
+    * paths: one sorted-merge intersect kernel per candidate pair over the
+    * `(id, sh)` sets frame (|A∪B| = |A|+|B|−|A∩B| — no union array is
+    * materialized), filtered at `threshold`, jaccard rounded to 4.
+    */
+  private[graft] def verifyJaccard(
+      candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val nInt = graft.functions.GraftFunctions
+      .sorted_intersect_size(col("sh_a"), col("sh_b"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        nInt.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - nInt))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Near-duplicate pairs by MinHash banding + exact-Jaccard verification.
@@ -211,20 +238,8 @@ object Dedup {
           .as("bucket"))
       .localCheckpoint(true)
     val candidates = lshCandidates(banded, maxBucket)
-
-    // exact verify on one sorted-merge kernel pass per candidate rep pair
-    // (|A∪B| = |A|+|B|−|A∩B|; same math, no intersect/union arrays built)
-    val nInt = graft.functions.GraftFunctions
-      .sorted_intersect_size(col("sh_a"), col("sh_b"))
-    val sets = shingled.select(col("id"), col("sh"))
-    val repPairs = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        nInt.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - nInt))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val repPairs =
+      verifyJaccard(candidates, shingled.select(col("id"), col("sh")), threshold)
 
     // Re-expansion through the exact-hash groups. All joins are slim and
     // keyed; output order of an expanded pair is re-normalized to

@@ -20,16 +20,21 @@ import org.apache.spark.sql.functions._
   *   - `shingles/` (__g, id, sh): each rep's sorted distinct shingle
   *     hashes, for exact-Jaccard verification of candidates;
   *   - `members/`  (__g, id): every corpus doc under its text-hash group,
-  *     for re-expanding rep pairs to doc pairs.
+  *     for re-expanding rep pairs to doc pairs;
+  *   - `params/`   (shingle_size, num_hashes, bands): the build
+  *     parameters. Probe and append REQUIRE agreement — a probe banded
+  *     with different parameters would silently find ~nothing, the worst
+  *     possible failure mode for a dedup gate.
   *
   * The probe then does O(batch)-sized work: band the new reps, semi-join
   * the stored banding rows on JUST those buckets, pair within capped
-  * buckets requiring ≥ 1 new endpoint, verify on the stored + fresh
-  * shingle sets, and re-expand side-locally (a rep expands only through
-  * its own batch's members, so a text present in both corpus and batch
-  * can never double-emit a pair). Output is identical to what a full
-  * corpus+batch [[Dedup.minhashPairs]] run emits for pairs involving ≥ 1
-  * batch doc — that equivalence is k19's DuckDB brute-force oracle and
+  * buckets requiring ≥ 1 new endpoint (shared [[Dedup.lshCandidates]]),
+  * verify on the stored + fresh shingle sets (shared
+  * [[Dedup.verifyJaccard]]), and re-expand side-locally (a rep expands
+  * only through its own batch's members, so a text present in both corpus
+  * and batch can never double-emit a pair). Output is identical to what a
+  * full corpus+batch [[Dedup.minhashPairs]] run emits for pairs involving
+  * ≥ 1 batch doc — that equivalence is k19's DuckDB brute-force oracle and
   * IncrementalDedupSpec's property.
   */
 object IncrementalDedup {
@@ -38,6 +43,7 @@ object IncrementalDedup {
     val banded = s"$dir/banded"
     val shingles = s"$dir/shingles"
     val members = s"$dir/members"
+    val params = s"$dir/params"
   }
 
   /** Build the index from a corpus and persist it under `dir` (overwrite). */
@@ -49,7 +55,9 @@ object IncrementalDedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val p = IndexPaths(dir)
+    val spark = df.sparkSession
     val shingled = Dedup.shingledReps(df, idCol, textCol, shingleSize)
       .localCheckpoint(true)
     shingled.write.mode("overwrite").parquet(p.shingles)
@@ -57,6 +65,21 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(p.banded)
     df.select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
       .write.mode("overwrite").parquet(p.members)
+    spark.createDataFrame(Seq((shingleSize, numHashes, bands)))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(p.params)
+  }
+
+  /** Fail loudly if the caller's parameters disagree with the build's. */
+  private def requireParams(
+      spark: SparkSession, p: IndexPaths,
+      shingleSize: Int, numHashes: Int, bands: Int): Unit = {
+    val row = spark.read.parquet(p.params).head()
+    val stored = (row.getInt(0), row.getInt(1), row.getInt(2))
+    require(stored == ((shingleSize, numHashes, bands)),
+      s"index at ${p.dir} was built with (shingleSize, numHashes, bands) = " +
+        s"$stored, called with (${shingleSize}, ${numHashes}, ${bands}) — " +
+        "mismatched banding would silently miss near-duplicates")
   }
 
   /** Fold a deduped batch into the index (the `ivfAdd` analog): all batch
@@ -76,6 +99,7 @@ object IncrementalDedup {
       bands: Int = 32): Unit = {
     val p = IndexPaths(dir)
     val spark = newBatch.sparkSession
+    requireParams(spark, p, shingleSize, numHashes, bands)
     val known = spark.read.parquet(p.shingles).select(col("__g"))
     val fresh = Dedup.shingledReps(newBatch, idCol, textCol, shingleSize)
       .join(known, Seq("__g"), "left_anti")
@@ -94,11 +118,10 @@ object IncrementalDedup {
         explode(graft.functions.GraftFunctions.band_hashes(col("mh"), bands))
           .as("bucket"))
 
-  private val obsId = new java.util.concurrent.atomic.AtomicLong()
-
   /** Near-duplicate pairs (id_a, id_b, jaccard) involving ≥ 1 doc of
     * `newBatch`, probing the persisted index — the corpus side is consulted
-    * only through its stored hashes. Parameters must match the build.
+    * only through its stored hashes. Parameters are validated against the
+    * stored `params/`.
     */
   def incrementalPairs(
       spark: SparkSession,
@@ -113,6 +136,7 @@ object IncrementalDedup {
       maxBucket: Int = 1 << 20): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val p = IndexPaths(indexDir)
+    requireParams(spark, p, shingleSize, numHashes, bands)
 
     // Fresh (batch) side — same collapse-first pipeline as the batch op.
     val newMembers = newBatch
@@ -128,7 +152,13 @@ object IncrementalDedup {
     // bucket-keyed index storage this is a pruned read at scale). Bucket
     // sizes — and therefore the skew cap — are computed over the COMBINED
     // bucket population, exactly what a full corpus+batch run would see
-    // for these buckets.
+    // for these buckets. The combined frame feeds both the bucket-size agg
+    // and the candidate self-join inside lshCandidates — eager checkpoint
+    // so the probe join against the stored index runs ONCE (the r6
+    // un-materialized-collapse lesson). The shingles/members reads below
+    // stay plain column-pruned scans: checkpointing them would materialize
+    // the whole corpus index per batch, the exact cost this operator
+    // exists to avoid.
     val touched = newBanded.select("bucket").distinct()
     // unionAll is positional — pin (bucket, id) on both sides (the using-
     // column join moves `bucket` first on the probe side).
@@ -137,35 +167,14 @@ object IncrementalDedup {
     val banded = oldBanded.withColumn("_new", lit(false))
       .unionAll(newBanded.select(col("bucket"), col("id"))
         .withColumn("_new", lit(true)))
-    val bsz = banded.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-      .observe(s"graft.lsh.inc.buckets.${obsId.incrementAndGet()}",
-        max(col("__bsz")).as("max_bucket"),
-        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
-          .as("n_dropped_buckets"))
-    val eligible = banded.join(
-      bsz.filter(col("__bsz").between(2, maxBucket)).select("bucket"),
-      Seq("bucket"))
-    val candidates = eligible.as("a")
-      .join(eligible.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
-          (col("a._new") || col("b._new"))) // ≥ 1 batch endpoint
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    val candidates =
+      Dedup.lshCandidates(banded, maxBucket, requireNewCol = Some("_new"))
 
-    // Exact verify on stored + fresh shingle sets (one sorted-merge kernel
-    // pass per candidate — |A∪B| = |A|+|B|−|A∩B|).
+    // Exact verify on stored + fresh shingle sets (shared kernel path).
     val sets = spark.read.parquet(p.shingles).select(col("id"), col("sh"))
       .unionAll(newShingled.select(col("id"), col("sh")))
-    val nInt = graft.functions.GraftFunctions
-      .sorted_intersect_size(col("sh_a"), col("sh_b"))
-    val repPairs = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        nInt.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - nInt))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val repPairs = Dedup.verifyJaccard(candidates, sets, threshold)
 
     // Side-local re-expansion: a rep expands ONLY through its own side's
     // members (join on (__g, side)), so a text that exists in both corpus

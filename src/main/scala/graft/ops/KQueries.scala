@@ -1035,8 +1035,8 @@ object KQueries {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val words = split(trim(col("text")), "\\s+")
-    val planted = t(spark, dir, "documents")
-      .filter(col("doc_id") % 5 =!= 0 && size(words) >= 4)
+    val planted = corpus
+      .filter(size(words) >= 4)
       .select(
         (col("doc_id") + 200000).as("doc_id"),
         array_join(slice(words, lit(1), size(words) - 1), " ").as("text"))

@@ -609,11 +609,20 @@ object StreamQueries {
     val (before, after) =
       graft.etl.LakeCompaction.compactDayPartitions(spark, outDir, "day", target)
     val afterByDir = after.map(p => p.dir -> p).toMap
+    // Per-partition invariant (shape-robust, not toy-tuned): a compacted
+    // partition ends at OR UNDER its size-derived target ((day,bucket)
+    // task-hash collisions can only merge files), an untouched partition
+    // is bit-unchanged. Map.get keeps a vanished partition a reported
+    // `false`, never an exception.
     val compactedOk = before.nonEmpty &&
-      before.exists(_.files > 1) && // the small-files problem existed
+      before.exists(_.needsCompaction(target)) && // the problem existed
       before.forall { b =>
-        val a = afterByDir(b.dir)
-        a.files == b.targetFiles(target) && a.bytes > 0
+        afterByDir.get(b.dir).exists { a =>
+          a.bytes > 0 &&
+            (if (b.needsCompaction(target))
+              a.files <= b.targetFiles(target) && a.files < b.files
+            else a.files == b.files && a.bytes == b.bytes)
+        }
       }
     spark.read.parquet(outDir)
       .groupBy("day")

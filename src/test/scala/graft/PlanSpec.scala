@@ -34,7 +34,7 @@ class PlanSpec extends AnyFunSuite {
     // SURVEY §4 keeps AQE's skew-join split as the built-in answer to
     // skewed JOINS (q35's manual salting covers skewed AGGREGATIONS, where
     // AQE has no rewrite — see ops/Skew.scala). This locks that the rewrite
-    // actually fires on our session settings: a planted hot key (~50% of
+    // actually fires on our session settings: a planted hot key (70% of
     // fact rows on user 0 — the mirrored-page/bot-user shape), thresholds
     // scaled to the toy partition sizes exactly the way production scales
     // them to real ones, and the executed adaptive plan must show the SMJ

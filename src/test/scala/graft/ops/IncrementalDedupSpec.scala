@@ -72,6 +72,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "corpus-internal pairs are not the probe's business")
   }
 
+  test("probe and append refuse an index built with different parameters") {
+    val dir = freshDir("params")
+    IncrementalDedup.buildIndex(corpusDf, "doc_id", "text", dir, shingleSize = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalDedup.incrementalPairs(
+        spark, dir, batchDf, "doc_id", "text", shingleSize = 5)
+    }
+    assert(e1.getMessage.contains("mismatched banding"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.appendToIndex(
+        batchDf, "doc_id", "text", dir, numHashes = 64, bands = 16)
+    }
+    assert(e2.getMessage.contains("mismatched banding"))
+  }
+
   test("probe works after the corpus source is deleted: nothing re-reads text") {
     val dir = freshDir("notext")
     val corpusSrc = freshDir("notext_src")
