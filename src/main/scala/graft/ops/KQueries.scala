@@ -1177,12 +1177,59 @@ object KQueries {
        |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --- K21: incremental embedding near-dedup against a persisted index ------
+  // k19's cross-batch shape for VECTORS ([[Similarity.incrementalCosinePairs]]):
+  // corpus = embeddings with vec_id % 5 != 0, sign-LSH-bucketed once into a
+  // persisted index; batch = the held-out vectors plus exact copies of
+  // corpus vectors (id + 100000 — k2b's planting: identical vectors always
+  // share a bucket, so recall is 1 for every oracle pair). The probe reads
+  // only the batch's buckets. Oracle: brute-force cosine over corpus ∪
+  // batch restricted to pairs with a batch endpoint.
+  def k21(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .unionAll(corpus.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val idxDir = "target/cosine_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.buildCosineIndex(corpus, "vec_id", "embedding", idxDir)
+    val inBatch = (c: org.apache.spark.sql.Column) =>
+      c % 5 === 0 || c >= 100000
+    Similarity.incrementalCosinePairs(
+        spark, idxDir, batch, "vec_id", "embedding", threshold = 0.95)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(inBatch(col("id_a")) =!= inBatch(col("id_b")), 1L)
+          .otherwise(0L)).as("n_cross"))
+  }
+
+  val k21Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+      |), batch AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM corpus
+      |), aug AS (
+      |  SELECT * FROM corpus UNION ALL SELECT * FROM batch
+      |)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN (a.vec_id % 5 = 0 OR a.vec_id >= 100000)
+      |                       <> (b.vec_id % 5 = 0 OR b.vec_id >= 100000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+      |  AND ((a.vec_id % 5 = 0 OR a.vec_id >= 100000)
+      |    OR (b.vec_id % 5 = 0 OR b.vec_id >= 100000))""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
+    ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),

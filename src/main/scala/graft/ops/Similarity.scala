@@ -192,6 +192,114 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(df, idCol, vecCol, nLists, seed), query, k, nProbe)
 
+  // --- Incremental embedding near-dedup (K21 — k19's pattern for vectors) --
+
+  final case class CosineIndexPaths(dir: String) {
+    val vectors = s"$dir/vectors"
+    val params = s"$dir/params"
+  }
+
+  /** Persist the sign-LSH dedup index for a vector corpus: one
+    * `(bucket, id, v)` row per vector (sign-LSH buckets once per vector —
+    * no banding, so no rep collapse/expansion is needed) plus the build
+    * parameters. At cluster scale `vectors/` is stored bucketed BY
+    * `bucket`, so a probe touches only the new batch's buckets.
+    */
+  def buildCosineIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L): Unit = {
+    val p = CosineIndexPaths(dir)
+    df.select(
+        signBucket(col(vecCol), bits, dim, seed).as("bucket"),
+        col(idCol).as("id"), col(vecCol).as("v"))
+      .write.mode("overwrite").parquet(p.vectors)
+    df.sparkSession.createDataFrame(Seq((bits, dim, seed)))
+      .toDF("bits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(p.params)
+  }
+
+  /** Fail loudly on build/probe parameter drift — a differently-seeded
+    * probe would bucket disjointly and silently find nothing.
+    */
+  private def requireCosineParams(
+      spark: org.apache.spark.sql.SparkSession, p: CosineIndexPaths,
+      bits: Int, dim: Int, seed: Long): Unit = {
+    val row = spark.read.parquet(p.params).head()
+    val stored = (row.getInt(0), row.getInt(1), row.getLong(2))
+    require(stored == ((bits, dim, seed)),
+      s"index at ${p.dir} was built with (bits, dim, seed) = $stored, " +
+        s"called with ($bits, $dim, $seed) — mismatched hyperplanes would " +
+        "silently miss near-duplicates")
+  }
+
+  /** Fold a deduped batch into the index: bucket with the STORED planes and
+    * append. Vectors are stored as-is (identity is the id, not a rep), so
+    * unlike the text index there is no rep-group bookkeeping.
+    */
+  def appendToCosineIndex(
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L): Unit = {
+    val p = CosineIndexPaths(dir)
+    requireCosineParams(rows.sparkSession, p, bits, dim, seed)
+    rows.select(
+        signBucket(col(vecCol), bits, dim, seed).as("bucket"),
+        col(idCol).as("id"), col(vecCol).as("v"))
+      .write.mode("append").parquet(p.vectors)
+  }
+
+  /** Near-duplicate pairs (id_a, id_b, cos) involving ≥ 1 row of `newBatch`
+    * against the persisted index: bucket the batch with the stored planes,
+    * read the stored vectors for ONLY the touched buckets, pair within
+    * buckets requiring ≥ 1 new endpoint, verify exact cosine. Output equals
+    * [[cosinePairs]] over corpus+batch restricted to pairs with a batch
+    * endpoint — deterministically (same seeded planes, no caps), which
+    * k21's brute-force oracle and SimilaritySpec both check.
+    */
+  def incrementalCosinePairs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val p = CosineIndexPaths(indexDir)
+    requireCosineParams(spark, p, bits, dim, seed)
+    val newB = newBatch.select(
+        signBucket(col(vecCol), bits, dim, seed).as("bucket"),
+        col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true) // feeds touched + union: compute buckets once
+    val touched = newB.select("bucket").distinct()
+    // unionAll is positional — pin (bucket, id, v) on both sides
+    val oldB = spark.read.parquet(p.vectors).join(touched, Seq("bucket"))
+      .select(col("bucket"), col("id"), col("v"))
+    val all = oldB.withColumn("_new", lit(false))
+      .unionAll(newB.select(col("bucket"), col("id"), col("v"))
+        .withColumn("_new", lit(true)))
+    val a = all.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("_new").as("_na"))
+    val b = all.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("_new").as("_nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") && (col("_na") || col("_nb")))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", GraftFunctions.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(
       df: DataFrame,

@@ -21,6 +21,58 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k).collect().map(_.getAs[Long]("vec_id")).toSeq
 
+  private def freshDir(name: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val p = Paths.get(s"target/cosine_idx/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  test("incremental cosine pairs == full-run restriction; append == rebuild; drifted params refused") {
+    import org.apache.spark.sql.DataFrame
+    def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val corpusV = vecs.filter(col("vec_id") % 5 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 5 === 0).unionAll(
+      corpusV.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val inBatch = (id: Long) => id % 5 == 0 || id >= 100000
+
+    val dir = freshDir("equiv")
+    Similarity.buildCosineIndex(corpusV, "vec_id", "embedding", dir)
+    val inc = pairs(Similarity.incrementalCosinePairs(
+      spark, dir, batch, "vec_id", "embedding", threshold = 0.95))
+    val full = pairs(Similarity.cosinePairs(
+      corpusV.unionAll(batch), "vec_id", "embedding", threshold = 0.95))
+      .filter(p => inBatch(p._1) || inBatch(p._2))
+    assert(inc == full)
+    assert(inc.nonEmpty, "planted exact copies must pair")
+    assert(inc.forall { case (a, b, _) => inBatch(a) || inBatch(b) })
+
+    // append the batch, probe a third wave against the grown index, and
+    // compare with a fresh rebuild over corpus+batch
+    Similarity.appendToCosineIndex(batch, "vec_id", "embedding", dir)
+    val batch3 = corpusV.limit(3)
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+    val viaAppend = pairs(Similarity.incrementalCosinePairs(
+      spark, dir, batch3, "vec_id", "embedding", threshold = 0.95))
+    val rebuilt = freshDir("rebuilt")
+    Similarity.buildCosineIndex(
+      corpusV.unionAll(batch), "vec_id", "embedding", rebuilt)
+    val viaRebuild = pairs(Similarity.incrementalCosinePairs(
+      spark, rebuilt, batch3, "vec_id", "embedding", threshold = 0.95))
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.nonEmpty, "third-wave copies must pair against the index")
+
+    val e = intercept[IllegalArgumentException] {
+      Similarity.incrementalCosinePairs(
+        spark, dir, batch3, "vec_id", "embedding", threshold = 0.95, seed = 7L)
+    }
+    assert(e.getMessage.contains("mismatched hyperplanes"))
+  }
+
   test("ANN finds a planted exact duplicate with recall 1") {
     val planted = corpus.select("vec_id", "embedding").union(
       query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
