@@ -1223,6 +1223,67 @@ object KQueries {
       |  AND ((a.vec_id % 5 = 0 OR a.vec_id >= 100000)
       |    OR (b.vec_id % 5 = 0 OR b.vec_id >= 100000))""".stripMargin
 
+  // --- K22: sequence packing (sample packing for training) ------------------
+  // The step after corpus prep: pack documents into fixed token windows
+  // (W = 512) so training batches waste no pad tokens. Contiguous
+  // streaming-packer rule, the shape production packers use: within each
+  // source, docs in doc_id order; a doc starts a new window when the
+  // running token count crosses a W boundary (bin = floor(cum_before/W) —
+  // a window may overflow by less than one doc, the documented spill-to-
+  // next trade; docs longer than W are excluded as chunking territory).
+  // The prefix sum is a SOURCE-partitioned window — a keyed shuffle, never
+  // the single-partition global window the q13 rewrite exists to kill.
+  // All outputs integers: window count, packed tokens, utilization is
+  // derivable as sum_tokens/(n_bins*W) by the reader.
+  def k22(spark: SparkSession, dir: String): DataFrame = {
+    val w = 512
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") <= w)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binned = docs
+      .withColumn("cum_before", coalesce(sum("n_tok").over(win), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / w))
+    val perBin = binned.groupBy("source", "bin")
+      .agg(sum("n_tok").as("bin_tok"), count(lit(1)).as("bin_docs"))
+    perBin.groupBy("source")
+      .agg(
+        sum("bin_docs").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tok").as("sum_tokens"),
+        max("bin_tok").as("max_bin_tokens"),
+        max("bin_docs").as("max_bin_docs"))
+      .orderBy("source")
+  }
+
+  val k22Sql: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) <= 512
+      |), binned AS (
+      |  SELECT source, n_tok,
+      |         CAST(floor(coalesce(sum(n_tok) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           / 512) AS BIGINT) AS bin
+      |  FROM docs
+      |), per_bin AS (
+      |  SELECT source, bin, sum(n_tok) AS bin_tok, count(*) AS bin_docs
+      |  FROM binned GROUP BY source, bin
+      |)
+      |SELECT source,
+      |       CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+      |       count(*) AS n_bins,
+      |       CAST(sum(bin_tok) AS BIGINT) AS sum_tokens,
+      |       CAST(max(bin_tok) AS BIGINT) AS max_bin_tokens,
+      |       CAST(max(bin_docs) AS BIGINT) AS max_bin_docs
+      |FROM per_bin GROUP BY source ORDER BY source""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
@@ -1230,6 +1291,7 @@ object KQueries {
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
+    ("k22_sequence_packing", k22 _, Some(k22Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
