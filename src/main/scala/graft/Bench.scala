@@ -135,15 +135,30 @@ object Bench {
     s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
+  /** Minimal JSON number: 2 decimals, trailing zeros (and a bare dot)
+    * stripped — every byte counts against the driver's tail-capture
+    * window (see [[compactJson]]).
+    */
+  def shortNum(v: Double): String = {
+    val s = f"$v%.2f"
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+  }
+
   /** The driver-contract line: one compact JSON object, values = final
-    * (contention-corrected) medians.
+    * (contention-corrected) medians. Kept as SMALL as the contract allows
+    * (2-decimal trailing-zero-stripped values, sf basename): BENCH_r07's
+    * `parsed: null` came from the ~2.3 KB line outgrowing the driver's
+    * tail-capture window, and the per-query map only grows. Full
+    * 3-decimal per-query audit lives in `target/bench.json`.
     */
   def compactJson(results: Seq[QueryTiming], sfDir: String): String = {
     val qs = results
-      .map(r => "\"" + r.name + "\":" + f"${r.finalMedian}%.3f")
+      .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))
       .mkString("{", ",", "}")
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
   private def materialize(df: DataFrame): Unit =

@@ -59,10 +59,13 @@ class BenchSpec extends AnyFunSuite {
       Bench.QueryTiming("a", Seq(0.1, 0.2, 0.3), None, Some(0.15)),
       Bench.QueryTiming("b", Seq(1.0, 1.1, 1.2), Some(Seq(0.2, 0.3, 0.4)), Some(0.25)),
       Bench.QueryTiming("c", Nil, None, None))
-    val compact = Bench.compactJson(rs, "/x")
+    val compact = Bench.compactJson(rs, "/root/testdata/sf0.1")
     // b's reported value is the rerun median; c failed -> -1 excluded from total
-    assert(compact.contains("\"b\":0.300"))
-    assert(compact.contains("\"value\":0.500"))
+    assert(compact.contains("\"b\":0.3"))
+    assert(compact.contains("\"value\":0.5"))
+    assert(compact.endsWith("\"sf\":\"sf0.1\"}"))
+    assert(Bench.shortNum(1.00) == "1" && Bench.shortNum(12.407) == "12.41" &&
+      Bench.shortNum(-1.0) == "-1" && Bench.shortNum(0.29) == "0.29")
     val full = Bench.fullJson(rs, "/x")
     assert(full.contains("\"rerun\":[0.200,0.300,0.400]"))
     assert(full.contains("\"baseline\":null"))
