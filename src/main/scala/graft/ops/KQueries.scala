@@ -1104,7 +1104,11 @@ object KQueries {
   def k20(spark: SparkSession, dir: String): DataFrame =
     CorpusPrep.stats(CorpusPrep.prepare(t(spark, dir, "documents")))
 
-  val k20Sql: String = {
+  /** The corpus-prep chain as DuckDB CTEs ending in `rep` (doc_id, lang,
+    * txt) — shared by k20's stats oracle and p10's shard-materialization
+    * oracle, so both gates run the IDENTICAL chain.
+    */
+  val corpusPrepCtes: String = {
     def esc(p: String) = p.replace("'", "''")
     val Seq(em, ph, ip) = Text.piiPatterns.map(_._2)
     val Seq(emR, phR, ipR) = Text.piiPatterns.map(_._3)
@@ -1169,13 +1173,16 @@ object KQueries {
        |                 string_split_regex(trim(txt), '\\s+') AS w
        |          FROM decon))
        |  WHERE 1 - CAST(nb AS DOUBLE) / (nt - 1) < ${CorpusPrep.DupBigramMax}
-       |)
+       |)""".stripMargin
+  }
+
+  val k20Sql: String =
+    s"""$corpusPrepCtes
        |SELECT lang, count(*) AS n_docs,
        |       CAST(sum(len(string_split_regex(trim(txt), '\\s+'))) AS BIGINT)
        |         AS n_tokens,
        |       CAST(sum(length(txt)) AS BIGINT) AS n_chars
        |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   // --- K21: incremental embedding near-dedup against a persisted index ------
   // k19's cross-batch shape for VECTORS ([[Similarity.incrementalCosinePairs]]):
