@@ -636,6 +636,77 @@ object StreamQueries {
       |       TRUE AS compacted_ok
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  // --- S13: heavy hitters INSIDE a streaming windowed aggregation ----------
+  // The approximate-monitoring pattern at 100 TB: you cannot keep exact
+  // per-key counts per window in stream state, so a mergeable sketch rides
+  // the aggregation. The Misra–Gries TypedImperativeAggregate (k14's
+  // operator) runs inside the per-hour streaming window — ≤ k counters of
+  // state per window, any merge order — over a planted hot term (30% of
+  // events; the bot-user shape). The gate leans on MG's DETERMINISTIC
+  // guarantee: every term with freq > n/k MUST be in the sketch, whatever
+  // the micro-batch cut points did to merge order. Per window the streamed
+  // sketch is audited against exact batch counts Spark-side (the k15
+  // recompute-exactly pattern); the oracle re-derives n and the exact
+  // heavy-hitter count per hour and pins the guarantee booleans.
+  def s13(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8
+    val hot = (c: org.apache.spark.sql.Column) =>
+      when(c % 10 < 3, lit("hot")).otherwise(c.cast("string"))
+    val in = StreamInput.readEventsStream(spark, StreamInput.eventsDir(spark, sfDir))
+    val agg = in
+      .withColumn("term", hot(col("user_id")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions.mg_topk(col("term"), k).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("sk"), col("n"))
+    val streamed = runToTable(spark, agg, "s13_mg", sfDir, OutputMode.Complete())
+      .localCheckpoint(true) // referenced 3x below (flags, terms, sizes)
+
+    // exact per-window audit off the batch table
+    val exact = graft.Tables.load(spark, sfDir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), hot(col("user_id")).as("term"))
+      .groupBy("h", "term").agg(count(lit(1)).as("cnt"))
+    val heavy = exact.join(streamed.select(col("h"), col("n")), Seq("h"))
+      .filter(col("cnt") * k > col("n"))
+    val skTerms = streamed
+      .select(col("h"), explode(col("sk")).as("e"))
+      .select(col("h"), col("e.term").as("term"))
+    val missingPerH = heavy
+      .join(skTerms, Seq("h", "term"), "left_anti")
+      .groupBy("h").agg(count(lit(1)).as("n_missing"))
+    val heavyPerH = heavy.groupBy("h").agg(count(lit(1)).as("n_heavy"))
+    streamed
+      .join(heavyPerH, Seq("h"), "left")
+      .join(missingPerH, Seq("h"), "left")
+      .select(
+        col("h"),
+        col("n"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        (coalesce(col("n_missing"), lit(0L)) === 0L).as("all_heavy_present"),
+        (size(col("sk")) <= k).as("size_ok"))
+      .orderBy("h")
+  }
+
+  val s13Sql: String =
+    """WITH t AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |         CASE WHEN user_id % 10 < 3 THEN 'hot'
+      |              ELSE CAST(user_id AS VARCHAR) END AS term
+      |  FROM events
+      |), per AS (
+      |  SELECT h, term, count(*) AS cnt FROM t GROUP BY h, term
+      |), tot AS (
+      |  SELECT h, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY h
+      |)
+      |SELECT tot.h, tot.n,
+      |       CAST(count(*) FILTER (WHERE per.cnt * 8 > tot.n) AS BIGINT)
+      |         AS n_heavy,
+      |       TRUE AS all_heavy_present,
+      |       TRUE AS size_ok
+      |FROM tot JOIN per ON per.h = tot.h
+      |GROUP BY tot.h, tot.n ORDER BY tot.h""".stripMargin
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -652,6 +723,7 @@ object StreamQueries {
     ("s9_ss_left_outer_join", s9 _, Some(s9Sql)),
     ("s10_ss_full_outer_join", s10 _, Some(s10Sql)),
     ("s11_lake_dynamic_overwrite", s11 _, Some(s11Sql)),
-    ("s12_lake_compaction", s12 _, Some(s12Sql))
+    ("s12_lake_compaction", s12 _, Some(s12Sql)),
+    ("s13_stream_heavy_hitters", s13 _, Some(s13Sql))
   )
 }
