@@ -1080,14 +1080,25 @@ object KQueries {
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       |        FROM alldocs)
       |  WHERE len(w) >= 3
-      |), pairs AS (
-      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |           / len(list_distinct(a.s || b.s)) AS j,
-      |         (a.doc_id % 5 = 0 OR a.doc_id >= 200000) AS ba,
-      |         (b.doc_id % 5 = 0 OR b.doc_id >= 200000) AS bb
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |), tok AS (
+      |  SELECT doc_id, unnest(s) AS h FROM sh
+      |), cand AS (
+      |  -- inverted-index candidates: a pair at J >= 0.8 > 0 must share a
+      |  -- shingle, so this is exactly the all-pairs result without the
+      |  -- quadratic join (the naive form ran >45 min in DuckDB at sf0.1)
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
       |  WHERE (a.doc_id % 5 = 0 OR a.doc_id >= 200000)
       |     OR (b.doc_id % 5 = 0 OR b.doc_id >= 200000)
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |           / len(list_distinct(sa.s || sb.s)) AS j,
+      |         (c.ia % 5 = 0 OR c.ia >= 200000) AS ba,
+      |         (c.ib % 5 = 0 OR c.ib >= 200000) AS bb
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.ia
+      |  JOIN sh sb ON sb.doc_id = c.ib
       |)
       |SELECT count(*) AS n_pairs,
       |       CAST(sum(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
@@ -1141,9 +1152,13 @@ object KQueries {
        |           '${esc(ip)}', '$ipR', 'g') AS txt
        |  FROM quality
        |), exact AS (
-       |  SELECT doc_id, lang, txt FROM red r
-       |  WHERE NOT EXISTS (SELECT 1 FROM red r2
-       |                    WHERE r2.txt = r.txt AND r2.doc_id < r.doc_id)
+       |  -- first doc_id per distinct text, via window-min (the correlated
+       |  -- NOT EXISTS form was quadratic in DuckDB at sf0.1)
+       |  SELECT doc_id, lang, txt FROM (
+       |    SELECT doc_id, lang, txt,
+       |           min(doc_id) OVER (PARTITION BY txt) AS m
+       |    FROM red)
+       |  WHERE doc_id = m
        |), sh AS (
        |  SELECT doc_id, lang, txt,
        |         list_distinct(list_transform(range(1, len(w) - 1),
@@ -1151,13 +1166,24 @@ object KQueries {
        |  FROM (SELECT doc_id, lang, txt,
        |               string_split_regex(trim(txt), '\\s+') AS w
        |        FROM exact)
+       |), ndtok AS (
+       |  SELECT doc_id, unnest(s) AS h FROM sh
+       |), nddrop AS (
+       |  -- a doc drops iff ANY smaller-id doc is a >= threshold near-dup;
+       |  -- candidates via the inverted index (a qualifying pair shares a
+       |  -- shingle), then exact-verified — identical set to the all-pairs
+       |  -- NOT EXISTS, minus the quadratic join
+       |  SELECT DISTINCT c.ib AS doc_id FROM (
+       |    SELECT a.doc_id AS ia, b.doc_id AS ib
+       |    FROM ndtok a JOIN ndtok b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) c
+       |  JOIN sh sa ON sa.doc_id = c.ia
+       |  JOIN sh sb ON sb.doc_id = c.ib
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |          / len(list_distinct(sa.s || sb.s)) >= ${CorpusPrep.NearDupThreshold}
        |), near AS (
-       |  SELECT a.doc_id, a.lang, a.txt, a.s FROM sh a
-       |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM sh b WHERE b.doc_id < a.doc_id
-       |      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |            / len(list_distinct(a.s || b.s)) >= ${CorpusPrep.NearDupThreshold}
-       |  )
+       |  SELECT doc_id, lang, txt, s FROM sh
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)
        |), hits AS (
        |  SELECT c.doc_id, count(b.h) AS n_hit
        |  FROM (SELECT doc_id, unnest(s) AS h FROM near) c
