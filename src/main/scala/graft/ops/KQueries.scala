@@ -1030,10 +1030,11 @@ object KQueries {
   // probe never re-reads corpus text. Oracle: DuckDB brute-forces exact
   // shingle-Jaccard over corpus ∪ batch and keeps pairs with >= 1 batch
   // endpoint — the "incremental == full run restricted to new docs"
-  // equivalence, value-checked. (The ORACLE is all-pairs by design and
-  // sized for the sf0.01 gate — at sf0.1 it is ~40M DuckDB list
-  // intersections, like k2's; the operator under test stays keyed-shuffle
-  // shaped at every scale.)
+  // equivalence, value-checked. (The ORACLE enumerates candidates via an
+  // inverted index on shingle hashes — exactly equivalent above a positive
+  // threshold, since a qualifying pair must share a shingle — then
+  // exact-verifies each candidate; the naive all-pairs form was O(n²) and
+  // did not finish at sf0.1.)
   def k19(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
