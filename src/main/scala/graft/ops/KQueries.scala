@@ -1037,6 +1037,15 @@ object KQueries {
   // did not finish at sf0.1.)
   def k19(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // The planted-batch ids live at doc_id + 200000 and batch membership is
+    // classified by id >= 200000 (mirrored in the oracle SQL). That offset
+    // is a FIXTURE constant: if a larger scale factor ever pushes real
+    // doc_ids past it, planted ids would collide with real ones and the
+    // gate would fail with a confusing hash mismatch — fail here with a
+    // clear message instead (ADVICE r8).
+    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+      "k19 fixture assumes doc_id < 200000 (planted-batch id offset); " +
+        "raise the offset in BOTH k19 and k19Sql for this scale factor")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val words = split(trim(col("text")), "\\s+")
     val planted = corpus
@@ -1224,6 +1233,10 @@ object KQueries {
   // batch restricted to pairs with a batch endpoint.
   def k21(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // Same fixture-offset guard as k19 (ADVICE r8): planted ids at +100000.
+    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+      "k21 fixture assumes vec_id < 100000 (planted-batch id offset); " +
+        "raise the offset in BOTH k21 and k21Sql for this scale factor")
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
       .unionAll(corpus.select(
