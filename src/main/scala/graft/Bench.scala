@@ -67,7 +67,19 @@ object Bench {
       else rerun.fold(mainMedian)(r => math.min(mainMedian, median(r)))
     def minOfRuns: Double =
       if (failed) -1.0 else (timings ++ rerun.getOrElse(Nil)).min
+    /** True when BOTH passes exceeded the rerun gate: the number never
+      * cleared contention, so a reader must treat it as unconfirmed — it is
+      * either a real regression or a fully-loaded measurement window
+      * (VERDICT r8 wrong #2 asked for exactly this flag).
+      */
+    def suspect: Boolean =
+      rerun.exists(r => needsRerun(median(r), baseline)) &&
+        needsRerun(mainMedian, baseline)
   }
+
+  /** Names whose numbers never cleared contention (both passes slow). */
+  def suspects(results: Seq[QueryTiming]): Seq[String] =
+    results.filter(_.suspect).map(_.name).sorted
 
   /** Parse `name\tseconds` lines; '#' comments and blanks ignored. */
   def parseBaseline(lines: Iterator[String]): Map[String, Double] =
@@ -132,7 +144,9 @@ object Bench {
         s""""rerun":$rerun,"final":${f"${r.finalMedian}%.3f"}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qs,"suspect":$sus,"sf":"$sfDir"}"""
   }
 
   /** Minimal JSON number: 2 decimals, trailing zeros (and a bare dot)
@@ -159,6 +173,46 @@ object Bench {
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+  }
+
+  /** The guaranteed-fit LAST stdout line. BENCH_r01–r08 were all
+    * `parsed: null` because the full compact line (~2.2 KB and growing one
+    * entry per new operator) overflows the driver's ~2 KB tail-capture
+    * window, which keeps the END of stdout — so the JSON line loses its
+    * HEAD and nothing parses (VERDICT r8 next-round #1). The fix is
+    * structural, not another round of byte-shaving: print the full compact
+    * map as the second-to-last line (greppable, and intact in the driver's
+    * window all the way up to its own head), then THIS line last, capped at
+    * `maxBytes` ≪ the window, so the final line is always captured whole
+    * and a last-line JSON parse always succeeds. It carries the contract
+    * fields (metric/value/unit/queries/sf) with `queries` holding the
+    * TOP-COST entries that fit the budget (the ones a reader triages
+    * first), plus the suspect list, the total entry count, and a pointer to
+    * the untruncatable full audit at `target/bench.json`.
+    */
+  def summaryJson(
+      results: Seq[QueryTiming], sfDir: String, maxBytes: Int = 1200): String = {
+    val total = results.map(_.finalMedian).filter(_ >= 0).sum
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head =
+      s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":{"""
+    val tail =
+      s"""},"n":${results.size},"suspect":$sus,""" +
+        s""""audit":"target/bench.json","sf":"$sf"}"""
+    val entries = results.sortBy(r => (-r.finalMedian, r.name))
+      .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))
+    val body = new StringBuilder
+    // stop at the first entry that would overflow: keeps "top N by cost"
+    // semantics instead of backfilling with whatever short names still fit
+    var fits = true
+    for (e <- entries if fits) {
+      val sep = if (body.isEmpty) "" else ","
+      if (head.length + body.length + sep.length + e.length + tail.length <= maxBytes)
+        body.append(sep).append(e)
+      else fits = false
+    }
+    head + body + tail
   }
 
   private def materialize(df: DataFrame): Unit =
@@ -216,8 +270,11 @@ object Bench {
     }
 
     // Full audit artifact first (never truncatable by the driver's tail
-    // window), human summary of any reruns to stderr, compact contract
-    // line to stdout LAST so a bounded tail capture keeps it whole.
+    // window), human summary of any reruns to stderr, then TWO stdout
+    // lines: the full compact map, and LAST a byte-capped summary line that
+    // is always captured whole by a bounded tail window (see [[summaryJson]]
+    // — eight rounds of `parsed: null` came from the single full line
+    // losing its head to tail truncation).
     val full = fullJson(results, sfDir)
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -226,9 +283,11 @@ object Bench {
     results.filter(_.rerun.isDefined).foreach { r =>
       System.err.println(
         f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun median " +
-          f"${median(r.rerun.get)}%.3f s, reported ${r.finalMedian}%.3f s")
+          f"${median(r.rerun.get)}%.3f s, reported ${r.finalMedian}%.3f s" +
+          (if (r.suspect) " [SUSPECT: both passes over gate]" else ""))
     }
     println(compactJson(results, sfDir))
+    println(summaryJson(results, sfDir))
     spark.stop()
   }
 }

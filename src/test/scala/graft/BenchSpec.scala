@@ -52,6 +52,52 @@ class BenchSpec extends AnyFunSuite {
     assert(r.failed && r.finalMedian == -1.0 && r.minOfRuns == -1.0 && r.rerun.isEmpty)
   }
 
+  test("both passes over the gate => suspect flag; a rescued rerun is clean") {
+    // Simulated fully-loaded window: slow through warm-up, pass 1 AND the
+    // rerun — the number never clears contention (VERDICT r8 wrong #2).
+    val alwaysSlow = () => Thread.sleep(120)
+    val s = Bench.timeQuery("loaded", alwaysSlow, baseline = Some(0.02))
+    assert(s.rerun.isDefined && s.suspect,
+      "a rerun that is still over the gate must be flagged suspect")
+    // Contention only during pass 1: the rerun rescues it — NOT suspect.
+    var calls = 0
+    val rescued = () => { calls += 1; Thread.sleep(if (calls <= 4) 120 else 10) }
+    val r = Bench.timeQuery("rescued", rescued, baseline = Some(0.02))
+    assert(r.rerun.isDefined && !r.suspect)
+    // No rerun at all: never suspect.
+    assert(!Bench.timeQuery("fast", () => Thread.sleep(5),
+      baseline = Some(0.05)).suspect)
+    assert(Bench.suspects(Seq(s, r)) == Seq("loaded"))
+    // the suspect list rides both JSON artifacts
+    assert(Bench.fullJson(Seq(s, r), "/x").contains(""""suspect":["loaded"]"""))
+    assert(Bench.summaryJson(Seq(s, r), "/x").contains(""""suspect":["loaded"]"""))
+  }
+
+  test("summary line: byte-capped, parse-shaped, top-cost entries first") {
+    // 200 long-named entries would make the full compact line ~6 KB; the
+    // summary line must stay under its cap no matter the entry count —
+    // that cap (< the driver's ~2 KB tail window) is the whole fix for
+    // eight rounds of parsed:null head-truncation.
+    val many = (1 to 200).map { i =>
+      Bench.QueryTiming(f"q${i}%03d_some_operator_name", Seq(i * 0.01, i * 0.011, i * 0.012),
+        None, None)
+    }
+    val line = Bench.summaryJson(many, "/root/testdata/sf0.1", maxBytes = 1200)
+    assert(line.length <= 1200, s"summary line ${line.length} B over cap")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(""""audit":"target/bench.json","sf":"sf0.1"}"""))
+    assert(line.contains(""""n":200"""))
+    // the most expensive query always makes the cut; the cheapest is culled
+    assert(line.contains("\"q200_some_operator_name\":"))
+    assert(!line.contains("\"q001_some_operator_name\":"))
+    // balanced braces — the line is a complete JSON object, not a prefix
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // a tiny result set fits whole
+    val small = many.take(3)
+    val all3 = Bench.summaryJson(small, "/x")
+    assert(Seq("q001", "q002", "q003").forall(n => all3.contains(n)))
+  }
+
   test("baseline TSV parses and full/compact JSON are valid shapes") {
     val m = Bench.parseBaseline(Iterator("# comment", "", "q1_agg\t0.24", "k2\t1.84"))
     assert(m == Map("q1_agg" -> 0.24, "k2" -> 1.84))
