@@ -1035,7 +1035,12 @@ object KQueries {
   // threshold, since a qualifying pair must share a shingle — then
   // exact-verifies each candidate; the naive all-pairs form was O(n²) and
   // did not finish at sf0.1.)
-  def k19(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared k19/s14 fixture: (corpus, batch). The batch is the held-out
+    * docs plus planted near-duplicates of corpus docs (last word dropped,
+    * id+200000 — the k2 augmentation shape, guaranteeing cross-batch pairs
+    * exist). s14 streams this same batch, so both entries share k19Sql.
+    */
+  def incDedupFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     // The planted-batch ids live at doc_id + 200000 and batch membership is
     // classified by id >= 200000 (mirrored in the oracle SQL). That offset
@@ -1053,21 +1058,30 @@ object KQueries {
       .select(
         (col("doc_id") + 200000).as("doc_id"),
         array_join(slice(words, lit(1), size(words) - 1), " ").as("text"))
-    val batch = docs.filter(col("doc_id") % 5 === 0).unionAll(planted)
+    (corpus, docs.filter(col("doc_id") % 5 === 0).unionAll(planted))
+  }
+
+  /** Batch-membership predicate for the [[incDedupFixture]] ids. */
+  def inIncBatch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 5 === 0 || c >= 200000
+
+  /** The k19/s14 result shape over a (id_a, id_b, jaccard) pair frame. */
+  def incPairStats(pairs: DataFrame): DataFrame =
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(inIncBatch(col("id_a")) =!= inIncBatch(col("id_b")), 1L)
+        .otherwise(0L)).as("n_cross"),
+      sum(when(inIncBatch(col("id_a")) && inIncBatch(col("id_b")), 1L)
+        .otherwise(0L)).as("n_within"),
+      sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_tight"))
+
+  def k19(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = incDedupFixture(spark, dir)
     val idxDir = "target/minhash_index/" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
     IncrementalDedup.buildIndex(corpus, "doc_id", "text", idxDir)
-    val inBatch = (c: org.apache.spark.sql.Column) =>
-      c % 5 === 0 || c >= 200000
-    IncrementalDedup.incrementalPairs(spark, idxDir, batch, "doc_id", "text",
-        threshold = 0.8)
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(inBatch(col("id_a")) =!= inBatch(col("id_b")), 1L)
-          .otherwise(0L)).as("n_cross"),
-        sum(when(inBatch(col("id_a")) && inBatch(col("id_b")), 1L)
-          .otherwise(0L)).as("n_within"),
-        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_tight"))
+    incPairStats(IncrementalDedup.incrementalPairs(
+      spark, idxDir, batch, "doc_id", "text", threshold = 0.8))
   }
 
   val k19Sql: String =

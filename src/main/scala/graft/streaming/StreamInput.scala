@@ -102,6 +102,20 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The k19 incremental-dedup BATCH re-written as 4 arrival files
+    * (range-partitioned by doc_id, staggered mtimes) so
+    * `maxFilesPerTrigger=1` replays it as 4 ordered micro-batches — the
+    * s14 streaming probe+append loop's input. Built from
+    * [[graft.ops.KQueries.incDedupFixture]] so s14's streamed docs are
+    * EXACTLY k19's batch and the two entries share one oracle.
+    */
+  def docsBatchDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/docs_batch") { dir =>
+      graft.ops.KQueries.incDedupFixture(spark, sfDir)._2
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")
