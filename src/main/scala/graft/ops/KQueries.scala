@@ -1348,8 +1348,95 @@ object KQueries {
       |       CAST(max(bin_docs) AS BIGINT) AS max_bin_docs
       |FROM per_bin GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K23: long-doc chunking feeding sequence packing ----------------------
+  // Completes k22's packing story (VERDICT r8 next-round #4): k22's
+  // contiguous packer takes docs ≤ W as-is; real corpora carry much of
+  // their token mass in LONGER docs, which must be chunked first. Here
+  // every doc is split by [[Text.chunkDocs]] into ≤ W-token chunks on a
+  // W−overlap stride (consecutive chunks share `overlap` tokens), then the
+  // CHUNKS are packed with exactly the k22 rule — source-partitioned
+  // prefix-sum window over (doc_id, chunk_idx) order, bin =
+  // ⌊cum_before/W⌋. W = 64 / overlap = 16 are FIXTURE-scaled: the
+  // synthetic docs cap at ~100 tokens, so W = 512 would make every doc a
+  // single chunk and gate nothing, while W = 64 makes ~40% of docs
+  // multi-chunk at every SF. All outputs integers; the oracle re-derives
+  // chunk counts and sizes arithmetically (m = 1 + ⌈(n−W)/stride⌉,
+  // chunk i = min(W, n − i·stride)) and the packing via the same window
+  // CTEs as k22. Unlike k22 nothing is excluded: every doc contributes.
+  def k23(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val overlap = 16
+    val chunks = Text.chunkDocs(
+        t(spark, dir, "documents").select(col("source"), col("doc_id"), col("text")),
+        "text", w, overlap)
+      .select(col("source"), col("doc_id"), col("chunk_idx"), col("chunk_tok"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binned = chunks
+      .withColumn("cum_before", coalesce(sum("chunk_tok").over(win), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / w))
+    val perBin = binned.groupBy("source", "bin")
+      .agg(sum("chunk_tok").as("bin_tok"), count(lit(1)).as("bin_chunks"))
+    val perSourceBins = perBin.groupBy("source")
+      .agg(
+        sum("bin_chunks").as("n_chunks"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tok").as("sum_tokens"),
+        max("bin_tok").as("max_bin_tokens"))
+    val perSourceDocs = chunks.groupBy("source")
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        sum(when(col("chunk_idx") === 1, 1L).otherwise(0L)).as("n_long_docs"))
+    perSourceDocs.join(perSourceBins, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_long_docs"),
+        col("n_chunks"), col("n_bins"), col("sum_tokens"), col("max_bin_tokens"))
+      .orderBy("source")
+  }
+
+  val k23Sql: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents
+      |), chunks AS (
+      |  SELECT source, doc_id, CAST(unnest(range(0, m)) AS BIGINT) AS chunk_idx, n
+      |  FROM (SELECT source, doc_id, n,
+      |               CASE WHEN n <= 64 THEN 1
+      |                    ELSE 1 + CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS BIGINT)
+      |               END AS m
+      |        FROM docs)
+      |), sized AS (
+      |  SELECT source, doc_id, chunk_idx,
+      |         least(64, n - chunk_idx * 48) AS c_tok
+      |  FROM chunks
+      |), cum AS (
+      |  SELECT source, c_tok,
+      |         CAST(floor(coalesce(sum(c_tok) OVER (
+      |           PARTITION BY source ORDER BY doc_id, chunk_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           / 64) AS BIGINT) AS bin
+      |  FROM sized
+      |), per_bin AS (
+      |  SELECT source, bin, sum(c_tok) AS bin_tok, count(*) AS bin_chunks
+      |  FROM cum GROUP BY source, bin
+      |)
+      |SELECT d.source, d.n_docs, d.n_long_docs,
+      |       b.n_chunks, b.n_bins, b.sum_tokens, b.max_bin_tokens
+      |FROM (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS n_long_docs
+      |      FROM docs GROUP BY source) d
+      |JOIN (SELECT source, CAST(sum(bin_chunks) AS BIGINT) AS n_chunks,
+      |             count(*) AS n_bins,
+      |             CAST(sum(bin_tok) AS BIGINT) AS sum_tokens,
+      |             CAST(max(bin_tok) AS BIGINT) AS max_bin_tokens
+      |      FROM per_bin GROUP BY source) b ON b.source = d.source
+      |ORDER BY d.source""".stripMargin
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
+    ("k23_doc_chunk_packing", k23 _, Some(k23Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),

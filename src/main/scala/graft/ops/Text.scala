@@ -13,6 +13,42 @@ object Text {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Long-document chunking (VERDICT r8 next-round #4 — the missing half of
+    * the k22 sequence-packing story): split each doc into ≤ `window`-token
+    * chunks on a fixed stride of `window − overlap` tokens, consecutive
+    * chunks sharing `overlap` tokens (the standard training-data recipe so
+    * no context is lost at a hard cut). Chunk count and per-chunk token
+    * counts are pure integer arithmetic over the doc's token count —
+    * m = 1 for n ≤ W, else 1 + ⌈(n − W) / stride⌉; chunk i carries
+    * min(W, n − i·stride) tokens — so the DuckDB oracle reproduces them
+    * exactly; the chunk TEXT is the corresponding token slice rejoined
+    * with single spaces (declared whitespace normalization, matching
+    * [[tokens]]). Row explosion is per-doc and bounded by n/stride — a
+    * narrow keyed flatMap shape, no shuffle at all until a downstream
+    * consumer aggregates.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      textCol: String,
+      window: Int,
+      overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val n = size(col("__w"))
+    val m = when(n <= window, lit(1)).otherwise(
+      (lit(1) + floor((n - lit(window) + lit(stride) - 1) / lit(stride)))
+        .cast("int"))
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("chunk_idx", explode(sequence(lit(0), m - 1)))
+      .withColumn("chunk_tok",
+        least(lit(window), n - col("chunk_idx") * stride).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__w"),
+          col("chunk_idx") * stride + 1, col("chunk_tok").cast("int")), " "))
+      .drop("__w")
+  }
+
   // --- K6: sentiment lexicon scoring ---------------------------------------
 
   /** Integer-scored lexicon over the corpus vocabulary (FIXTURES.md §B4).

@@ -95,4 +95,33 @@ class TextSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(twice == got.values.toSet)
   }
+
+  test("chunkDocs: stride/overlap boundaries, full coverage, short docs pass through") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, mk(10)), (2L, mk(5)), (3L, mk(4)), (4L, mk(1)))
+      .toDF("doc_id", "text")
+    val chunks = Text.chunkDocs(docs, "text", window = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_tok", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(c => (c._1, c._2)).toSeq
+    // n=10, W=4, stride=3: m = 1+ceil(6/3) = 3; [t1..t4][t4..t7][t7..t10]
+    assert(chunks.filter(_._1 == 1L).map(c => (c._2, c._4)) == Seq(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10")))
+    // n=5: m = 2, last chunk is the 2-token tail with 1 overlap token
+    assert(chunks.filter(_._1 == 2L).map(c => (c._2, c._4)) == Seq(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5")))
+    // n <= W: one chunk, text unchanged
+    assert(chunks.filter(_._1 == 3L).map(_._4) == Seq("t1 t2 t3 t4"))
+    assert(chunks.filter(_._1 == 4L).map(_._4) == Seq("t1"))
+    // every chunk within the window; coverage: dropping each chunk's
+    // leading overlap (after the first) reconstructs the doc exactly
+    assert(chunks.forall(c => c._3 >= 1 && c._3 <= 4))
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2).map(_._4.split(" ").toSeq)
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(1))
+      assert(rebuilt == mk(rebuilt.length).split(" ").toSeq &&
+        rebuilt.length == Seq(10, 5, 4, 1)(id.toInt - 1))
+    }
+    // invalid parameters fail loudly
+    intercept[IllegalArgumentException](Text.chunkDocs(docs, "text", 4, 4))
+  }
 }
