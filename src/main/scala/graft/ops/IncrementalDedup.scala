@@ -61,12 +61,84 @@ object IncrementalDedup {
     val params = s"$dir/params"
   }
 
+  /** The manifest is DRIVER-side data (a handful of integers per commit):
+    * it lives as one flat `epoch-N.properties` file per commit, written
+    * via create-temp + rename — a single-file rename is atomic on a real
+    * filesystem, which makes the commit point genuinely atomic AND costs
+    * zero Spark jobs (the first manifest cut as parquet spent a full
+    * write job per commit and a read job per probe — measured ~0.5 s of
+    * pure scheduling overhead per k19 run at sf0.1).
+    */
+  private[ops] object Manifest {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    private def fs(spark: SparkSession, dir: String): FileSystem =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def write(spark: SparkSession, paramsDir: String, epoch: Int,
+        fields: Seq[(String, String)]): Unit = {
+      val f = fs(spark, paramsDir)
+      f.mkdirs(new Path(paramsDir))
+      val tmp = new Path(paramsDir, s".tmp-epoch-$epoch")
+      val out = f.create(tmp, true)
+      try out.write(
+        fields.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+      val dst = new Path(paramsDir, s"epoch-$epoch.properties")
+      f.delete(dst, false) // a retried commit replaces its own epoch
+      require(f.rename(tmp, dst), s"manifest commit rename failed: $dst")
+    }
+
+    /** All committed rows as (epoch, fieldMap), ascending by epoch. */
+    def read(spark: SparkSession, paramsDir: String): Seq[(Int, Map[String, String])] = {
+      val f = fs(spark, paramsDir)
+      val dir = new Path(paramsDir)
+      if (!f.exists(dir)) return Nil
+      val Name = "epoch-(\\d+)\\.properties".r
+      f.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case Name(e) =>
+            val in = f.open(st.getPath)
+            val text =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val kv = text.split("\n").filter(_.contains("="))
+              .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+              .toMap
+            Some(e.toInt -> kv)
+          case _ => None
+        }
+      }.sortBy(_._1)
+    }
+
+    /** True iff any data file landed under `dir` (recursively) — the free
+      * replacement for an `isEmpty` Spark job after a dynamic-partitioned
+      * write, which emits zero files for an empty frame.
+      */
+    def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+      val f = fs(spark, dir)
+      val p = new Path(dir)
+      f.exists(p) && {
+        val it = f.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.startsWith("part-")
+        found
+      }
+    }
+  }
+
   /** One committed manifest row: the build constants + the max committed
     * epoch. Data written under a larger epoch is uncommitted (a failed or
-    * in-flight append) and must be ignored.
+    * in-flight append) and must be ignored. `base` is the compaction
+    * floor: epochs below it were merged into a compacted epoch and their
+    * data directories are garbage (vacuumable) — readers see only
+    * `base <= epoch <= epoch`.
     */
   final case class IndexMeta(
-      shingleSize: Int, numHashes: Int, bands: Int, pbuckets: Int, epoch: Int)
+      shingleSize: Int, numHashes: Int, bands: Int, pbuckets: Int,
+      epoch: Int, base: Int = 0)
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -80,16 +152,18 @@ object IncrementalDedup {
     * hand-edited index should fail loudly, not probe disjointly).
     */
   private def readMeta(spark: SparkSession, p: IndexPaths): IndexMeta = {
-    val rows = spark.read.parquet(p.params)
-      .select("shingle_size", "num_hashes", "bands", "pbuckets", "epoch")
-      .collect() // manifest-sized: one row per commit
+    val rows = Manifest.read(spark, p.params)
     require(rows.nonEmpty, s"no committed manifest at ${p.params}")
-    val consts = rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).distinct
+    val consts = rows.map { case (_, kv) =>
+      (kv("shingle_size").toInt, kv("num_hashes").toInt,
+        kv("bands").toInt, kv("pbuckets").toInt)
+    }.distinct
     require(consts.length == 1,
       s"manifest at ${p.params} carries conflicting build parameters: " +
         consts.mkString(", "))
     val (ss, nh, b, pb) = consts.head
-    IndexMeta(ss, nh, b, pb, rows.map(_.getInt(4)).max)
+    IndexMeta(ss, nh, b, pb, rows.map(_._1).max,
+      rows.map(_._2.getOrElse("base", "0").toInt).max)
   }
 
   /** Fail loudly if the caller's parameters disagree with the build's. */
@@ -111,14 +185,14 @@ object IncrementalDedup {
     * redelivered batches provable no-ops (see [[appendToIndex]]).
     */
   private[ops] def committedTags(spark: SparkSession, p: IndexPaths): Set[String] =
-    spark.read.parquet(p.params).select("tag").collect()
-      .map(_.getString(0)).filter(_.nonEmpty).toSet
+    Manifest.read(spark, p.params)
+      .flatMap(_._2.get("tag")).filter(_.nonEmpty).toSet
 
   /** Epochs committed under `tag` (manifest-sized read). */
   private def taggedEpochs(
       spark: SparkSession, p: IndexPaths, tag: String): Seq[Int] =
-    spark.read.parquet(p.params).where(col("tag") === tag)
-      .select("epoch").collect().map(_.getInt(0)).toSeq
+    Manifest.read(spark, p.params)
+      .collect { case (e, kv) if kv.get("tag").contains(tag) => e }
 
   /** Write one epoch's worth of index data (shingles/banded/members) under
     * `epoch=E` directories — mode=overwrite so a RETRIED epoch write cleans
@@ -134,27 +208,32 @@ object IncrementalDedup {
     val spark = shingled.sparkSession
     shingled.write.mode("overwrite").parquet(s"${p.shingles}/epoch=${meta.epoch}")
     val banded = bandRows(shingled, meta.numHashes, meta.bands)
+    val bandedEpoch = s"${p.banded}/epoch=${meta.epoch}"
+    banded
+      .withColumn("pb", pmod(col("bucket"), lit(meta.pbuckets)).cast("int"))
+      // co-locate each pb before the dynamic-partition write: without this
+      // every write task opens a file in every pb directory it touches (up
+      // to tasks × pbuckets tiny files per epoch), with it the write lands
+      // ~one file per pb. One small keyed shuffle of (bucket, id) buys it.
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
     // A dynamic-partitioned write of an EMPTY frame emits zero files (the
     // plain-write empty-schema-file fallback doesn't apply to partitionBy),
     // which would leave `banded/` schema-less and unreadable for an empty
-    // corpus or an all-known-texts append. Land an explicit empty,
-    // schema-bearing file under pb=0 instead.
-    if (banded.isEmpty)
-      banded.write.mode("overwrite")
-        .parquet(s"${p.banded}/epoch=${meta.epoch}/pb=0")
-    else
-      banded
-        .withColumn("pb", pmod(col("bucket"), lit(meta.pbuckets)).cast("int"))
-        .write.partitionBy("pb").mode("overwrite")
-        .parquet(s"${p.banded}/epoch=${meta.epoch}")
+    // corpus or an all-known-texts append. The check is a free FS listing,
+    // not an extra Spark job; land an explicit empty, schema-bearing file
+    // under pb=0 when it trips.
+    if (!Manifest.hasDataFiles(spark, bandedEpoch))
+      banded.limit(0).write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
     members.write.mode("overwrite").parquet(s"${p.members}/epoch=${meta.epoch}")
-    // the commit point: a single one-row file; written only after every
-    // data directory above has fully landed
-    spark.createDataFrame(Seq(
-        (meta.shingleSize, meta.numHashes, meta.bands, meta.pbuckets, tag)))
-      .toDF("shingle_size", "num_hashes", "bands", "pbuckets", "tag")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${p.params}/epoch=${meta.epoch}")
+    // the commit point: one flat manifest file, renamed into place only
+    // after every data directory above has fully landed
+    Manifest.write(spark, p.params, meta.epoch, Seq(
+      "shingle_size" -> meta.shingleSize.toString,
+      "num_hashes" -> meta.numHashes.toString,
+      "bands" -> meta.bands.toString,
+      "pbuckets" -> meta.pbuckets.toString,
+      "tag" -> tag))
   }
 
   /** Build the index from a corpus and persist it under `dir` (replacing
@@ -218,6 +297,69 @@ object IncrementalDedup {
     writeEpoch(p, fresh, members, meta.copy(epoch = meta.epoch + 1), tag)
   }
 
+  /** Merge every live epoch into ONE new compacted epoch and commit it
+    * with `base` raised past everything it absorbed — the index-lifecycle
+    * closer: streaming appends (s14) add an epoch per micro-batch, and an
+    * unboundedly growing epoch list means unboundedly growing file
+    * listings and per-epoch read overhead at 100 TB. The merge is a plain
+    * union (band rows are copied as-is, never re-hashed — reps are unique
+    * across epochs by append's left_anti, so the union IS the index) and
+    * the commit is the same manifest-last protocol as build/append: a
+    * crash mid-compaction leaves an orphan epoch that probes ignore;
+    * until the manifest rename lands, readers keep the multi-epoch view.
+    * Old epoch DATA becomes garbage, removed lazily by [[vacuumIndex]];
+    * manifest files are never deleted, so append tags — and therefore
+    * redelivery no-ops — survive compaction. Compaction does break a
+    * redelivered probe's exclude-own-tag view for epochs it absorbed
+    * (the pre-append index state no longer exists); [[incrementalPairs]]
+    * fails loudly on that instead of silently self-matching, so compact
+    * at points where redelivery of absorbed batches is impossible (stream
+    * stopped, or the batch's checkpoint commit is durable).
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val p = IndexPaths(dir)
+    val meta = readMeta(spark, p)
+    if (meta.epoch == meta.base) return // one live epoch: nothing to merge
+    val e = meta.epoch + 1
+    committed(spark.read.parquet(p.shingles), meta)
+      .select(col("__g"), col("id"), col("sh"))
+      .write.mode("overwrite").parquet(s"${p.shingles}/epoch=$e")
+    val bandedEpoch = s"${p.banded}/epoch=$e"
+    committed(spark.read.parquet(p.banded), meta)
+      .select(col("bucket"), col("id"), col("pb"))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
+    if (!Manifest.hasDataFiles(spark, bandedEpoch))
+      committed(spark.read.parquet(p.banded), meta)
+        .select(col("bucket"), col("id")).limit(0)
+        .write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
+    committed(spark.read.parquet(p.members), meta)
+      .select(col("__g"), col("id"))
+      .write.mode("overwrite").parquet(s"${p.members}/epoch=$e")
+    Manifest.write(spark, p.params, e, Seq(
+      "shingle_size" -> meta.shingleSize.toString,
+      "num_hashes" -> meta.numHashes.toString,
+      "bands" -> meta.bands.toString,
+      "pbuckets" -> meta.pbuckets.toString,
+      "tag" -> "",
+      "base" -> e.toString))
+  }
+
+  /** Delete the data directories of epochs below the compaction base —
+    * safe at any time (readers never consult them; a crash mid-vacuum
+    * just leaves some garbage for the next pass). Manifest files are
+    * kept: they carry the append tags that make redelivery a no-op.
+    */
+  def vacuumIndex(spark: SparkSession, dir: String): Unit = {
+    val p = IndexPaths(dir)
+    val meta = readMeta(spark, p)
+    (0 until meta.base).foreach { e =>
+      deleteDir(spark, s"${p.shingles}/epoch=$e")
+      deleteDir(spark, s"${p.banded}/epoch=$e")
+      deleteDir(spark, s"${p.members}/epoch=$e")
+    }
+  }
+
   /** Restrict a data read to committed epochs — uncommitted (orphan)
     * epoch directories from a failed append are pruned at the partition
     * level and never reach a probe — minus any explicitly excluded epochs
@@ -226,8 +368,9 @@ object IncrementalDedup {
     */
   private def committed(
       df: DataFrame, meta: IndexMeta, exclude: Seq[Int] = Nil): DataFrame = {
-    val base = df.where(col("epoch") <= meta.epoch)
-    if (exclude.isEmpty) base else base.where(!col("epoch").isin(exclude: _*))
+    val live =
+      df.where(col("epoch") <= meta.epoch && col("epoch") >= meta.base)
+    if (exclude.isEmpty) live else live.where(!col("epoch").isin(exclude: _*))
   }
 
   /** The probe-surface read: committed banding rows for ONLY the touched
@@ -283,6 +426,11 @@ object IncrementalDedup {
     val meta = requireParams(spark, p, shingleSize, numHashes, bands)
     val excluded =
       if (excludeTag.isEmpty) Nil else taggedEpochs(spark, p, excludeTag)
+    require(excluded.forall(_ >= meta.base),
+      s"epochs tagged '$excludeTag' were absorbed by a compaction (base = " +
+        s"${meta.base}) — the pre-append index state no longer exists, so " +
+        "this redelivered probe cannot reproduce its first-delivery view; " +
+        "compact only when redelivery of absorbed batches is impossible")
 
     // Fresh (batch) side — same collapse-first pipeline as the batch op.
     val newMembers = newBatch

@@ -137,12 +137,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     def probe3() = collectPairs(IncrementalDedup.incrementalPairs(
       spark, dir, batch3, "doc_id", "text", threshold = 0.5))
     val before = probe3()
-    // real append, then simulate the crash by deleting ONLY its commit row
+    // real append, then simulate the crash by deleting ONLY its commit file
     IncrementalDedup.appendToIndex(batchDf, "doc_id", "text", dir)
-    val p1 = Paths.get(s"$dir/params/epoch=1")
+    val p1 = Paths.get(s"$dir/params/epoch-1.properties")
     assert(Files.exists(p1), "append must have committed epoch 1")
-    Files.walk(p1).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
+    Files.delete(p1)
     assert(probe3() == before,
       "orphan epoch data reached a probe — commit protocol broken")
     assert(!before.exists(p => p._1 == 104L || p._2 == 104L),
@@ -185,5 +184,63 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(viaAppend.contains((2L, 201L, 1.0)))
     assert(viaAppend.contains((104L, 202L, 1.0)), "pairs against appended docs found")
     assert(!viaAppend.exists(p => p._1 == 203L || p._2 == 203L))
+  }
+
+  test("compact + vacuum: probe unchanged, epochs merged, old data gone") {
+    val dir = freshDir("compact")
+    IncrementalDedup.buildIndex(corpusDf, "doc_id", "text", dir)
+    IncrementalDedup.appendToIndex(batchDf, "doc_id", "text", dir)
+    val batch3 = Seq(
+      (201L, base + " again"),
+      (202L, "fresh unrelated batch document on benchmark decontamination")
+    ).toDF("doc_id", "text")
+    def probe() = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batch3, "doc_id", "text", threshold = 0.5))
+    val before = probe()
+    assert(before.nonEmpty)
+    IncrementalDedup.compactIndex(spark, dir)
+    assert(probe() == before, "compaction must not change probe output")
+    // old epoch data still on disk until vacuum; gone after, probe intact
+    assert(Files.exists(Paths.get(s"$dir/shingles/epoch=0")))
+    IncrementalDedup.vacuumIndex(spark, dir)
+    assert(!Files.exists(Paths.get(s"$dir/shingles/epoch=0")))
+    assert(!Files.exists(Paths.get(s"$dir/banded/epoch=1")))
+    assert(Files.exists(Paths.get(s"$dir/shingles/epoch=2")),
+      "compacted epoch survives vacuum")
+    assert(probe() == before, "probe intact after vacuum")
+    // compacting a single-live-epoch index is a no-op
+    IncrementalDedup.compactIndex(spark, dir)
+    assert(probe() == before)
+    // a further append on the compacted index still works
+    IncrementalDedup.appendToIndex(batch3, "doc_id", "text", dir)
+    val batch4 = Seq((301L, base + " again")).toDF("doc_id", "text")
+    val after = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batch4, "doc_id", "text", threshold = 0.5))
+    assert(after.contains((201L, 301L, 1.0)),
+      "post-compaction appends are visible to later probes")
+  }
+
+  test("crash mid-compaction (no manifest) leaves the multi-epoch view; redelivery guard fires") {
+    val dir = freshDir("compact_crash")
+    IncrementalDedup.buildIndex(corpusDf, "doc_id", "text", dir)
+    IncrementalDedup.appendToIndex(batchDf, "doc_id", "text", dir, tag = "b7")
+    val batch3 = Seq((201L, base + " again")).toDF("doc_id", "text")
+    def probe() = collectPairs(IncrementalDedup.incrementalPairs(
+      spark, dir, batch3, "doc_id", "text", threshold = 0.5))
+    val before = probe()
+    IncrementalDedup.compactIndex(spark, dir)
+    // simulate the crash: the compacted epoch's data landed but its
+    // manifest commit did not
+    Files.delete(Paths.get(s"$dir/params/epoch-2.properties"))
+    assert(probe() == before,
+      "uncommitted compaction data reached a probe — commit protocol broken")
+    // real compaction: excluding a tag absorbed below the base must fail
+    // loudly (the first-delivery view is gone), never silently self-match
+    IncrementalDedup.compactIndex(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      IncrementalDedup.incrementalPairs(
+        spark, dir, batchDf, "doc_id", "text", threshold = 0.5,
+        excludeTag = "b7")
+    }
   }
 }

@@ -104,11 +104,10 @@ class SimilaritySpec extends AnyFunSuite {
       spark, dir, batch3, "vec_id", "embedding", threshold = 0.95))
     val before = probe3()
     Similarity.appendToCosineIndex(batch, "vec_id", "embedding", dir)
-    import java.nio.file.{Files, Path, Paths}
-    val p1 = Paths.get(s"$dir/params/epoch=1")
+    import java.nio.file.{Files, Paths}
+    val p1 = Paths.get(s"$dir/params/epoch-1.properties")
     assert(Files.exists(p1), "append must have committed epoch 1")
-    Files.walk(p1).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
+    Files.delete(p1)
     assert(probe3() == before,
       "orphan epoch data reached a probe — commit protocol broken")
     Similarity.appendToCosineIndex(batch, "vec_id", "embedding", dir)
@@ -117,6 +116,18 @@ class SimilaritySpec extends AnyFunSuite {
       corpusV.unionAll(batch), "vec_id", "embedding", rebuilt)
     assert(probe3() == pairs(Similarity.incrementalCosinePairs(
       spark, rebuilt, batch3, "vec_id", "embedding", threshold = 0.95)))
+
+    // compaction lifecycle (same base-epoch protocol as the text index):
+    // merge the two live epochs, vacuum the absorbed data — probe unchanged
+    val after = probe3()
+    Similarity.compactCosineIndex(spark, dir)
+    assert(probe3() == after, "compaction must not change probe output")
+    Similarity.vacuumCosineIndex(spark, dir)
+    assert(!Files.exists(Paths.get(s"$dir/vectors/epoch=0")),
+      "vacuum removes absorbed epoch data")
+    assert(Files.exists(Paths.get(s"$dir/vectors/epoch=2")),
+      "compacted epoch survives vacuum")
+    assert(probe3() == after, "probe intact after vacuum")
   }
 
   test("multi-probe h=1 finds a planted one-plane-straddling pair single-probe misses") {
