@@ -1084,6 +1084,30 @@ object KQueries {
       spark, idxDir, batch, "doc_id", "text", threshold = 0.8))
   }
 
+  /** k24: the index LIFECYCLE — build from half the corpus, fold the rest
+    * in via append, compact the two epochs into one, vacuum the absorbed
+    * epoch data, then probe. Every step is the production loop at 100 TB
+    * (streaming appends grow the epoch list without bound; compaction +
+    * vacuum is what keeps the probe's file listing and epoch fan-in O(1)).
+    * The final probe must equal k19's single-build probe output exactly —
+    * append-equivalence is IncrementalDedupSpec's scalacheck property,
+    * compaction-equivalence is locked here by sharing k19's DuckDB oracle
+    * VERBATIM (the same trick s14 uses for the streaming loop).
+    */
+  def k24(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = incDedupFixture(spark, dir)
+    val idxDir = "target/minhash_index_compact/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    IncrementalDedup.buildIndex(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+    IncrementalDedup.appendToIndex(
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idxDir)
+    IncrementalDedup.compactIndex(spark, idxDir)
+    IncrementalDedup.vacuumIndex(spark, idxDir)
+    incPairStats(IncrementalDedup.incrementalPairs(
+      spark, idxDir, batch, "doc_id", "text", threshold = 0.8))
+  }
+
   val k19Sql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
@@ -1245,7 +1269,8 @@ object KQueries {
   // share a bucket, so recall is 1 for every oracle pair). The probe reads
   // only the batch's buckets. Oracle: brute-force cosine over corpus ∪
   // batch restricted to pairs with a batch endpoint.
-  def k21(spark: SparkSession, dir: String): DataFrame = {
+  /** The k21 corpus/batch split, shared with s15's streamed variant. */
+  def vecDedupFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // Same fixture-offset guard as k19 (ADVICE r8): planted ids at +100000.
     require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
@@ -1255,17 +1280,26 @@ object KQueries {
     val batch = emb.filter(col("vec_id") % 5 === 0)
       .unionAll(corpus.select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    (corpus, batch)
+  }
+
+  /** The k21 output shape over a (id_a, id_b, cos) pair frame. */
+  def vecPairStats(pairs: DataFrame): DataFrame = {
+    val inBatch = (c: org.apache.spark.sql.Column) =>
+      c % 5 === 0 || c >= 100000
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(inBatch(col("id_a")) =!= inBatch(col("id_b")), 1L)
+        .otherwise(0L)).as("n_cross"))
+  }
+
+  def k21(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = vecDedupFixture(spark, dir)
     val idxDir = "target/cosine_index/" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
     Similarity.buildCosineIndex(corpus, "vec_id", "embedding", idxDir)
-    val inBatch = (c: org.apache.spark.sql.Column) =>
-      c % 5 === 0 || c >= 100000
-    Similarity.incrementalCosinePairs(
-        spark, idxDir, batch, "vec_id", "embedding", threshold = 0.95)
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(inBatch(col("id_a")) =!= inBatch(col("id_b")), 1L)
-          .otherwise(0L)).as("n_cross"))
+    vecPairStats(Similarity.incrementalCosinePairs(
+      spark, idxDir, batch, "vec_id", "embedding", threshold = 0.95))
   }
 
   val k21Sql: String =
@@ -1286,6 +1320,93 @@ object KQueries {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
       |  AND ((a.vec_id % 5 = 0 OR a.vec_id >= 100000)
       |    OR (b.vec_id % 5 = 0 OR b.vec_id >= 100000))""".stripMargin
+
+  // --- K21b: multi-probe recall, value-verified (VERDICT r8 #8) -------------
+  // The k21 oracle can only certify recall on exact copies (identical
+  // vectors always share a bucket); SimilaritySpec's planted straddler
+  // proves multi-probe works on ONE constructed instance. k21b verifies the
+  // multi-probe SEMANTICS end-to-end: with axis-aligned planes the bucket
+  // is plain SQL (bit j = embedding[j+1] > 0), so DuckDB can re-derive
+  // exactly the set the h=1 probe promises — every pair with cosine >= 0.9
+  // whose buckets are within Hamming 1 (cross) or equal (within-batch).
+  // Planted batch: exact copies (Hamming 0, found at h=0) and first-
+  // coordinate sign-flips (Hamming exactly 1 — invisible to single-probe,
+  // found by multi-probe). Flips are planted only where
+  // 0.001 < |v_1| < 0.05: the comparison is on the raw stored float (no
+  // cross-engine arithmetic), v_1 != 0 makes the bit flip certain, and the
+  // pair cosine 1 - 2*v_1^2 >= 0.995 sits far from the 0.9 threshold, so
+  // no pair's membership can hinge on engine float rounding. Output
+  // proves the recall gap: n_flip > 0 pairs are in n_pairs (h=1) but not
+  // n_single (h=0).
+  def k21b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+      "k21b fixture assumes vec_id < 100000 (planted-batch id offsets); " +
+        "raise the offsets in BOTH k21b and k21bSql for this scale factor")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val v1 = abs(element_at(col("embedding"), 1))
+    val flips = corpus
+      .filter(col("vec_id") % 10 === 3 && v1 > 0.001 && v1 < 0.05)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(-element_at(col("embedding"), 1)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .unionAll(corpus.filter(col("vec_id") % 10 === 1).select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionAll(flips)
+    val idxDir = "target/cosine_index_axis/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.buildCosineIndex(
+      corpus, "vec_id", "embedding", idxDir, axisPlanes = true)
+    def probe(h: Int) = Similarity.incrementalCosinePairs(
+      spark, idxDir, batch, "vec_id", "embedding", threshold = 0.9,
+      probeHamming = h, axisPlanes = true)
+    probe(1)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("id_b") >= 200000, 1L).otherwise(0L)).as("n_flip"))
+      .crossJoin(probe(0).agg(count(lit(1)).as("n_single")))
+      .select(col("n_pairs"), col("n_single"), col("n_flip"))
+  }
+
+  val k21bSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+      |), batch AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM corpus
+      |  WHERE vec_id % 10 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 200000 AS vec_id,
+      |         [CAST(-embedding[1] AS FLOAT)] || embedding[2:] AS embedding
+      |  FROM corpus
+      |  WHERE vec_id % 10 = 3
+      |    AND abs(embedding[1]) > 0.001 AND abs(embedding[1]) < 0.05
+      |), aug AS (
+      |  SELECT vec_id, embedding, FALSE AS is_b FROM corpus
+      |  UNION ALL
+      |  SELECT vec_id, embedding, TRUE AS is_b FROM batch
+      |), hit AS (
+      |  -- the multi-probe h=1 contract: cosine-qualified pairs with a
+      |  -- batch endpoint whose axis sign-buckets (bit j = embedding[j+1]
+      |  -- > 0, j < 16) are within Hamming 1 (cross) / equal (within-batch)
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.is_b AS ab, b.is_b AS bb,
+      |         len(list_filter(range(1, 17),
+      |           i -> (a.embedding[i] > 0) <> (b.embedding[i] > 0))) AS ham
+      |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |  WHERE (a.is_b OR b.is_b)
+      |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+      |)
+      |SELECT
+      |  CAST(count(*) FILTER (WHERE (ab AND bb AND ham = 0)
+      |                           OR (ab <> bb AND ham <= 1)) AS BIGINT)
+      |    AS n_pairs,
+      |  CAST(count(*) FILTER (WHERE ham = 0) AS BIGINT) AS n_single,
+      |  CAST(count(*) FILTER (WHERE ((ab AND bb AND ham = 0)
+      |                           OR (ab <> bb AND ham <= 1))
+      |                          AND ib >= 200000) AS BIGINT) AS n_flip
+      |FROM hit""".stripMargin
 
   // --- K22: sequence packing (sample packing for training) ------------------
   // The step after corpus prep: pack documents into fixed token windows
@@ -1442,6 +1563,8 @@ object KQueries {
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
+    ("k21b_multiprobe_neardup", k21b _, Some(k21bSql)),
+    ("k24_index_compaction", k24 _, Some(k19Sql)),
     ("k22_sequence_packing", k22 _, Some(k22Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),

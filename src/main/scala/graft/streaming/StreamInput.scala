@@ -116,6 +116,14 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The k21 vector batch as 4 range-partitioned files (s15's stream). */
+  def vecsBatchDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/vecs_batch") { dir =>
+      graft.ops.KQueries.vecDedupFixture(spark, sfDir)._2
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

@@ -758,6 +758,48 @@ object StreamQueries {
       spark.read.parquet(pairsDir).select("id_a", "id_b", "jaccard"))
   }
 
+  // --- S15: streaming ingest composed with incremental VECTOR near-dedup ---
+  // s14's production loop on the embedding path: each micro-batch of the
+  // k21 vector batch is probed against the persisted sign-LSH cosine index
+  // ([[graft.ops.Similarity.incrementalCosinePairs]]) and folded in via a
+  // tagged [[graft.ops.Similarity.appendToCosineIndex]]. Identical
+  // redelivery contract to s14 — pair output overwrites its own
+  // `batch=<id>` dir, the append is a manifest-tag no-op, and the probe
+  // excludes its own tag's epochs so a replayed batch reproduces its
+  // first-delivery view. Within-set pairs across micro-batches are found
+  // through the index at exact-bucket, precisely the pairs the one-shot
+  // k21 probe finds via its within-batch arm, so the per-batch union
+  // equals the one-shot k21 output and s15 shares k21's DuckDB oracle
+  // verbatim (the s14/k19 precedent).
+  def vecDedupMicroBatch(idxDir: String, pairsDir: String)(
+      batch: DataFrame, id: Long): Unit = {
+    val pairs = graft.ops.Similarity.incrementalCosinePairs(
+      batch.sparkSession, idxDir, batch, "vec_id", "embedding",
+      threshold = 0.95, excludeTag = s"b$id")
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$id")
+    graft.ops.Similarity.appendToCosineIndex(
+      batch, "vec_id", "embedding", idxDir, tag = s"b$id")
+  }
+
+  def s15(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, _) = graft.ops.KQueries.vecDedupFixture(spark, sfDir)
+    val idxDir = StreamInput.lakeDir("s15_index", sfDir)
+    graft.ops.Similarity.buildCosineIndex(
+      corpus, "vec_id", "embedding", idxDir)
+    val pairsDir = StreamInput.lakeDir("s15_pairs", sfDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.vecsBatchDir(spark, sfDir))
+    val q = in.writeStream
+      .foreachBatch(vecDedupMicroBatch(idxDir, pairsDir) _)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s15", sfDir))
+      .start()
+    q.awaitTermination()
+    recordReplay(q)
+    graft.ops.KQueries.vecPairStats(
+      spark.read.parquet(pairsDir).select("id_a", "id_b", "cos"))
+  }
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -779,6 +821,10 @@ object StreamQueries {
     // s14 streams the k19 batch through the same probe, so the per-batch
     // union equals the one-shot k19 result and shares its oracle verbatim
     // (the s6b oracle-sharing precedent).
-    ("s14_stream_incremental_dedup", s14 _, Some(graft.ops.KQueries.k19Sql))
+    ("s14_stream_incremental_dedup", s14 _, Some(graft.ops.KQueries.k19Sql)),
+    // s15 streams the k21 vector batch through the cosine-index probe; the
+    // per-batch union equals the one-shot k21 result (same argument as
+    // s14/k19) and shares k21's oracle verbatim.
+    ("s15_stream_incremental_vec_dedup", s15 _, Some(graft.ops.KQueries.k21Sql))
   )
 }

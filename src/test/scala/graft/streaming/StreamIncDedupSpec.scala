@@ -143,4 +143,35 @@ class StreamIncDedupSpec extends AnyFunSuite {
     assert(rows.count(_ == ((4L, 104L))) == 1,
       "a pair must be emitted exactly once across the whole run")
   }
+
+  test("s15 vector loop: redelivered micro-batch is a no-op; cross-batch pair via index") {
+    import graft.ops.Similarity
+    val idxDir = freshDir("vec_redeliver_idx")
+    val pairsDir = freshDir("vec_redeliver_pairs")
+    def unit(k: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
+    val corpus = Seq((1L, unit(0)), (2L, unit(1)), (3L, unit(2)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildCosineIndex(corpus, "vec_id", "embedding", idxDir)
+    val b0 = Seq((101L, unit(0)), (102L, unit(7))).toDF("vec_id", "embedding")
+    StreamQueries.vecDedupMicroBatch(idxDir, pairsDir)(b0, 0L)
+    def pairRows() = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val first = pairRows()
+    assert(first.contains((1L, 101L)), "exact copy vs corpus found")
+    val vecs1 = spark.read.parquet(s"$idxDir/vectors").count()
+    // the crash window: same batch id delivered again
+    StreamQueries.vecDedupMicroBatch(idxDir, pairsDir)(b0, 0L)
+    assert(spark.read.parquet(s"$idxDir/vectors").count() == vecs1,
+      "redelivered append must not fold vectors in twice")
+    assert(pairRows() == first,
+      "redelivered batch must overwrite, not append, its pair output")
+    // a later batch pairs against batch 0's vectors THROUGH the index —
+    // only possible because the append survived, and exactly once
+    val b1 = Seq((201L, unit(7))).toDF("vec_id", "embedding")
+    StreamQueries.vecDedupMicroBatch(idxDir, pairsDir)(b1, 1L)
+    val rows = pairRows()
+    assert(rows.count(_ == ((102L, 201L))) == 1,
+      "cross-micro-batch vector pair found exactly once")
+  }
 }
