@@ -1302,6 +1302,32 @@ object KQueries {
       spark, idxDir, batch, "vec_id", "embedding", threshold = 0.95))
   }
 
+  /** k25: the VECTOR index lifecycle — k24's build/append/compact/vacuum/
+    * probe loop applied to the sign-LSH cosine index. Streaming vector
+    * appends (s15) grow the epoch list one per micro-batch exactly like
+    * s14 does on the text side, so the cosine index needs the same O(1)
+    * epoch-fan-in maintenance at 100 TB. Append-equivalence is
+    * deterministic here (same seeded planes, no caps), compaction copies
+    * vectors as-is (never re-buckets), and the vacuumed probe must equal
+    * k21's single-build probe output exactly — locked by sharing k21's
+    * brute-force DuckDB oracle VERBATIM (the k24/k19 precedent).
+    * SimilaritySpec additionally asserts the absorbed epoch directories
+    * are gone after vacuum and the probe's scan stays pb-pruned.
+    */
+  def k25(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = vecDedupFixture(spark, dir)
+    val idxDir = "target/cosine_index_compact/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.buildCosineIndex(
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idxDir)
+    Similarity.appendToCosineIndex(
+      corpus.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idxDir)
+    Similarity.compactCosineIndex(spark, idxDir)
+    Similarity.vacuumCosineIndex(spark, idxDir)
+    vecPairStats(Similarity.incrementalCosinePairs(
+      spark, idxDir, batch, "vec_id", "embedding", threshold = 0.95))
+  }
+
   val k21Sql: String =
     """WITH corpus AS (
       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
@@ -1565,6 +1591,7 @@ object KQueries {
     ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
     ("k21b_multiprobe_neardup", k21b _, Some(k21bSql)),
     ("k24_index_compaction", k24 _, Some(k19Sql)),
+    ("k25_vec_index_lifecycle", k25 _, Some(k21Sql)),
     ("k22_sequence_packing", k22 _, Some(k22Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
