@@ -366,6 +366,41 @@ object IncrementalDedup {
     * (a redelivered batch excluding its OWN earlier append, so the probe
     * reproduces its first-delivery output bit-for-bit).
     */
+  /** Distinct committed text-hash groups (`__g = xxhash64(text)`) — the
+    * EXACT-dedup membership surface a composed pipeline needs: a new doc
+    * whose hash is already indexed has a smaller-id predecessor with the
+    * same text in the indexed population (given the [[maxMemberId]]
+    * ordering contract), so it drops at the exact stage before the LSH
+    * probe ever sees it ([[CorpusPrep.prepareBatch]]). Column-pruned read
+    * of `members/` — one long per indexed doc, never the shingle sets.
+    */
+  def knownTextHashes(
+      spark: SparkSession, dir: String, excludeTag: String = ""): DataFrame = {
+    val p = IndexPaths(dir)
+    val meta = readMeta(spark, p)
+    val ex = if (excludeTag.isEmpty) Nil else taggedEpochs(spark, p, excludeTag)
+    committed(spark.read.parquet(p.members), meta, ex)
+      .select(col("__g")).distinct()
+  }
+
+  /** Largest id in the committed members set — the incremental-ordering
+    * high-water mark. Cross-batch precedence rules ("drop the NEWER of a
+    * duplicate pair") are only decomposable batch-by-batch when every new
+    * batch's ids exceed everything already indexed; composed pipelines
+    * `require` that against this value and fail loudly instead of
+    * silently flipping a keep/drop decision ([[CorpusPrep.prepareBatch]]).
+    * Column-pruned single-long agg over `members/`; at cluster scale the
+    * same value would ride in the epoch manifest instead of a scan.
+    */
+  def maxMemberId(
+      spark: SparkSession, dir: String, excludeTag: String = ""): Long = {
+    val p = IndexPaths(dir)
+    val meta = readMeta(spark, p)
+    val ex = if (excludeTag.isEmpty) Nil else taggedEpochs(spark, p, excludeTag)
+    committed(spark.read.parquet(p.members), meta, ex)
+      .agg(max(col("id"))).head().getLong(0)
+  }
+
   private def committed(
       df: DataFrame, meta: IndexMeta, exclude: Seq[Int] = Nil): DataFrame = {
     val live =

@@ -1170,16 +1170,23 @@ object KQueries {
     * txt) — shared by k20's stats oracle and p10's shard-materialization
     * oracle, so both gates run the IDENTICAL chain.
     */
-  val corpusPrepCtes: String = {
+  val corpusPrepCtes: String = "WITH " + corpusPrepCtesBody("documents")
+
+  /** The same chain parameterized by its source relation (k26 runs it
+    * over a hist ∪ batch CTE); `corpusPrepCtes` is exactly
+    * `"WITH " + corpusPrepCtesBody("documents")`, so the k20/p10 oracle
+    * text — and therefore their hashes — is unchanged by this refactor.
+    */
+  def corpusPrepCtesBody(src: String): String = {
     def esc(p: String) = p.replace("'", "''")
     val Seq(em, ph, ip) = Text.piiPatterns.map(_._2)
     val Seq(emR, phR, ipR) = Text.piiPatterns.map(_._3)
     val stop = Text.stopwords.map("'" + _ + "'").mkString(", ")
-    s"""WITH bench AS (
+    s"""bench AS (
        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
-       |        FROM documents WHERE doc_id % 50 = 0)
+       |        FROM $src WHERE doc_id % 50 = 0)
        |), quality AS (
        |  SELECT doc_id, lang, text FROM (
        |    SELECT doc_id, lang, text, len(w) AS n_words,
@@ -1189,7 +1196,7 @@ object KQueries {
        |             / len(w) AS stop_ratio
        |    FROM (SELECT doc_id, lang, text,
        |                 string_split_regex(trim(text), '\\s+') AS w
-       |          FROM documents WHERE doc_id % 50 <> 0))
+       |          FROM $src WHERE doc_id % 50 <> 0))
        |  WHERE n_words >= 5 AND mean_wlen BETWEEN 2.0 AND 12.0
        |    AND stop_ratio <= 0.5
        |), red AS (
@@ -1260,6 +1267,61 @@ object KQueries {
        |         AS n_tokens,
        |       CAST(sum(length(txt)) AS BIGINT) AS n_chars
        |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- K26: incremental corpus prep against a persisted state ---------------
+
+  /** k26 fixture: (hist, batch). Batch docs are the doc_id % 4 == 0 slice
+    * re-identified at +200000 — later arrival = larger id, the ordering
+    * the chain's smaller-id precedence rules need to decompose
+    * batch-by-batch ([[CorpusPrep.prepareBatch]] `require`s it). The
+    * shift preserves `doc_id % 50` (200000 % 50 == 0), so benchmark
+    * membership survives re-identification and the oracle's stage-0
+    * split stays a pure restriction of the one-shot chain's.
+    */
+  def incPrepFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+      "k26 fixture assumes doc_id < 200000 (batch id offset); raise the " +
+        "offset in BOTH incPrepFixture and k26Sql for this scale factor")
+    (docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+          col("text")))
+  }
+
+  /** k26: the COMPOSED production loop — history summarized once into a
+    * persisted prep state (post-exact MinHash index + benchmark hashes),
+    * then a new batch runs the FULL k20 chain in O(batch): quality →
+    * redact → exact (index-membership predecessor test) → near-dedup
+    * (pruned index probe) → decontaminate (state ∪ batch benchmark) →
+    * repetition filter. The oracle runs the one-shot k20 chain over
+    * hist ∪ batch and restricts to batch ids, so "incremental == full
+    * run" for the WHOLE pipeline — stage interaction included — is a
+    * green hash row, the k19-equivalence pattern lifted from one
+    * operator to the composed chain.
+    */
+  def k26(spark: SparkSession, dir: String): DataFrame = {
+    val (hist, batch) = incPrepFixture(spark, dir)
+    val stateDir = "target/prep_state/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    CorpusPrep.buildPrepState(hist, stateDir)
+    CorpusPrep.stats(CorpusPrep.prepareBatch(spark, stateDir, batch))
+  }
+
+  val k26Sql: String =
+    s"""WITH uniondocs AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, lang, text
+       |  FROM documents WHERE doc_id % 4 = 0
+       |), ${corpusPrepCtesBody("uniondocs")}
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split_regex(trim(txt), '\\s+'))) AS BIGINT)
+       |         AS n_tokens,
+       |       CAST(sum(length(txt)) AS BIGINT) AS n_chars
+       |FROM rep WHERE doc_id >= 200000
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- K21: incremental embedding near-dedup against a persisted index ------
   // k19's cross-batch shape for VECTORS ([[Similarity.incrementalCosinePairs]]):
@@ -1588,6 +1650,7 @@ object KQueries {
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
+    ("k26_incremental_corpus_prep", k26 _, Some(k26Sql)),
     ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
     ("k21b_multiprobe_neardup", k21b _, Some(k21bSql)),
     ("k24_index_compaction", k24 _, Some(k19Sql)),

@@ -124,6 +124,22 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The k26 batch's CORPUS-FLOW docs (benchmark docs are registered
+    * out-of-band before the stream — see
+    * [[graft.ops.CorpusPrep.appendBenchToState]]) as 4 id-range files:
+    * with `ensure`'s staggered mtimes, arrival order IS id order — the
+    * ordering the prep chain's smaller-id precedence rules require
+    * (s16's stream; [[graft.ops.CorpusPrep.prepareBatch]] fails loudly
+    * if it is ever violated).
+    */
+  def prepBatchDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/prep_batch") { dir =>
+      graft.ops.KQueries.incPrepFixture(spark, sfDir)._2
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

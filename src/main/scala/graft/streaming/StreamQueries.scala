@@ -800,6 +800,54 @@ object StreamQueries {
       spark.read.parquet(pairsDir).select("id_a", "id_b", "cos"))
   }
 
+  // --- S16: streaming ingest composed with incremental CORPUS PREP ---------
+  // The k26 production loop under a stream: history is summarized once
+  // into the persisted prep state, the window's benchmark docs are
+  // registered out-of-band (benchmark sets are reference data — eval
+  // suites delivered AHEAD of the corpus; decontamination is against the
+  // set as of processing time), and then every micro-batch runs the FULL
+  // k20 chain through [[graft.ops.CorpusPrep.prepareBatch]] and is folded
+  // into the state. Micro-batches arrive in id order (range files +
+  // staggered mtimes; prepareBatch fails loudly otherwise), so each
+  // doc's smaller-id precedence surface — history ∪ earlier batches ∪
+  // its own batch — is complete when it is judged, and the union of
+  // per-batch cleaned outputs equals the one-shot chain on hist ∪ batch
+  // restricted to batch ids: s16 shares k26's DuckDB oracle verbatim
+  // (the s14/k19 precedent, lifted to the whole composed pipeline).
+  // Redelivery contract as s14: cleaned output overwrites its own
+  // `batch=<id>` dir, the state append is a manifest-tag no-op, and
+  // prepareBatch excludes its own tag on all three state surfaces
+  // (membership, probe, high-water mark).
+  def prepMicroBatch(stateDir: String, cleanedDir: String)(
+      batch: DataFrame, id: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.ops.CorpusPrep.prepareBatch(
+        spark, stateDir, batch, excludeTag = s"b$id")
+      .write.mode("overwrite").parquet(s"$cleanedDir/batch=$id")
+    graft.ops.CorpusPrep.appendBatchToState(
+      spark, stateDir, batch, tag = s"b$id")
+  }
+
+  def s16(spark: SparkSession, sfDir: String): DataFrame = {
+    val (hist, batch) = graft.ops.KQueries.incPrepFixture(spark, sfDir)
+    val stateDir = StreamInput.lakeDir("s16_state", sfDir)
+    graft.ops.CorpusPrep.buildPrepState(hist, stateDir)
+    graft.ops.CorpusPrep.appendBenchToState(spark, stateDir, batch)
+    val cleanedDir = StreamInput.lakeDir("s16_cleaned", sfDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.prepBatchDir(spark, sfDir))
+    val q = in.writeStream
+      .foreachBatch(prepMicroBatch(stateDir, cleanedDir) _)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s16", sfDir))
+      .start()
+    q.awaitTermination()
+    recordReplay(q)
+    graft.ops.CorpusPrep.stats(spark.read.parquet(cleanedDir)
+      .select("doc_id", "lang", "txt"))
+  }
+
   // ------------------------------------------------------------------------
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
@@ -825,6 +873,12 @@ object StreamQueries {
     // s15 streams the k21 vector batch through the cosine-index probe; the
     // per-batch union equals the one-shot k21 result (same argument as
     // s14/k19) and shares k21's oracle verbatim.
-    ("s15_stream_incremental_vec_dedup", s15 _, Some(graft.ops.KQueries.k21Sql))
+    ("s15_stream_incremental_vec_dedup", s15 _, Some(graft.ops.KQueries.k21Sql)),
+    // s16 streams the k26 batch through the composed prep chain; the
+    // per-micro-batch union equals the one-shot k26 result (id-ordered
+    // arrival + out-of-band benchmark registration) and shares its
+    // oracle verbatim.
+    ("s16_stream_incremental_corpus_prep", s16 _,
+      Some(graft.ops.KQueries.k26Sql))
   )
 }
