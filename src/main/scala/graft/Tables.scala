@@ -23,22 +23,30 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as nanos-since-epoch LONG and truncate to a µs
-    * timestamp. DuckDB 1.0 reads the same file at full ns resolution
-    * (TIMESTAMP_NS); the fixture's ts gaps are minute-scale, so no declared
-    * query's comparison lands within 1 µs of a boundary — oracle parity holds
-    * (verified: all ts-comparing queries hash-matched in round 1).
-    *
-    * The legacy conf is the only switch for nanos reads (no per-read
-    * option), so it is set here — guarded, once per session.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (rounds 1-8)
+    * and TIMESTAMP(MICROS) (round 9+ fixture regen). Spark's vectorized
+    * reader rejects NANOS unless `nanosAsLong` maps it to LONG, so the conf
+    * is set unconditionally (it only affects NANOS-annotated columns; µs
+    * columns still read as TIMESTAMP) and the post-read dtype decides
+    * whether a nanos→µs truncation is needed. The fixture's ts gaps are
+    * minute-scale, so truncation never lands within 1 µs of a comparison
+    * boundary — oracle parity holds either way (verified round 1).
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val df = raw.schema("ts").dataType match {
+      case LongType => // ns-annotated data surfaced as nanos-since-epoch
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (µs, no tz): value-identical LTZ under the
+        // pinned UTC session; keeps every downstream comparison, oracle
+        // formulation, and canonical rendering on TimestampType.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   /** Register every table as a temp view for SQL-formulated queries. */

@@ -44,12 +44,21 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    err_path = os.path.join(out_dir, "errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     n_pass = n_fail = 0
+    # Entries that crashed in Verify surface as FAIL rows here even when they
+    # have no oracle SQL — a crashed entry must never vanish (VERDICT r9 #2).
+    for name in sorted(set(errors) - set(oracles)):
+        print(f"FAIL {name}: verify crashed: {errors[name]}")
+        n_fail += 1
     for name in sorted(oracles):
         sql = oracles[name]
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
-            print(f"FAIL {name}: no spark output")
+            msg = errors.get(name, "no spark output")
+            print(f"FAIL {name}: verify crashed: {msg}" if name in errors
+                  else f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
