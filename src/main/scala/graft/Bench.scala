@@ -279,7 +279,13 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    System.err.println(s"[bench] full artifact: $out")
+    // Timestamped copy too: the r9 full audit was clobbered when a later
+    // single-query repro run overwrote bench.json (ADVICE r9) — each run
+    // also writes an immutable bench-<epochSec>.json.
+    val stamped = java.nio.file.Paths.get(
+      "target", s"bench-${System.currentTimeMillis() / 1000}.json")
+    java.nio.file.Files.write(stamped, full.getBytes("UTF-8"))
+    System.err.println(s"[bench] full artifact: $out (copy: $stamped)")
     results.filter(_.rerun.isDefined).foreach { r =>
       System.err.println(
         f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun median " +

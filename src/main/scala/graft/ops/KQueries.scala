@@ -538,21 +538,149 @@ object KQueries {
     """SELECT count(*) AS n_pairs, true AS all_similar FROM documents
       |WHERE len(string_split_regex(trim(text), '\s+')) >= 4""".stripMargin
 
-  // --- K3 scale path: ANN top-k via sign-LSH multi-probe (rows-only) -------
+  // --- K3b: ANN probe audit, value-verified (VERDICT r9 next-round #4) -----
+  // The k21b technique applied to the ANN top-k path: with axis-aligned
+  // planes the 16-bit sign-bucket is plain SQL (bit j = v_j > 0), so DuckDB
+  // re-derives the EXACT candidate set the Hamming-band probe promises.
+  // Plants: an exact copy of the query (Hamming 0, cosine ~1 — must win the
+  // exact-cosine ranking) and a first-coordinate sign flip (Hamming exactly
+  // 1 when q_1 != 0 — visible at h=2, invisible at h=0: the multi-probe
+  // recall gap as a value, not an assumption). Every output is an integer
+  // count or a boolean derived with wide float margins; the flip is
+  // excluded from the top-1 fact because its cosine 1-2*q_1^2 can approach
+  // the copy's ~1.0 when |q_1| is small.
   def k3Ann(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999998L,
+      "k3b fixture assumes vec_id < 999998 (planted ids); raise the plant " +
+        "ids in BOTH k3Ann and k3AnnSql for this scale factor")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    Similarity.annTopK(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val aug = corpus
+      .unionByName(q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+      .unionByName(q.select(lit(999998L).as("vec_id"),
+        concat(array(-element_at(col("qvec"), 1)),
+          slice(col("qvec"), 2, 63)).as("embedding")))
+    def cands(h: Int) = Similarity.annCandidates(
+      aug, "vec_id", "embedding", q, bits = 16, maxHamming = h, axis = true)
+    val agg2 = cands(2).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("copy_h2"),
+      sum(when(col("id") === 999998L, 1L).otherwise(0L)).as("flip_h2"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val agg0 = cands(0).agg(
+      count(lit(1)).as("n_cand0"),
+      sum(when(col("id") === 999998L, 1L).otherwise(0L)).as("flip_h0"))
+    val top1 = cands(2).filter(col("id") =!= 999998L)
+      .orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_copy"))
+    agg2.crossJoin(agg0).crossJoin(top1)
   }
 
-  // --- K3 scale path #2: IVF top-k (rows-only) -----------------------------
+  val k3AnnSql: String =
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |aug AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+      |  UNION ALL SELECT 999999, qvec FROM q
+      |  UNION ALL
+      |  SELECT 999998, [CAST(-qvec[1] AS FLOAT)] || qvec[2:] FROM q
+      |),
+      |cand AS (
+      |  SELECT a.vec_id AS id,
+      |         list_cosine_similarity(a.embedding, q.qvec) AS cos,
+      |         len(list_filter(range(1, 17),
+      |           i -> (a.embedding[i] > 0) <> (q.qvec[i] > 0))) AS ham
+      |  FROM aug a CROSS JOIN q
+      |)
+      |SELECT
+      |  CAST(count(*) FILTER (WHERE ham <= 2) AS BIGINT) AS n_cand,
+      |  CAST(count(*) FILTER (WHERE ham <= 2 AND id = 999999) AS BIGINT)
+      |    AS copy_h2,
+      |  CAST(count(*) FILTER (WHERE ham <= 2 AND id = 999998) AS BIGINT)
+      |    AS flip_h2,
+      |  CAST(count(*) FILTER (WHERE ham <= 2 AND cos >= 0.9) AS BIGINT)
+      |    AS n_sim,
+      |  CAST(count(*) FILTER (WHERE ham = 0) AS BIGINT) AS n_cand0,
+      |  CAST(count(*) FILTER (WHERE ham = 0 AND id = 999998) AS BIGINT)
+      |    AS flip_h0,
+      |  (SELECT id FROM cand WHERE ham <= 2 AND id <> 999998
+      |   ORDER BY cos DESC, id LIMIT 1) = 999999 AS top1_is_copy
+      |FROM cand""".stripMargin
+
+  // --- K3c: IVF probe audit, value-verified (VERDICT r9 next-round #4) -----
+  // The k-means quantizer is the only part of the IVF path SQL can't
+  // re-derive — so the audit seeds the quantizer with 16 NAMED corpus
+  // vectors (vec_id 1..16) via ivfBuildFixed and rides the production
+  // machinery from there: nearest-centroid assignment (the exact ivfAdd
+  // criterion), query-to-centroid list ranking, nProbe pruning, exact
+  // cosine on the probed fraction. The planted query copy enters through
+  // ivfAdd (the incremental insert path); with unit-norm fixture vectors
+  // argmin-euclidean == argmax-cosine, so it must land in the #1 probe
+  // list and win the ranking. DuckDB re-derives every list assignment and
+  // the probe set exactly.
   def k3Ivf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999999L,
+      "k3c fixture assumes vec_id < 999999 (planted id); raise the plant " +
+        "id in BOTH k3Ivf and k3IvfSql for this scale factor")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    Similarity.ivfTopK(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, k = 10)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val centroids = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("list_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val index = Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids)
+    val withPlant = Similarity.ivfAdd(index,
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding")
+    val probed = Similarity.ivfProbedCandidates(withPlant, q, nProbe = 4)
+    val agg = probed.agg(
+      count(lit(1)).as("n_probed"),
+      sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("planted_probed"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val top1 = probed.orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_planted"))
+    agg.crossJoin(top1)
   }
+
+  val k3IvfSql: String =
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) AS list_id,
+      |         CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+      |  UNION ALL SELECT 999999, qvec FROM q),
+      |scored AS (
+      |  SELECT v.vec_id, v.embedding, c.list_id,
+      |         list_dot_product(c.c, c.c)
+      |           - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+      |           AS d
+      |  FROM corpus v CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT vec_id, embedding, list_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY d, list_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probe AS (
+      |  SELECT list_id FROM (
+      |    SELECT c.list_id,
+      |           row_number() OVER (
+      |             ORDER BY list_cosine_similarity(
+      |               c.c, CAST(q.qvec AS DOUBLE[])) DESC, c.list_id) AS rn
+      |    FROM cent c CROSS JOIN q) WHERE rn <= 4),
+      |probed AS (
+      |  -- float arrays on both sides, mirroring Spark's cosine_sim(v, qvec)
+      |  SELECT a.vec_id AS id,
+      |         list_cosine_similarity(a.embedding, q.qvec) AS cos
+      |  FROM assigned a JOIN probe USING (list_id) CROSS JOIN q)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_probed,
+      |  CAST(count(*) FILTER (WHERE id = 999999) AS BIGINT) AS planted_probed,
+      |  CAST(count(*) FILTER (WHERE cos >= 0.9) AS BIGINT) AS n_sim,
+      |  (SELECT id FROM probed ORDER BY cos DESC, id LIMIT 1) = 999999
+      |    AS top1_is_planted
+      |FROM probed""".stripMargin
 
   // --- K3 recall gate: ANN/IVF quality, driver-checked (VERDICT r2 #7) -----
   // The approximate top-k paths get a hard driver-checked quality number:
@@ -1665,8 +1793,8 @@ object KQueries {
     ("k_langid", kLangid _, Some(kLangidSql)),
     ("k9_ngram_jaccard", k9 _, Some(k9Sql)),
     ("k_fingerprint_sketch", kFingerprint _, Some(kFingerprintSql)),
-    ("k3_ann_topk", k3Ann _, None),
-    ("k3_ivf_topk", k3Ivf _, None),
+    ("k3b_ann_audit", k3Ann _, Some(k3AnnSql)),
+    ("k3c_ivf_audit", k3Ivf _, Some(k3IvfSql)),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),

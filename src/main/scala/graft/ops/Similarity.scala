@@ -67,6 +67,36 @@ object Similarity {
     * probes poorly; near-identical vectors probe at ~1) — measured
     * honestly in SimilaritySpec rather than assumed.
     */
+  /** The probe's candidate set: corpus rows whose sign-bucket is within
+    * `maxHamming` bits of the query's, with the exact cosine paid only on
+    * those. Exposed separately from [[annTopK]] so an oracle-gated audit
+    * (k3b) can count/inspect the exact set the probe promises — with
+    * `axis = true` the bucket is plain SQL (bit j = v_j > 0), so DuckDB
+    * re-derives this frame exactly (the k21b technique).
+    */
+  def annCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame, // single row, column "qvec"
+      bits: Int = 8,
+      maxHamming: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L,
+      axis: Boolean = false): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits, dim, seed, axis).as("bucket"))
+    val q = query.select(
+      col("qvec"), signBucket(col("qvec"), bits, dim, seed, axis).as("qbucket"))
+    bucketed
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= maxHamming)
+      .select(
+        col("id"),
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+  }
+
   def annTopK(
       df: DataFrame,
       idCol: String,
@@ -76,21 +106,11 @@ object Similarity {
       bits: Int = 8,
       maxHamming: Int = 2,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits, dim, seed).as("bucket"))
-    val q = query.select(
-      col("qvec"), signBucket(col("qvec"), bits, dim, seed).as("qbucket"))
-    bucketed
-      .crossJoin(broadcast(q))
-      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= maxHamming)
-      .select(
-        col("id"),
-        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+      seed: Long = 42L): DataFrame =
+    annCandidates(df, idCol, vecCol, query, bits, maxHamming, dim, seed)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
-  }
 
   /** K3 scale path #2: IVF (inverted-file) top-k.
     *
@@ -148,35 +168,70 @@ object Similarity {
     * inverted lists. The quantizer drifts only as the data distribution
     * does; periodic rebuilds are a maintenance job, not an ingest cost.
     */
-  def ivfAdd(
-      index: IvfIndex,
+  /** Nearest-centroid assignment — the k-means criterion [[ivfAdd]] and
+    * [[ivfBuildFixed]] share: argmin squared euclidean, ties to the lower
+    * list id. ||v - c||² = ||v||² − 2·v·c + ||c||²; ||v||² is constant per
+    * row, so ranking by (||c||² − 2·v·c) is the same order — two codegen'd
+    * dots, never a driver-side loop.
+    */
+  private def assignToNearest(
       rows: DataFrame,
       idCol: String,
-      vecCol: String): IvfIndex = {
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ||v - c||² = ||v||² − 2·v·c + ||c||²; ||v||² is constant per row, so
-    // ranking by (||c||² − 2·v·c) is the same order — two codegen'd dots
     val v = col("v").cast("array<double>")
     val score =
       GraftFunctions.dot_product(col("centroid"), col("centroid")) -
         lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
     val w = Window.partitionBy("id").orderBy(col("__d"), col("list_id"))
-    val newAssigned = rows
+    rows
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(index.centroids))
+      .crossJoin(broadcast(centroids))
       .withColumn("__d", score)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("id"), col("v"), col("list_id"))
-    IvfIndex(index.assigned.unionByName(newAssigned), index.centroids)
   }
 
-  /** Probe a built index: rank lists by query-to-centroid cosine, pay the
-    * exact cosine only on the `nProbe` nearest lists. */
-  def ivfProbe(
+  /** Incremental insert WITHOUT refitting the quantizer — how IVF absorbs
+    * new data in production: assign each new vector to its nearest centroid
+    * by squared euclidean distance (the k-means criterion, so the result
+    * matches what `model.transform` would have assigned), union into the
+    * inverted lists. The quantizer drifts only as the data distribution
+    * does; periodic rebuilds are a maintenance job, not an ingest cost.
+    */
+  def ivfAdd(
+      index: IvfIndex,
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String): IvfIndex =
+    IvfIndex(
+      index.assigned.unionByName(
+        assignToNearest(rows, idCol, vecCol, index.centroids)),
+      index.centroids)
+
+  /** Build an IVF index from FIXED caller-supplied centroids instead of a
+    * k-means fit — `centroids` must be a small (list_id: int, centroid:
+    * array<double>) frame. Assignment rides the exact [[ivfAdd]] criterion,
+    * so the index behaves identically to a fitted one at probe time. This
+    * is what makes an IVF audit oracle-able (k3c): seed the quantizer with
+    * corpus vectors the oracle can name, and DuckDB re-derives every list
+    * assignment.
+    */
+  def ivfBuildFixed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): IvfIndex =
+    IvfIndex(assignToNearest(df, idCol, vecCol, centroids), centroids)
+
+  /** All rows in the `nProbe` nearest lists, with their exact query cosine —
+    * the set [[ivfProbe]] ranks. Exposed so an audit can count membership
+    * (integer-exact) instead of trusting the approximate top-k blindly. */
+  def ivfProbedCandidates(
       index: IvfIndex,
       query: DataFrame, // single row, column "qvec"
-      k: Int,
       nProbe: Int = 4): DataFrame = {
     val probeLists = query
       .crossJoin(broadcast(index.centroids))
@@ -192,10 +247,20 @@ object Similarity {
       .crossJoin(broadcast(query))
       .select(
         col("id"),
-        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+  }
+
+  /** Probe a built index: rank lists by query-to-centroid cosine, pay the
+    * exact cosine only on the `nProbe` nearest lists. */
+  def ivfProbe(
+      index: IvfIndex,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      nProbe: Int = 4): DataFrame =
+    ivfProbedCandidates(index, query, nProbe)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
-  }
 
   /** One-shot convenience: build + probe (the declared-query form). */
   def ivfTopK(
@@ -222,7 +287,11 @@ object Similarity {
     */
   final case class CosineIndexMeta(
       bits: Int, dim: Int, seed: Long, pbuckets: Int, epoch: Int,
-      axis: Boolean = false, base: Int = 0)
+      axis: Boolean = false, base: Int = 0, epochs: Seq[Int] = Nil) {
+    /** Exact committed-and-live epoch set — see [[IncrementalDedup.IndexMeta.live]]. */
+    def live: Seq[Int] =
+      (if (epochs.isEmpty) (base to epoch) else epochs.filter(_ >= base))
+  }
 
   /** Persist the sign-LSH dedup index for a vector corpus: one
     * `(bucket, id, v)` row per vector (sign-LSH buckets once per vector —
@@ -309,22 +378,14 @@ object Similarity {
   private def requireCosineParams(
       spark: org.apache.spark.sql.SparkSession, p: CosineIndexPaths,
       bits: Int, dim: Int, seed: Long, axis: Boolean): CosineIndexMeta = {
-    val rows = IncrementalDedup.Manifest.read(spark, p.params)
-    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
-    val consts = rows.map { case (_, kv) =>
-      (kv("bits").toInt, kv("dim").toInt, kv("seed").toLong,
-        kv("pbuckets").toInt, kv.getOrElse("axis", "false").toBoolean)
-    }.distinct
-    require(consts.length == 1,
-      s"manifest at ${p.params} carries conflicting build parameters: " +
-        consts.mkString(", "))
-    val (b, d, s, pb, ax) = consts.head
-    require((b, d, s, ax) == ((bits, dim, seed, axis)),
+    val meta = cosineMetaFromManifest(spark, p)
+    require((meta.bits, meta.dim, meta.seed, meta.axis) ==
+        ((bits, dim, seed, axis)),
       s"index at ${p.dir} was built with (bits, dim, seed, axis) = " +
-        s"(${b}, ${d}, ${s}, ${ax}), called with ($bits, $dim, $seed, $axis) " +
+        s"(${meta.bits}, ${meta.dim}, ${meta.seed}, ${meta.axis}), called " +
+        s"with ($bits, $dim, $seed, $axis) " +
         "— mismatched hyperplanes would silently miss near-duplicates")
-    CosineIndexMeta(b, d, s, pb, rows.map(_._1).max, ax,
-      rows.map(_._2.getOrElse("base", "0").toInt).max)
+    meta
   }
 
   /** Fold a deduped batch into the index: bucket with the STORED planes,
@@ -346,8 +407,9 @@ object Similarity {
     val spark = rows.sparkSession
     val meta = requireCosineParams(spark, p, bits, dim, seed, axisPlanes)
     if (tag.nonEmpty && cosineCommittedTags(spark, p).contains(tag)) return
-    writeCosineEpoch(p, rows, idCol, vecCol,
-      meta.copy(epoch = meta.epoch + 1), tag)
+    // claim BEFORE any data write — see IncrementalDedup.Manifest.claimEpoch
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
+    writeCosineEpoch(p, rows, idCol, vecCol, meta.copy(epoch = e), tag)
   }
 
   /** All buckets within Hamming distance ≤ h of `bucket` (h ∈ {0, 1}
@@ -368,10 +430,11 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, p: CosineIndexPaths,
       meta: CosineIndexMeta, touchedPb: Seq[Int],
       exclude: Seq[Int] = Nil): DataFrame = {
-    val live = spark.read.parquet(p.vectors)
-      .where(col("epoch") <= meta.epoch && col("epoch") >= meta.base &&
-        col("pb").isin(touchedPb: _*))
-    (if (exclude.isEmpty) live else live.where(!col("epoch").isin(exclude: _*)))
+    // exact committed set, not base..epoch — a concurrent claimer that
+    // died mid-append leaves data inside the range with no manifest row
+    val keep = meta.live.filterNot(exclude.contains(_))
+    spark.read.parquet(p.vectors)
+      .where(col("epoch").isin(keep: _*) && col("pb").isin(touchedPb: _*))
       .select(col("bucket"), col("id"), col("v"))
   }
 
@@ -383,16 +446,17 @@ object Similarity {
   def compactCosineIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val p = CosineIndexPaths(dir)
-    val rows = IncrementalDedup.Manifest.read(spark, p.params)
-    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
-    val kv = rows.last._2
-    val (epoch, base) = (rows.map(_._1).max,
-      rows.map(_._2.getOrElse("base", "0").toInt).max)
-    if (epoch == base) return // one live epoch: nothing to merge
-    val e = epoch + 1
+    // through the validated accessor (distinct-consistency checked), not
+    // rows.last — a hand-edited drifting manifest fails loudly here too
+    // (VERDICT r9 wrong #3)
+    val meta = cosineMetaFromManifest(spark, p)
+    if (meta.epoch == meta.base) return // one live epoch: nothing to merge
+    // claimed, not read-max+1 — compaction is a writer too (same contract
+    // note as IncrementalDedup.compactIndex)
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
     val epochDir = s"${p.vectors}/epoch=$e"
     val live = spark.read.parquet(p.vectors)
-      .where(col("epoch") <= epoch && col("epoch") >= base)
+      .where(col("epoch").isin(meta.live: _*))
       .select(col("bucket"), col("id"), col("v"), col("pb"))
     live.repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(epochDir)
@@ -400,10 +464,33 @@ object Similarity {
       live.select(col("bucket"), col("id"), col("v")).limit(0)
         .write.mode("overwrite").parquet(s"$epochDir/pb=0")
     IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
-      "bits" -> kv("bits"), "dim" -> kv("dim"), "seed" -> kv("seed"),
-      "pbuckets" -> kv("pbuckets"),
-      "axis" -> kv.getOrElse("axis", "false"),
+      "bits" -> meta.bits.toString, "dim" -> meta.dim.toString,
+      "seed" -> meta.seed.toString,
+      "pbuckets" -> meta.pbuckets.toString,
+      "axis" -> meta.axis.toString,
       "base" -> e.toString))
+  }
+
+  /** Validated manifest read WITHOUT caller-parameter checking — for
+    * maintenance operations (compact/vacuum) that must work with whatever
+    * parameters the index was built with.
+    */
+  private def cosineMetaFromManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      p: CosineIndexPaths): CosineIndexMeta = {
+    val rows = IncrementalDedup.Manifest.read(spark, p.params)
+    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
+    val consts = rows.map { case (_, kv) =>
+      (kv("bits").toInt, kv("dim").toInt, kv("seed").toLong,
+        kv("pbuckets").toInt, kv.getOrElse("axis", "false").toBoolean)
+    }.distinct
+    require(consts.length == 1,
+      s"manifest at ${p.params} carries conflicting build parameters: " +
+        consts.mkString(", "))
+    val (b, d, s, pb, ax) = consts.head
+    CosineIndexMeta(b, d, s, pb, rows.map(_._1).max, ax,
+      rows.map(_._2.getOrElse("base", "0").toInt).max,
+      rows.map(_._1))
   }
 
   /** Delete vector data of epochs below the compaction base (manifest
@@ -418,6 +505,8 @@ object Similarity {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0 until base).foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${p.vectors}/epoch=$e"), true)
+      // spent claim markers go too; manifest .properties stay (tags)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.params}/epoch-$e.claim"), false)
     }
   }
 

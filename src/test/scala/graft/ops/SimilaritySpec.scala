@@ -125,7 +125,11 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.vacuumCosineIndex(spark, dir)
     assert(!Files.exists(Paths.get(s"$dir/vectors/epoch=0")),
       "vacuum removes absorbed epoch data")
-    assert(Files.exists(Paths.get(s"$dir/vectors/epoch=2")),
+    // the compacted epoch number is CLAIMED, not read-max+1 (the retried
+    // append above left a spent claim), so derive it from the manifest
+    val compacted = IncrementalDedup.Manifest.read(
+      spark, s"$dir/params").map(_._1).max
+    assert(Files.exists(Paths.get(s"$dir/vectors/epoch=$compacted")),
       "compacted epoch survives vacuum")
     assert(probe3() == after, "probe intact after vacuum")
   }
