@@ -35,15 +35,22 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read non-adjusted (NTZ-annotated) µs/ms timestamps as TimestampType
+    // AT THE SCAN rather than casting after: under the pinned UTC session
+    // the values are identical, but a post-scan cast would sit between ts
+    // predicates and the parquet reader and block pushdown — at 100 TB the
+    // difference between pruning row groups on a time filter and reading
+    // them all.
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val df = raw.schema("ts").dataType match {
       case LongType => // ns-annotated data surfaced as nanos-since-epoch
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (µs, no tz): value-identical LTZ under the
-        // pinned UTC session; keeps every downstream comparison, oracle
-        // formulation, and canonical rendering on TimestampType.
+      case _ => // NTZ fallback (a scan cached before the conf flip):
+        // value-identical LTZ cast under the pinned UTC session
         raw.withColumn("ts", col("ts").cast(TimestampType))
     }
     df.select("event_id", "ts", "user_id", "event_type", "value", "props")
