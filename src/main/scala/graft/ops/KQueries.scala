@@ -292,6 +292,40 @@ object KQueries {
       |       CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- K27: multimodal → embedding → near-dedup (the composed pipeline) ----
+  // The K7 surface stops being a passthrough here: opaque media payloads go
+  // through the encoder seam (Multimodal.embedMedia — a typed mapPartitions
+  // batch, stub projection standing in for a real model forward pass) and
+  // the resulting unit vectors ride the PRODUCTION sign-LSH near-dup tier
+  // (Similarity.cosinePairs). The oracle needs no embedding arithmetic:
+  // byte-identical payloads embed identically (cos 1) and distinct payloads
+  // land near-orthogonal at dim 64, so the ≥0.95 pair set IS the exact
+  // payload-duplicate pair set — which DuckDB derives from text equality
+  // (the payload is the UTF-8 encoding of text, k7's mapping).
+  def k27(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Multimodal.embedMedia(
+      spark, Multimodal.asMedia(t(spark, dir, "documents")))
+    val pairs = Similarity
+      .cosinePairs(emb, "doc_id", "embedding", threshold = 0.95)
+      .localCheckpoint(true) // two aggregates below; embed+LSH runs once
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(
+        pairs.select(explode(array(col("id_a"), col("id_b"))).as("d"))
+          .agg(countDistinct(col("d")).as("n_dup_docs")))
+  }
+
+  val k27Sql: String =
+    """WITH p AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id < b.doc_id AND a.text = b.text
+      |)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+      |  (SELECT CAST(count(DISTINCT d) AS BIGINT)
+      |   FROM (SELECT ia AS d FROM p UNION ALL SELECT ib FROM p))
+      |    AS n_dup_docs""".stripMargin
+
   // --- K8: text quality filters --------------------------------------------
   def k8(spark: SparkSession, dir: String): DataFrame =
     Text.withQualityMetrics(t(spark, dir, "documents"), "text")
@@ -633,6 +667,41 @@ object KQueries {
       q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
       "vec_id", "embedding")
     val probed = Similarity.ivfProbedCandidates(withPlant, q, nProbe = 4)
+    val agg = probed.agg(
+      count(lit(1)).as("n_probed"),
+      sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("planted_probed"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val top1 = probed.orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_planted"))
+    agg.crossJoin(top1)
+  }
+
+  // --- K3d: PERSISTED IVF probe audit — k3c's contract must survive the
+  // index going to rest. Same fixed seed-vector quantizer, but the corpus
+  // is saved via saveIvfIndex (assigned/epoch=E/list_id=L physical layout),
+  // the planted copy enters through appendToIvfIndex (the persisted
+  // incremental path: claim → assign with the STORED centroids → commit),
+  // and the probe reads only `list_id IN (...)` from storage. The oracle is
+  // k3c's verbatim: a probe against the persisted index must value-match
+  // the in-memory one exactly, and DuckDB re-derives both.
+  def k3IvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999999L,
+      "k3d fixture assumes vec_id < 999999 (planted id); raise the plant " +
+        "id in BOTH k3IvfPersisted and k3IvfSql for this scale factor")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val centroids = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("list_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val idxDir = "target/ivf_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids), idxDir)
+    Similarity.appendToIvfIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir)
+    val probed = Similarity.ivfProbedCandidatesPersisted(spark, idxDir, q, nProbe = 4)
     val agg = probed.agg(
       count(lit(1)).as("n_probed"),
       sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("planted_probed"),
@@ -1789,12 +1858,14 @@ object KQueries {
     ("k4_vector_math", k4 _, Some(k4Sql)),
     ("k6_sentiment", k6 _, Some(k6Sql)),
     ("k7_multimodal_stats", k7 _, Some(k7Sql)),
+    ("k27_media_embed_dedup", k27 _, Some(k27Sql)),
     ("k8_quality_filters", k8 _, Some(k8Sql)),
     ("k_langid", kLangid _, Some(kLangidSql)),
     ("k9_ngram_jaccard", k9 _, Some(k9Sql)),
     ("k_fingerprint_sketch", kFingerprint _, Some(kFingerprintSql)),
     ("k3b_ann_audit", k3Ann _, Some(k3AnnSql)),
     ("k3c_ivf_audit", k3Ivf _, Some(k3IvfSql)),
+    ("k3d_ivf_persisted", k3IvfPersisted _, Some(k3IvfSql)),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),

@@ -84,6 +84,39 @@ object Multimodal {
       .withColumn("frame_bytes", length(col("frame")))
   }
 
+  /** Media payload → dense unit embedding (dim 64): the encoder bridge
+    * between the multimodal surface and the vector-dedup/ANN tier — the
+    * composed shape a production pipeline runs (decode → embed →
+    * sign-LSH near-dedup, see k27). Per-partition typed iteration, the
+    * exact seam a real CLIP/wav2vec encoder batch would plug into.
+    *
+    * STUB NOTE: the "encoder" is a deterministic seeded byte-hash
+    * projection (MurmurHash3 of the payload per dimension, normalized).
+    * It preserves the one property the downstream contract needs and the
+    * k27 oracle checks: byte-identical payloads embed identically
+    * (cosine 1), distinct payloads land near-orthogonal (cosine ≈ 0 at
+    * dim 64), so near-dup pairs over these embeddings ARE the exact
+    * payload-dup pairs.
+    */
+  def embedMedia(spark: SparkSession, media: DataFrame, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { cells =>
+        cells.map { case (id, bytes) =>
+          // ---- STUB: a real encoder forward pass replaces this ----
+          val raw = Array.tabulate(dim) { j =>
+            scala.util.hashing.MurmurHash3.bytesHash(bytes, j).toFloat /
+              Int.MaxValue.toFloat
+          }
+          val norm = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+          (id, raw.map(x => if (norm == 0f) 0f else x / norm))
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
   /** Per-partition decode/feature-extract over the opaque payloads.
     * Iterates cells in partition-sized batches exactly as a codec UDF
     * would; the feature computation is the deterministic stub.

@@ -274,6 +274,127 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(df, idCol, vecCol, nLists, seed), query, k, nProbe)
 
+  // --- Persisted IVF index (the production shape for ANN at rest) ---------
+
+  final case class IvfIndexPaths(dir: String) {
+    val assigned = s"$dir/assigned"
+    val centroids = s"$dir/centroids"
+    val params = s"$dir/params"
+  }
+
+  /** Persist a built IVF index: `assigned/epoch=E/list_id=L/` is PHYSICALLY
+    * partitioned by inverted list, so a probe's `list_id IN (...)` prunes
+    * storage partitions and reads only the probed fraction of the corpus —
+    * the IVF promise made real at rest, exactly as the sign-LSH index does
+    * with `pb` ([[buildCosineIndex]]). Same manifest-last commit protocol
+    * and epoch-claim multi-writer guard as every other index here; the
+    * (model-sized) centroid frame is rewritten per epoch under
+    * `centroids/epoch=E` so a reader at any committed epoch sees the
+    * quantizer that indexed it.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    val p = IvfIndexPaths(dir)
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val nLists = index.centroids.count()
+    writeIvfEpoch(p, index, epoch = 0, nLists)
+  }
+
+  /** Assign a new batch to its nearest centroids (the [[ivfAdd]] criterion,
+    * quantizer NOT refit) and commit it as a new epoch — the incremental
+    * ingest path, persisted. Claim-before-write: concurrent appenders land
+    * on distinct epochs (see [[IncrementalDedup.Manifest.claimEpoch]]).
+    */
+  def appendToIvfIndex(
+      rows: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = rows.sparkSession
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, nLists, _) = ivfManifest(spark, p)
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
+    writeIvfEpoch(p,
+      IvfIndex(assignToNearest(rows, idCol, vecCol, centroids), centroids),
+      e, nLists)
+  }
+
+  private def writeIvfEpoch(
+      p: IvfIndexPaths, index: IvfIndex, epoch: Int, nLists: Long): Unit = {
+    val spark = index.assigned.sparkSession
+    val epochDir = s"${p.assigned}/epoch=$epoch"
+    index.assigned
+      // co-locate each list before the dynamic-partition write (same
+      // small-files fix as the other index writers)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+      index.assigned.drop("list_id").limit(0)
+        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    index.centroids.coalesce(1)
+      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$epoch")
+    IncrementalDedup.Manifest.write(spark, p.params, epoch, Seq(
+      "n_lists" -> nLists.toString))
+  }
+
+  /** (max committed epoch, nLists, committed epoch set). */
+  private def ivfManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      p: IvfIndexPaths): (Int, Long, Seq[Int]) = {
+    val rows = IncrementalDedup.Manifest.read(spark, p.params)
+    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
+    val nLists = rows.map(_._2("n_lists").toLong).distinct
+    require(nLists.length == 1,
+      s"manifest at ${p.params} carries conflicting n_lists: $nLists")
+    (rows.map(_._1).max, nLists.head, rows.map(_._1))
+  }
+
+  /** The probed candidate read against the PERSISTED index: rank the
+    * stored centroids, then read only `list_id IN (...)` across committed
+    * epochs — both `epoch` and `list_id` are partition columns, so the
+    * scan's PartitionFilters prove the pruned read (plan-locked in
+    * SimilaritySpec). Package-visible split from [[ivfProbePersisted]] so
+    * the spec and audits can count the candidate set.
+    */
+  private[ops] def ivfProbedCandidatesPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: DataFrame, // single row, column "qvec"
+      nProbe: Int = 4): DataFrame = {
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val probeIds = query
+      .crossJoin(broadcast(centroids))
+      .select(col("list_id"),
+        GraftFunctions.cosine_sim(
+          col("centroid"), col("qvec").cast("array<double>")).as("csim"))
+      .orderBy(col("csim").desc, col("list_id"))
+      .limit(nProbe)
+      .select("list_id")
+      .collect().map(_.getInt(0)).toSeq // nProbe ints: probe metadata, not data
+    spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(epochs: _*) && col("list_id").isin(probeIds: _*))
+      .crossJoin(broadcast(query))
+      .select(
+        col("id"),
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+  }
+
+  /** Top-k against the persisted index. Equals [[ivfProbe]] over the same
+    * logical index content (spec-locked), but reads only the probed lists
+    * from storage.
+    */
+  def ivfProbePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: DataFrame,
+      k: Int,
+      nProbe: Int = 4): DataFrame =
+    ivfProbedCandidatesPersisted(spark, dir, query, nProbe)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+
   // --- Incremental embedding near-dedup (K21 — k19's pattern for vectors) --
 
   final case class CosineIndexPaths(dir: String) {

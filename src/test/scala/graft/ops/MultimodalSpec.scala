@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private lazy val media =
-    Multimodal.asMedia(Tables.load(spark, TestSpark.sf, "documents"))
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+  private lazy val media = Multimodal.asMedia(docs)
 
   test("media struct has the canonical {data BINARY, mime STRING, meta MAP} shape") {
     val mediaField = media.schema("media").dataType.asInstanceOf[StructType]
@@ -77,5 +77,33 @@ class MultimodalSpec extends AnyFunSuite {
       .schema("doc_id LONG, mime STRING").csv(dir)
     assert(back.count() == src.count())
     assert(back.exceptAll(src).isEmpty)
+  }
+
+  test("embedMedia (stub encoder): unit vectors, payload-determined, distinct payloads separate") {
+    // the three properties the k27 media→embedding→near-dedup oracle
+    // relies on: unit norm, byte-identical payloads embed identically,
+    // distinct payloads land far from the 0.95 pair threshold
+    val emb = Multimodal.embedMedia(spark, media)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.valuesIterator.forall { v =>
+      math.abs(v.foldLeft(0.0)((a, x) => a + x.toDouble * x) - 1.0) < 1e-5
+    }, "embeddings must be unit-norm")
+    val again = Multimodal.embedMedia(spark, media).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.keySet == again.keySet &&
+      rows.forall { case (k, v) => v.sameElements(again(k)) },
+      "encoder must be deterministic")
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = rows.keySet.toSeq.sorted.take(40)
+    for (a <- ids; b <- ids if a < b) {
+      val c = cos(rows(a), rows(b))
+      if (texts(a) == texts(b))
+        assert(c > 0.9999, s"equal payloads ($a,$b) must embed identically")
+      else assert(c < 0.9, s"distinct payloads ($a,$b) too close: $c")
+    }
   }
 }

@@ -239,4 +239,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("id")).toSeq
     assert(run() == run())
   }
+
+  test("persisted IVF probe == in-memory probe; scan pruned to list_id IN (...)") {
+    val dir = freshDir("ivf_persist")
+    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
+    Similarity.saveIvfIndex(index, dir)
+    // persistence must not change the answer
+    val mem = Similarity.ivfProbe(index, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = Similarity.ivfProbePersisted(spark, dir, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mem == disk, s"persisted probe drifted: $disk != $mem")
+    // and the storage read is PHYSICALLY pruned: list_id + epoch are
+    // partition columns and both appear under the scan's PartitionFilters
+    val plan = Similarity.ivfProbedCandidatesPersisted(spark, dir, query)
+      .queryExecution.executedPlan.toString
+    val pf = plan.substring(plan.indexOf("PartitionFilters"))
+    assert(pf.contains("list_id#") && (pf.contains(" IN ") || pf.contains("INSET")),
+      s"list_id IN (...) not under PartitionFilters:\n$pf")
+    assert(pf.contains("epoch#"), s"epoch bound not under PartitionFilters:\n$pf")
+
+    // incremental append via the persisted path: a planted copy of the
+    // query must land in the #1 probe list and win the ranking
+    Similarity.appendToIvfIndex(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", dir)
+    val top = Similarity.ivfProbePersisted(spark, dir, query, k = 1)
+      .collect().head.getLong(0)
+    assert(top == 999999L, s"appended exact copy must probe at rank 1, got $top")
+  }
 }
