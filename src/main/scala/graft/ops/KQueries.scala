@@ -641,6 +641,70 @@ object KQueries {
       |   ORDER BY cos DESC, id LIMIT 1) = 999999 AS top1_is_copy
       |FROM cand""".stripMargin
 
+  // --- K3e: ANN top-k served from the PERSISTED sign-LSH index -------------
+  // k3b proves the in-memory probe; k3e proves the same contract when the
+  // index is at rest: axis-plane cosine index on disk, plants entering via
+  // appendToCosineIndex (claim → bucket with STORED planes → commit), and
+  // the probe reading only the Hamming-1 neighborhood's pb partitions
+  // (prunedVectors — the spec-locked pruned scan). Facts mirror k3b at
+  // h=1; DuckDB re-derives the candidate set from the stored floats.
+  def k3eAnnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999998L,
+      "k3e fixture assumes vec_id < 999998 (planted ids); raise the plant " +
+        "ids in BOTH k3eAnnPersisted and k3eSql for this scale factor")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idxDir = "target/cosine_index_serve/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.buildCosineIndex(
+      corpus, "vec_id", "embedding", idxDir, axisPlanes = true)
+    Similarity.appendToCosineIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding"))
+        .unionByName(q.select(lit(999998L).as("vec_id"),
+          concat(array(-element_at(col("qvec"), 1)),
+            slice(col("qvec"), 2, 63)).as("embedding"))),
+      "vec_id", "embedding", idxDir, axisPlanes = true)
+    val cands = Similarity.annCandidatesFromCosineIndex(
+      spark, idxDir, q, probeHamming = 1, axisPlanes = true)
+    val agg = cands.agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("copy_in"),
+      sum(when(col("id") === 999998L, 1L).otherwise(0L)).as("flip_in"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val top1 = cands.filter(col("id") =!= 999998L)
+      .orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_copy"))
+    agg.crossJoin(top1)
+  }
+
+  val k3eSql: String =
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |aug AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+      |  UNION ALL SELECT 999999, qvec FROM q
+      |  UNION ALL
+      |  SELECT 999998, [CAST(-qvec[1] AS FLOAT)] || qvec[2:] FROM q
+      |),
+      |cand AS (
+      |  SELECT a.vec_id AS id,
+      |         list_cosine_similarity(a.embedding, q.qvec) AS cos,
+      |         len(list_filter(range(1, 17),
+      |           i -> (a.embedding[i] > 0) <> (q.qvec[i] > 0))) AS ham
+      |  FROM aug a CROSS JOIN q
+      |)
+      |SELECT
+      |  CAST(count(*) FILTER (WHERE ham <= 1) AS BIGINT) AS n_cand,
+      |  CAST(count(*) FILTER (WHERE ham <= 1 AND id = 999999) AS BIGINT)
+      |    AS copy_in,
+      |  CAST(count(*) FILTER (WHERE ham <= 1 AND id = 999998) AS BIGINT)
+      |    AS flip_in,
+      |  CAST(count(*) FILTER (WHERE ham <= 1 AND cos >= 0.9) AS BIGINT)
+      |    AS n_sim,
+      |  (SELECT id FROM cand WHERE ham <= 1 AND id <> 999998
+      |   ORDER BY cos DESC, id LIMIT 1) = 999999 AS top1_is_copy
+      |FROM cand""".stripMargin
+
   // --- K3c: IVF probe audit, value-verified (VERDICT r9 next-round #4) -----
   // The k-means quantizer is the only part of the IVF path SQL can't
   // re-derive — so the audit seeds the quantizer with 16 NAMED corpus
@@ -1866,6 +1930,7 @@ object KQueries {
     ("k3b_ann_audit", k3Ann _, Some(k3AnnSql)),
     ("k3c_ivf_audit", k3Ivf _, Some(k3IvfSql)),
     ("k3d_ivf_persisted", k3IvfPersisted _, Some(k3IvfSql)),
+    ("k3e_ann_persisted", k3eAnnPersisted _, Some(k3eSql)),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),

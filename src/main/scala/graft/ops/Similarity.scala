@@ -637,6 +637,58 @@ object Similarity {
       axisPlanes: Boolean = false): CosineIndexMeta =
     requireCosineParams(spark, CosineIndexPaths(dir), bits, dim, seed, axisPlanes)
 
+  /** The candidate read for ANN top-k served FROM the persisted sign-LSH
+    * index: bucket the query with the STORED planes, expand the Hamming-h
+    * probe neighborhood, and read only the touched `pb` partitions
+    * ([[prunedVectors]] — the same plan-locked pruned scan the dedup probe
+    * uses). The touched-pb collect is bounded by bits+1 probe buckets:
+    * probe metadata, not data.
+    */
+  private[ops] def annCandidatesFromCosineIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: DataFrame, // single row, column "qvec"
+      probeHamming: Int = 1,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      axisPlanes: Boolean = false): DataFrame = {
+    val p = CosineIndexPaths(dir)
+    val meta = requireCosineParams(spark, p, bits, dim, seed, axisPlanes)
+    val qb = query
+      .select(explode(probeBuckets(
+        signBucket(col("qvec"), meta.bits, meta.dim, meta.seed, meta.axis),
+        meta.bits, probeHamming)).as("bucket"))
+    val touched = qb
+      .select(pmod(col("bucket"), lit(meta.pbuckets)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    prunedVectors(spark, p, meta, touched)
+      .join(broadcast(qb), Seq("bucket"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(
+        col("id"),
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+  }
+
+  /** ANN top-k against the persisted index — [[annTopK]]'s semantics served
+    * from storage: only the probe neighborhood's partitions are read.
+    */
+  def annTopKFromCosineIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: DataFrame,
+      k: Int,
+      probeHamming: Int = 1,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      axisPlanes: Boolean = false): DataFrame =
+    annCandidatesFromCosineIndex(
+      spark, dir, query, probeHamming, bits, dim, seed, axisPlanes)
+      .select(col("id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+
   /** Near-duplicate pairs (id_a, id_b, cos) involving ≥ 1 row of `newBatch`
     * against the persisted index: bucket the batch with the stored planes,
     * read the stored vectors for ONLY the touched buckets (a
