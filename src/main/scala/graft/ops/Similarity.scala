@@ -179,19 +179,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = col("v").cast("array<double>")
     val score =
       GraftFunctions.dot_product(col("centroid"), col("centroid")) -
         lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
-    val w = Window.partitionBy("id").orderBy(col("__d"), col("list_id"))
+    // argmin as a min_by AGGREGATION, not a row_number window: the same
+    // (distance, list_id) lexicographic tie-break, but with map-side
+    // partial combine — the shuffle carries one pre-reduced row per id
+    // instead of sorting |rows|×nLists expanded rows per partition.
     rows
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids))
       .withColumn("__d", score)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("list_id"))
+      .groupBy(col("id"))
+      .agg(min_by(
+        struct(col("list_id"), col("v")),
+        struct(col("__d"), col("list_id"))).as("__m"))
+      .select(col("id"), col("__m.v").as("v"), col("__m.list_id").as("list_id"))
   }
 
   /** Incremental insert WITHOUT refitting the quantizer — how IVF absorbs
