@@ -748,23 +748,30 @@ object KQueries {
   // and the probe reads only `list_id IN (...)` from storage. The oracle is
   // k3c's verbatim: a probe against the persisted index must value-match
   // the in-memory one exactly, and DuckDB re-derives both.
-  def k3IvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+  /** The k3c/k3d/s17 fixture: query vector, corpus, and the 16 named
+    * seed-vector centroids the oracle can re-derive.
+    */
+  def ivfFixture(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     require(emb.agg(max("vec_id")).head().getLong(0) < 999999L,
-      "k3d fixture assumes vec_id < 999999 (planted id); raise the plant " +
-        "id in BOTH k3IvfPersisted and k3IvfSql for this scale factor")
+      "the k3 IVF fixtures assume vec_id < 999999 (planted id); raise the " +
+        "plant id in the k3c/k3d/s17 builders AND k3IvfSql for this scale")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") =!= 0)
     val centroids = emb.filter(col("vec_id").between(1, 16))
       .select(col("vec_id").cast("int").as("list_id"),
         col("embedding").cast("array<double>").as("centroid"))
-    val idxDir = "target/ivf_index/" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
-    Similarity.saveIvfIndex(
-      Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids), idxDir)
-    Similarity.appendToIvfIndex(
-      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
-      "vec_id", "embedding", idxDir)
+    (q, corpus, centroids)
+  }
+
+  /** The k3d/s17 audit read: probed-candidate facts off a PERSISTED IVF
+    * index (shared so the streaming ingest's final state is gated by the
+    * same derivation — and therefore the same DuckDB oracle — as the
+    * one-shot build).
+    */
+  def ivfPersistedAuditFacts(
+      spark: SparkSession, idxDir: String, q: DataFrame): DataFrame = {
     val probed = Similarity.ivfProbedCandidatesPersisted(spark, idxDir, q, nProbe = 4)
     val agg = probed.agg(
       count(lit(1)).as("n_probed"),
@@ -773,6 +780,18 @@ object KQueries {
     val top1 = probed.orderBy(col("cos").desc, col("id")).limit(1)
       .select((col("id") === 999999L).as("top1_is_planted"))
     agg.crossJoin(top1)
+  }
+
+  def k3IvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val idxDir = "target/ivf_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids), idxDir)
+    Similarity.appendToIvfIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir)
+    ivfPersistedAuditFacts(spark, idxDir, q)
   }
 
   val k3IvfSql: String =

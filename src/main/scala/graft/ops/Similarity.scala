@@ -311,19 +311,25 @@ object Similarity {
     * on distinct epochs (see [[IncrementalDedup.Manifest.claimEpoch]]).
     */
   def appendToIvfIndex(
-      rows: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+      rows: DataFrame, idCol: String, vecCol: String, dir: String,
+      tag: String = ""): Unit = {
     val spark = rows.sparkSession
     val p = IvfIndexPaths(dir)
     val (maxEpoch, nLists, _) = ivfManifest(spark, p)
+    // redelivery contract (same as the other indexes): a committed tag
+    // makes a replayed micro-batch append a provable no-op
+    if (tag.nonEmpty && IncrementalDedup.Manifest.read(spark, p.params)
+        .flatMap(_._2.get("tag")).contains(tag)) return
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     writeIvfEpoch(p,
       IvfIndex(assignToNearest(rows, idCol, vecCol, centroids), centroids),
-      e, nLists)
+      e, nLists, tag)
   }
 
   private def writeIvfEpoch(
-      p: IvfIndexPaths, index: IvfIndex, epoch: Int, nLists: Long): Unit = {
+      p: IvfIndexPaths, index: IvfIndex, epoch: Int, nLists: Long,
+      tag: String = ""): Unit = {
     val spark = index.assigned.sparkSession
     val epochDir = s"${p.assigned}/epoch=$epoch"
     index.assigned
@@ -337,7 +343,8 @@ object Similarity {
     index.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$epoch")
     IncrementalDedup.Manifest.write(spark, p.params, epoch, Seq(
-      "n_lists" -> nLists.toString))
+      "n_lists" -> nLists.toString,
+      "tag" -> tag))
   }
 
   /** (max committed epoch, nLists, committed epoch set). */

@@ -140,6 +140,23 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The s17 IVF-ingest stream: the ODD half of the embedding corpus plus
+    * the planted query copy (id 999999, arriving last under id-range
+    * order), as 4 arrival files. The EVEN half seeds the index before the
+    * stream starts, so the final state is exactly k3d's population and the
+    * audit shares `k3IvfSql` verbatim.
+    */
+  def ivfBatchDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/ivf_batch") { dir =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (q, corpus, _) = graft.ops.KQueries.ivfFixture(spark, sfDir)
+      corpus.filter(col("vec_id") % 2 =!= 0)
+        .unionByName(q.select(lit(999999L).as("vec_id"),
+          col("qvec").as("embedding")))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

@@ -849,6 +849,38 @@ object StreamQueries {
   }
 
   // ------------------------------------------------------------------------
+  // --- S17: streaming IVF index ingest (s15's loop for the ANN tier) -------
+  // Micro-batches of the odd corpus half (+ the planted query copy) fold
+  // into the PERSISTED IVF index via tagged appendToIvfIndex: assignment
+  // uses the STORED fixed centroids (never a refit), the epoch claim keeps
+  // writers disjoint, and a redelivered batch is a manifest-tag no-op. The
+  // even half seeds the index before the stream, so the final index
+  // population is exactly k3d's and the closing audit probe shares
+  // k3IvfSql verbatim (the s14/s15 oracle-sharing precedent).
+  def s17(spark: SparkSession, sfDir: String): DataFrame = {
+    val (q, corpus, centroids) = graft.ops.KQueries.ivfFixture(spark, sfDir)
+    val idxDir = StreamInput.lakeDir("s17_index", sfDir)
+    graft.ops.Similarity.saveIvfIndex(
+      graft.ops.Similarity.ivfBuildFixed(
+        corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        centroids),
+      idxDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.ivfBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Similarity.appendToIvfIndex(
+          batch.select("vec_id", "embedding"), "vec_id", "embedding",
+          idxDir, tag = s"b$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s17", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    graft.ops.KQueries.ivfPersistedAuditFacts(spark, idxDir, q)
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -879,6 +911,9 @@ object StreamQueries {
     // arrival + out-of-band benchmark registration) and shares its
     // oracle verbatim.
     ("s16_stream_incremental_corpus_prep", s16 _,
-      Some(graft.ops.KQueries.k26Sql))
+      Some(graft.ops.KQueries.k26Sql)),
+    // s17 streams the IVF ingest; the final persisted state equals the
+    // one-shot k3d build, so it shares k3IvfSql verbatim.
+    ("s17_stream_ivf_ingest", s17 _, Some(graft.ops.KQueries.k3IvfSql))
   )
 }

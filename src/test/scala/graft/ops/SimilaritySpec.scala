@@ -288,9 +288,18 @@ class SimilaritySpec extends AnyFunSuite {
     // query must land in the #1 probe list and win the ranking
     Similarity.appendToIvfIndex(
       query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
-      "vec_id", "embedding", dir)
+      "vec_id", "embedding", dir, tag = "b1")
     val top = Similarity.ivfProbePersisted(spark, dir, query, k = 1)
       .collect().head.getLong(0)
     assert(top == 999999L, s"appended exact copy must probe at rank 1, got $top")
+    // redelivery contract: a replayed tagged append is a no-op (the s17
+    // micro-batch loop relies on this after a crash between index commit
+    // and stream checkpoint)
+    val before = spark.read.parquet(s"$dir/assigned").count()
+    Similarity.appendToIvfIndex(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", dir, tag = "b1")
+    assert(spark.read.parquet(s"$dir/assigned").count() == before,
+      "redelivered tagged append must not add rows")
   }
 }
