@@ -794,6 +794,32 @@ object KQueries {
     ivfPersistedAuditFacts(spark, idxDir, q)
   }
 
+  // --- K28: IVF index lifecycle (k24/k25's closer for the ANN tier) --------
+  // build(even half) → append(odd half) → append(planted) → compact →
+  // vacuum → audit probe. Compaction copies assignments as-is (the fixed
+  // quantizer never refits, so list membership is final) and raises base;
+  // vacuum removes absorbed data. The post-vacuum probe must equal the
+  // single-build k3d audit — so the row shares k3IvfSql verbatim and
+  // lifecycle-equivalence is a green hash row, not a claim.
+  def k28IvfLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val idxDir = "target/ivf_index_lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(
+        corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        centroids),
+      idxDir)
+    Similarity.appendToIvfIndex(
+      corpus.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idxDir)
+    Similarity.appendToIvfIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir)
+    Similarity.compactIvfIndex(spark, idxDir)
+    Similarity.vacuumIvfIndex(spark, idxDir)
+    ivfPersistedAuditFacts(spark, idxDir, q)
+  }
+
   val k3IvfSql: String =
     """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
       |cent AS (
@@ -1950,6 +1976,7 @@ object KQueries {
     ("k3c_ivf_audit", k3Ivf _, Some(k3IvfSql)),
     ("k3d_ivf_persisted", k3IvfPersisted _, Some(k3IvfSql)),
     ("k3e_ann_persisted", k3eAnnPersisted _, Some(k3eSql)),
+    ("k28_ivf_lifecycle", k28IvfLifecycle _, Some(k3IvfSql)),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),

@@ -347,7 +347,7 @@ object Similarity {
       "tag" -> tag))
   }
 
-  /** (max committed epoch, nLists, committed epoch set). */
+  /** (max committed epoch, nLists, LIVE committed epoch set ≥ base). */
   private def ivfManifest(
       spark: org.apache.spark.sql.SparkSession,
       p: IvfIndexPaths): (Int, Long, Seq[Int]) = {
@@ -356,7 +356,55 @@ object Similarity {
     val nLists = rows.map(_._2("n_lists").toLong).distinct
     require(nLists.length == 1,
       s"manifest at ${p.params} carries conflicting n_lists: $nLists")
-    (rows.map(_._1).max, nLists.head, rows.map(_._1))
+    val base = rows.map(_._2.getOrElse("base", "0").toInt).max
+    (rows.map(_._1).max, nLists.head, rows.map(_._1).filter(_ >= base))
+  }
+
+  /** Merge every live epoch into one compacted epoch (same base-raising
+    * manifest protocol as the text and cosine indexes; assignments are
+    * copied as-is — the quantizer never refits, so list membership is
+    * already final). Old epoch data becomes garbage for
+    * [[vacuumIvfIndex]].
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, nLists, live) = ivfManifest(spark, p)
+    if (live.size <= 1) return // one live epoch: nothing to merge
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
+    val epochDir = s"${p.assigned}/epoch=$e"
+    val merged = spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(live: _*))
+      .select(col("id"), col("v"), col("list_id"))
+    merged.repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+      merged.drop("list_id").limit(0)
+        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$e")
+    IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
+      "n_lists" -> nLists.toString,
+      "tag" -> "",
+      "base" -> e.toString))
+  }
+
+  /** Delete assigned/centroid data of epochs below the compaction base
+    * (manifest files are kept — the tag/redelivery contract survives,
+    * same as the other indexes).
+    */
+  def vacuumIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = IvfIndexPaths(dir)
+    val base = IncrementalDedup.Manifest.read(spark, p.params)
+      .map(_._2.getOrElse("base", "0").toInt).maxOption.getOrElse(0)
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until base).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.assigned}/epoch=$e"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.centroids}/epoch=$e"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.params}/epoch-$e.claim"), false)
+    }
   }
 
   /** The probed candidate read against the PERSISTED index: rank the

@@ -301,5 +301,22 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", dir, tag = "b1")
     assert(spark.read.parquet(s"$dir/assigned").count() == before,
       "redelivered tagged append must not add rows")
+
+    // compaction lifecycle: merge epochs 0+1, vacuum the absorbed data —
+    // probe output must be unchanged and old epoch dirs gone
+    import java.nio.file.{Files, Paths}
+    val probeBefore = Similarity.ivfProbePersisted(spark, dir, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.vacuumIvfIndex(spark, dir)
+    val probeAfter = Similarity.ivfProbePersisted(spark, dir, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAfter == probeBefore, "compaction must not change the probe")
+    assert(!Files.exists(Paths.get(s"$dir/assigned/epoch=0")),
+      "vacuum removes absorbed epoch data")
+    val compacted = graft.ops.IncrementalDedup.Manifest.read(
+      spark, s"$dir/params").map(_._1).max
+    assert(Files.exists(Paths.get(s"$dir/assigned/epoch=$compacted")),
+      "compacted epoch survives vacuum")
   }
 }
