@@ -84,6 +84,52 @@ object Multimodal {
       .withColumn("frame_bytes", length(col("frame")))
   }
 
+  /** Windowed RMS over audio payloads: split the payload into fixed-size
+    * windows and emit one (doc_id, win_idx, rms, n) row per window — the
+    * PCM loudness-analysis shape (silence trimming, VAD pre-filters, clip
+    * detection all consume exactly this surface). The byte-level RMS is
+    * the stub standing in for real PCM decoding; the mime gating,
+    * bounded per-row window explosion, and per-window aggregate shape are
+    * the real plumbing. Codegen-friendly: higher-order `transform` +
+    * `aggregate` over the split payload, no UDF.
+    */
+  def audioWindows(media: DataFrame, windowBytes: Int): DataFrame = {
+    require(windowBytes > 0)
+    val data = col("media.data")
+    val nWin = ceil(length(data).cast("double") / windowBytes).cast("int")
+    val wins = when(nWin > 0,
+      transform(
+        sequence(lit(0), nWin - 1),
+        i => data.substr(i * windowBytes + 1, lit(windowBytes))))
+      .otherwise(array().cast("array<binary>"))
+    media
+      .filter(col("media.mime").startsWith("audio/"))
+      .select(col("doc_id"), posexplode(wins))
+      .withColumnRenamed("pos", "win_idx")
+      // ---- STUB: real impl decodes PCM samples; bytes stand in ----
+      .select(
+        col("doc_id"), col("win_idx"),
+        round(sqrt(
+          aggregate(
+            transform(split_binary_bytes(col("col")), b => b * b),
+            lit(0.0), (acc, x) => acc + x) /
+            greatest(length(col("col")), lit(1))), 4).as("rms"),
+        length(col("col")).as("n"))
+  }
+
+  /** Byte values (0-255) of a binary column as an int array — the
+    * decode-free sample surface [[audioWindows]] aggregates over.
+    */
+  private def split_binary_bytes(bin: org.apache.spark.sql.Column) =
+    transform(sequence(lit(1), length(bin)), i => unhexByte(bin, i))
+
+  /** One payload byte as an unsigned int via substr + position — kept as a
+    * named helper so the intent ("sample i of the waveform") reads.
+    */
+  private def unhexByte(bin: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column) =
+    conv(hex(bin.substr(i, lit(1))), 16, 10).cast("int")
+
   /** Media payload → dense unit embedding (dim 64): the encoder bridge
     * between the multimodal surface and the vector-dedup/ANN tier — the
     * composed shape a production pipeline runs (decode → embed →

@@ -79,6 +79,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty)
   }
 
+  test("audioWindows: per-window byte-RMS over audio payloads only, exact on a known payload") {
+    import spark.implicits._
+    val w = 4
+    val out = Multimodal.audioWindows(media, w)
+    // only audio mimes contribute
+    val audioDocs = media.filter(col("media.mime").startsWith("audio/"))
+      .select("doc_id").distinct().count()
+    assert(out.select("doc_id").distinct().count() == audioDocs && audioDocs > 0)
+    // per-doc window count is ceil(payload/W) and indices are dense 0..n-1
+    val sizes = media.filter(col("media.mime").startsWith("audio/"))
+      .select(col("doc_id"), length(col("media.data")).as("len"))
+      .as[(Long, Int)].collect().toMap
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("win_idx").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    perDoc.foreach { case (id, n, mx) =>
+      assert(n == (sizes(id) + w - 1) / w && mx == n - 1, s"doc $id")
+    }
+    // exact RMS on one hand-computed payload: bytes of "abcd" = 97..100
+    val one = Multimodal.asMedia(
+      Seq((1L, "abcd", "en", 4)).toDF("doc_id", "text", "lang", "n_chars"))
+      .withColumn("media", struct(
+        col("media.data").as("data"), lit("audio/wav").as("mime"),
+        col("media.meta").as("meta")))
+    val rms = Multimodal.audioWindows(one, 4)
+      .select("rms").as[Double].collect().head
+    val expected = math.sqrt((97.0*97 + 98*98 + 99*99 + 100*100) / 4)
+    assert(math.abs(rms - math.rint(expected * 10000) / 10000) < 1e-9,
+      s"rms $rms != $expected")
+  }
+
   test("embedMedia (stub encoder): unit vectors, payload-determined, distinct payloads separate") {
     // the three properties the k27 media→embedding→near-dedup oracle
     // relies on: unit norm, byte-identical payloads embed identically,
