@@ -918,6 +918,65 @@ object KQueries {
       |UNION ALL
       |SELECT 'ivf', true, true ORDER BY variant""".stripMargin
 
+  // --- K29: source mixing against a token budget ---------------------------
+  // The data-mixing step between corpus prep and packing: cap each source
+  // at an equal share of half the corpus (cap = total DIV 2n tokens), so
+  // dominant sources are downweighted and small sources pass whole — then
+  // select deterministically by doc_id per-mille against the per-source
+  // rate (1000·min(T_s,cap) DIV T_s). Every quantity is INTEGER arithmetic
+  // (no float shares, no RNG), so DuckDB re-derives the exact selection:
+  // seeded-random sampling would be engine-private, id-hash selection is
+  // the same idea made oracle-checkable, and at 100 TB it is a broadcast
+  // of n_sources thresholds + a narrow filter — no shuffle beyond the
+  // per-source token totals.
+  def k29(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val perSource = docs.groupBy("source").agg(sum("n_tok").as("t_s"))
+    val totals = perSource.agg(
+      sum("t_s").as("total"), count(lit(1)).as("n"))
+    val th = perSource.crossJoin(broadcast(totals))
+      .withColumn("t_mille",
+        expr("(1000 * least(t_s, total DIV (2 * n))) DIV t_s"))
+      .select("source", "t_s", "t_mille")
+    val sel = docs
+      .join(broadcast(th.drop("t_s")), Seq("source"))
+      .filter(pmod(col("doc_id"), lit(1000)) < col("t_mille"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("sel_tok"))
+    th.join(sel, Seq("source"), "left")
+      .select(col("source"), col("t_s"), col("t_mille"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_tok"), lit(0L)).as("sel_tok"))
+      .orderBy("source")
+  }
+
+  val k29Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tok
+      |  FROM documents),
+      |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s
+      |       FROM d GROUP BY source),
+      |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS total, count(*) AS n
+      |        FROM ps),
+      |th AS (
+      |  SELECT source, t_s,
+      |         (1000 * least(t_s, total // (2 * n))) // t_s AS t_mille
+      |  FROM ps CROSS JOIN tot),
+      |sel AS (
+      |  SELECT d.source, count(*) AS n_sel,
+      |         CAST(sum(d.n_tok) AS BIGINT) AS sel_tok
+      |  FROM d JOIN th ON d.source = th.source
+      |                AND d.doc_id % 1000 < th.t_mille
+      |  GROUP BY d.source)
+      |SELECT th.source, th.t_s, CAST(th.t_mille AS BIGINT) AS t_mille,
+      |       COALESCE(sel.n_sel, 0) AS n_sel,
+      |       COALESCE(sel.sel_tok, 0) AS sel_tok
+      |FROM th LEFT JOIN sel USING (source) ORDER BY source""".stripMargin
+
   // --- L4: TypedImperativeAggregate — bottom-k distinct sketch -------------
   // Per-source sketch over text hashes. At the oracle SF every source has
   // fewer distinct texts than k, where the sketch IS the exact distinct set
@@ -1962,6 +2021,7 @@ object KQueries {
     ("k24_index_compaction", k24 _, Some(k19Sql)),
     ("k25_vec_index_lifecycle", k25 _, Some(k21Sql)),
     ("k22_sequence_packing", k22 _, Some(k22Sql)),
+    ("k29_source_mixing", k29 _, Some(k29Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
