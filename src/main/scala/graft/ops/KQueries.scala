@@ -705,6 +705,68 @@ object KQueries {
       |   ORDER BY cos DESC, id LIMIT 1) = 999999 AS top1_is_copy
       |FROM cand""".stripMargin
 
+  // --- K3f: BATCH ANN audit — many queries in one keyed join ---------------
+  // The serving shape: 5 query vectors probe the corpus in a single
+  // probe-bucket EQUI-JOIN (never |queries| crossJoin passes), per-query
+  // facts off a keyed window. Axis planes make every per-query candidate
+  // set SQL-derivable (the k3b argument, batched); each query gets a
+  // planted exact copy that must win its per-query ranking.
+  def k3fAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999990L,
+      "k3f fixture assumes vec_id < 999990 (planted ids 999990+qid); raise " +
+        "the plant ids in BOTH k3fAnnBatch and k3fSql for this scale factor")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val aug = emb.filter(col("vec_id") >= 5)
+      .unionByName(queries.select(
+        (col("qid") + 999990L).as("vec_id"), col("qvec").as("embedding")))
+    val cands = Similarity.annCandidatesBatch(
+      aug, "vec_id", "embedding", queries, "qid", "qvec",
+      maxHamming = 1, axis = true)
+    val grouped = cands.groupBy("qid").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("id") === col("qid") + 999990L, 1L).otherwise(0L))
+        .as("copy_in"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    val top1 = cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("qid"), (col("id") === col("qid") + 999990L).as("top1_is_copy"))
+    grouped.join(top1, Seq("qid")).orderBy("qid")
+  }
+
+  val k3fSql: String =
+    """WITH qs AS (
+      |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      |  WHERE vec_id < 5),
+      |aug AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+      |  UNION ALL SELECT 999990 + qid, qvec FROM qs),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id AS id,
+      |         list_cosine_similarity(a.embedding, q.qvec) AS cos
+      |  FROM aug a CROSS JOIN qs q
+      |  WHERE len(list_filter(range(1, 17),
+      |          i -> (a.embedding[i] > 0) <> (q.qvec[i] > 0))) <= 1),
+      |grouped AS (
+      |  SELECT qid,
+      |         CAST(count(*) AS BIGINT) AS n_cand,
+      |         CAST(count(*) FILTER (WHERE id = 999990 + qid) AS BIGINT)
+      |           AS copy_in,
+      |         CAST(count(*) FILTER (WHERE cos >= 0.9) AS BIGINT) AS n_sim
+      |  FROM cand GROUP BY qid),
+      |top1 AS (
+      |  SELECT qid, id FROM (
+      |    SELECT qid, id,
+      |           row_number() OVER (PARTITION BY qid
+      |                              ORDER BY cos DESC, id) AS rn
+      |    FROM cand) WHERE rn = 1)
+      |SELECT g.qid, g.n_cand, g.copy_in, g.n_sim,
+      |       t.id = 999990 + g.qid AS top1_is_copy
+      |FROM grouped g JOIN top1 t USING (qid) ORDER BY g.qid""".stripMargin
+
   // --- K3c: IVF probe audit, value-verified (VERDICT r9 next-round #4) -----
   // The k-means quantizer is the only part of the IVF path SQL can't
   // re-derive — so the audit seeds the quantizer with 16 NAMED corpus
@@ -2037,6 +2099,7 @@ object KQueries {
     ("k3d_ivf_persisted", k3IvfPersisted _, Some(k3IvfSql)),
     ("k3e_ann_persisted", k3eAnnPersisted _, Some(k3eSql)),
     ("k28_ivf_lifecycle", k28IvfLifecycle _, Some(k3IvfSql)),
+    ("k3f_ann_batch", k3fAnnBatch _, Some(k3fSql)),
     ("k3_recall", k3Recall _, Some(k3RecallSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),

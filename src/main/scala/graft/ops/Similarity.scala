@@ -278,6 +278,68 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(df, idCol, vecCol, nLists, seed), query, k, nProbe)
 
+  /** BATCH ANN: candidates for MANY query vectors at once. The single-query
+    * form broadcasts one row and filters the corpus; serving a batch that
+    * way is |queries| crossJoin passes. Here each query expands to its
+    * Hamming-≤h probe-bucket list (≤ 1 + bits + C(bits,2) entries — a
+    * small constant) and candidates come from a plain EQUI-JOIN on the
+    * bucket id: a keyed shuffle (or broadcast, when the probe list is
+    * small) that Catalyst plans like any other join — the shape that
+    * scales to millions of queries against a bucketed corpus. A corpus row
+    * owns exactly ONE bucket, so a (query, corpus) pair matches at most
+    * once — no dedup pass.
+    */
+  def annCandidatesBatch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      maxHamming: Int = 1,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      axis: Boolean = false): DataFrame = {
+    val bucketed = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits, dim, seed, axis).as("bucket"))
+    val qb = queries.select(
+      col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
+      explode(probeBuckets(
+        signBucket(col(qVecCol), bits, dim, seed, axis),
+        bits, maxHamming)).as("bucket"))
+    bucketed.join(qb, Seq("bucket"))
+      .select(col("qid"), col("id"),
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+  }
+
+  /** Top-k per query over the batch candidates — a KEYED window (one
+    * partition per query), never a global sort.
+    */
+  def annTopKBatch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      maxHamming: Int = 1,
+      bits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      axis: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    annCandidatesBatch(
+      corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      maxHamming, bits, dim, seed, axis)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id"), round(col("cos"), 4).as("cos"))
+  }
+
   // --- Persisted IVF index (the production shape for ANN at rest) ---------
 
   final case class IvfIndexPaths(dir: String) {
@@ -592,14 +654,22 @@ object Similarity {
     writeCosineEpoch(p, rows, idCol, vecCol, meta.copy(epoch = e), tag)
   }
 
-  /** All buckets within Hamming distance ≤ h of `bucket` (h ∈ {0, 1}
-    * supported: h = 1 flips each of the `bits` sign bits in turn — the
-    * standard LSH multi-probe neighborhood; deeper probes compose).
+  /** All buckets within Hamming distance ≤ h of `bucket` (h ∈ {0, 1, 2}:
+    * h = 1 flips each of the `bits` sign bits in turn — the standard LSH
+    * multi-probe neighborhood; h = 2 adds every two-bit flip, C(bits,2)
+    * more entries — 137 total at bits = 16, still a small constant).
     */
   private[ops] def probeBuckets(bucket: Column, bits: Int, h: Int): Column = {
-    require(h >= 0 && h <= 1, "probeHamming in {0, 1} (deeper probes compose)")
-    if (h == 0) array(bucket)
-    else array(bucket +: (0 until bits).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
+    require(h >= 0 && h <= 2, "probeHamming in {0, 1, 2}")
+    val one = (0 until bits).map(j => bucket.bitwiseXOR(lit(1L << j)))
+    val two = for (i <- 0 until bits; j <- i + 1 until bits)
+      yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+    val all = h match {
+      case 0 => Seq(bucket)
+      case 1 => bucket +: one
+      case _ => (bucket +: one) ++ two
+    }
+    array(all: _*)
   }
 
   /** The probe-surface read: committed vectors for ONLY the touched `pb`

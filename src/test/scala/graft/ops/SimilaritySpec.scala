@@ -265,6 +265,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total == vecs.count(), s"index rows $total != ${vecs.count()}")
   }
 
+  test("batch ANN == single-query ANN per query; candidates come from an equi-join") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpusB = emb.filter(col("vec_id") >= 3)
+      .select(col("vec_id"), col("embedding"))
+    val batch = Similarity.annTopKBatch(
+      corpusB, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, maxHamming = 2, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val single = Similarity.annTopK(
+        corpusB, "vec_id", "embedding", q, k = 5, bits = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Nil) == single,
+        s"batch result for qid=$qid diverged from the single-query probe")
+    }
+    // the batch path must plan as a bucket EQUI-join (hash/sort-merge or
+    // broadcast HASH), never the single-query BroadcastNestedLoopJoin shape
+    val plan = Similarity.annCandidatesBatch(
+      corpusB, "vec_id", "embedding", queries, "qid", "qvec",
+      maxHamming = 2, bits = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN degenerated to a nested-loop join:\n$plan")
+    assert(plan.contains("Join") && plan.contains("bucket"),
+      s"expected a bucket equi-join:\n$plan")
+  }
+
   test("persisted IVF probe == in-memory probe; scan pruned to list_id IN (...)") {
     val dir = freshDir("ivf_persist")
     val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
