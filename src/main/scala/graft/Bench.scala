@@ -279,13 +279,24 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    // Timestamped copy too: the r9 full audit was clobbered when a later
-    // single-query repro run overwrote bench.json (ADVICE r9) — each run
-    // also writes an immutable bench-<epochSec>.json.
-    val stamped = java.nio.file.Paths.get(
-      "target", s"bench-${System.currentTimeMillis() / 1000}.json")
-    java.nio.file.Files.write(stamped, full.getBytes("UTF-8"))
-    System.err.println(s"[bench] full artifact: $out (copy: $stamped)")
+    // Immutable audit copy in a GIT-TRACKED directory (VERDICT r10 #4):
+    // target/ is gitignored, which is why every prior round's full audit
+    // evaporated before the judge could read it — the driver's bounded
+    // stdout tail then clipped the per-query map with no recoverable file.
+    // bench_audit/ is tracked; the end-of-round commit (builder's or the
+    // driver's catch-all) carries the complete 3-decimal per-query map into
+    // git history. Stamp: SPARK_GRAFT_ROUND=N → bench-rN.json (the driver
+    // can export it); otherwise epoch seconds, still immutable per run.
+    // Full sweeps only — a name-filtered local iteration run would litter
+    // the tracked dir with partial maps that read like full sweeps.
+    if (only.isEmpty) {
+      val stamp = sys.env.get("SPARK_GRAFT_ROUND").map("r" + _)
+        .getOrElse((System.currentTimeMillis() / 1000).toString)
+      val audit = java.nio.file.Paths.get("bench_audit", s"bench-$stamp.json")
+      java.nio.file.Files.createDirectories(audit.getParent)
+      java.nio.file.Files.write(audit, full.getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact: $out (tracked copy: $audit)")
+    } else System.err.println(s"[bench] full artifact: $out (filtered run, no tracked copy)")
     results.filter(_.rerun.isDefined).foreach { r =>
       System.err.println(
         f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun median " +

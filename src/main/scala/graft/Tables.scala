@@ -41,6 +41,15 @@ object Tables {
     // predicates and the parquet reader and block pushdown — at 100 TB the
     // difference between pruning row groups on a time filter and reading
     // them all.
+    // BLAST RADIUS (ADVICE r10): this conf is SESSION-WIDE — every later
+    // parquet read in the same session also reads NTZ-annotated columns as
+    // LTZ (orders.o_orderdate and lineitem.l_shipdate are µs-NTZ too).
+    // That is safe here only because the session timezone is pinned to
+    // UTC, where NTZ and LTZ carry bit-identical µs-since-epoch values;
+    // TablesSchemaDriftSpec locks that value-identity for both affected
+    // tables under each conf state. A caller embedding graft in a session
+    // that reads its own NTZ parquet under a non-UTC timezone should scope
+    // events reads to a dedicated session (`spark.newSession()`).
     if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     import org.apache.spark.sql.types.{LongType, TimestampType}

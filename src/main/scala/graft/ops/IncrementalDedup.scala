@@ -100,9 +100,15 @@ object IncrementalDedup {
       * dies before committing leaves an orphan epoch: readers filter to
       * the exact COMMITTED epoch set (see [[IncrementalDedup.committed]]),
       * the next claimer skips past it, and compaction+vacuum reclaims the
-      * space. On HDFS `create(overwrite=false)` is namenode-atomic; on a
-      * local FS the contract's existence check leaves a negligible TOCTOU
-      * window (documented, test-only surface).
+      * space. FS CONTRACT (ADVICE r10): the guard is only as strong as the
+      * filesystem's exclusive-create. It holds on HDFS (`create(overwrite
+      * =false)` is namenode-atomic) and on `file://` (routed through
+      * java.nio O_CREAT|O_EXCL below, kernel-atomic). It does NOT hold on
+      * S3A or other object stores, where create(false) is check-then-PUT:
+      * two concurrent writers can both "win" the same epoch. Deploying the
+      * index on an object store requires routing claims through a
+      * conditional-put primitive (S3 If-None-Match, GCS precondition) or an
+      * external lock (e.g. a DynamoDB/ZooKeeper mutex) — out of scope here.
       */
     def claimEpoch(spark: SparkSession, paramsDir: String, start: Int): Int = {
       val f = fs(spark, paramsDir)

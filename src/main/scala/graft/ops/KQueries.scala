@@ -998,9 +998,14 @@ object KQueries {
     val perSource = docs.groupBy("source").agg(sum("n_tok").as("t_s"))
     val totals = perSource.agg(
       sum("t_s").as("total"), count(lit(1)).as("n"))
+    // t_s = 0 guard: Spark's non-ANSI `DIV 0` yields NULL while DuckDB's
+    // `// 0` raises — without the CASE the two sides diverge on a source
+    // whose docs are all empty (ADVICE r10). A zero-token source gets
+    // t_mille = 0: it contributes no tokens, so it selects nothing.
     val th = perSource.crossJoin(broadcast(totals))
       .withColumn("t_mille",
-        expr("(1000 * least(t_s, total DIV (2 * n))) DIV t_s"))
+        expr("CASE WHEN t_s = 0 THEN 0L " +
+          "ELSE (1000 * least(t_s, total DIV (2 * n))) DIV t_s END"))
       .select("source", "t_s", "t_mille")
     val sel = docs
       .join(broadcast(th.drop("t_s")), Seq("source"))
@@ -1026,7 +1031,9 @@ object KQueries {
       |        FROM ps),
       |th AS (
       |  SELECT source, t_s,
-      |         (1000 * least(t_s, total // (2 * n))) // t_s AS t_mille
+      |         CASE WHEN t_s = 0 THEN 0
+      |              ELSE (1000 * least(t_s, total // (2 * n))) // t_s
+      |         END AS t_mille
       |  FROM ps CROSS JOIN tot),
       |sel AS (
       |  SELECT d.source, count(*) AS n_sel,

@@ -94,4 +94,40 @@ class TablesSchemaDriftSpec extends AnyFunSuite {
     assert(got.schema("ts").dataType == TimestampType)
     assert(got.limit(1).count() == 1)
   }
+
+  test("the session-wide inferTimestampNTZ flip is value-neutral for every " +
+      "other fixture table under the pinned UTC session (ADVICE r10)") {
+    // loadEvents flips spark.sql.parquet.inferTimestampNTZ.enabled=false
+    // SESSION-WIDE, and orders/lineitem also carry µs-NTZ timestamp
+    // columns — so their post-flip reads surface LTZ instead of NTZ. That
+    // is only safe while the session timezone is UTC, where the two types
+    // hold bit-identical µs-since-epoch values. Lock the value identity
+    // directly: read each other timestamp column with the conf in BOTH
+    // states and assert identical instants, so a non-UTC drift or a
+    // semantics change in a Spark upgrade fails loudly here.
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val old = spark.conf.get(key, "true")
+    def instants(table: String, c: String, conf: String): Seq[Long] = {
+      spark.conf.set(key, conf)
+      // fresh path string per read defeats the FileIndex/schema cache
+      val path = s"${TestSpark.sf}/$table.parquet"
+      val df = spark.read.parquet(path)
+      val typed = df.schema(c).dataType match {
+        case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+        case _ => df
+      }
+      typed.orderBy(c).limit(50).select(unix_micros(col(c)))
+        .as[Long].collect().toSeq
+    }
+    try {
+      for ((table, c) <- Seq("orders" -> "o_orderdate",
+          "lineitem" -> "l_shipdate")) {
+        val asNtz = instants(table, c, "true")
+        val asLtz = instants(table, c, "false")
+        assert(asNtz == asLtz,
+          s"$table.$c reads different instants under the NTZ conf flip — " +
+            "the loadEvents session-wide conf change is no longer benign")
+      }
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -54,11 +54,17 @@ def main(sf_dir, out_dir):
         n_fail += 1
     for name in sorted(oracles):
         sql = oracles[name]
+        # A crashed entry fails UNCONDITIONALLY, before any file check:
+        # Verify writes with overwrite, so a reused out_dir keeps the
+        # previous run's parquet when fn() throws pre-write — comparing
+        # that stale output would silently PASS a crashed entry (ADVICE r10).
+        if name in errors:
+            print(f"FAIL {name}: verify crashed: {errors[name]}")
+            n_fail += 1
+            continue
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
-            msg = errors.get(name, "no spark output")
-            print(f"FAIL {name}: verify crashed: {msg}" if name in errors
-                  else f"FAIL {name}: no spark output")
+            print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
