@@ -922,63 +922,212 @@ object KQueries {
       |    AS top1_is_planted
       |FROM probed""".stripMargin
 
-  // --- K3 recall gate: ANN/IVF quality, driver-checked (VERDICT r2 #7) -----
+  // --- K3 recall gates: ANN/IVF quality, driver-checked (VERDICT r2 #7) ----
   // The approximate top-k paths get a hard driver-checked quality number:
   // recall@10 vs the in-Spark brute-force answer must clear the pinned
-  // bounds (ANN ≥ 0.2, IVF ≥ 0.3 — the SimilaritySpec bounds for random
-  // unit vectors, LSH's worst case), and a PLANTED exact duplicate of the
-  // query vector must come back at rank 1 (recall 1 on near-identical
-  // vectors — the case near-dedup actually relies on). All inputs are
-  // seeded, so the booleans are deterministic; the oracle pins them true.
-  def k3Recall(spark: SparkSession, dir: String): DataFrame = {
+  // bounds, and a PLANTED exact duplicate of the query vector must come
+  // back at rank 1 (recall 1 on near-identical vectors — the case
+  // near-dedup actually relies on). All inputs are seeded, so the booleans
+  // are deterministic; the oracle pins them true [gate, not value-oracle].
+  // Split into ann/ivf entries (VERDICT r10 #1): the combined entry ran
+  // two index builds + four probes per execution, so a bench regression
+  // couldn't say WHICH tier moved.
+  private def bruteTop10(q: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions
-    val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    val corpus = emb.filter(col("vec_id") =!= 0)
-
-    val brute = corpus.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(q))
       .select(col("vec_id").as("id"),
         GraftFunctions.cosine_sim(col("embedding"), col("qvec")).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(10).select("id")
+  }
 
+  private def recallRow(
+      name: String, brute: DataFrame, topK: DataFrame,
+      plantedTop1: DataFrame, minHits: Int): DataFrame = {
+    val hits = topK.select("id").join(brute, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val found = plantedTop1.limit(1)
+      .agg(max(when(col("id") === 999999L, true).otherwise(false)).as("pf"))
+    hits.crossJoin(found).select(
+      lit(name).as("variant"),
+      (col("hits") >= minHits).as("recall_ok"),
+      col("pf").as("planted_found"))
+  }
+
+  def k3RecallAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, _) = ivfFixture(spark, dir)
+    val brute = bruteTop10(q, corpus)
     val planted = corpus.select("vec_id", "embedding").union(
       q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
-
-    def gate(name: String, topK: DataFrame, plantedTop1: DataFrame,
-        minHits: Int): DataFrame = {
-      val hits = topK.select("id").join(brute, Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val found = plantedTop1.limit(1)
-        .agg(max(when(col("id") === 999999L, true).otherwise(false)).as("pf"))
-      hits.crossJoin(found).select(
-        lit(name).as("variant"),
-        (col("hits") >= minHits).as("recall_ok"),
-        col("pf").as("planted_found"))
-    }
-
-    val ann = gate("ann",
+    recallRow("ann", brute,
       Similarity.annTopK(corpus, "vec_id", "embedding", q, k = 10),
       Similarity.annTopK(planted, "vec_id", "embedding", q, k = 1),
       minHits = 2)
-    // ONE quantizer fit: the recall probe uses the corpus index, and the
-    // planted duplicate enters via the incremental ivfAdd path (assign to
-    // nearest centroid, no refit) — exercising the production insert flow
-    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding")
-    val plantedIndex = Similarity.ivfAdd(index,
-      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
-      "vec_id", "embedding")
-    val ivf = gate("ivf",
-      Similarity.ivfProbe(index, q, k = 10),
-      Similarity.ivfProbe(plantedIndex, q, k = 1),
-      minHits = 3)
-    ann.unionByName(ivf).orderBy("variant")
   }
 
-  val k3RecallSql: String =
-    """SELECT 'ann' AS variant, true AS recall_ok, true AS planted_found
+  val k3RecallAnnSql: String =
+    "SELECT 'ann' AS variant, true AS recall_ok, true AS planted_found"
+
+  // Fixed seed-vector quantizer vs the deterministically TRAINED one
+  // (ivfBuildTrained, VERDICT r10 #3) on the same recall@10 gate; the
+  // trained row's recall_ok additionally asserts trained ≥ fixed — Lloyd's
+  // iterations must not LOSE recall vs the raw seed vectors, or the
+  // training is noise. Planted duplicates enter both indexes through the
+  // incremental ivfAdd path (assign, no refit) — the production insert.
+  /** The deterministic quantizer-training sample the trained-IVF entries
+    * and their oracles share: every 2nd vector — faiss-style sampled
+    * training, exactly mirrorable in SQL (`vec_id % 2 = 0`). Measured
+    * across sf0.001/0.01/0.1: the half-sample's recall@10 ≥ the fixed
+    * seed quantizer's at every SF (6→7, 5→6, 4→5 hits), which the
+    * k3_recall_ivf trained row gates.
+    */
+  private def ivfTrainSample(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 2 === 0)
+
+  def k3RecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    // ONE eager boundary: the 10-row brute answer is referenced by three
+    // probe chains; everything else stays lazy — at this fixture scale
+    // (2k vectors) extra eager jobs cost more scheduling than the
+    // recompute they save, and at real scale the serving path is the
+    // PERSISTED index (k3d/k3e), not this gate.
+    val brute = bruteTop10(q, corpus).localCheckpoint()
+    val planted = q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding"))
+
+    val fixed = Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids)
+    val trained = Similarity.ivfBuildTrained(
+      corpus, "vec_id", "embedding", centroids,
+      trainDf = Some(ivfTrainSample(corpus)))
+    def hits(idx: Similarity.IvfIndex): DataFrame =
+      Similarity.ivfProbe(idx, q, k = 10).select("id")
+        .join(brute, Seq("id"), "left_semi").agg(count(lit(1)).as("hits"))
+    def plantedFound(idx: Similarity.IvfIndex): DataFrame =
+      Similarity.ivfProbe(
+        Similarity.ivfAdd(idx, planted, "vec_id", "embedding"), q, k = 1)
+        .limit(1)
+        .agg(max(when(col("id") === 999999L, true).otherwise(false)).as("pf"))
+
+    val hf = hits(fixed)
+    val fixedRow = hf.crossJoin(plantedFound(fixed)).select(
+      lit("ivf_fixed").as("variant"),
+      (col("hits") >= 3).as("recall_ok"),
+      col("pf").as("planted_found"))
+    val trainedRow = hits(trained).withColumnRenamed("hits", "th")
+      .crossJoin(hf)
+      .crossJoin(plantedFound(trained))
+      .select(
+        lit("ivf_trained").as("variant"),
+        (col("th") >= col("hits") && col("th") >= 3).as("recall_ok"),
+        col("pf").as("planted_found"))
+    fixedRow.unionByName(trainedRow).orderBy("variant")
+  }
+
+  val k3RecallIvfSql: String =
+    """SELECT 'ivf_fixed' AS variant, true AS recall_ok, true AS planted_found
       |UNION ALL
-      |SELECT 'ivf', true, true ORDER BY variant""".stripMargin
+      |SELECT 'ivf_trained', true, true ORDER BY variant""".stripMargin
+
+  // --- K3g: TRAINED-IVF probe audit, value-verified (VERDICT r10 #3) -------
+  // k3c proved the fixed-quantizer IVF path end-to-end in DuckDB; this
+  // entry proves the TRAINED one: DuckDB re-derives the entire Lloyd's
+  // training — 3 unrolled assign/update iterations from the 16 named seed
+  // vectors — and then the final assignment, probe pruning, and candidate
+  // facts, exactly as k3c does. Cross-engine exactness comes from
+  // ivfBuildTrained's all-integer centroid sums (see its Scaladoc): the
+  // only float ops are sequential dot products (proved exact by k3c) and
+  // one IEEE division per centroid element.
+  def k3gIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val index = Similarity.ivfBuildTrained(
+      corpus, "vec_id", "embedding", centroids,
+      trainDf = Some(ivfTrainSample(corpus)))
+    val withPlant = Similarity.ivfAdd(index,
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding")
+    val probed = Similarity.ivfProbedCandidates(withPlant, q, nProbe = 4)
+    val agg = probed.agg(
+      count(lit(1)).as("n_probed"),
+      sum(when(col("id") === 999999L, 1L).otherwise(0L)).as("planted_probed"),
+      sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_sim"))
+    val top1 = probed.orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_planted"))
+    agg.crossJoin(top1)
+  }
+
+  /** k3g's oracle: the Lloyd's iterations unrolled as CTE chains (generated
+    * so iteration count/scale stay in ONE place, shared with
+    * [[Similarity.ivfBuildTrained]]).
+    */
+  val k3gSql: String = {
+    val iters = 3
+    val scale = Similarity.QuantScale // 2^20, power of two → exact scaling
+    def assign(i: Int, cent: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, qv, list_id FROM (
+         |    SELECT v.vec_id, v.qv, c.list_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_dot_product(c.c, c.c)
+         |               - 2 * list_dot_product(v.v, c.c), c.list_id) AS rn
+         |    FROM train v CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def update(i: Int, prevCent: String): String =
+      s"""u$i AS (
+         |  SELECT list_id, pos, sum(val) AS s, count(*) AS cnt FROM (
+         |    SELECT list_id, unnest(qv) AS val,
+         |           generate_subscripts(qv, 1) AS pos FROM a$i)
+         |  GROUP BY list_id, pos),
+         |cent$i AS (
+         |  SELECT p.list_id, COALESCE(n.c, p.c) AS c
+         |  FROM $prevCent p LEFT JOIN (
+         |    SELECT list_id,
+         |           list(CAST(s AS DOUBLE) / (cnt * $scale.0) ORDER BY pos) AS c
+         |    FROM u$i GROUP BY list_id) n USING (list_id))""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      assign(i, s"cent${i - 1}") + ",\n" + update(i, s"cent${i - 1}")
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS list_id,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |train AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * $scale) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id <> 0 AND vec_id % 2 = 0),
+       |$lloyd,
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999999, qvec FROM q),
+       |scored AS (
+       |  SELECT v.vec_id, v.embedding, c.list_id,
+       |         list_dot_product(c.c, c.c)
+       |           - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+       |           AS d
+       |  FROM corpus v CROSS JOIN cent$iters c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d, list_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probe AS (
+       |  SELECT list_id FROM (
+       |    SELECT c.list_id,
+       |           row_number() OVER (
+       |             ORDER BY list_cosine_similarity(
+       |               c.c, CAST(q.qvec AS DOUBLE[])) DESC, c.list_id) AS rn
+       |    FROM cent$iters c CROSS JOIN q) WHERE rn <= 4),
+       |probed AS (
+       |  SELECT a.vec_id AS id,
+       |         list_cosine_similarity(a.embedding, q.qvec) AS cos
+       |  FROM assigned a JOIN probe USING (list_id) CROSS JOIN q)
+       |SELECT
+       |  CAST(count(*) AS BIGINT) AS n_probed,
+       |  CAST(count(*) FILTER (WHERE id = 999999) AS BIGINT) AS planted_probed,
+       |  CAST(count(*) FILTER (WHERE cos >= 0.9) AS BIGINT) AS n_sim,
+       |  (SELECT id FROM probed ORDER BY cos DESC, id LIMIT 1) = 999999
+       |    AS top1_is_planted
+       |FROM probed""".stripMargin
+  }
 
   // --- K29: source mixing against a token budget ---------------------------
   // The data-mixing step between corpus prep and packing: cap each source
@@ -2107,7 +2256,9 @@ object KQueries {
     ("k3e_ann_persisted", k3eAnnPersisted _, Some(k3eSql)),
     ("k28_ivf_lifecycle", k28IvfLifecycle _, Some(k3IvfSql)),
     ("k3f_ann_batch", k3fAnnBatch _, Some(k3fSql)),
-    ("k3_recall", k3Recall _, Some(k3RecallSql)),
+    ("k3g_ivf_trained", k3gIvfTrained _, Some(k3gSql)),
+    ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
+    ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),

@@ -230,6 +230,91 @@ object Similarity {
       centroids: DataFrame): IvfIndex =
     IvfIndex(assignToNearest(df, idCol, vecCol, centroids), centroids)
 
+  /** Deterministic seeded Lloyd's training for the IVF quantizer
+    * (VERDICT r10 #3). spark.ml's KMeans is seeded, but its centroid
+    * means are float-SUM-order dependent (partition scheduling decides the
+    * accumulation order), so no SQL oracle can re-derive them. This
+    * trainer makes the one order-sensitive step — the centroid mean —
+    * exact: elements are scaled by 2^20 (a power of two, so scaling a
+    * float32 value is EXACT in double) and floored to BIGINT; the per-list
+    * per-dimension sums are integers (commutative, so partition-order
+    * independent); and each new centroid element is ONE IEEE division,
+    * exact-integer-sum / (count · 2^20) — bit-identical on any engine.
+    * With a fixed seed-centroid init and a fixed iteration count the whole
+    * training is a pure function of the data that DuckDB re-derives
+    * CTE-by-CTE (k3g), while the assignment distances ride the same
+    * sequential dot-product arithmetic the fixed-quantizer audits already
+    * proved cross-engine exact (k3c).
+    *
+    * Scale shape — the classic distributed k-means: each iteration is one
+    * broadcast nearest-centroid assignment (map-side) plus one
+    * (list_id, dim) partial-aggregated sum whose shuffle carries
+    * nLists·dim cells, not rows; only the model-sized centroid matrix is
+    * driver-resident, exactly like spark.ml's own trainer. Empty lists
+    * keep their previous centroid (deterministic, SQL-mirrored).
+    */
+  def ivfBuildTrained(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seedCentroids: DataFrame,
+      iters: Int = 3,
+      trainDf: Option[DataFrame] = None): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Train on `trainDf` when given (the production shape: a quantizer is
+    // fit on a deterministic SAMPLE — faiss-style — because Lloyd's over
+    // the full corpus buys no recall at 100 TB and costs a full pass per
+    // iteration); the INDEX always covers all of `df`.
+    val base = trainDf.getOrElse(df).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("qv", expr(s"transform(v, x -> floor(x * $QuantScale))"))
+    var cents = seedCentroids.select(
+      col("list_id").cast("int").as("list_id"),
+      col("centroid").cast("array<double>").as("centroid"))
+    for (_ <- 1 to iters) {
+      val v = col("v")
+      val score =
+        GraftFunctions.dot_product(col("centroid"), col("centroid")) -
+          lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
+      // same min_by argmin as assignToNearest, carrying the quantized
+      // vector through so the update step never re-joins the corpus
+      val assigned = base
+        .crossJoin(broadcast(cents))
+        .withColumn("__d", score)
+        .groupBy(col("id"))
+        .agg(min_by(
+          struct(col("list_id"), col("qv")),
+          struct(col("__d"), col("list_id"))).as("__m"))
+        .select(col("__m.qv").as("qv"), col("__m.list_id").as("list_id"))
+      val sums = assigned
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "qe")))
+        .groupBy("list_id", "pos")
+        .agg(sum("qe").as("s"), count(lit(1)).as("cnt"))
+      val updated = sums.groupBy("list_id").agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          e => e.getField("s").cast("double") /
+            (e.getField("cnt") * lit(QuantScale.toDouble))).as("centroid"))
+      val next = cents.select(col("list_id"), col("centroid").as("prev"))
+        .join(updated, Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("centroid"), col("prev")).as("centroid"))
+        // model-sized (nLists rows): collecting is the spark.ml shape —
+        // driver holds the quantizer, never the data — and cuts the
+        // per-iteration lineage growth
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq
+      cents = next.toDF("list_id", "centroid")
+    }
+    IvfIndex(assignToNearest(df, idCol, vecCol, cents), cents)
+  }
+
+  /** 2^20 — the exact power-of-two quantization scale [[ivfBuildTrained]]
+    * and its k3g oracle share. */
+  val QuantScale: Long = 1L << 20
+
   /** All rows in the `nProbe` nearest lists, with their exact query cosine —
     * the set [[ivfProbe]] ranks. Exposed so an audit can count membership
     * (integer-exact) instead of trusting the approximate top-k blindly. */
