@@ -90,6 +90,32 @@ object IncrementalDedup {
       require(f.rename(tmp, dst), s"manifest commit rename failed: $dst")
     }
 
+    /** Commit wall-clock of one manifest row (the `.properties` mtime —
+      * set by the atomic rename, so it IS the commit instant).
+      */
+    def commitTimeMs(spark: SparkSession, paramsDir: String, epoch: Int): Long =
+      fs(spark, paramsDir)
+        .getFileStatus(new Path(paramsDir, s"epoch-$epoch.properties"))
+        .getModificationTime
+
+    /** The vacuum grace gate (VERDICT r10 #2, reader-vs-vacuum race): data
+      * absorbed by a compaction may only be deleted once the base-raising
+      * commit is at least `retainMs` old. A probe plans against the
+      * manifest's live epoch set at call time; if a concurrent
+      * compact+vacuum deleted absorbed epoch data mid-scan, the probe
+      * would die on missing files (loud, never silent-wrong — but an
+      * operational hazard). With a retention ≥ the longest probe runtime,
+      * every probe planned before the compaction finishes on the intact
+      * pre-compaction view; probes planned after it read the compacted
+      * epoch. Same contract as Delta/Iceberg `VACUUM ... RETAIN`: the
+      * caller promises no reader outlives the retention window.
+      */
+    def vacuumEligible(
+        spark: SparkSession, paramsDir: String, base: Int,
+        retainMs: Long): Boolean =
+      retainMs <= 0L || base == 0 ||
+        System.currentTimeMillis() - commitTimeMs(spark, paramsDir, base) >= retainMs
+
     /** Atomically claim an epoch number ≥ `start` for this writer — the
       * multi-writer guard (VERDICT r9 next-round #5). Before the claim
       * existed, two concurrent appenders both computed read-max+1, wrote
@@ -415,14 +441,23 @@ object IncrementalDedup {
       "base" -> e.toString))
   }
 
-  /** Delete the data directories of epochs below the compaction base —
-    * safe at any time (readers never consult them; a crash mid-vacuum
-    * just leaves some garbage for the next pass). Manifest files are
-    * kept: they carry the append tags that make redelivery a no-op.
+  /** Delete the data directories of epochs below the compaction base.
+    * Readers never consult them through the manifest, but a probe PLANNED
+    * before the compaction still scans them — so deletion is gated on
+    * `retainMs` ([[Manifest.vacuumEligible]]): absorbed data survives
+    * until the base-raising commit is at least that old, and a vacuum
+    * called earlier is a no-op. `retainMs = 0` (the default, used by the
+    * oracle lifecycle entries and tests) keeps the immediate-delete
+    * behavior; production maintenance passes a retention ≥ its longest
+    * probe runtime. A crash mid-vacuum just leaves garbage for the next
+    * pass. Manifest files are kept: they carry the append tags that make
+    * redelivery a no-op.
     */
-  def vacuumIndex(spark: SparkSession, dir: String): Unit = {
+  def vacuumIndex(
+      spark: SparkSession, dir: String, retainMs: Long = 0L): Unit = {
     val p = IndexPaths(dir)
     val meta = readMeta(spark, p)
+    if (!Manifest.vacuumEligible(spark, p.params, meta.base, retainMs)) return
     (0 until meta.base).foreach { e =>
       deleteDir(spark, s"${p.shingles}/epoch=$e")
       deleteDir(spark, s"${p.banded}/epoch=$e")

@@ -537,14 +537,18 @@ object Similarity {
   }
 
   /** Delete assigned/centroid data of epochs below the compaction base
-    * (manifest files are kept — the tag/redelivery contract survives,
-    * same as the other indexes).
+    * (manifest files are kept — the tag/redelivery contract survives;
+    * deletion gated on `retainMs` against the base-raising commit — same
+    * contract as [[IncrementalDedup.vacuumIndex]]).
     */
   def vacuumIvfIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      retainMs: Long = 0L): Unit = {
     val p = IvfIndexPaths(dir)
     val base = IncrementalDedup.Manifest.read(spark, p.params)
       .map(_._2.getOrElse("base", "0").toInt).maxOption.getOrElse(0)
+    if (!IncrementalDedup.Manifest.vacuumEligible(spark, p.params, base, retainMs))
+      return
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0 until base).foreach { e =>
@@ -829,13 +833,18 @@ object Similarity {
   }
 
   /** Delete vector data of epochs below the compaction base (manifest
-    * files are kept — same contract as [[IncrementalDedup.vacuumIndex]]).
+    * files are kept; deletion gated on `retainMs` against the
+    * base-raising commit — same contract and reader-vs-vacuum rationale
+    * as [[IncrementalDedup.vacuumIndex]]).
     */
   def vacuumCosineIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      retainMs: Long = 0L): Unit = {
     val p = CosineIndexPaths(dir)
     val base = IncrementalDedup.Manifest.read(spark, p.params)
       .map(_._2.getOrElse("base", "0").toInt).maxOption.getOrElse(0)
+    if (!IncrementalDedup.Manifest.vacuumEligible(spark, p.params, base, retainMs))
+      return
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0 until base).foreach { e =>
