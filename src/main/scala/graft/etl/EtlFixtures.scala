@@ -47,8 +47,13 @@ object EtlFixtures {
     "dvce_sent_tstamp" -> "2024-01-01 10:00:00.800"
   )
 
+  // Per-line useragents (p11 UA enrichment, VERDICT r10 #7): one per
+  // browser/OS/device class the classifier distinguishes, so the computed
+  // enrichment is exercised beyond a single constant.
   val goodPageView: String = mkLine(base ++ Map(
     "event" -> "page_view", "event_id" -> uuidPageView,
+    "useragent" -> ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) " +
+      "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
     "page_url" -> "https://qlean.example/catalog/cleaning?utm_source=ya&page=2",
     "page_title" -> "Catalog", "page_referrer" -> "https://ya.example/search",
     "page_urlscheme" -> "https", "page_urlhost" -> "qlean.example",
@@ -65,6 +70,9 @@ object EtlFixtures {
 
   val goodStruct: String = mkLine(base ++ Map(
     "event" -> "struct", "event_id" -> uuidStruct,
+    "useragent" -> ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) " +
+      "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.2 Mobile/15E148 " +
+      "Safari/604.1"),
     "se_category" -> "checkout", "se_action" -> "add_to_cart",
     "se_label" -> "sku-123", "se_property" -> "qty", "se_value" -> "2.0",
     "event_vendor" -> "com.google.analytics", "event_name" -> "event",
@@ -72,6 +80,8 @@ object EtlFixtures {
 
   val goodUnstruct: String = mkLine(base ++ Map(
     "event" -> "unstruct", "event_id" -> uuidUnstruct,
+    "useragent" ->
+      "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
     "unstruct_event" ->
       """{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0","data":{"schema":"iglu:com.qlean/order_created/jsonschema/1-0-0","data":{"order_id":"ord-77","amount":"129.90"}}}""",
     "contexts" ->
@@ -81,6 +91,9 @@ object EtlFixtures {
 
   val goodTransaction: String = mkLine(base ++ Map(
     "event" -> "transaction", "event_id" -> uuidTrans,
+    "useragent" -> ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) " +
+      "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 " +
+      "Safari/537.36 Edg/120.0.2210.91"),
     "tr_orderid" -> "ord-77", "tr_affiliation" -> "web",
     "tr_total" -> "129.90", "tr_tax" -> "21.65", "tr_shipping" -> "0.00",
     "tr_city" -> "Moscow", "tr_country" -> "RU",
@@ -92,6 +105,9 @@ object EtlFixtures {
 
   val goodTransactionItem: String = mkLine(base ++ Map(
     "event" -> "transaction_item", "event_id" -> uuidTransItem,
+    "useragent" -> ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; " +
+      "compatible; Googlebot/2.1; +http://www.google.com/bot.html) " +
+      "Chrome/120.0.6099.129 Safari/537.36"),
     "ti_orderid" -> "ord-77", "ti_sku" -> "sku-123",
     "ti_name" -> "Deep cleaning", "ti_category" -> "cleaning",
     "ti_price" -> "129.90", "ti_quantity" -> "1",

@@ -142,6 +142,26 @@ object SnowplowOracle {
        |ORDER BY target_table""".stripMargin
   }
 
+  /** Oracle for p11_ua_enrichment: the computed UA columns re-derived by
+    * the IDENTICAL pattern strings (generated from [[UaEnrich]]'s ordered
+    * tables — the common RE2 ∩ java.util.regex dialect, so regexp_matches
+    * here and rlike in Spark see the same language).
+    */
+  def p11Sql: String = {
+    val eid = raw(idx("event_id"))
+    val ua = raw(idx("useragent"))
+    s"""WITH $linesCte,
+       |good AS (SELECT f FROM lines WHERE $goodCond)
+       |SELECT $eid AS event_id,
+       |       $ua AS useragent,
+       |       ${UaEnrich.familySql(ua)} AS ua_family,
+       |       ${UaEnrich.versionSql(ua)} AS ua_version,
+       |       ${UaEnrich.osFamilySql(ua)} AS ua_os_family,
+       |       ${UaEnrich.deviceClassSql(ua)} AS ua_device_class
+       |FROM good
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** Oracle for p1_snowplow_shred: explode the contexts envelope of good
     * rows — one row per attached context, keys joined scalar, tier value.
     */

@@ -27,7 +27,13 @@ object TargetMapping {
       col("refr_urlhost"), col("refr_medium"),
       col("mkt_medium"), col("mkt_source"), col("mkt_campaign"),
       col("useragent"), col("br_name"), col("os_name"), col("dvce_type"),
-      col("dvce_ismobile"), col("event_fingerprint"))
+      col("dvce_ismobile"), col("event_fingerprint"),
+      // H10 v1: COMPUTED ua enrichment beside the pass-through fields —
+      // derived from the raw useragent, oracle-checked by p11
+      UaEnrich.uaFamily(col("useragent")).as("ua_family"),
+      UaEnrich.uaVersion(col("useragent")).as("ua_version"),
+      UaEnrich.uaOsFamily(col("useragent")).as("ua_os_family"),
+      UaEnrich.uaDeviceClass(col("useragent")).as("ua_device_class"))
 
   /** Structured-event child table (se_* family). */
   def structuredEvents(good: DataFrame): DataFrame =
