@@ -59,6 +59,40 @@ object StreamBench {
       name -> runs(1)
     }
 
+    // JDBC upsert throughput (VERDICT r10 #8): p3 proves the sink's
+    // correctness at oracle scale; this measures rows/s at the bench SF's
+    // FULL events table (100k rows at sf0.1, ~10x the p3 stream batch),
+    // both paths — fresh INSERT and full replay (the UPDATE branch) —
+    // with an idempotency re-check at that scale. Per-partition prepared-
+    // statement batching (addBatch/executeBatch, 500-row chunks) is the
+    // existing upsertBatch shape; each key lands in exactly one task.
+    val jdbcJson = {
+      import org.apache.spark.sql.functions.col
+      val url = graft.etl.PipelineQueries.freshDerby("target/derby/bench_upsert")
+      val rows = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val n = rows.count()
+      graft.etl.JdbcUpsert.ensureTable(
+        url, "bench_events", rows.schema, Seq("event_id"))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val insSec = timed(graft.etl.JdbcUpsert.upsertBatch(
+        rows, url, "bench_events", Seq("event_id")))
+      val replSec = timed(graft.etl.JdbcUpsert.upsertBatch(
+        rows, url, "bench_events", Seq("event_id")))
+      val loaded = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "bench_events").load().count()
+      require(loaded == n,
+        s"upsert idempotency broken at bench scale: loaded $loaded of $n rows")
+      def rps(sec: Double): Long = if (sec > 0) math.round(n / sec) else 0L
+      s""""jdbc_upsert":{"rows":$n,"insert_sec":${f"$insSec%.3f"},""" +
+        s""""insert_rows_per_sec":${rps(insSec)},""" +
+        s""""replay_sec":${f"$replSec%.3f"},""" +
+        s""""replay_rows_per_sec":${rps(replSec)}}"""
+    }
+
     val js = results.map { case (n, (sec, batches, rows)) =>
       val rps = if (sec > 0) math.round(rows / sec) else 0L
       s""""$n":{"sec":${f"$sec%.3f"},"batches":$batches,""" +
@@ -66,7 +100,7 @@ object StreamBench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line = s"""{"metric":"stream_total","value":${f"$total%.3f"},""" +
-      s""""unit":"sec","streams":$js,"sf":"$sfDir"}"""
+      s""""unit":"sec","streams":$js,$jdbcJson,"sf":"$sfDir"}"""
     // same truncation-proofing as Bench: full artifact on disk, one
     // compact line on stdout
     val out = java.nio.file.Paths.get("target", "stream_bench.json")
