@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (VERDICT r10 #5): generate a seeded ~10× corpus from
+  * the sf0.1 fixtures and run the index-tier entries at both scales ONCE,
+  * reporting per-entry wall-clock ratios. A ratio near the replication
+  * factor means the operator scales linearly in rows; a ratio far above
+  * it is the accidental quadratic this rehearsal exists to catch before
+  * a real cluster would.
+  *
+  * Generation is a pure, seeded function of the fixtures (no RNG state,
+  * no clock): every derived value comes from xxhash64 of the row identity
+  * and replica index, so the corpus is bit-identical across runs and
+  * independent of partitioning.
+  *
+  * Replica design — the part that makes the ratios MEANINGFUL:
+  *   - documents: replica k suffixes every token with `_k`, so replicas
+  *     are DISJOINT in shingle space. Each replica preserves the
+  *     original's duplicate/near-duplicate structure exactly; cross-replica
+  *     pairs are impossible. Pair count and cluster count scale ×k while
+  *     corpus size scales ×k — the honest linear scale-up. (Naively
+  *     copying text 10× would plant 10-way near-dup cliques everywhere:
+  *     a quadratically HARDER instance, not a bigger one.)
+  *   - embeddings: replica k>0 gets fresh hash-derived pseudo-random
+  *     vectors (uniform per-dimension from xxhash64(vec_id, k, i)) — the
+  *     same "random directions" population as the fixture, no planted
+  *     cross-replica neighbors; replica 0 keeps the original vectors so
+  *     planted-id `require`s still hold.
+  *   - events: id/user offsets per replica, payload untouched — 10× the
+  *     traffic with the same per-user shape.
+  */
+object ScaleRehearsal {
+
+  val Reps = 10
+  val DocStride = 10000L     // > max sf0.1 doc_id, and max generated id
+                             // stays below k19's 200000 planted-batch floor
+  val VecStride = 10000L     // keeps max vec_id ≪ the 999990 plant floor
+  val EventStride = 10000000L
+  val UserStride = 1000000L
+
+  def generate(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = spark.range(Reps).select(col("id").cast("int").as("k"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("k") * lit(DocStride)).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("k").cast("string")))).as("text"),
+        col("lang"), col("source"),
+        // recompute honestly: the suffixes lengthen replica text
+        length(when(col("k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("k").cast("string"))))).cast("long")
+          .as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("k") * lit(VecStride)).as("vec_id"),
+        when(col("k") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(sequence(0, size(embedding) - 1),
+              |  i -> cast((pmod(xxhash64(vec_id, k, i), 2000001) - 1000000)
+              |            / 1000000.0 as float))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Tables.load(spark, src, "events").crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("k") * lit(EventStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * lit(UserStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** The index tier named by VERDICT r10 #5, plus the two batch near-dup
+    * entries whose cost is most shape-sensitive.
+    */
+  val Entries = Seq(
+    "k2_minhash_neardup",
+    "k10_dup_clusters",
+    "k19_incremental_neardup",
+    "k24_index_compaction",
+    "k26_incremental_corpus_prep",
+    "k3e_ann_persisted",
+    "k3f_ann_batch")
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.rewriteGlobalTrailingWindow", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    System.err.println(s"[scale] generating ${Reps}x corpus at $out from $src")
+    generate(spark, src, out)
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Entries.map { name =>
+      timeOnce(name, src) // warm-up: JIT + codegen cache on the small run
+      val small = timeOnce(name, src)
+      val big = timeOnce(name, out)
+      val ratio = if (small > 0) big / small else -1.0
+      System.err.println(
+        f"[scale] $name: sf0.1 $small%.2f s -> ${Reps}x $big%.2f s " +
+          f"(ratio $ratio%.1f)")
+      name -> (small, big, ratio)
+    }
+
+    val js = rows.map { case (n, (s, b, r)) =>
+      s""""$n":{"small_sec":${f"$s%.2f"},"big_sec":${f"$b%.2f"},""" +
+        s""""ratio":${f"$r%.2f"}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_rehearsal","reps":$Reps,""" +
+      s""""entries":$js,"src":"$src","out":"$out"}"""
+    val audit = java.nio.file.Paths.get("bench_audit", "scale-rehearsal.json")
+    java.nio.file.Files.createDirectories(audit.getParent)
+    java.nio.file.Files.write(audit, line.getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}
