@@ -1054,6 +1054,95 @@ object KQueries {
     agg.crossJoin(top1)
   }
 
+  // --- K3h: PRODUCT-QUANTIZATION probe audit, value-verified ---------------
+  // The ANN compression tier (Similarity.pqBuild/pqTopK Scaladoc): 64
+  // float32 dims stored as 8 small codes, candidates ranked by integer
+  // asymmetric distance, exact cosine only on the top-50 re-rank slice.
+  // Fixed seed codebooks (the named vectors 1..16, k3c shape) + all-
+  // integer encode/ADC arithmetic make the ENTIRE pipeline — every code
+  // assignment, the ADC top-50, the re-ranked winner — re-derivable by
+  // DuckDB, so this is a full value oracle, not a gate.
+  def k3hPq(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val withPlant = corpus.select("vec_id", "embedding").union(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val index = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    val top50 = Similarity.pqAdcCandidates(index, q)
+      .orderBy(col("adist").asc, col("id")).limit(50)
+    val nEnc = index.encoded.agg(count(lit(1)).as("n_enc"))
+    val planted = top50.agg(
+      coalesce(max(col("id") === 999999L), lit(false)).as("planted_in_adc"))
+    val top1 = top50.crossJoin(broadcast(q))
+      .select(col("id"),
+        graft.functions.GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_planted"))
+    nEnc.crossJoin(planted).crossJoin(top1)
+  }
+
+  /** k3h's oracle: codes, ADC table, top-50, and re-rank re-derived with
+    * the identical integer arithmetic (generated so nSub/subDim/scale
+    * stay shared with [[Similarity.pqBuild]]).
+    */
+  val k3hSql: String = {
+    val nSub = 8
+    val sub = 8
+    val scale = Similarity.PqScale
+    def slice(arr: String) = s"$arr[(s.m*$sub+1):(s.m*$sub+$sub)]"
+    def d(a: String, b: String) =
+      s"""list_dot_product(${slice(a)}, ${slice(a)})
+         |           - 2 * list_dot_product(${slice(a)}, ${slice(b)})
+         |           + list_dot_product(${slice(b)}, ${slice(b)})""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |seeds AS (
+       |  SELECT CAST(vec_id - 1 AS INT) AS code,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qc
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999999, qvec FROM q),
+       |qv AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qv
+       |  FROM corpus),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range($nSub) t(m)),
+       |assigned AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, s.m ORDER BY
+       |             ${d("v.qv", "c.qc")}, c.code) AS rn
+       |    FROM qv v CROSS JOIN sub s CROSS JOIN seeds c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes
+       |  FROM assigned GROUP BY vec_id),
+       |tblq AS (
+       |  SELECT s.m, c.code, ${d("w.qq", "c.qc")} AS d
+       |  FROM sub s CROSS JOIN seeds c CROSS JOIN (
+       |    SELECT list_transform(CAST(qvec AS DOUBLE[]),
+       |                          x -> floor(x * $scale)) AS qq FROM q) w),
+       |adist AS (
+       |  SELECT u.vec_id, sum(t.d) AS adist
+       |  FROM (SELECT vec_id, unnest(codes) AS code,
+       |               CAST(generate_subscripts(codes, 1) - 1 AS INT) AS m
+       |        FROM codes) u
+       |  JOIN tblq t USING (m, code)
+       |  GROUP BY u.vec_id),
+       |top50 AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50),
+       |rerank AS (
+       |  SELECT c.vec_id, list_cosine_similarity(c.embedding, q.qvec) AS cos
+       |  FROM corpus c JOIN top50 USING (vec_id) CROSS JOIN q)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM qv) AS n_enc,
+       |  COALESCE((SELECT count(*) FILTER (WHERE vec_id = 999999)
+       |            FROM top50) > 0, false) AS planted_in_adc,
+       |  (SELECT vec_id FROM rerank ORDER BY cos DESC, vec_id LIMIT 1)
+       |    = 999999 AS top1_is_planted""".stripMargin
+  }
+
   /** k3g's oracle: the Lloyd's iterations unrolled as CTE chains (generated
     * so iteration count/scale stay in ONE place, shared with
     * [[Similarity.ivfBuildTrained]]).
@@ -2257,6 +2346,7 @@ object KQueries {
     ("k28_ivf_lifecycle", k28IvfLifecycle _, Some(k3IvfSql)),
     ("k3f_ann_batch", k3fAnnBatch _, Some(k3fSql)),
     ("k3g_ivf_trained", k3gIvfTrained _, Some(k3gSql)),
+    ("k3h_pq_audit", k3hPq _, Some(k3hSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

@@ -315,6 +315,129 @@ object Similarity {
     * and its k3g oracle share. */
   val QuantScale: Long = 1L << 20
 
+  // --- Product quantization (PQ) — the ANN compression tier ---------------
+  // At 100 TB the dominant ANN serving cost is reading vectors: 64 float32
+  // dims = 256 B/vector. PQ splits each vector into `nSub` subspaces and
+  // stores only the id of the nearest subspace codebook entry — 8 small
+  // ints per vector (~97% smaller) — and ranks candidates by ASYMMETRIC
+  // distance (query-to-codebook lookup tables), paying the exact cosine
+  // only on a top-R re-rank slice. [pub: Jégou, Douze, Schmid — "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 2011.]
+  //
+  // Cross-engine exactness (the k3g trick, applied twice): vectors and
+  // codebooks are floor-quantized at 2^10 (power-of-two scaling of
+  // float32 is exact in double), so BOTH the encode argmin distances and
+  // the ADC sums are INTEGER arithmetic — order-independent, hence
+  // bit-identical across engines no matter how partitions interleave.
+  // A SQL oracle re-derives every code and every ADC ranking (k3h).
+
+  /** 2^10 — the PQ quantization scale (coarser than [[QuantScale]]: PQ
+    * distances are approximate by design and the smaller products keep
+    * every ADC sum far inside exact-double-integer range). */
+  val PqScale: Long = 1L << 10
+
+  private def pqQuant(v: Column): Column =
+    transform(v.cast("array<double>"), x => floor(x * lit(PqScale)))
+
+  /** A built PQ index: original vectors + their `nSub` codes, and the
+    * per-subspace quantized codebooks `(m, code, qsub)`. Codebooks are
+    * model state (nSub × nCodes rows); codes ride with the data.
+    */
+  final case class PqIndex(
+      encoded: DataFrame, // (id, v, codes: array<int>)
+      codebooks: DataFrame, // (m, code, qsub: array<bigint>)
+      nSub: Int, subDim: Int, nCodes: Int)
+
+  /** Build a PQ index from FIXED seed codebook vectors (the oracle-able
+    * k3c shape: `seeds` = (code, centroid) rows the SQL can name; each
+    * seed's slice `m` becomes subspace `m`'s codebook entry). Encoding is
+    * a broadcast argmin per (row, subspace) — map-side, no shuffle wider
+    * than the per-id code collection.
+    */
+  def pqBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: DataFrame, // (code: int, centroid: array<double-ish>)
+      nSub: Int = 8,
+      dim: Int = 64): PqIndex = {
+    val sub = dim / nSub
+    require(sub * nSub == dim, s"dim $dim not divisible into $nSub subspaces")
+    val codebooks = seeds
+      .select(col("code").cast("int").as("code"),
+        pqQuant(col("centroid")).as("qc"))
+      .select(col("code"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+          s"mi -> struct(mi AS m, slice(qc, mi * $sub + 1, $sub) AS qsub))"))
+        .as("e"))
+      .select(col("e.m").as("m"), col("code"), col("e.qsub").as("qsub"))
+    val nCodes = seeds.count().toInt
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("qv", pqQuant(col("v")))
+    val perSub = rows.select(col("id"), explode(expr(
+      s"transform(sequence(0, ${nSub - 1}), " +
+        s"mi -> struct(mi AS m, slice(qv, mi * $sub + 1, $sub) AS qs))"))
+      .as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.qs").as("qs"))
+    // integer squared L2 per (row, subspace, code); argmin via min_by —
+    // map-side combine, ties to the lower code id
+    val assigned = perSub.join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(qs, qsub, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .groupBy("id", "m")
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+    val codes = assigned.groupBy("id").agg(
+      transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        e => e.getField("code")).as("codes"))
+    PqIndex(rows.select("id", "v").join(codes, Seq("id")),
+      codebooks, nSub, sub, nCodes)
+  }
+
+  /** ADC candidates: every encoded row with its integer asymmetric
+    * distance to the query (a 1-row broadcast lookup-table crossJoin +
+    * one sequential fold per row — map-only over the compressed codes).
+    * Exposed so the k3h audit can count the candidate slice exactly.
+    */
+  def pqAdcCandidates(index: PqIndex, query: DataFrame): DataFrame = {
+    val qq = query.select(pqQuant(col("qvec")).as("qq"))
+    val sub = index.subDim
+    val tbl = qq.crossJoin(broadcast(index.codebooks))
+      .withColumn("qs", expr(s"slice(qq, m * $sub + 1, $sub)"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qs, qsub, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("d")))),
+        e => e.getField("d")).as("tbl")) // ordered by (m, code)
+    index.encoded.crossJoin(broadcast(tbl))
+      .withColumn("adist", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${index.nSub - 1}), " +
+          s"(c, mi) -> element_at(tbl, mi * ${index.nCodes} + c + 1)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("id"), col("v"), col("adist"))
+  }
+
+  /** PQ top-k: ADC-rank the whole corpus on compressed codes, exact-cosine
+    * re-rank only the `rerank` best — the serving shape where 100 TB of
+    * vectors is scanned as ~3 TB of codes and full vectors are touched
+    * for R rows per query.
+    */
+  def pqTopK(
+      index: PqIndex,
+      query: DataFrame, // single row, column "qvec"
+      k: Int,
+      rerank: Int = 50): DataFrame =
+    pqAdcCandidates(index, query)
+      .orderBy(col("adist").asc, col("id"))
+      .limit(rerank)
+      .crossJoin(broadcast(query))
+      .select(col("id"),
+        GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+
   /** All rows in the `nProbe` nearest lists, with their exact query cosine —
     * the set [[ivfProbe]] ranks. Exposed so an audit can count membership
     * (integer-exact) instead of trusting the approximate top-k blindly. */

@@ -349,4 +349,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$dir/assigned/epoch=$compacted")),
       "compacted epoch survives vacuum")
   }
+
+  test("PQ: codes compress to nSub ints, planted dup wins the re-rank, " +
+      "ADC floor is the query's own codes") {
+    val seeds = emb.filter(col("vec_id").between(1, 16))
+      .select((col("vec_id") - 1).cast("int").as("code"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val planted = corpus.select(col("vec_id"), col("embedding")).unionAll(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val index = Similarity.pqBuild(planted, "vec_id", "embedding", seeds)
+    // compression shape: every vector carries exactly nSub codes in range
+    val shapes = index.encoded
+      .select(size(col("codes")).as("n"),
+        expr("aggregate(codes, true, (acc, c) -> acc AND c >= 0 AND c < 16)")
+          .as("inRange"))
+      .agg(min(col("n")), max(col("n")),
+        min(col("inRange")).as("allInRange")).head()
+    assert(shapes.getInt(0) == 8 && shapes.getInt(1) == 8)
+    assert(shapes.getBoolean(2), "a code escaped the codebook range")
+    // the planted exact duplicate encodes to the query's own per-subspace
+    // argmins, so its ADC distance is the global floor -> it survives the
+    // top-50 slice and the exact re-rank puts it first
+    val top = Similarity.pqTopK(index, query, k = 1).head()
+    assert(top.getLong(0) == 999999L,
+      s"planted duplicate must win the PQ re-rank, got ${top.getLong(0)}")
+    // ADC is integer arithmetic: the planted row's distance equals the
+    // minimum distance in the candidate frame exactly (no float fuzz)
+    val adc = Similarity.pqAdcCandidates(index, query)
+    val minD = adc.agg(min(col("adist"))).head().getLong(0)
+    val plantedD = adc.filter(col("id") === 999999L).head().getLong(2)
+    assert(plantedD == minD)
+  }
 }
