@@ -512,11 +512,17 @@ object Similarity {
     val bucketed = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), bits, dim, seed, axis).as("bucket"))
+    // bucket lands as an ATTRIBUTE before the probe expansion: inlining
+    // signBucket (16 codegen'd dot loops) into every XOR term of
+    // probeBuckets unrolled 17 copies of it in one generated method —
+    // past janino's 64 KB limit, so the whole stage silently fell back to
+    // interpreted (caught by the r11 scale rehearsal). A Project under
+    // the Generate keeps exactly one evaluation.
     val qb = queries.select(
       col(qIdCol).as("qid"), col(qVecCol).as("qvec"),
-      explode(probeBuckets(
-        signBucket(col(qVecCol), bits, dim, seed, axis),
-        bits, maxHamming)).as("bucket"))
+      signBucket(col(qVecCol), bits, dim, seed, axis).as("__qbucket"))
+      .select(col("qid"), col("qvec"),
+        explode(probeBuckets(col("__qbucket"), bits, maxHamming)).as("bucket"))
     bucketed.join(qb, Seq("bucket"))
       .select(col("qid"), col("id"),
         GraftFunctions.cosine_sim(col("v"), col("qvec")).as("cos"))
@@ -1001,10 +1007,12 @@ object Similarity {
       axisPlanes: Boolean = false): DataFrame = {
     val p = CosineIndexPaths(dir)
     val meta = requireCosineParams(spark, p, bits, dim, seed, axisPlanes)
+    // attribute-first, same 64 KB-codegen rationale as annCandidatesBatch
     val qb = query
-      .select(explode(probeBuckets(
-        signBucket(col("qvec"), meta.bits, meta.dim, meta.seed, meta.axis),
-        meta.bits, probeHamming)).as("bucket"))
+      .select(signBucket(col("qvec"), meta.bits, meta.dim, meta.seed,
+        meta.axis).as("__qbucket"))
+      .select(explode(probeBuckets(col("__qbucket"), meta.bits, probeHamming))
+        .as("bucket"))
     val touched = qb
       .select(pmod(col("bucket"), lit(meta.pbuckets)).cast("int").as("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq
