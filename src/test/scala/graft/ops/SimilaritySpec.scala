@@ -380,4 +380,21 @@ class SimilaritySpec extends AnyFunSuite {
     val plantedD = adc.filter(col("id") === 999999L).head().getLong(2)
     assert(plantedD == minD)
   }
+
+  test("ANN probe stages compile under whole-stage codegen (no 64KB fallback)") {
+    // Before r11, probeBuckets inlined signBucket's 16 dot-product loops
+    // into every Hamming-neighbor term: 17 copies in one generated method
+    // blew janino's 64 KB limit and the stage silently ran INTERPRETED.
+    // With fallback disabled, any regression to that shape throws here
+    // instead of quietly costing ~2x at serving time.
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      val queries = query.select(lit(1L).as("qid"), col("qvec"))
+      val batch = Similarity.annTopKBatch(
+        corpus, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+      assert(batch.count() >= 0) // forces compile + execution of every stage
+    } finally spark.conf.set(key, old)
+  }
 }
