@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Declared LLM-pipeline queries (SURVEY.md §2.1-K): the dedup family over
   * `documents`/`embeddings`, each with a DuckDB oracle where the semantics
@@ -108,6 +109,83 @@ object KQueries {
       |SELECT count(*) AS n_pairs
       |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
+
+  // --- K30: SemDeDup semantic dedup (cluster-then-compare) -----------------
+  // [pub: Abbas et al., arXiv:2303.09540] Embeddings are L2-normalized,
+  // clustered by the FIXED seed-vector quantizer (the k3c shape — named
+  // centroid rows the SQL re-derives), and compared pairwise only WITHIN a
+  // cluster; a row drops iff a smaller-id cluster-mate has cosine ≥ 0.95.
+  // Planted semantic duplicates: every vector re-enters at id+100000
+  // SCALED by 0.75 — zero bytes shared with the original (exact dedup and
+  // MinHash are both blind to it), but cosine-identical, and after
+  // normalization it lands in its original's cluster. 0.75 = 3/2², so
+  // x*0.75 and its square are EXACT in double for float x — the
+  // normalization/distance arithmetic is bit-reproducible cross-engine
+  // (the k3g power-of-two trick). Natural pairs max out at cosine ≤ 0.61
+  // on every fixture SF (measured), so no pair sits near the 0.95
+  // boundary and no cross-engine ulp can flip membership.
+  def k30(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+      "k30 fixture assumes vec_id < 100000 (planted-copy id offset); " +
+        "raise the offset in BOTH k30 and k30Sql for this scale factor")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val corpus = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), x => x * lit(0.75)).as("v")))
+      .withColumn("nv",
+        transform(col("v"), x => x / GraftFunctions.l2_norm(col("v"))))
+    val centroids = corpus.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("list_id"), col("nv").as("centroid"))
+    Similarity
+      .semanticDedup(corpus, "vec_id", "nv", centroids, threshold = 0.95)
+      .groupBy("list_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("drop"), col("id")).otherwise(0L)).as("dropped_sum"))
+      .orderBy("list_id")
+  }
+
+  val k30Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(v, x -> x * 0.75) AS v
+      |  FROM base),
+      |normed AS (
+      |  SELECT vec_id,
+      |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |           AS nv
+      |  FROM corpus),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) AS list_id, nv AS c
+      |  FROM normed WHERE vec_id BETWEEN 1 AND 16),
+      |assigned AS (
+      |  SELECT vec_id, nv, list_id FROM (
+      |    SELECT n.vec_id, n.nv, c.list_id,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY list_dot_product(c.c, c.c)
+      |                        - 2 * list_dot_product(n.nv, c.c),
+      |                      c.list_id) AS rn
+      |    FROM normed n CROSS JOIN cent c) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.nv, b.nv) >= 0.95)
+      |SELECT a.list_id,
+      |       CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+      |       CAST(coalesce(sum(d.vec_id), 0) AS BIGINT) AS dropped_sum
+      |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      |GROUP BY a.list_id
+      |ORDER BY a.list_id""".stripMargin
 
   // --- K2c: duplicate-heavy adversarial near-dedup -------------------------
   // The VERDICT r5 scale-killer made a declared gate: corpus = documents
@@ -2353,6 +2431,7 @@ object KQueries {
     ("j5_fingerprint_dedup", j5 _, Some(j5Sql)),
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
+    ("k30_semantic_dedup", k30 _, Some(k30Sql)),
     ("k2c_dupheavy_neardup", k2c _, Some(k2cSql)),
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),

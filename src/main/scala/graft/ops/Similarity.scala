@@ -1126,6 +1126,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication [pub: Abbas, Tirumala, Simig,
+    * Ganguli, Morcos — "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540, 2023]: cluster the
+    * embedding space with the coarse quantizer, then compare pairs ONLY
+    * within a cluster — a row drops iff some smaller-id row in its cluster
+    * has cosine ≥ `threshold` (the repo-wide "smaller id wins" dedup
+    * precedence, k19/k26's rule). Unlike exact dedup (K1, byte identity)
+    * and MinHash (K2, lexical overlap), this catches SEMANTIC duplicates —
+    * paraphrases, rescaled embeddings — that share no bytes.
+    *
+    * Scale shape (the paper's whole point): never all-pairs. Assignment is
+    * one broadcast argmin over the model-sized centroid frame (map-side;
+    * the shuffle carries one pre-reduced row per id), and the pairwise
+    * stage is an equi-join on `list_id`, so candidate cost is Σ|cluster|²,
+    * bounded by choosing nLists ∝ √n (SemDeDup uses 11k clusters for
+    * LAION-440M). A pathological hot cluster is the skew risk: AQE's
+    * skew-join split handles moderate skew, and a cluster past any bound
+    * should be re-clustered recursively (maintenance, same operator) — at
+    * that point the data is telling you the quantizer is too coarse.
+    *
+    * Returns (id, list_id, drop) for every input row. The greedy
+    * smaller-id rule is deliberately NOT connected-component collapse
+    * (k10's job): it is decomposable (a row's fate depends only on smaller
+    * ids in its cluster), so the incremental-index pattern (k19/k21)
+    * extends to it unchanged, and it is exactly re-derivable in SQL.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = ivfBuildFixed(df, idCol, vecCol, centroids).assigned
+    val a = assigned.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    // one cluster per row ⇒ each pair forms at most once; no dedup exchange
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(GraftFunctions.cosine_sim(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("list_id"))
+      .join(dropped.withColumn("drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("list_id"),
+        coalesce(col("drop"), lit(false)).as("drop"))
+  }
+
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(
       df: DataFrame,
