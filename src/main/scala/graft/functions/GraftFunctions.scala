@@ -121,6 +121,32 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
   def kll_quantiles(v: Column, k: Int, probs: Seq[Double]): Column =
     GraftBridge.column(
       KllQuantilesAgg(GraftBridge.expression(v), k, probs).toAggregateExpression())
+
+  /** Spark's own bloom-filter sketch aggregate (the runtime-join-filter
+    * machinery, used directly): ORs per-partition filters, so the merge is
+    * commutative and the built bytes are partition-order independent.
+    * `h` must be a BIGINT column (hash values, e.g. `xxhash64`).
+    */
+  def bloom_filter_agg(h: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(h),
+        Literal(expectedItems), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+  }
+
+  /** Membership probe against [[bloom_filter_agg]] bytes — one-sided:
+    * never a false negative. `filter` must be foldable (a literal /
+    * broadcast scalar); the expression deserializes it once per task.
+    */
+  def bloom_might_contain(filter: Column, h: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftBridge.column(
+      BloomFilterMightContain(
+        GraftBridge.expression(filter), GraftBridge.expression(h)))
+  }
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` entry point. */

@@ -1699,6 +1699,72 @@ object KQueries {
       .orderBy("lang")
   }
 
+  // --- K31: bloom-filter decontamination (the large-held-out tier) ---------
+  // k17 broadcasts the EXACT held-out hash set — right while the benchmark
+  // suite is model-sized. When the held-out side is itself huge (decontam
+  // against another corpus' n-grams), the scale shape is a Bloom filter:
+  // build once over the held-out hashes with Spark's own commutative
+  // bloom sketch aggregate (bytes are partition-order independent), ship
+  // the ~256 KB filter as a literal, and flag each corpus doc with a
+  // MAP-ONLY `exists(s, h -> might_contain(bf, h))` — no join, no explode,
+  // no shuffle on the corpus side at all (k17 shuffles the exploded
+  // shingles). One-sided error: never a false negative, so nothing
+  // contaminated slips through; false positives only over-drop, bounded
+  // by sizing (2^21 bits for ≤65k items ⇒ per-probe fp ~1e-16 here).
+  // ORACLE = gate + exact values (SURVEY §2.2a): n_docs/n_overlapping are
+  // DuckDB-exact; the two booleans pin the bloom side's contract — DuckDB
+  // cannot re-derive Spark's bloom bits, but it exactly re-derives the
+  // overlap set the no-false-negative check compares against.
+  def k31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("s")).as("h")).distinct()
+    val bf = bench
+      .agg(GraftFunctions.bloom_filter_agg(col("h"), 65536L, 1L << 21).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bloomFlagged = corpus.select(
+      col("doc_id"),
+      exists(col("s"),
+        h => GraftFunctions.bloom_might_contain(lit(bf), h)).as("bl"))
+    val exactFlagged = corpus
+      .select(col("doc_id"), explode(col("s")).as("h"))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(max(coalesce(col("hit"), lit(0L))).as("ex"))
+    bloomFlagged.join(exactFlagged, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ex")).as("n_overlapping"),
+        (sum(when(col("ex") === 1L && !col("bl"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(col("bl") && col("ex") === 0L, 1L).otherwise(0L)) <=
+          count(lit(1)) / 100L + 1L).as("fp_within_bound"))
+  }
+
+  val k31Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3
+      |), bench AS (
+      |  SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 50 = 0
+      |), perdoc AS (
+      |  SELECT c.doc_id, max(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS ex
+      |  FROM (SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 50 <> 0) c
+      |  LEFT JOIN bench b ON c.h = b.h
+      |  GROUP BY c.doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ex) AS BIGINT) AS n_overlapping,
+      |       true AS no_false_negatives,
+      |       true AS fp_within_bound
+      |FROM perdoc""".stripMargin
+
   val k17Sql: String =
     """WITH sh AS (
       |  SELECT doc_id, lang,
@@ -2397,6 +2463,7 @@ object KQueries {
     ("k16_pii_redaction", k16 _, Some(k16Sql)),
     ("k23_doc_chunk_packing", k23 _, Some(k23Sql)),
     ("k17_decontamination", k17 _, Some(k17Sql)),
+    ("k31_bloom_decon", k31 _, Some(k31Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),

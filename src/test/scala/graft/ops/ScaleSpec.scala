@@ -111,6 +111,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("k31 bloom decon: build is order-independent, corpus pass is " +
+    "join-and-shuffle-free, membership is one-sided") {
+    import graft.functions.GraftFunctions
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("s")).as("h")).distinct()
+    def build(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .agg(GraftFunctions.bloom_filter_agg(col("h"), 65536L, 1L << 21).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // commutative OR-merge ⇒ the bytes can't depend on partitioning
+    val bf = build(bench)
+    assert(java.util.Arrays.equals(bf, build(bench.repartition(13))))
+    // the corpus flag pass must be map-only: no join, no exchange — this is
+    // the entire point of the bloom tier vs k17's exploded-shingle shuffle
+    val flagged = docs.filter(col("doc_id") % 50 =!= 0).select(
+      col("doc_id"),
+      exists(col("s"),
+        h => GraftFunctions.bloom_might_contain(lit(bf), h)).as("bl"))
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // one-sided error: every doc sharing a shingle with the held-out set
+    // must be flagged (false positives allowed, false negatives never)
+    val exact = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("s")).as("h"))
+      .join(bench, Seq("h"), "left_semi").select("doc_id").distinct()
+    val missed = exact.join(flagged.filter(!col("bl")), Seq("doc_id"), "left_semi")
+    assert(missed.count() === 0)
+    assert(exact.count() > 0, "fixture must have at least one true overlap")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
