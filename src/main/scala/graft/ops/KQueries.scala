@@ -1837,6 +1837,62 @@ object KQueries {
       |        FROM documents))
       |WHERE nt >= 2 GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K32: unigram-rarity quality bucketing (CCNet-style) -----------------
+  // CCNet buckets web documents head/middle/tail by language-model
+  // perplexity [pub: Wenzek et al., "CCNet: Extracting High Quality
+  // Monolingual Datasets from Web Crawl Data", LREC 2020]. The LM here is
+  // the corpus' own unigram counts, and the per-token surprisal proxy is
+  // INTEGER inverse frequency `T DIV c(w)` (logs would put a
+  // transcendental on the cross-engine boundary; integer DIV is
+  // bit-exact), averaged per doc with a second integer DIV. Bucket
+  // thresholds are fixed config (30/60 — the k8/k17 fixed-threshold
+  // precedent), not corpus percentiles, so the entry is a full value
+  // oracle with zero float boundaries.
+  // Scale shape: one token-keyed count agg (map-side combined), then the
+  // vocabulary rides a BROADCAST join back onto the token stream —
+  // unigram vocabs are model-sized even at web scale (CCNet's is one
+  // shard of fastText's). If a corpus' vocab outgrew memory, the same
+  // plan downgrades to a shuffle join on `w`; nothing else changes.
+  def k32(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("w"))
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val per = toks
+      .join(broadcast(cnt), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(t DIV c) DIV count(1)").as("score"))
+    per
+      .withColumn("bucket",
+        when(col("score") < 30, "common")
+          .when(col("score") < 60, "mid")
+          .otherwise("rare"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  val k32Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      |tot AS (SELECT count(*) AS t FROM toks),
+      |per AS (
+      |  SELECT doc_id, lang, (sum(t // c)) // count(*) AS score
+      |  FROM toks JOIN cnt USING (w) CROSS JOIN tot
+      |  GROUP BY doc_id, lang)
+      |SELECT lang,
+      |       CASE WHEN score < 30 THEN 'common'
+      |            WHEN score < 60 THEN 'mid'
+      |            ELSE 'rare' END AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(score) AS BIGINT) AS sum_score
+      |FROM per GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   // --- K19: incremental near-dedup against a persisted index ----------------
   // The cross-batch production shape (VERDICT r7 next-round #3): corpus =
   // documents with doc_id % 5 != 0, summarized ONCE into the hash-only
@@ -2465,6 +2521,7 @@ object KQueries {
     ("k17_decontamination", k17 _, Some(k17Sql)),
     ("k31_bloom_decon", k31 _, Some(k31Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
+    ("k32_rarity_buckets", k32 _, Some(k32Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("k26_incremental_corpus_prep", k26 _, Some(k26Sql)),

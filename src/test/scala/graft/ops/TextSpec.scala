@@ -124,4 +124,33 @@ class TextSpec extends AnyFunSuite {
     // invalid parameters fail loudly
     intercept[IllegalArgumentException](Text.chunkDocs(docs, "text", 4, 4))
   }
+
+  test("k32 rarity buckets: integer scoring on a hand corpus; vocab join " +
+    "is a broadcast") {
+    // The fixture entry is exercised for its output shape + broadcast
+    // plan; the toy corpus below pins the integer scoring itself.
+    val df = KQueries.k32(spark, graft.TestSpark.sf)
+    assert(df.columns.toSeq ==
+      Seq("lang", "bucket", "n_docs", "sum_score"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // hand-check the floor semantics through the same expression
+    import spark.implicits._
+    val toy = Seq((1L, "a a a a"), (2L, "b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val toks = toy.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("w"))
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val scores = toks.join(broadcast(cnt), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(expr("sum(t DIV c) DIV count(1)").as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // T=8: c(a)=5, c(b)=2, c(c)=1 ⇒ per-token T DIV c: a→1, b→4, c→8.
+    // doc1: (1·4) DIV 4 = 1; doc2: (4+8) DIV 2 = 6;
+    // doc3: (1+4) DIV 2 = 2 — the floor of 2.5, pinning integer (not
+    // float-mean) semantics.
+    assert(scores === Map(1L -> 1L, 2L -> 6L, 3L -> 2L))
+  }
 }
