@@ -654,6 +654,33 @@ object CoverageQueries {
       |  FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // --- q55: ANALYZE-style table profile (one-pass column stats) ------------
+  // The data-quality sweep before trusting a new drop: per-column
+  // null/distinct/min/max in ONE aggregation pass, long-format
+  // ([[graft.ops.Profile]]). The entry runs the EXACT tier (countDistinct
+  // — oracle-able); the HLL tier (`exact = false`, no Expand in the plan)
+  // is the 100 TB routine default, plan-locked in ProfileSpec. Profiled
+  // columns are bigints/strings only, so the min/max string renders are
+  // byte-identical across engines (doubles would not be).
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile
+      .profile(t(spark, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "props"))
+      .orderBy("col_name")
+
+  val q55Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |       (SELECT count(*) FROM events) AS n_rows,
+         |       count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_val,
+         |       CAST(max($c) AS VARCHAR) AS max_val
+         |FROM events""".stripMargin
+    Seq("event_id", "user_id", "event_type", "props")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // --- q49: window long tail — percent_rank / cume_dist / nth_value (E1+) --
   // percent_rank = (rank-1)/(n-1) and cume_dist = peers≤/n are exact
   // rationals computed identically in double by both engines, so no
@@ -758,6 +785,7 @@ object CoverageQueries {
     ("q51_recursive_cte", q51 _, Some(q51Sql)),
     ("q47_pivot", q47 _, Some(q47Sql)),
     ("q48_unpivot", q48 _, Some(q48Sql)),
+    ("q55_table_profile", q55 _, Some(q55Sql)),
     ("q44_exact_stats", q44 _, Some(q44Sql)),
     ("q45_grouping_sets", q45 _, Some(q45Sql)),
     ("q46_subqueries", q46 _, Some(q46Sql)),
