@@ -100,6 +100,8 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
     GraftBridge.column(WordHashes(GraftBridge.expression(text)))
   def word_shingle_hashes(text: Column, n: Int): Column =
     GraftBridge.column(WordShingleHashes(GraftBridge.expression(text), n))
+  def word_shingle_hashes_pos(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingleHashesPos(GraftBridge.expression(text), n))
   def minhash_signature(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
   def band_hashes(signature: Column, bands: Int): Column =

@@ -97,6 +97,30 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** Positional variant of [[wordShingleHashes]]: one hash per shingle
+    * START POSITION, in document order, duplicates kept. Same rolling
+    * `hashLong` combine, so a span hashes identically under both kernels —
+    * the sorted-distinct kernel serves set semantics (Jaccard, banding),
+    * this one serves SPAN semantics (ExactSubstr-style duplicated-span
+    * detection, k33), where "the same 8-gram at two positions" is the
+    * signal, not noise.
+    */
+  def wordShingleHashesPos(text: UTF8String, n: Int): ArrayData = {
+    val wh = wordHashes(text)
+    val words = wh.numElements()
+    if (words < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words - n + 1)
+    var i = 0
+    while (i <= words - n) {
+      var acc = SEED
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(wh.getLong(i + j), acc); j += 1 }
+      out(i) = java.lang.Long.valueOf(acc)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One 64-bit hash per LSH band: fold each run of `len/bands` consecutive
     * signature values with the same rolling `hashLong` combine the shingle
     * hash uses, seeded by the band index (so identical band contents in
@@ -177,6 +201,25 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "word_shingle_hashes"
+}
+
+/** `word_shingle_hashes_pos(text, n)` → ARRAY<BIGINT>, one hash per
+  * shingle start position in document order (duplicates kept). */
+case class WordShingleHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with TextHashCheck {
+  require(n >= 1, "shingle size must be >= 1")
+  override protected def requiredInput: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkKind("word_shingle_hashes_pos")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.wordShingleHashesPos(v.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.wordShingleHashesPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes_pos"
 }
 
 /** `minhash_signature(hashes, k)` → ARRAY<BIGINT> of length k. */

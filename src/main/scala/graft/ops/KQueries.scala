@@ -1893,6 +1893,60 @@ object KQueries {
       |       CAST(sum(score) AS BIGINT) AS sum_score
       |FROM per GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  // --- K33: span-level exact-substring dedup (ExactSubstr shape) -----------
+  // Doc-level dedup (k1/k2) keeps a doc that merely CONTAINS a duplicated
+  // passage; span-level dedup finds the passage itself [pub: Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+  // their ExactSubstr tool; the distributed approximation used at corpus
+  // scale replaces the suffix array with fixed-length window hashes, the
+  // shape implemented here]. Every 8-token window position gets a rolling
+  // kernel hash ([[graft.functions.TextHash.wordShingleHashesPos]] — the
+  // positional sibling of the banding kernel, duplicates kept); a position
+  // is DUPLICATED iff its hash occurs anywhere else in the corpus
+  // (another doc or elsewhere in the same doc — suffix-array repeat
+  // semantics). Outputs are per-source integer span accounting.
+  // Scale: one narrow (hash)-keyed count agg with map-side combine, one
+  // equi-join of the position stream against it (both shuffles keyed on
+  // the 64-bit hash — never text), AQE-handled skew. The oracle counts
+  // duplicated STRING windows — identical up to an xxhash64 collision
+  // (k9's argument; the hash gate would catch one).
+  def k33(spark: SparkSession, dir: String): DataFrame = {
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(GraftFunctions.word_shingle_hashes_pos(col("text"), 8))
+          .as("h"))
+    val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
+    spans.join(cnt, Seq("h"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_positions"),
+        countDistinct(when(col("c") > 1, col("doc_id")))
+          .as("n_docs_with_dup"))
+      .orderBy("source")
+  }
+
+  val k33Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_transform(range(1, len(w) - 6),
+      |           i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS s
+      |  FROM d WHERE len(w) >= 8),
+      |cnt AS (SELECT s, count(*) AS c FROM sp GROUP BY s)
+      |SELECT source,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS total_spans,
+      |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_positions,
+      |       CAST(count(DISTINCT CASE WHEN c > 1 THEN doc_id END) AS BIGINT)
+      |         AS n_docs_with_dup
+      |FROM sp JOIN cnt USING (s)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --- K19: incremental near-dedup against a persisted index ----------------
   // The cross-batch production shape (VERDICT r7 next-round #3): corpus =
   // documents with doc_id % 5 != 0, summarized ONCE into the hash-only
@@ -2522,6 +2576,7 @@ object KQueries {
     ("k31_bloom_decon", k31 _, Some(k31Sql)),
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k32_rarity_buckets", k32 _, Some(k32Sql)),
+    ("k33_exactsubstr_spans", k33 _, Some(k33Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("k26_incremental_corpus_prep", k26 _, Some(k26Sql)),

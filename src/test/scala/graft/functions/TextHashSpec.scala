@@ -80,6 +80,29 @@ class TextHashSpec extends AnyFunSuite {
     assert(ham(sig(base), sig(far)) >= 20)
   }
 
+  test("wordShingleHashesPos: positional order, duplicates kept, same " +
+    "per-span hash as the set kernel") {
+    def pos(s: String, n: Int) = {
+      val a = TextHash.wordShingleHashesPos(UTF8String.fromString(s), n)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    def set(s: String, n: Int) = {
+      val a = TextHash.wordShingleHashes(UTF8String.fromString(s), n)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // "a b a b a": 2-shingles at positions 1..4 = ab, ba, ab, ba — the
+    // repeated spans k33 exists to see, which the set kernel collapses
+    val p = pos("a b a b a", 2)
+    assert(p.length == 4 && p(0) == p(2) && p(1) == p(3) && p(0) != p(1))
+    // same combine ⇒ sorted-distinct positional == set kernel exactly
+    assert(p.distinct.sorted == set("a b a b a", 2))
+    // position order is document order, not hash order
+    assert(pos("x y z", 2) ==
+      Seq(pos("x y", 2).head, pos("y z", 2).head))
+    // too short → empty
+    assert(pos("one", 2).isEmpty)
+  }
+
   test("minhash similarity tracks Jaccard on planted near-duplicates") {
     def mh(s: String) = {
       val arr = TextHash.minhash(
