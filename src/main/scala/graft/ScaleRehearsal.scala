@@ -93,7 +93,18 @@ object ScaleRehearsal {
     "k24_index_compaction",
     "k26_incremental_corpus_prep",
     "k3e_ann_persisted",
-    "k3f_ann_batch")
+    "k3f_ann_batch",
+    // r11 second-half adds — every new cross-row operator rehearses too:
+    // k30 is the Σ|cluster|² pairwise risk, k31's flag pass must stay
+    // map-only, k33 is the full positional span stream, q55 pays the
+    // multi-distinct Expand. (k31's bloom false-positive gate is sized
+    // for the sf-scale held-out set and will read false at 10× — the
+    // rehearsal times the plan shape, it does not assert the gates.)
+    "k30_semantic_dedup",
+    "k31_bloom_decon",
+    "k32_rarity_buckets",
+    "k33_exactsubstr_spans",
+    "q55_table_profile")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

@@ -143,6 +143,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(exact.count() > 0, "fixture must have at least one true overlap")
   }
 
+  test("parquet aggregate pushdown: min/max/count answered from footer " +
+    "stats, no row scan") {
+    // §4: a bare MIN/MAX/COUNT over a parquet table needs no row data —
+    // every footer already carries the answer. Spark's DSv2 parquet reader
+    // pushes the aggregate into the scan (PushedAggregation) when the
+    // query has no row-level filter; at 100 TB that turns a full-table
+    // audit query into a metadata read. Parquet rides the V1 path by
+    // default, so the demonstration opts this read into V2.
+    val keys = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+          count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(l_orderkey), " +
+        "MAX(l_orderkey), COUNT(*)]"), plan)
+      // and the footer answer equals the row-scan answer
+      val viaRows = Tables.load(spark, sf, "lineitem")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1))).head()
+      assert(agg.head() === viaRows)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
