@@ -1947,6 +1947,106 @@ object KQueries {
       |FROM sp JOIN cnt USING (s)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K34: incremental span dedup against a persisted span-hash index -----
+  // k33 made incremental ([[SpanIndex]] — the FOURTH index kind): corpus =
+  // docs with doc_id % 5 != 0, summarized once into distinct window
+  // hashes under `spans/epoch=E/pb=P`; the batch = held-out docs plus a
+  // planted byte-copy of the first (≥8-token) batch doc at +200000, so
+  // the WITHIN-batch duplicate arm fires at every SF (the cross arm fires
+  // naturally — thousands of 8-gram spans recur across the halves). The
+  // probe reads only the batch's touched pb partitions and never re-reads
+  // corpus text. Oracle: the one-shot k33 computation over corpus ∪ batch
+  // restricted to batch docs — a batch position is duplicated iff its
+  // window recurs ANYWHERE (in corpus ⟺ index existence; in batch ⟺ the
+  // probe's within-batch count arm) — so incremental == one-shot is a
+  // green hash row, the k19/k21 equivalence pattern.
+  /** Shared k34/k35/s18 fixture: (corpus, batch). */
+  private[graft] def spanFixture(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+      "k34 fixture assumes doc_id < 200000 (planted-copy offset); raise " +
+        "the offset in BOTH spanFixture and k34Sql for this scale factor")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val base = docs.filter(col("doc_id") % 5 === 0)
+    val seed = base
+      .filter(size(split(trim(col("text")), "\\s+")) >= 8)
+      .orderBy("doc_id").limit(1)
+    val batch = base.unionAll(seed.select(
+      (col("doc_id") + 200000L).as("doc_id"), col("source"), col("text")))
+    (corpus, batch)
+  }
+
+  private[graft] def spanProbeReport(batch: DataFrame, stats: DataFrame): DataFrame =
+    batch.select(col("doc_id").as("id"), col("source"))
+      .join(stats, Seq("id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_spans").as("total_spans"),
+        sum("n_dup").as("n_dup_positions"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("n_docs_with_dup"))
+      .orderBy("source")
+
+  def k34(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = spanFixture(spark, dir)
+    val idxDir = "target/span_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    SpanIndex.buildSpanIndex(corpus, "doc_id", "text", idxDir)
+    spanProbeReport(batch,
+      SpanIndex.probeSpanStats(spark, idxDir, batch, "doc_id", "text"))
+  }
+
+  /** k35: the span index's lifecycle loop (the k24/k25/k28 matrix cell) —
+    * build(half) → claimed append(half) → compact → vacuum → probe must
+    * equal k34's single-build probe; shares k34's oracle VERBATIM.
+    */
+  def k35(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = spanFixture(spark, dir)
+    val idxDir = "target/span_index_compact/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    SpanIndex.buildSpanIndex(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+    SpanIndex.appendToSpanIndex(
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", idxDir)
+    SpanIndex.compactSpanIndex(spark, idxDir)
+    SpanIndex.vacuumSpanIndex(spark, idxDir)
+    spanProbeReport(batch,
+      SpanIndex.probeSpanStats(spark, idxDir, batch, "doc_id", "text"))
+  }
+
+  val k34Sql: String =
+    """WITH d0 AS (SELECT doc_id, source, text FROM documents),
+      |seed AS (
+      |  SELECT doc_id, source, text FROM d0
+      |  WHERE doc_id % 5 = 0
+      |    AND len(string_split_regex(trim(text), '\s+')) >= 8
+      |  ORDER BY doc_id LIMIT 1),
+      |alld AS (
+      |  SELECT doc_id, source, text FROM d0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, source, text FROM seed),
+      |d AS (SELECT doc_id, source,
+      |             string_split_regex(trim(text), '\s+') AS w
+      |      FROM alld),
+      |sp AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_transform(range(1, len(w) - 6),
+      |           i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS s
+      |  FROM d WHERE len(w) >= 8),
+      |cnt AS (SELECT s, count(*) AS c FROM sp GROUP BY s)
+      |SELECT source,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS total_spans,
+      |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_positions,
+      |       CAST(count(DISTINCT CASE WHEN c > 1 THEN doc_id END) AS BIGINT)
+      |         AS n_docs_with_dup
+      |FROM sp JOIN cnt USING (s)
+      |WHERE doc_id % 5 = 0 OR doc_id >= 200000
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --- K19: incremental near-dedup against a persisted index ----------------
   // The cross-batch production shape (VERDICT r7 next-round #3): corpus =
   // documents with doc_id % 5 != 0, summarized ONCE into the hash-only
@@ -2577,6 +2677,8 @@ object KQueries {
     ("k18_repetition_filter", k18 _, Some(k18Sql)),
     ("k32_rarity_buckets", k32 _, Some(k32Sql)),
     ("k33_exactsubstr_spans", k33 _, Some(k33Sql)),
+    ("k34_incremental_spans", k34 _, Some(k34Sql)),
+    ("k35_span_index_lifecycle", k35 _, Some(k34Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
     ("k26_incremental_corpus_prep", k26 _, Some(k26Sql)),

@@ -157,6 +157,18 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The k34 span-index CORPUS as 4 id-ranged files — s18 streams the
+    * corpus INTO the span index one micro-batch at a time (the ingest
+    * side of the loop; the probe side is the closing one-shot audit).
+    */
+  def spanCorpusDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/span_corpus") { dir =>
+      import org.apache.spark.sql.functions.col
+      val (corpus, _) = graft.ops.KQueries.spanFixture(spark, sfDir)
+      corpus.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

@@ -881,6 +881,40 @@ object StreamQueries {
     graft.ops.KQueries.ivfPersistedAuditFacts(spark, idxDir, q)
   }
 
+  /** s18: streaming span-index ingest (the s17 shape on the FOURTH index
+    * kind): the k34 corpus arrives as 4 micro-batches, each folded into
+    * the persisted span-hash index by a claim-guarded, tag-idempotent
+    * `appendToSpanIndex` (tag = micro-batch id — a redelivered batch
+    * no-ops on its committed tag). Existence semantics make ingest
+    * order-free, so the closing probe of the k34 batch against the
+    * streamed index equals k34's single-build probe exactly — s18 shares
+    * k34's oracle verbatim (the s14/s15/s17 precedent).
+    */
+  def s18(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, batch) = graft.ops.KQueries.spanFixture(spark, sfDir)
+    val idxDir = StreamInput.lakeDir("s18_span_index", sfDir)
+    // seed an empty committed epoch so streamed appends have a manifest
+    // (and build constants) to extend
+    graft.ops.SpanIndex.buildSpanIndex(
+      corpus.limit(0), "doc_id", "text", idxDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.spanCorpusDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.ops.SpanIndex.appendToSpanIndex(
+          b.select("doc_id", "text"), "doc_id", "text", idxDir,
+          tag = s"b$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s18", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    graft.ops.KQueries.spanProbeReport(batch,
+      graft.ops.SpanIndex.probeSpanStats(
+        spark, idxDir, batch, "doc_id", "text"))
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -914,6 +948,10 @@ object StreamQueries {
       Some(graft.ops.KQueries.k26Sql)),
     // s17 streams the IVF ingest; the final persisted state equals the
     // one-shot k3d build, so it shares k3IvfSql verbatim.
-    ("s17_stream_ivf_ingest", s17 _, Some(graft.ops.KQueries.k3IvfSql))
+    ("s17_stream_ivf_ingest", s17 _, Some(graft.ops.KQueries.k3IvfSql)),
+    // s18 streams the k34 corpus into the span-hash index; existence
+    // semantics make ingest order-free, so the closing probe equals the
+    // one-shot k34 build and shares its oracle verbatim.
+    ("s18_stream_span_ingest", s18 _, Some(graft.ops.KQueries.k34Sql))
   )
 }
