@@ -2294,6 +2294,85 @@ object KQueries {
        |       CAST(sum(length(txt)) AS BIGINT) AS n_chars
        |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- K36: corpus prep v2 — the k20 chain feeding the r11 analysis ops ----
+  // Composition proof for the new text stages: the cleaned corpus that
+  // falls out of the k20 chain (quality → redact → exact → near → decon →
+  // repetition) flows straight into k32's rarity bucketing and k33's
+  // span-duplication accounting — per (lang, rarity-bucket) integer
+  // stats of the corpus a training run would actually consume. The
+  // oracle extends the SHARED k20 CTE chain (`corpusPrepCtesBody`, the
+  // exact text k20/p10/k26 hash on) with the k32/k33 CTE shapes over
+  // `rep`, so chain interaction — not just each stage alone — is what
+  // the hash certifies. All-new work is integer arithmetic; one
+  // checkpointed scan feeds both analyses.
+  def k36(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = CorpusPrep.prepare(t(spark, dir, "documents"))
+      .localCheckpoint(true) // rarity + spans both replay from here
+    val toks = cleaned.select(col("doc_id"), col("lang"),
+      explode(Text.tokens(col("txt"))).as("w"))
+    val cntw = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val per = toks
+      .join(broadcast(cntw), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(t DIV c) DIV count(1)").as("score"))
+      .withColumn("bucket",
+        when(col("score") < 30, "common")
+          .when(col("score") < 60, "mid")
+          .otherwise("rare"))
+    val sp = SpanIndex.spanRows(cleaned, "doc_id", "txt", 8)
+    val cnts = sp.groupBy("h").agg(count(lit(1)).as("c"))
+    val spd = sp.join(cnts, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumnRenamed("id", "doc_id")
+    per.join(spd, Seq("doc_id"), "left")
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("score").as("sum_score"),
+        sum(coalesce(col("n_spans"), lit(0L))).as("sum_spans"),
+        sum(coalesce(col("n_dup"), lit(0L))).as("sum_dup"))
+      .orderBy("lang", "bucket")
+  }
+
+  val k36Sql: String =
+    s"""$corpusPrepCtes
+       |, toks AS (
+       |  SELECT doc_id, lang,
+       |         unnest(string_split_regex(trim(txt), '\\s+')) AS w
+       |  FROM rep),
+       |cntw AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS t FROM toks),
+       |per AS (
+       |  SELECT doc_id, lang, (sum(t // c)) // count(*) AS score
+       |  FROM toks JOIN cntw USING (w) CROSS JOIN tot
+       |  GROUP BY doc_id, lang),
+       |dw AS (SELECT doc_id, string_split_regex(trim(txt), '\\s+') AS w
+       |       FROM rep),
+       |sp AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 6),
+       |           i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS s
+       |  FROM dw WHERE len(w) >= 8),
+       |cnts AS (SELECT s, count(*) AS c FROM sp GROUP BY s),
+       |spd AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM sp JOIN cnts USING (s) GROUP BY doc_id)
+       |SELECT lang,
+       |       CASE WHEN score < 30 THEN 'common'
+       |            WHEN score < 60 THEN 'mid'
+       |            ELSE 'rare' END AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(score) AS BIGINT) AS sum_score,
+       |       CAST(sum(coalesce(n_spans, 0)) AS BIGINT) AS sum_spans,
+       |       CAST(sum(coalesce(n_dup, 0)) AS BIGINT) AS sum_dup
+       |FROM per LEFT JOIN spd USING (doc_id)
+       |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   // --- K26: incremental corpus prep against a persisted state ---------------
 
   /** k26 fixture: (hist, batch). Batch docs are the doc_id % 4 == 0 slice
@@ -2681,6 +2760,7 @@ object KQueries {
     ("k35_span_index_lifecycle", k35 _, Some(k34Sql)),
     ("k19_incremental_neardup", k19 _, Some(k19Sql)),
     ("k20_corpus_prep", k20 _, Some(k20Sql)),
+    ("k36_corpus_prep_v2", k36 _, Some(k36Sql)),
     ("k26_incremental_corpus_prep", k26 _, Some(k26Sql)),
     ("k21_incremental_vec_neardup", k21 _, Some(k21Sql)),
     ("k21b_multiprobe_neardup", k21b _, Some(k21bSql)),

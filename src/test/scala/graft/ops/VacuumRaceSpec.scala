@@ -151,4 +151,37 @@ class VacuumRaceSpec extends AnyFunSuite {
       spark, dir, q, k = 5, nProbe = 2)) == expected)
     assertThrows[Exception] { staleProbe.collect() }
   }
+
+  // --- span-hash index (the fourth kind, r11) ------------------------------
+
+  test("span index: probe planned before compact survives a retained vacuum") {
+    val dir = freshDir("span")
+    def doc(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    SpanIndex.buildSpanIndex(
+      Seq((1L, doc("w", 10))).toDF("doc_id", "text"), "doc_id", "text", dir)
+    SpanIndex.appendToSpanIndex(
+      Seq((2L, doc("z", 10))).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val batch = Seq((11L, doc("w", 8)), (12L, doc("u", 8)))
+      .toDF("doc_id", "text")
+    def stats(df: DataFrame): Map[Long, Long] =
+      df.select("id", "n_dup").as[(Long, Long)].collect().toMap
+    val staleProbe = SpanIndex.probeSpanStats(
+      spark, dir, batch, "doc_id", "text")
+    val expected = stats(SpanIndex.probeSpanStats(
+      spark, dir, batch, "doc_id", "text"))
+    assert(expected === Map(11L -> 1L, 12L -> 0L))
+
+    SpanIndex.compactSpanIndex(spark, dir)
+    SpanIndex.vacuumSpanIndex(spark, dir, retainMs = Retain)
+    assert(exists(s"$dir/spans/epoch=0"),
+      "retained vacuum must not delete freshly absorbed epoch data")
+    assert(stats(staleProbe) === expected,
+      "pre-compaction probe must complete on the intact view under retention")
+
+    SpanIndex.vacuumSpanIndex(spark, dir)
+    assert(!exists(s"$dir/spans/epoch=0"), "vacuum deletes after retention")
+    assert(stats(SpanIndex.probeSpanStats(
+      spark, dir, batch, "doc_id", "text")) === expected)
+    assertThrows[Exception] { staleProbe.collect() }
+  }
 }
