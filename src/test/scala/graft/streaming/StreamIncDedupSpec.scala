@@ -174,4 +174,54 @@ class StreamIncDedupSpec extends AnyFunSuite {
     assert(rows.count(_ == ((102L, 201L))) == 1,
       "cross-micro-batch vector pair found exactly once")
   }
+
+  test("s18 span loop: restart resumes ingest; streamed index == one-shot") {
+    import graft.ops.SpanIndex
+    def doc(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val corpusDocs = Seq((1L, doc("w", 10)), (2L, doc("z", 10)))
+    val inDir = freshDir("span_in")
+    val idxDir = freshDir("span_idx")
+    val cpDir = freshDir("span_cp")
+    Files.createDirectories(Paths.get(inDir))
+    SpanIndex.buildSpanIndex(
+      corpusDocs.take(0).toDF("doc_id", "text"), "doc_id", "text", idxDir)
+
+    def runIngest(): Unit = {
+      val in = spark.readStream
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val q = in.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          SpanIndex.appendToSpanIndex(
+            b, "doc_id", "text", idxDir, tag = s"b$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cpDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    val batch = Seq((11L, doc("w", 8)), (12L, doc("z", 8)))
+      .toDF("doc_id", "text")
+    def dups(): Map[Long, Long] =
+      SpanIndex.probeSpanStats(spark, idxDir, batch, "doc_id", "text")
+        .select("id", "n_dup").as[(Long, Long)].collect().toMap
+
+    // run 1: only doc 1 has arrived — the probe sees w-spans, not z-spans
+    writeFile(inDir, corpusDocs.take(1), 0)
+    runIngest()
+    assert(dups() === Map(11L -> 1L, 12L -> 0L))
+    // doc 2 lands while the stream is DOWN; resume on the SAME checkpoint
+    writeFile(inDir, corpusDocs.drop(1), 1)
+    runIngest()
+    assert(dups() === Map(11L -> 1L, 12L -> 1L))
+    // streamed index == one-shot build over the full corpus
+    val oneShot = freshDir("span_oneshot")
+    SpanIndex.buildSpanIndex(
+      corpusDocs.toDF("doc_id", "text"), "doc_id", "text", oneShot)
+    assert(dups() === SpanIndex
+      .probeSpanStats(spark, oneShot, batch, "doc_id", "text")
+      .select("id", "n_dup").as[(Long, Long)].collect().toMap)
+  }
 }
