@@ -1,0 +1,86 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** p13: MERGE INTO the date-partitioned lake. The oracle hash-checks the
+  * merged VALUES; this spec pins the physical claims — untouched
+  * partitions are never rewritten, new-day inserts create their
+  * partition, re-applying a batch is idempotent — and row-level merge
+  * semantics on hand data.
+  */
+class LakeUpsertSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(s"target/lake_upsert_spec/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  private def fileState(dir: String): Map[String, Long] = {
+    val root = Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map(p => root.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  private def content(dir: String): Set[(Long, Double, String)] =
+    spark.read.parquet(dir)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+
+  test("merge updates, inserts, creates new days, leaves other days' " +
+    "files untouched, and is idempotent") {
+    val dir = freshDir("merge")
+    Seq(
+      (1L, ts(1), 1.0), (2L, ts(1), 2.0), // day 01
+      (3L, ts(2), 3.0), (4L, ts(2), 4.0)) // day 02
+      .toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val untouchedBefore = fileState(s"$dir/day=2024-01-02")
+
+    // batch: update key 1 (day 01), insert key 10 (day 01), key 11 (NEW day 03)
+    val batch = Seq(
+      (1L, ts(1), 100.0), (10L, ts(1), 10.0), (11L, ts(3), 11.0))
+      .toDF("event_id", "ts", "value")
+    val days = LakeUpsert.merge(spark, dir, batch, "event_id", "ts")
+    assert(days.map(_.toString) == Seq("2024-01-01", "2024-01-03"))
+
+    val expected = Set(
+      (1L, 100.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (10L, 10.0, "2024-01-01"),
+      (3L, 3.0, "2024-01-02"), (4L, 4.0, "2024-01-02"),
+      (11L, 11.0, "2024-01-03"))
+    assert(content(dir) === expected)
+    // copy-on-write is PARTITION-scoped: day 02 was not in the batch, so
+    // its files are bit-for-bit the ones the initial load wrote
+    assert(fileState(s"$dir/day=2024-01-02") === untouchedBefore,
+      "untouched partition must never be rewritten")
+
+    // re-applying the same batch converges (the anti-join removes the
+    // previous application, the union re-adds it)
+    LakeUpsert.merge(spark, dir, batch, "event_id", "ts")
+    assert(content(dir) === expected)
+  }
+
+  test("merge into an empty lake is a pure insert") {
+    val dir = freshDir("insert_only")
+    Files.createDirectories(Paths.get(dir))
+    val batch = Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value")
+    LakeUpsert.merge(spark, dir, batch, "event_id", "ts")
+    assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
+  }
+}
