@@ -169,6 +169,22 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The p13 upsert batch as 4 id-ranged files — s19 streams row-level
+    * corrections/inserts INTO the lake one micro-batch at a time via
+    * [[graft.etl.LakeUpsert.merge]].
+    */
+  def mergeBatchDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/merge_batch") { dir =>
+      import org.apache.spark.sql.functions.col
+      val ev = graft.Tables.load(spark, sfDir, "events")
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + 1)
+        .unionByName(ev.filter(col("event_id") % 97 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L))
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

@@ -915,6 +915,40 @@ object StreamQueries {
         spark, idxDir, batch, "doc_id", "text"))
   }
 
+  /** s19: streaming MERGE INTO the lake — silvia's load loop aimed at the
+    * date-partitioned lake instead of Postgres. Each micro-batch of
+    * row-level upserts merges via [[graft.etl.LakeUpsert.merge]]
+    * (partition-level copy-on-write, only touched days rewritten).
+    * Redelivery safety here is INHERENT, not tag-based: re-applying a
+    * batch converges (anti-join removes the prior application, the union
+    * re-adds it), so the crash window between merge and checkpoint commit
+    * is harmless. Micro-batches partition the upsert set by key, so the
+    * final lake state equals the one-shot p13 merge — s19 shares p13's
+    * oracle verbatim.
+    */
+  def s19(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = StreamInput.lakeDir("s19_lake_merge", sfDir)
+    graft.Tables.load(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(outDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.etl.LakeUpsert.merge(spark, outDir, b, "event_id", "ts")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s19", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    spark.read.parquet(outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -952,6 +986,10 @@ object StreamQueries {
     // s18 streams the k34 corpus into the span-hash index; existence
     // semantics make ingest order-free, so the closing probe equals the
     // one-shot k34 build and shares its oracle verbatim.
-    ("s18_stream_span_ingest", s18 _, Some(graft.ops.KQueries.k34Sql))
+    ("s18_stream_span_ingest", s18 _, Some(graft.ops.KQueries.k34Sql)),
+    // s19 streams the p13 upsert batch into the lake; key-disjoint
+    // micro-batches make sequential merges equal the one-shot merge, so
+    // it shares p13's oracle verbatim.
+    ("s19_stream_lake_merge", s19 _, Some(graft.etl.PipelineQueries.p13Sql))
   )
 }
