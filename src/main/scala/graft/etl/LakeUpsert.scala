@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * would leave its old row in the old partition; this is the same
   * constraint Hive-style dynamic-partition upserts carry, and holds for
   * silvia's event streams (event_id → collector day never changes).
+  *
+  * CRASH CONTRACT (stated, not hidden): dynamic partition overwrite is
+  * atomic per partition directory but NOT across the touched set — a
+  * crash mid-commit can leave some days merged and others not (the same
+  * window a Hive dynamic-partition insert has; closing it fully needs a
+  * table-format log, which the zero-egress image lacks). What makes the
+  * window harmless is that merge is IDEMPOTENT: re-applying the same
+  * batch converges from ANY partial state, so recovery is "re-run the
+  * merge" — exactly-once via idempotent retry, the identical contract
+  * the JDBC upsert sink (I9) and s19's foreachBatch loop rely on.
+  * Spec-locked (LakeUpsertSpec "crash recovery").
   */
 object LakeUpsert {
 

@@ -76,6 +76,31 @@ class LakeUpsertSpec extends AnyFunSuite {
     assert(content(dir) === expected)
   }
 
+  test("crash recovery: re-applying the batch converges from a PARTIAL " +
+    "application") {
+    // the dynamic-overwrite crash window: only day 01's partition landed
+    // before the crash (simulated by merging the day-01 slice alone),
+    // leaving the lake half-updated. Recovery is re-running the SAME
+    // merge — idempotent, so it converges regardless of which days the
+    // crashed attempt managed to commit.
+    val dir = freshDir("crash")
+    Seq((1L, ts(1), 1.0), (3L, ts(2), 3.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq((1L, ts(1), 100.0), (3L, ts(2), 300.0))
+      .toDF("event_id", "ts", "value")
+    LakeUpsert.merge(spark, dir,
+      batch.filter(to_date(col("ts")) === lit("2024-01-01")),
+      "event_id", "ts") // the partial (crashed) application
+    assert(content(dir) === Set(
+      (1L, 100.0, "2024-01-01"), (3L, 3.0, "2024-01-02")),
+      "staged state must be half-updated")
+    LakeUpsert.merge(spark, dir, batch, "event_id", "ts") // recovery re-run
+    assert(content(dir) === Set(
+      (1L, 100.0, "2024-01-01"), (3L, 300.0, "2024-01-02")))
+  }
+
   test("merge into an empty lake is a pure insert") {
     val dir = freshDir("insert_only")
     Files.createDirectories(Paths.get(dir))
