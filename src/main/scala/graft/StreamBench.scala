@@ -45,8 +45,14 @@ object StreamBench {
     // (transformWithState on RocksDB: the provider-overhead path, expected
     // to be checkpoint-upload-bound at toy batch sizes; the round-over-
     // round RATIO is the regression signal, as with s1/s8).
+    // r11: the two new sink-side loops join the surface — s18 (span-index
+    // ingest: claim-guarded tagged appends per micro-batch + the closing
+    // pb-pruned probe) and s19 (lake MERGE: partition-level copy-on-write
+    // per micro-batch — dominated by the per-day rewrite, the honest cost
+    // of row-level upserts on a file lake).
     val targets = Seq("s1_ingest_replay", "s4_session_window",
-      "s6b_transform_with_state", "s8_stream_stream_join")
+      "s6b_transform_with_state", "s8_stream_stream_join",
+      "s18_stream_span_ingest", "s19_stream_lake_merge")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
