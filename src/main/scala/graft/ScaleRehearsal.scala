@@ -104,7 +104,10 @@ object ScaleRehearsal {
     "k31_bloom_decon",
     "k32_rarity_buckets",
     "k33_exactsubstr_spans",
-    "q55_table_profile")
+    "q55_table_profile",
+    // the fourth index kind + the extended composed chain rehearse too
+    "k34_incremental_spans",
+    "k36_corpus_prep_v2")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

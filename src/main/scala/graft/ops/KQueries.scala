@@ -1221,6 +1221,128 @@ object KQueries {
        |    = 999999 AS top1_is_planted""".stripMargin
   }
 
+  // --- K3i: IVFPQ — coarse quantizer × PQ codes × exact re-rank ------------
+  // The composed production ANN configuration (FAISS's IVFPQ): the fixed
+  // coarse quantizer (k3c) prunes to the 4 nearest lists, ADC on the PQ
+  // codes (k3h) ranks ONLY those members, exact cosine re-ranks the top
+  // 50. Both approximations are SQL-derivable, so the ENTIRE composed
+  // path — list probe, membership, every code, every ADC sum, the
+  // re-ranked top-10 — is value-verified; outputs are the audit facts
+  // (member count, planted containment, top-1 identity, top-10 id sum).
+  def k3iIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val withPlant = corpus.select("vec_id", "embedding").union(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val ivf = Similarity.ivfBuildFixed(
+      withPlant, "vec_id", "embedding", centroids)
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val pq = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    val top10 = Similarity
+      .ivfPqTopK(ivf, pq, q, k = 10, nProbe = 4, rerank = 50)
+      .localCheckpoint(true) // tiny; reused by two aggregates below
+    val probeLists = q.crossJoin(broadcast(ivf.centroids))
+      .select(col("list_id"),
+        graft.functions.GraftFunctions.cosine_sim(
+          col("centroid"), col("qvec").cast("array<double>")).as("cs"))
+      .orderBy(col("cs").desc, col("list_id")).limit(4).select("list_id")
+    val members = ivf.assigned
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+    members.agg(
+      count(lit(1)).as("n_members"),
+      coalesce(max(col("id") === 999999L), lit(false)).as("planted_in_cand"))
+      .crossJoin(top10.orderBy(col("cos").desc, col("id")).limit(1)
+        .select((col("id") === 999999L).as("top1_is_planted")))
+      .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
+  }
+
+  /** k3i's oracle: the k3c probe CTEs + the k3h code/ADC CTEs with the
+    * ADC restricted to probed-list members — the composition re-derived
+    * end-to-end.
+    */
+  val k3iSql: String = {
+    val nSub = 8
+    val sub = 8
+    val scale = Similarity.PqScale
+    def slice(arr: String) = s"$arr[(s.m*$sub+1):(s.m*$sub+$sub)]"
+    def d(a: String, b: String) =
+      s"""list_dot_product(${slice(a)}, ${slice(a)})
+         |           - 2 * list_dot_product(${slice(a)}, ${slice(b)})
+         |           + list_dot_product(${slice(b)}, ${slice(b)})""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT CAST(vec_id AS INT) AS list_id,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999999, qvec FROM q),
+       |scored AS (
+       |  SELECT v.vec_id, v.embedding, c.list_id,
+       |         list_dot_product(c.c, c.c)
+       |           - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+       |           AS dd
+       |  FROM corpus v CROSS JOIN cent c),
+       |ivfa AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dd, list_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probe AS (
+       |  SELECT list_id FROM (
+       |    SELECT c.list_id,
+       |           row_number() OVER (
+       |             ORDER BY list_cosine_similarity(
+       |               c.c, CAST(q.qvec AS DOUBLE[])) DESC, c.list_id) AS rn
+       |    FROM cent c CROSS JOIN q) WHERE rn <= 4),
+       |members AS (SELECT vec_id FROM ivfa JOIN probe USING (list_id)),
+       |seeds AS (
+       |  SELECT CAST(vec_id - 1 AS INT) AS code,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qc
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |qv AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qv
+       |  FROM corpus),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range($nSub) t(m)),
+       |pqa AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, s.m ORDER BY
+       |             ${d("v.qv", "c.qc")}, c.code) AS rn
+       |    FROM qv v CROSS JOIN sub s CROSS JOIN seeds c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes
+       |  FROM pqa GROUP BY vec_id),
+       |tblq AS (
+       |  SELECT s.m, c.code, ${d("w.qq", "c.qc")} AS d
+       |  FROM sub s CROSS JOIN seeds c CROSS JOIN (
+       |    SELECT list_transform(CAST(qvec AS DOUBLE[]),
+       |                          x -> floor(x * $scale)) AS qq FROM q) w),
+       |adist AS (
+       |  SELECT u.vec_id, sum(t.d) AS adist
+       |  FROM (SELECT vec_id, unnest(codes) AS code,
+       |               CAST(generate_subscripts(codes, 1) - 1 AS INT) AS m
+       |        FROM codes JOIN members USING (vec_id)) u
+       |  JOIN tblq t USING (m, code)
+       |  GROUP BY u.vec_id),
+       |top50 AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50),
+       |rerank AS (
+       |  SELECT c.vec_id, list_cosine_similarity(c.embedding, q.qvec) AS cos
+       |  FROM corpus c JOIN top50 USING (vec_id) CROSS JOIN q),
+       |top10 AS (SELECT vec_id, cos FROM rerank
+       |          ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+       |  COALESCE((SELECT count(*) FILTER (WHERE vec_id = 999999)
+       |            FROM members) > 0, false) AS planted_in_cand,
+       |  (SELECT vec_id FROM top10 ORDER BY cos DESC, vec_id LIMIT 1)
+       |    = 999999 AS top1_is_planted,
+       |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM top10) AS top10_id_sum""".stripMargin
+  }
+
   /** k3g's oracle: the Lloyd's iterations unrolled as CTE chains (generated
     * so iteration count/scale stay in ONE place, shared with
     * [[Similarity.ivfBuildTrained]]).
@@ -2786,6 +2908,7 @@ object KQueries {
     ("k3f_ann_batch", k3fAnnBatch _, Some(k3fSql)),
     ("k3g_ivf_trained", k3gIvfTrained _, Some(k3gSql)),
     ("k3h_pq_audit", k3hPq _, Some(k3hSql)),
+    ("k3i_ivfpq", k3iIvfPq _, Some(k3iSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

@@ -438,6 +438,42 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
 
+  /** IVF + PQ composed serving — the production ANN configuration (what
+    * FAISS calls IVFPQ [pub: Jégou-Douze-Schmid, TPAMI 2011]): the coarse
+    * quantizer prunes the corpus to the `nProbe` nearest inverted lists,
+    * the PQ codes ADC-rank ONLY those members, and exact cosine touches
+    * just the `rerank` best. Per query at 100 TB that is: a model-sized
+    * centroid argmin, a pruned scan of ~nProbe/nLists of the CODE tier
+    * (~3% the byte volume of the vectors), and R full-vector reads — the
+    * two approximations compose multiplicatively in cost and the exact
+    * re-rank caps their error. In the persisted layout the codes ride the
+    * `list_id` partitions (k3d's `assigned/epoch=E/list_id=L` with a
+    * codes column), so the member restriction below IS a partition-pruned
+    * scan, not a join.
+    */
+  def ivfPqTopK(
+      ivf: IvfIndex,
+      pq: PqIndex,
+      query: DataFrame, // single row, column "qvec"
+      k: Int = 10,
+      nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val probeLists = query
+      .crossJoin(broadcast(ivf.centroids))
+      .select(col("list_id"),
+        GraftFunctions.cosine_sim(
+          col("centroid"), col("qvec").cast("array<double>")).as("csim"))
+      .orderBy(col("csim").desc, col("list_id"))
+      .limit(nProbe)
+      .select("list_id")
+    val members = ivf.assigned
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      .select("id")
+    pqTopK(
+      pq.copy(encoded = pq.encoded.join(members, Seq("id"), "left_semi")),
+      query, k, rerank)
+  }
+
   /** All rows in the `nProbe` nearest lists, with their exact query cosine —
     * the set [[ivfProbe]] ranks. Exposed so an audit can count membership
     * (integer-exact) instead of trusting the approximate top-k blindly. */
