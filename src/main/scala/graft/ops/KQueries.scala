@@ -1343,6 +1343,161 @@ object KQueries {
        |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM top10) AS top10_id_sum""".stripMargin
   }
 
+  // --- K3j: TRAINED PQ codebooks (per-subspace integer-exact Lloyd's) -----
+  // k3g's deterministic trainer applied to the PQ tier: 2 Lloyd's
+  // iterations per subspace (one assignment job + one (m,code,pos)-keyed
+  // integer-sum job train all 8 codebooks at once), init from the named
+  // seed vectors, trained on the vec_id%2==0 half (faiss-style). The
+  // quality gate is the k-means OBJECTIVE itself, in exact integers:
+  // total encode distortion under the trained codebooks must not exceed
+  // the seed codebooks' — and both distortions are emitted as BIGINT
+  // VALUES the oracle independently re-derives (so `improved` is a
+  // derived comparison on both sides, not a pinned constant). The
+  // trained index must still serve: planted-copy top-1 through ADC +
+  // exact re-rank.
+  def k3jPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val withPlant = corpus.select("vec_id", "embedding").union(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val fixed = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    val trained = Similarity.pqBuildTrained(
+      withPlant, "vec_id", "embedding", seeds, iters = 2,
+      trainDf = Some(withPlant.filter(col("vec_id") % 2 === 0)))
+    val dFixed = Similarity
+      .pqDistortion(withPlant, "vec_id", "embedding", fixed.codebooks)
+      .select(col("distortion").as("dist_fixed"))
+    val dTrained = Similarity
+      .pqDistortion(withPlant, "vec_id", "embedding", trained.codebooks)
+      .select(col("distortion").as("dist_trained"))
+    val top1 = Similarity.pqAdcCandidates(trained, q)
+      .orderBy(col("adist").asc, col("id")).limit(50)
+      .crossJoin(broadcast(q))
+      .select(col("id"),
+        graft.functions.GraftFunctions.cosine_sim(col("v"), col("qvec"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(1)
+      .select((col("id") === 999999L).as("top1_is_planted"))
+    trained.encoded.agg(count(lit(1)).as("n_enc"))
+      .crossJoin(dFixed).crossJoin(dTrained)
+      .withColumn("improved", col("dist_trained") <= col("dist_fixed"))
+      .crossJoin(top1)
+  }
+
+  /** k3j's oracle: the per-subspace Lloyd's unrolled (generated so
+    * iteration count and both quantization scales stay shared with
+    * [[Similarity.pqBuildTrained]]), then both distortion sums, the
+    * trained codes, and the ADC/re-rank tail re-derived exactly.
+    */
+  val k3jSql: String = {
+    val iters = 2
+    val nSub = 8
+    val sub = 8
+    val tScale = Similarity.QuantScale // 2^20: training means
+    val eScale = Similarity.PqScale // 2^10: encode distances
+    def dd(a: String, b: String) =
+      s"""list_dot_product($a, $a)
+         |             - 2 * list_dot_product($a, $b)
+         |             + list_dot_product($b, $b)""".stripMargin
+    def lloyd(i: Int): String =
+      s"""a$i AS (
+         |  SELECT m, code, tq FROM (
+         |    SELECT t.m, c.code, t.tq,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY
+         |             list_dot_product(c.c, c.c)
+         |               - 2 * list_dot_product(t.vs, c.c), c.code) AS rn
+         |    FROM trainq t JOIN cent${i - 1} c USING (m)) WHERE rn = 1),
+         |u$i AS (
+         |  SELECT m, code, pos, sum(val) AS s, count(*) AS cnt FROM (
+         |    SELECT m, code, unnest(tq) AS val,
+         |           generate_subscripts(tq, 1) AS pos FROM a$i)
+         |  GROUP BY m, code, pos),
+         |cent$i AS (
+         |  SELECT p.m, p.code, COALESCE(n.c, p.c) AS c
+         |  FROM cent${i - 1} p LEFT JOIN (
+         |    SELECT m, code,
+         |           list(CAST(s AS DOUBLE) / (cnt * $tScale.0) ORDER BY pos)
+         |             AS c
+         |    FROM u$i GROUP BY m, code) n USING (m, code))""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999999, qvec FROM q),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range($nSub) t(m)),
+       |cent0 AS (
+       |  SELECT s.m, CAST(e.vec_id - 1 AS INT) AS code,
+       |         CAST(e.embedding AS DOUBLE[])[(s.m*$sub+1):(s.m*$sub+$sub)]
+       |           AS c
+       |  FROM embeddings e CROSS JOIN sub s
+       |  WHERE e.vec_id BETWEEN 1 AND 16),
+       |train AS (
+       |  SELECT c.vec_id, s.m,
+       |         CAST(c.embedding AS DOUBLE[])[(s.m*$sub+1):(s.m*$sub+$sub)]
+       |           AS vs
+       |  FROM corpus c CROSS JOIN sub s WHERE c.vec_id % 2 = 0),
+       |trainq AS (
+       |  SELECT vec_id, m, vs,
+       |         list_transform(vs, x -> floor(x * $tScale)) AS tq
+       |  FROM train),
+       |${(1 to iters).map(lloyd).mkString(",\n")},
+       |qb_t AS (SELECT m, code,
+       |                list_transform(c, x -> floor(x * $eScale)) AS qsub
+       |         FROM cent$iters),
+       |qb_f AS (SELECT m, code,
+       |                list_transform(c, x -> floor(x * $eScale)) AS qsub
+       |         FROM cent0),
+       |enc AS (
+       |  SELECT c.vec_id, s.m,
+       |         list_transform(
+       |           CAST(c.embedding AS DOUBLE[])[(s.m*$sub+1):(s.m*$sub+$sub)],
+       |           x -> floor(x * $eScale)) AS qs
+       |  FROM corpus c CROSS JOIN sub s),
+       |dmin_t AS (
+       |  SELECT vec_id, m, min(${dd("e.qs", "b.qsub")}) AS d
+       |  FROM enc e JOIN qb_t b USING (m) GROUP BY vec_id, m),
+       |dmin_f AS (
+       |  SELECT vec_id, m, min(${dd("e.qs", "b.qsub")}) AS d
+       |  FROM enc e JOIN qb_f b USING (m) GROUP BY vec_id, m),
+       |ct AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT e.vec_id, e.m, b.code,
+       |           row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+       |             ${dd("e.qs", "b.qsub")}, b.code) AS rn
+       |    FROM enc e JOIN qb_t b USING (m)) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes
+       |  FROM ct GROUP BY vec_id),
+       |qm AS (
+       |  SELECT s.m,
+       |         list_transform(
+       |           CAST(q.qvec AS DOUBLE[])[(s.m*$sub+1):(s.m*$sub+$sub)],
+       |           x -> floor(x * $eScale)) AS qs
+       |  FROM sub s CROSS JOIN q),
+       |tblq AS (
+       |  SELECT b.m, b.code, ${dd("w.qs", "b.qsub")} AS d
+       |  FROM qb_t b JOIN qm w USING (m)),
+       |adist AS (
+       |  SELECT u.vec_id, sum(t.d) AS adist
+       |  FROM (SELECT vec_id, unnest(codes) AS code,
+       |               CAST(generate_subscripts(codes, 1) - 1 AS INT) AS m
+       |        FROM codes) u
+       |  JOIN tblq t USING (m, code)
+       |  GROUP BY u.vec_id),
+       |top50 AS (SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50),
+       |rerank AS (
+       |  SELECT c.vec_id, list_cosine_similarity(c.embedding, q.qvec) AS cos
+       |  FROM corpus c JOIN top50 USING (vec_id) CROSS JOIN q)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_enc,
+       |  (SELECT CAST(sum(d) AS BIGINT) FROM dmin_f) AS dist_fixed,
+       |  (SELECT CAST(sum(d) AS BIGINT) FROM dmin_t) AS dist_trained,
+       |  (SELECT CAST(sum(d) AS BIGINT) FROM dmin_t)
+       |    <= (SELECT CAST(sum(d) AS BIGINT) FROM dmin_f) AS improved,
+       |  (SELECT vec_id FROM rerank ORDER BY cos DESC, vec_id LIMIT 1)
+       |    = 999999 AS top1_is_planted""".stripMargin
+  }
+
   /** k3g's oracle: the Lloyd's iterations unrolled as CTE chains (generated
     * so iteration count/scale stay in ONE place, shared with
     * [[Similarity.ivfBuildTrained]]).
@@ -2909,6 +3064,7 @@ object KQueries {
     ("k3g_ivf_trained", k3gIvfTrained _, Some(k3gSql)),
     ("k3h_pq_audit", k3hPq _, Some(k3hSql)),
     ("k3i_ivfpq", k3iIvfPq _, Some(k3iSql)),
+    ("k3j_pq_trained", k3jPqTrained _, Some(k3jSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

@@ -372,26 +372,145 @@ object Similarity {
         .as("e"))
       .select(col("e.m").as("m"), col("code"), col("e.qsub").as("qsub"))
     val nCodes = seeds.count().toInt
-    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("qv", pqQuant(col("v")))
-    val perSub = rows.select(col("id"), explode(expr(
-      s"transform(sequence(0, ${nSub - 1}), " +
-        s"mi -> struct(mi AS m, slice(qv, mi * $sub + 1, $sub) AS qs))"))
-      .as("e"))
+    pqEncodeFrom(df, idCol, vecCol, codebooks, nSub, sub, nCodes)
+  }
+
+  /** The per-(row, subspace) quantized sub-vector stream every PQ stage
+    * shares. */
+  private def pqPerSub(
+      df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, sub: Int): DataFrame =
+    df.select(col(idCol).as("id"), pqQuant(col(vecCol)).as("qv"))
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+          s"mi -> struct(mi AS m, slice(qv, mi * $sub + 1, $sub) AS qs))"))
+        .as("e"))
       .select(col("id"), col("e.m").as("m"), col("e.qs").as("qs"))
+
+  private val pqIntDist =
+    "aggregate(zip_with(qs, qsub, (a, b) -> (a - b) * (a - b)), " +
+      "0L, (acc, x) -> acc + x)"
+
+  /** Encode rows against an already-quantized codebooks frame
+    * (m, code, qsub) — the shared tail of [[pqBuild]] (fixed seeds) and
+    * [[pqBuildTrained]]. Broadcast argmin per (row, subspace), map-side;
+    * the only shuffle is the per-id code collection.
+    */
+  private def pqEncodeFrom(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, nSub: Int, sub: Int, nCodes: Int): PqIndex = {
     // integer squared L2 per (row, subspace, code); argmin via min_by —
     // map-side combine, ties to the lower code id
-    val assigned = perSub.join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d", expr(
-        "aggregate(zip_with(qs, qsub, (a, b) -> (a - b) * (a - b)), " +
-          "0L, (acc, x) -> acc + x)"))
+    val assigned = pqPerSub(df, idCol, vecCol, nSub, sub)
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d", expr(pqIntDist))
       .groupBy("id", "m")
       .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
     val codes = assigned.groupBy("id").agg(
       transform(array_sort(collect_list(struct(col("m"), col("code")))),
         e => e.getField("code")).as("codes"))
-    PqIndex(rows.select("id", "v").join(codes, Seq("id")),
+    PqIndex(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(codes, Seq("id")),
       codebooks, nSub, sub, nCodes)
+  }
+
+  /** Total quantization distortion of `df` under a codebooks frame: the
+    * k-means objective Σ over (row, subspace) of the minimal integer
+    * squared distance — one broadcast argmin + one global sum, all BIGINT
+    * (order-independent, cross-engine exact). This is the number the k3j
+    * trained-vs-fixed gate compares: Lloyd's from the seed init must not
+    * END worse than the seeds it started from.
+    */
+  def pqDistortion(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val sub = dim / nSub
+    pqPerSub(df, idCol, vecCol, nSub, sub)
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d", expr(pqIntDist))
+      .groupBy("id", "m").agg(min(col("__d")).as("dmin"))
+      .agg(sum("dmin").as("distortion"))
+  }
+
+  /** Deterministic per-subspace Lloyd's for the PQ codebooks —
+    * [[ivfBuildTrained]]'s integer-exact trick applied to every subspace
+    * at once (the subspace index `m` just joins the group keys, so one
+    * assignment job and one (m, code, pos)-keyed integer-sum job train
+    * all `nSub` codebooks per iteration; only the model-sized codebook
+    * frame is driver-resident). Distances ride the raw double
+    * sub-vectors (sequential dots, cross-engine exact); means ride 2^20
+    * floor-quantized integers (commutative BIGINT sums + one IEEE
+    * division), so DuckDB re-derives the ENTIRE training CTE-by-CTE
+    * (k3j). Training on `trainDf` (a deterministic sample — the faiss
+    * shape) is supported like the IVF trainer; the index always encodes
+    * all of `df`. Empty codes keep their previous centroid.
+    */
+  def pqBuildTrained(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: DataFrame, // (code: int, centroid: array<double-ish>)
+      nSub: Int = 8,
+      dim: Int = 64,
+      iters: Int = 2,
+      trainDf: Option[DataFrame] = None): PqIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dim / nSub
+    require(sub * nSub == dim, s"dim $dim not divisible into $nSub subspaces")
+    val base = trainDf.getOrElse(df)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+          s"mi -> struct(mi AS m, slice(v, mi * $sub + 1, $sub) AS vs))"))
+        .as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.vs").as("vs"))
+      .withColumn("tq", expr(s"transform(vs, x -> floor(x * $QuantScale))"))
+    var cents = seeds
+      .select(col("code").cast("int").as("code"),
+        col("centroid").cast("array<double>").as("c"))
+      .select(col("code"), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), " +
+          s"mi -> struct(mi AS m, slice(c, mi * $sub + 1, $sub) AS cs))"))
+        .as("e"))
+      .select(col("e.m").as("m"), col("code"), col("e.cs").as("c"))
+    val nCodes = seeds.count().toInt
+    for (_ <- 1 to iters) {
+      val score =
+        GraftFunctions.dot_product(col("c"), col("c")) -
+          lit(2.0) * GraftFunctions.dot_product(col("vs"), col("c"))
+      val assigned = base
+        .join(broadcast(cents), Seq("m"))
+        .withColumn("__d", score)
+        .groupBy(col("id"), col("m"))
+        .agg(min_by(
+          struct(col("code"), col("tq")),
+          struct(col("__d"), col("code"))).as("__a"))
+        .select(col("m"), col("__a.code").as("code"), col("__a.tq").as("tq"))
+      val sums = assigned
+        .select(col("m"), col("code"),
+          posexplode(col("tq")).as(Seq("pos", "qe")))
+        .groupBy("m", "code", "pos")
+        .agg(sum("qe").as("s"), count(lit(1)).as("cnt"))
+      val updated = sums.groupBy("m", "code").agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          e => e.getField("s").cast("double") /
+            (e.getField("cnt") * lit(QuantScale.toDouble))).as("c"))
+      val next = cents.select(col("m"), col("code"), col("c").as("prev"))
+        .join(updated, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("c"), col("prev")).as("c"))
+        .collect() // model-sized: nSub × nCodes rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq
+      cents = next.toDF("m", "code", "c")
+    }
+    val qbooks = cents.select(col("m"), col("code"),
+      expr(s"transform(c, x -> floor(x * $PqScale))").as("qsub"))
+    pqEncodeFrom(df, idCol, vecCol, qbooks, nSub, sub, nCodes)
   }
 
   /** ADC candidates: every encoded row with its integer asymmetric
