@@ -397,4 +397,59 @@ class SimilaritySpec extends AnyFunSuite {
       assert(batch.count() >= 0) // forces compile + execution of every stage
     } finally spark.conf.set(key, old)
   }
+
+  private def padded(xs: Double*): Seq[Double] =
+    xs ++ Seq.fill(64 - xs.length)(0.0)
+
+  test("ivfPqTopK serves only from probed lists (the IVF recall " +
+    "trade-off survives the PQ composition)") {
+    import spark.implicits._
+    // two centroids on orthogonal axes; query on axis 0. An adversarial
+    // HIGH-cosine vector sits in list 2's Voronoi cell (nearer c2 by
+    // euclidean distance) — with nProbe=1 it must NOT be served, while
+    // the list-1 near-copy must come back first. Locks that the list
+    // restriction really prunes (the composition's entire cost story).
+    val c1 = padded(1.0)
+    val c2 = padded(0.0, 1.0)
+    val cents = Seq((1, c1), (2, c2)).toDF("list_id", "centroid")
+    val corpus = Seq(
+      (10L, padded(0.95, 0.05)), // list 1: the intended hit
+      (20L, padded(0.9, 1.1)), // nearer c2, but cosine to q ≈ 0.63
+      (30L, padded(0.1, 0.9))) // plain list-2 member
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(padded(1.0))).toDF("qvec")
+    val ivf = Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", cents)
+    val seeds = cents.select((col("list_id") - 1).cast("int").as("code"),
+      col("centroid"))
+    val pq = Similarity.pqBuild(corpus, "vec_id", "embedding", seeds)
+    val got = Similarity
+      .ivfPqTopK(ivf, pq, q, k = 3, nProbe = 1, rerank = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(10L), s"only list 1's member may be served: $got")
+  }
+
+  test("pqBuildTrained: Lloyd's strictly reduces distortion when seeds " +
+    "sit off the data") {
+    import spark.implicits._
+    // data clusters around 0.5·e1 and 0.5·e2 per subspace position; seeds
+    // at the axes are deliberately off-center, so training MUST move the
+    // codebooks and the integer distortion must strictly drop.
+    val data = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) padded(0.5, 0.02 * (i % 4))
+      else padded(0.02 * (i % 4), 0.5)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq((0, padded(1.0)), (1, padded(0.0, 1.0)))
+      .toDF("code", "centroid")
+    val fixed = Similarity.pqBuild(data, "vec_id", "embedding", seeds)
+    val trained = Similarity.pqBuildTrained(
+      data, "vec_id", "embedding", seeds, iters = 2)
+    def dist(books: org.apache.spark.sql.DataFrame): Long =
+      Similarity.pqDistortion(data, "vec_id", "embedding", books)
+        .head().getLong(0)
+    val (df0, dt) = (dist(fixed.codebooks), dist(trained.codebooks))
+    assert(dt < df0, s"training must strictly reduce distortion: $dt vs $df0")
+    // and the trained index still encodes every row
+    assert(trained.encoded.count() === 16L)
+  }
 }
