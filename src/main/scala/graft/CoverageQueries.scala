@@ -681,6 +681,45 @@ object CoverageQueries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // --- q56: mergeable distinct sketches (incremental profiling, D5+) -------
+  // The scale path for q55's distinct counts when the table arrives in
+  // pieces: sketch each day ONCE (DataSketches HLL via Spark's
+  // hll_sketch_agg), persist the model-sized sketches, answer global
+  // distinct questions by UNIONING sketches — never re-scanning history
+  // (the same incremental-state play as the k19 index, applied to
+  // profiling; the L4 sketches prove mergeability for quantiles/heavy
+  // hitters, this closes it for distinct counts with Spark's own
+  // built-in). Gates (§2.2a — DuckDB cannot re-derive DataSketches
+  // registers): the union of per-day sketches must estimate within 1%+1
+  // of the one-pass sketch (register merge is lossless once dense, but a
+  // per-day sketch still in SPARSE mode can promote a register
+  // differently than the one-pass stream did — measured at sf0.1: 1500
+  // exact, estimates differ by a few counts), and the estimate must sit
+  // within 5% of the exact count, which IS a value column.
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val perDay = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perDay
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      countDistinct(col("user_id")).as("nd_exact"))
+      .crossJoin(merged)
+      .select(
+        col("nd_exact"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          col("est_direct") / 100L + 1L).as("merge_close"),
+        (abs(col("est_merged") - col("nd_exact")) <=
+          col("nd_exact") / 20L + 1L).as("within_5pct"))
+  }
+
+  val q56Sql: String =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact,
+      |       true AS merge_close,
+      |       true AS within_5pct
+      |FROM events""".stripMargin
+
   // --- q49: window long tail — percent_rank / cume_dist / nth_value (E1+) --
   // percent_rank = (rank-1)/(n-1) and cume_dist = peers≤/n are exact
   // rationals computed identically in double by both engines, so no
@@ -786,6 +825,7 @@ object CoverageQueries {
     ("q47_pivot", q47 _, Some(q47Sql)),
     ("q48_unpivot", q48 _, Some(q48Sql)),
     ("q55_table_profile", q55 _, Some(q55Sql)),
+    ("q56_mergeable_distinct", q56 _, Some(q56Sql)),
     ("q44_exact_stats", q44 _, Some(q44Sql)),
     ("q45_grouping_sets", q45 _, Some(q45Sql)),
     ("q46_subqueries", q46 _, Some(q46Sql)),
