@@ -720,6 +720,39 @@ object CoverageQueries {
       |       true AS within_5pct
       |FROM events""".stripMargin
 
+  // --- q57: VARIANT semi-structured path (H4, Spark 4 surface) -------------
+  // The Spark-4-native way to query semi-structured columns: parse once
+  // into VARIANT (a typed binary encoding the scan can push into —
+  // contrast q18's get_json_object, which re-parses the string per
+  // extraction), then typed `variant_get` paths; `try_variant_get` is the
+  // total variant (NULL, never throw, for absent paths — the bad-rows
+  // philosophy applied to paths). Oracle: DuckDB's JSON path operators
+  // over the same strings; outputs all integer.
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.absent', 'long')")
+          .as("miss"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        count(col("miss")).as("n_miss"))
+      .orderBy("event_type")
+
+  val q57Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(min(k) AS BIGINT) AS min_k,
+      |       CAST(max(k) AS BIGINT) AS max_k,
+      |       CAST(0 AS BIGINT) AS n_miss
+      |FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- q49: window long tail — percent_rank / cume_dist / nth_value (E1+) --
   // percent_rank = (rank-1)/(n-1) and cume_dist = peers≤/n are exact
   // rationals computed identically in double by both engines, so no
@@ -826,6 +859,7 @@ object CoverageQueries {
     ("q48_unpivot", q48 _, Some(q48Sql)),
     ("q55_table_profile", q55 _, Some(q55Sql)),
     ("q56_mergeable_distinct", q56 _, Some(q56Sql)),
+    ("q57_variant_paths", q57 _, Some(q57Sql)),
     ("q44_exact_stats", q44 _, Some(q44Sql)),
     ("q45_grouping_sets", q45 _, Some(q45Sql)),
     ("q46_subqueries", q46 _, Some(q46Sql)),
