@@ -173,6 +173,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("p14 range enrichment plans WITHOUT a non-equi join: predecessor " +
+    "kernel + broadcast equi-join, never BNLJ") {
+    // the naive ip-BETWEEN-range formulation plans a BroadcastNestedLoop
+    // join (rows × ranges comparisons); the predecessor-kernel shape must
+    // keep the search inside a codegen'd map stage
+    val plan = graft.etl.PipelineQueries.p14(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("array_predecessor"), plan)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
