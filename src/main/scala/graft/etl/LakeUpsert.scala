@@ -45,6 +45,51 @@ object LakeUpsert {
     * the lake at `dir` keyed by `keyCol`, partitioned by `day` derived
     * from `tsCol`. Returns the touched day values (diagnostics).
     */
+  /** Row-level DELETE from the lake — the compliance sweep (GDPR
+    * erasure) as partition-level copy-on-write: `keys` carries
+    * (keyCol, tsCol) pairs (same key→day-immutability contract as
+    * [[merge]]), only the touched day partitions are read and rewritten
+    * minus the keys. Idempotent (deleting absent keys is a no-op
+    * rewrite), same crash contract as merge: re-run to converge. At
+    * 100 TB this is O(touched partitions); a delete WITHOUT partition
+    * information would be O(table) — which is why erasure requests
+    * should carry (or look up) the event time, exactly as real
+    * lake-format DELETEs push partition predicates.
+    */
+  def deleteKeys(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, tsCol: String): Seq[java.sql.Date] = {
+    val b = keys.select(col(keyCol), to_date(col(tsCol)).as("day"))
+    val days = b.select("day").distinct()
+      .collect().map(_.getDate(0)).toSeq.sortBy(_.toString)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = days.map(d => s"$dir/day=$d")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) return days
+    val stored = spark.read.option("basePath", dir).parquet(paths: _*)
+    val remaining = stored
+      .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // dynamic overwrite only replaces partitions PRESENT in the output: a
+    // day whose every row was deleted would silently survive. Find the
+    // survivors first (metadata-sized result), drop emptied days' dirs
+    // after the write.
+    val survivors = remaining.select("day").distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try remaining.write.mode("overwrite").partitionBy("day").parquet(dir)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    days.filterNot(d => survivors(d.toString)).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/day=$d"), true)
+    }
+    days
+  }
+
   def merge(
       spark: SparkSession, dir: String, batch: DataFrame,
       keyCol: String, tsCol: String): Seq[java.sql.Date] = {

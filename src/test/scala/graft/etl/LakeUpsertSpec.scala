@@ -101,6 +101,33 @@ class LakeUpsertSpec extends AnyFunSuite {
       (1L, 100.0, "2024-01-01"), (3L, 300.0, "2024-01-02")))
   }
 
+  test("deleteKeys: removes exactly the keys, drops emptied day dirs, " +
+    "leaves untouched days' files alone, idempotent") {
+    val dir = freshDir("delete")
+    Seq(
+      (1L, ts(1), 1.0), (2L, ts(1), 2.0), // day 01
+      (3L, ts(2), 3.0),                   // day 02 (fully deleted below)
+      (4L, ts(3), 4.0))                   // day 03 (untouched)
+      .toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val untouchedBefore = fileState(s"$dir/day=2024-01-03")
+
+    val keys = Seq((1L, ts(1)), (3L, ts(2))).toDF("event_id", "ts")
+    LakeUpsert.deleteKeys(spark, dir, keys, "event_id", "ts")
+    assert(content(dir) === Set(
+      (2L, 2.0, "2024-01-01"), (4L, 4.0, "2024-01-03")))
+    // day 02 lost its every row: the partition DIRECTORY must be gone
+    // (dynamic overwrite alone would silently leave it)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/day=2024-01-02")))
+    assert(fileState(s"$dir/day=2024-01-03") === untouchedBefore)
+    // re-deleting the same keys converges (erasure replay is harmless)
+    LakeUpsert.deleteKeys(spark, dir, keys, "event_id", "ts")
+    assert(content(dir) === Set(
+      (2L, 2.0, "2024-01-01"), (4L, 4.0, "2024-01-03")))
+  }
+
   test("merge into an empty lake is a pure insert") {
     val dir = freshDir("insert_only")
     Files.createDirectories(Paths.get(dir))
