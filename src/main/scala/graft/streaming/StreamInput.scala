@@ -185,6 +185,20 @@ object StreamInput {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The p15 erasure key set as 4 id-ranged files — s20 streams deletion
+    * requests INTO the lake one micro-batch at a time via
+    * [[graft.etl.LakeUpsert.deleteKeys]].
+    */
+  def deleteKeysDir(spark: SparkSession, sfDir: String): String =
+    ensure(s"$root/${key(sfDir)}/delete_keys") { dir =>
+      import org.apache.spark.sql.functions.col
+      graft.Tables.load(spark, sfDir, "events")
+        .filter(col("event_id") % 13 === 0)
+        .select("event_id", "ts")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** A fresh (pre-deleted) checkpoint dir for a named stream run. */
   def freshCheckpoint(name: String, sfDir: String): String = {
     val dir = Paths.get(s"$root/cp/${key(sfDir)}/$name")

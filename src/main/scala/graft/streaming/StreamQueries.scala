@@ -949,6 +949,37 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** s20: streaming DELETE FROM the lake — erasure requests (the GDPR
+    * queue) arrive as micro-batches and each applies via
+    * [[graft.etl.LakeUpsert.deleteKeys]] (copy-on-write, only touched
+    * days, emptied dirs dropped). Like s19, redelivery safety is
+    * inherent (re-deleting absent keys converges), and key-disjoint
+    * micro-batches make sequential deletes equal the one-shot p15
+    * erasure — s20 shares p15's oracle verbatim.
+    */
+  def s20(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = StreamInput.lakeDir("s20_lake_delete", sfDir)
+    graft.Tables.load(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(outDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.deleteKeysDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.etl.LakeUpsert.deleteKeys(spark, outDir, b, "event_id", "ts")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s20", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    spark.read.parquet(outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -990,6 +1021,9 @@ object StreamQueries {
     // s19 streams the p13 upsert batch into the lake; key-disjoint
     // micro-batches make sequential merges equal the one-shot merge, so
     // it shares p13's oracle verbatim.
-    ("s19_stream_lake_merge", s19 _, Some(graft.etl.PipelineQueries.p13Sql))
+    ("s19_stream_lake_merge", s19 _, Some(graft.etl.PipelineQueries.p13Sql)),
+    // s20 streams the p15 erasure keys; key-disjoint micro-batches make
+    // sequential deletes equal the one-shot erasure — shares p15's oracle.
+    ("s20_stream_lake_delete", s20 _, Some(graft.etl.PipelineQueries.p15Sql))
   )
 }
