@@ -41,6 +41,26 @@ import org.apache.spark.sql.functions._
   */
 object LakeUpsert {
 
+  /** Collapse duplicate keys WITHIN a batch before merging (ADVICE r11):
+    * without this, a batch carrying the same key twice sailed through the
+    * anti-join and wrote BOTH rows, silently violating the one-row-per-key
+    * MERGE contract (and s19's sequential==one-shot equivalence). A batch
+    * is an unordered set, so "last wins" has no meaning — the documented
+    * rule is GREATEST-STRUCT WINS: one deterministic survivor per key, the
+    * lexicographically greatest tuple of the non-key columns (batch-order
+    * independent, so replays and re-partitioned batches converge
+    * identically). Delta-style MERGE raises on duplicate matches instead;
+    * the deterministic collapse is chosen here because the streaming
+    * foreachBatch path (s19) cannot usefully retry a poisoned batch.
+    */
+  private[etl] def dedupBatch(batch: DataFrame, keyCol: String): DataFrame = {
+    val others = batch.columns.filterNot(_ == keyCol)
+    if (others.isEmpty) batch.distinct()
+    else batch.groupBy(col(keyCol))
+      .agg(max(struct(others.map(c => batch.col(c)): _*)).as("__s"))
+      .select(col(keyCol) +: others.map(c => col("__s").getField(c).as(c)): _*)
+  }
+
   /** Merge `batch` (same schema as the lake rows, un-partitioned) into
     * the lake at `dir` keyed by `keyCol`, partitioned by `day` derived
     * from `tsCol`. Returns the touched day values (diagnostics).
@@ -93,7 +113,7 @@ object LakeUpsert {
   def merge(
       spark: SparkSession, dir: String, batch: DataFrame,
       keyCol: String, tsCol: String): Seq[java.sql.Date] = {
-    val b = batch.withColumn("day", to_date(col(tsCol)))
+    val b = dedupBatch(batch, keyCol).withColumn("day", to_date(col(tsCol)))
     val days = b.select("day").distinct()
       .collect().map(_.getDate(0)).toSeq.sortBy(_.toString)
     // Read EXACTLY the touched day dirs (LakeCompaction's idiom: explicit

@@ -24,23 +24,39 @@ object Profile {
   def profile(
       df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
+    // Internal aliases are INDEX-based and the long-format pivot is typed
+    // Column expressions (ADVICE r11): the previous cut spliced raw column
+    // names into a stack() SQL string, so a name containing a quote, space,
+    // hyphen, or dot broke parsing (or silently nested). Here user content
+    // appears only as a string LITERAL (the label) and inside a BACKTICK-
+    // quoted df.col (dots would otherwise still resolve as struct nesting)
+    // — both quote-safe by construction (ProfileSpec locks a hostile name).
+    def in(c: String): Column = df.col(s"`${c.replace("`", "``")}`")
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(in(c)).as(s"__cnt_$i"),
+          (if (exact) countDistinct(in(c))
+           else approx_count_distinct(in(c))).as(s"__nd_$i"),
+          min(in(c)).cast("string").as(s"__mn_$i"),
+          max(in(c)).cast("string").as(s"__mx_$i"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __total - __cnt_$c, __nd_$c, __mn_$c, __mx_$c"
-    }.mkString(", ")
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        (col("__total") - col(s"__cnt_$i")).as("n_null"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_val"),
+        col(s"__mx_$i").as("max_val"))
+    }
     wide
       .select(col("__total").as("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_null, n_distinct, min_val, max_val)"))
-      .select("col_name", "n_rows", "n_null", "n_distinct",
-        "min_val", "max_val")
+        explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("n_rows"),
+        col("__e.n_null").as("n_null"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.min_val").as("min_val"),
+        col("__e.max_val").as("max_val"))
   }
 }

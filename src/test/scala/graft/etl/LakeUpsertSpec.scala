@@ -128,6 +128,28 @@ class LakeUpsertSpec extends AnyFunSuite {
       (2L, 2.0, "2024-01-01"), (4L, 4.0, "2024-01-03")))
   }
 
+  test("a batch carrying the same key twice collapses to ONE deterministic " +
+    "row (greatest-struct wins), never duplicate lake rows (ADVICE r11)") {
+    val dir = freshDir("dup_batch")
+    Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    // key 1 appears twice with different values; key 5 twice identically
+    val batch = Seq(
+      (1L, ts(1), 7.0), (1L, ts(1), 9.0),
+      (5L, ts(1), 5.0), (5L, ts(1), 5.0))
+      .toDF("event_id", "ts", "value")
+    LakeUpsert.merge(spark, dir, batch, "event_id", "ts")
+    assert(content(dir) === Set(
+      (1L, 9.0, "2024-01-01"), // greatest (ts, value) struct survives
+      (5L, 5.0, "2024-01-01")))
+    // shuffled batch order converges to the same survivor
+    LakeUpsert.merge(spark, dir, batch.orderBy(col("value").desc),
+      "event_id", "ts")
+    assert(content(dir) === Set(
+      (1L, 9.0, "2024-01-01"), (5L, 5.0, "2024-01-01")))
+  }
+
   test("merge into an empty lake is a pure insert") {
     val dir = freshDir("insert_only")
     Files.createDirectories(Paths.get(dir))

@@ -27,6 +27,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows("s") === ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("hostile column names (quote, space, hyphen, dot, backtick) " +
+    "profile cleanly — identifiers never reach a SQL string (ADVICE r11)") {
+    val hostile = Seq((1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("it's a col", "dotted.na-me `q`")
+    val rows = Profile.profile(hostile, hostile.columns.toSeq)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows("it's a col") === ((3L, 0L, 2L)))
+    assert(rows("dotted.na-me `q`") === ((3L, 0L, 2L)))
+  }
+
   test("exact tier pays the multi-distinct Expand; HLL tier is one " +
     "narrow pass (the 100 TB default)") {
     val exact = Profile.profile(df, Seq("id", "s"))
