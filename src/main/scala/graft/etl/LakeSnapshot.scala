@@ -1,0 +1,322 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ClaimStore, FsClaimStore, IncrementalDedup}
+
+/** Snapshot-atomic event lake (VERDICT r11 #1): MERGE / DELETE whose
+  * touched-day set commits as ONE atomic unit, closing the crash window
+  * [[LakeUpsert]] documents (dynamic partition overwrite is atomic per
+  * day directory but not across the set — a reader between two partition
+  * commits of one merge saw a half-applied batch).
+  *
+  * The fix is the manifest-last protocol the four persisted indexes
+  * already proved, applied to the lake with day GENERATIONS:
+  *
+  *   - data lives at `data/day=D/gen=G/` — copy-on-write: a mutation
+  *     never touches an existing file, it writes NEW generation
+  *     directories for exactly the touched days (one partitioned append,
+  *     O(touched days), untouched days' files never opened);
+  *   - the generation id is claimed through the [[ClaimStore]] seam
+  *     (`manifest/gen-G.claim`), so concurrent stagers never collide on
+  *     a directory;
+  *   - the commit is ONE manifest row (`manifest/epoch-E.properties`:
+  *     `gen`, `days`, `dropped`) published via
+  *     [[IncrementalDedup.Manifest.writeIfAbsent]] — the Delta-style
+  *     "write version E or lose the race" conditional create. Readers
+  *     fold committed rows in epoch order into the live `day → gen` view
+  *     and read exactly those directories, so a crash ANYWHERE before the
+  *     flip leaves them on the intact pre-mutation snapshot, and the flip
+  *     exposes every touched day at once (LakeSnapshotSpec "crash"
+  *     cases);
+  *   - commits are OPTIMISTIC (the Delta OCC shape): a mutation records
+  *     the max committed epoch it staged against, and the commit loop
+  *     aborts with [[ConcurrentLakeMutationException]] if any epoch
+  *     committed since touches an overlapping day (the staged generations
+  *     become orphans for [[vacuum]]). Losing the conditional create to a
+  *     NON-overlapping commit just re-checks and retries with the next
+  *     epoch number — disjoint-day writers serialize without conflict.
+  *     Because the conflict check re-runs under every epoch-number
+  *     attempt and the publish itself is fails-if-exists, two overlapping
+  *     mutations can never both commit: whichever loses the epoch race
+  *     sees the winner's row and aborts.
+  *
+  * Recovery contract: an aborted or crashed mutation left NOTHING visible
+  * — re-run it. Vacuum removes superseded and orphaned generations under
+  * the same retention gate as the index vacuums (the caller promises no
+  * reader outlives `retainMs`; `retainMs <= 0` forces).
+  *
+  * Schema evolution (VERDICT r11 #4): merge reads stored generations with
+  * `mergeSchema` and unions by name with null-fill in BOTH directions, so
+  * a batch may ADD columns; old rows surface them as NULL, and [[read]]
+  * merges footers across generations so mixed-schema days coexist.
+  *
+  * At 100 TB: a mutation costs O(touched partitions) in data I/O plus one
+  * metadata fold over the manifest (driver-side, a few integers per
+  * commit — compact it like any table-format checkpoint once commits
+  * reach the tens of thousands). This is deliberately the smallest
+  * correct subset of a lake table format the zero-egress image can carry.
+  */
+object LakeSnapshot {
+
+  final case class LakePaths(dir: String) {
+    val data = s"$dir/data"
+    val manifest = s"$dir/manifest"
+  }
+
+  /** A staged-but-uncommitted mutation: `gen` holds the new day
+    * directories on disk, invisible until [[commit]] publishes them.
+    */
+  final case class Staged(
+      gen: Int,
+      baseEpoch: Int,
+      days: Seq[String],     // days whose new generation is `gen`
+      dropped: Seq[String])  // days the mutation empties entirely
+
+  final class ConcurrentLakeMutationException(msg: String)
+    extends RuntimeException(msg)
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def csv(days: Seq[String]): String = days.sorted.mkString(",")
+  private def uncsv(s: String): Seq[String] =
+    if (s == null || s.isEmpty) Nil else s.split(",").toSeq
+
+  /** Fold committed manifest rows (epoch order) into the live day → gen
+    * view. Driver-side metadata: a few strings per commit.
+    */
+  private[etl] def liveView(
+      spark: SparkSession, dir: String): Map[String, Int] =
+    IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
+      .foldLeft(Map.empty[String, Int]) { case (m, (_, kv)) =>
+        val g = kv.getOrElse("gen", "-1").toInt
+        val withDays = uncsv(kv.getOrElse("days", "")).foldLeft(m)(_.updated(_, g))
+        uncsv(kv.getOrElse("dropped", "")).foldLeft(withDays)(_ - _)
+      }
+
+  private def maxEpoch(spark: SparkSession, dir: String): Int =
+    IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
+      .map(_._1).maxOption.getOrElse(-1)
+
+  /** Claim a fresh generation id through the [[ClaimStore]] seam —
+    * `gen-G.claim`, a namespace separate from the commit epochs so a
+    * staged generation and an unrelated commit never share a number.
+    */
+  private def claimGen(
+      spark: SparkSession, dir: String, start: Int, store: ClaimStore): Int = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, p.manifest)
+    f.mkdirs(new Path(p.manifest))
+    var g = math.max(0, start)
+    while (g < start + 10000) {
+      val claim = new Path(p.manifest, s"gen-$g.claim")
+      if (store.exists(f, claim)) g += 1
+      else if (store.createIfAbsent(f, claim)) return g
+      else g += 1
+    }
+    sys.error(s"could not claim a generation in [$start, ${start + 10000}) " +
+      s"at ${p.manifest}")
+  }
+
+  /** The committed live view as one DataFrame. `mergeSchema` lets
+    * generations written before and after a schema evolution coexist;
+    * added columns surface as NULL on pre-evolution rows.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val live = liveView(spark, dir)
+    require(live.nonEmpty, s"no committed snapshot at $dir")
+    val p = LakePaths(dir)
+    val paths = live.toSeq.sorted.map { case (d, g) => s"${p.data}/day=$d/gen=$g" }
+    spark.read
+      .option("basePath", p.data)
+      .option("mergeSchema", "true")
+      .parquet(paths: _*)
+      .drop("gen")
+      .withColumn("day", col("day").cast("date"))
+  }
+
+  /** Stage a MERGE: write the post-merge generation for every touched day
+    * (one partitioned append; nothing visible until [[commit]]).
+    */
+  private[etl] def stageMerge(
+      spark: SparkSession, dir: String, batch: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore): Staged = {
+    val p = LakePaths(dir)
+    val b = LakeUpsert.dedupBatch(batch, keyCol)
+      .withColumn("day", to_date(col(tsCol)).cast("string"))
+    val days = b.select("day").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val base = maxEpoch(spark, dir)
+    val live = liveView(spark, dir)
+    val gen = claimGen(spark, dir, base + 1, store)
+    val storedPaths = days.flatMap(d => live.get(d).map(g => s"${p.data}/day=$d/gen=$g"))
+    val merged =
+      if (storedPaths.isEmpty) b
+      else {
+        val stored = spark.read
+          .option("basePath", p.data)
+          .option("mergeSchema", "true")
+          .parquet(storedPaths: _*)
+          .drop("gen")
+          .withColumn("day", col("day").cast("string"))
+        stored
+          .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+          // null-fill BOTH ways: the batch may carry brand-new columns
+          // (schema evolution), the store may carry columns the batch
+          // doesn't know about
+          .unionByName(b, allowMissingColumns = true)
+      }
+    merged.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+    Staged(gen, base, days, Nil)
+  }
+
+  /** Stage a DELETE: write the survivors' generation for every touched
+    * day; a day losing its every row lands in `dropped` (no data dir —
+    * the commit row alone removes it from the view).
+    */
+  private[etl] def stageDelete(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore): Staged = {
+    val p = LakePaths(dir)
+    val b = keys.select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
+    val live = liveView(spark, dir)
+    val days = b.select("day").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+      .filter(live.contains) // deleting from an absent day is a no-op
+    val base = maxEpoch(spark, dir)
+    if (days.isEmpty) return Staged(-1, base, Nil, Nil)
+    val gen = claimGen(spark, dir, base + 1, store)
+    val stored = spark.read
+      .option("basePath", p.data)
+      .option("mergeSchema", "true")
+      .parquet(days.map(d => s"${p.data}/day=$d/gen=${live(d)}"): _*)
+      .drop("gen")
+      .withColumn("day", col("day").cast("string"))
+    val remaining = stored
+      .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .localCheckpoint(true) // survivors feed the day census AND the write
+    val surviving = remaining.select("day").distinct()
+      .collect().map(_.getString(0)).toSet
+    remaining.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+    Staged(gen, base,
+      days.filter(surviving), days.filterNot(surviving))
+  }
+
+  /** Publish a staged mutation: ONE conditional manifest-row create under
+    * the OCC loop (see object scaladoc). Returns the committed epoch.
+    */
+  private[etl] def commit(
+      spark: SparkSession, dir: String, staged: Staged): Int = {
+    val p = LakePaths(dir)
+    val touched = (staged.days ++ staged.dropped).toSet
+    if (touched.isEmpty) return staged.baseEpoch
+    while (true) {
+      val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
+      val overlapping = rows.filter { case (e, kv) =>
+        e > staged.baseEpoch &&
+          (uncsv(kv.getOrElse("days", "")) ++ uncsv(kv.getOrElse("dropped", "")))
+            .exists(touched)
+      }
+      if (overlapping.nonEmpty)
+        throw new ConcurrentLakeMutationException(
+          s"epoch(s) ${overlapping.map(_._1).mkString(",")} committed " +
+            s"overlapping day(s) since this mutation staged against epoch " +
+            s"${staged.baseEpoch} — staged gen ${staged.gen} abandoned " +
+            "(vacuum reclaims it); re-run the mutation")
+      val e = rows.map(_._1).maxOption.getOrElse(-1) + 1
+      if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e, Seq(
+        "gen" -> staged.gen.toString,
+        "days" -> csv(staged.days),
+        "dropped" -> csv(staged.dropped))))
+        return e
+      // lost the epoch race to a non-overlapping commit: re-check, retry
+    }
+    -1 // unreachable
+  }
+
+  /** Snapshot-atomic MERGE (upsert) keyed by `keyCol`, day-partitioned by
+    * `tsCol`. Same row semantics as [[LakeUpsert.merge]] (batch wins on
+    * key collision, duplicate batch keys collapse greatest-struct-wins,
+    * key → day immutable), plus: the whole touched-day set becomes
+    * visible in one commit, idempotent re-run from any crash, OCC abort
+    * on a concurrent overlapping mutation.
+    */
+  def merge(
+      spark: SparkSession, dir: String, batch: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore): Seq[String] = {
+    val staged = stageMerge(spark, dir, batch, keyCol, tsCol, store)
+    commit(spark, dir, staged)
+    staged.days
+  }
+
+  /** Snapshot-atomic DELETE of `keys` ((keyCol, tsCol) pairs). A fully
+    * emptied day disappears from the live view in the same commit.
+    */
+  def deleteKeys(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore): Seq[String] = {
+    val staged = stageDelete(spark, dir, keys, keyCol, tsCol, store)
+    commit(spark, dir, staged)
+    staged.days ++ staged.dropped
+  }
+
+  /** Remove generation directories no committed reader can reach:
+    * superseded generations once the commit that superseded them is at
+    * least `retainMs` old (the Delta/Iceberg `VACUUM ... RETAIN`
+    * contract — the caller promises no reader outlives the window), and
+    * orphaned generations (staged by a crashed or OCC-aborted mutation)
+    * once their claim is `retainMs` stale. `retainMs <= 0` forces both.
+    */
+  def vacuum(
+      spark: SparkSession, dir: String, retainMs: Long = 0L): Unit = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, dir)
+    val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
+    val live = liveView(spark, dir)
+    // (day, gen) → epoch of the row that superseded it
+    val superseded = scala.collection.mutable.Map.empty[(String, Int), Int]
+    rows.foldLeft(Map.empty[String, Int]) { case (m, (e, kv)) =>
+      val g = kv.getOrElse("gen", "-1").toInt
+      val ds = uncsv(kv.getOrElse("days", ""))
+      val dr = uncsv(kv.getOrElse("dropped", ""))
+      (ds ++ dr).foreach { d =>
+        m.get(d).filter(_ != g).foreach(old => superseded((d, old)) = e)
+      }
+      dr.foldLeft(ds.foldLeft(m)(_.updated(_, g)))(_ - _)
+    }
+    val now = System.currentTimeMillis()
+    def expired(tMs: Long): Boolean = retainMs <= 0L || now - tMs >= retainMs
+    val dataRoot = new Path(p.data)
+    if (!f.exists(dataRoot)) return
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { dayDir =>
+      val day = dayDir.getPath.getName.stripPrefix("day=")
+      val genDirs = f.listStatus(dayDir.getPath).filter(_.isDirectory)
+      genDirs.foreach { genDir =>
+        val g = genDir.getPath.getName.stripPrefix("gen=").toInt
+        val keep =
+          if (live.get(day).contains(g)) true
+          else superseded.get((day, g)) match {
+            case Some(e) => // reachable until the superseding commit ages out
+              !expired(IncrementalDedup.Manifest
+                .commitTimeMs(spark, p.manifest, e))
+            case None => // orphan: never committed for this day
+              val claim = new Path(p.manifest, s"gen-$g.claim")
+              if (f.exists(claim))
+                !expired(f.getFileStatus(claim).getModificationTime)
+              else retainMs > 0L // claimless stray: only a forced vacuum takes it
+          }
+        if (!keep) f.delete(genDir.getPath, true)
+      }
+      if (f.listStatus(dayDir.getPath).isEmpty) f.delete(dayDir.getPath, true)
+    }
+  }
+}

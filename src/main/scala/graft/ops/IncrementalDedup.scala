@@ -147,6 +147,52 @@ object IncrementalDedup {
       require(f.rename(tmp, dst), s"manifest commit rename failed: $dst")
     }
 
+    /** Conditional commit: publish `epoch-N.properties` atomically IFF no
+      * row for that epoch exists yet — the Delta-style "write version N+1
+      * or lose the race" primitive the snapshot lake's OCC loop rides
+      * (VERDICT r11 #1). On `file://` the fails-if-exists guarantee comes
+      * from a hard LINK of the written temp file into place (link(2) is
+      * kernel-atomic and EEXISTs; a plain rename(2) silently replaces);
+      * on HDFS-class filesystems `rename` already refuses an existing
+      * destination. On S3-class stores this, like the epoch claim, needs
+      * the conditional-put seam — same caveat, same remedy
+      * (see [[ClaimStore]]).
+      *
+      * @return true iff THIS caller published the row.
+      */
+    def writeIfAbsent(spark: SparkSession, paramsDir: String, epoch: Int,
+        fields: Seq[(String, String)]): Boolean = {
+      val f = fs(spark, paramsDir)
+      f.mkdirs(new Path(paramsDir))
+      val dst = new Path(paramsDir, s"epoch-$epoch.properties")
+      if (f.exists(dst)) return false // cheap pre-check; atomicity below
+      val tmp = new Path(paramsDir,
+        s".tmp-epoch-$epoch-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(
+        fields.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+      if (f.getScheme == "file") {
+        val won =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        f.delete(tmp, false)
+        won
+      } else {
+        // HDFS rename returns false when the destination exists
+        val won = f.rename(tmp, dst)
+        if (!won) f.delete(tmp, false)
+        won
+      }
+    }
+
     /** Commit wall-clock of one manifest row (the `.properties` mtime —
       * set by the atomic rename, so it IS the commit instant).
       */

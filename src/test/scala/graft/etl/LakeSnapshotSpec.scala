@@ -1,0 +1,242 @@
+package graft.etl
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** p16/p17/p18: the snapshot-atomic lake. The oracles hash-check the
+  * merged/deleted/evolved VALUES; this spec pins the protocol claims the
+  * oracles can't see:
+  *
+  *  - a crash between staging and commit leaves readers on the intact
+  *    pre-mutation snapshot — the whole touched-day set flips at once
+  *    (the gap LakeUpsert documents as its open crash window);
+  *  - untouched days' files are never rewritten;
+  *  - overlapping concurrent mutations: exactly one commits, the loser
+  *    aborts loudly (OCC) and its staged data stays invisible;
+  *  - disjoint-day concurrent mutations both commit;
+  *  - schema evolution: a batch with a new column merges, old rows
+  *    null-fill, mixed-schema days coexist under one read;
+  *  - vacuum removes superseded + orphaned generations (retention-gated)
+  *    and never touches live ones.
+  */
+class LakeSnapshotSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(s"target/lake_snapshot_spec/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  private def content(dir: String): Set[(Long, Double, String)] =
+    LakeSnapshot.read(spark, dir)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+
+  private def fileState(dir: String): Map[String, Long] = {
+    val root = Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map(p => root.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  private def seedLake(dir: String): Unit =
+    LakeSnapshot.merge(spark,
+      dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(1), 2.0), (3L, ts(2), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+
+  private val initial = Set(
+    (1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01"), (3L, 3.0, "2024-01-02"))
+
+  test("CRASH WINDOW CLOSED: a mutation staged but not committed is " +
+    "invisible; the commit flips the whole touched-day set at once") {
+    val dir = freshDir("crash")
+    seedLake(dir)
+    // batch touches BOTH days: update key 1 (day 01) and key 3 (day 02)
+    val batch = Seq((1L, ts(1), 100.0), (3L, ts(2), 300.0))
+      .toDF("event_id", "ts", "value")
+    val staged = LakeSnapshot.stageMerge(spark, dir, batch, "event_id", "ts")
+    // "crash" here: data for both days is fully on disk, no manifest row.
+    // Readers must see the EXACT pre-merge snapshot — never day 01 new +
+    // day 02 old (the half-applied state dynamic overwrite could expose).
+    assert(content(dir) === initial,
+      "staged-but-uncommitted generations must be invisible")
+    LakeSnapshot.commit(spark, dir, staged)
+    assert(content(dir) === Set(
+      (1L, 100.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (3L, 300.0, "2024-01-02")),
+      "the commit must expose every touched day together")
+  }
+
+  test("recovery from a crashed (staged-only) mutation is re-running it; " +
+    "the orphan generation stays invisible and vacuum reclaims it") {
+    val dir = freshDir("recover")
+    seedLake(dir)
+    val batch = Seq((1L, ts(1), 100.0), (3L, ts(2), 300.0))
+      .toDF("event_id", "ts", "value")
+    val orphan = LakeSnapshot.stageMerge(spark, dir, batch, "event_id", "ts")
+    // re-run the WHOLE mutation (stage+commit) — the recovery contract
+    LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
+    val expected = Set(
+      (1L, 100.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (3L, 300.0, "2024-01-02"))
+    assert(content(dir) === expected)
+    // the orphan's directories exist on disk but no reader reaches them
+    assert(Files.exists(
+      Paths.get(s"$dir/data/day=2024-01-01/gen=${orphan.gen}")))
+    LakeSnapshot.vacuum(spark, dir) // retainMs=0 forces
+    assert(!Files.exists(
+      Paths.get(s"$dir/data/day=2024-01-01/gen=${orphan.gen}")),
+      "forced vacuum must reclaim orphaned generations")
+    assert(content(dir) === expected, "vacuum must never change the view")
+  }
+
+  test("untouched days' files are never rewritten; merge is idempotent") {
+    val dir = freshDir("untouched")
+    seedLake(dir)
+    val live = LakeSnapshot.liveView(spark, dir)
+    val day2Dir = s"$dir/data/day=2024-01-02/gen=${live("2024-01-02")}"
+    val before = fileState(day2Dir)
+    val batch = Seq((2L, ts(1), 200.0)).toDF("event_id", "ts", "value")
+    LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
+    assert(fileState(day2Dir) === before,
+      "a day outside the batch must keep its exact files")
+    LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
+    assert(content(dir) === Set(
+      (1L, 1.0, "2024-01-01"), (2L, 200.0, "2024-01-01"),
+      (3L, 3.0, "2024-01-02")))
+  }
+
+  test("OCC: of two OVERLAPPING mutations staged from the same snapshot, " +
+    "exactly one commits; the loser aborts loudly and stays invisible") {
+    val dir = freshDir("occ")
+    seedLake(dir)
+    val a = LakeSnapshot.stageMerge(spark, dir,
+      Seq((1L, ts(1), 111.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val b = LakeSnapshot.stageMerge(spark, dir,
+      Seq((2L, ts(1), 222.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.commit(spark, dir, a)
+    val ex = intercept[LakeSnapshot.ConcurrentLakeMutationException] {
+      LakeSnapshot.commit(spark, dir, b)
+    }
+    assert(ex.getMessage.contains("re-run the mutation"))
+    // the winner's state, unpolluted by the loser's staged generation —
+    // including key 2, which ONLY the loser modified
+    assert(content(dir) === Set(
+      (1L, 111.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (3L, 3.0, "2024-01-02")))
+    // the loser's re-run (the documented recovery) lands both updates
+    LakeSnapshot.merge(spark, dir,
+      Seq((2L, ts(1), 222.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    assert(content(dir) === Set(
+      (1L, 111.0, "2024-01-01"), (2L, 222.0, "2024-01-01"),
+      (3L, 3.0, "2024-01-02")))
+  }
+
+  test("disjoint-day mutations staged concurrently BOTH commit (the " +
+    "epoch-race retry, not the conflict abort)") {
+    val dir = freshDir("disjoint")
+    seedLake(dir)
+    val a = LakeSnapshot.stageMerge(spark, dir,
+      Seq((10L, ts(1), 10.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val b = LakeSnapshot.stageMerge(spark, dir,
+      Seq((20L, ts(2), 20.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val ea = LakeSnapshot.commit(spark, dir, a)
+    val eb = LakeSnapshot.commit(spark, dir, b) // must retry past ea, not abort
+    assert(ea != eb)
+    assert(content(dir) === initial ++ Set(
+      (10L, 10.0, "2024-01-01"), (20L, 20.0, "2024-01-02")))
+  }
+
+  test("deleteKeys: snapshot-atomic, emptied day leaves the view in the " +
+    "same commit, idempotent; vacuum retires its directories") {
+    val dir = freshDir("delete")
+    seedLake(dir)
+    // delete key 2 (day 01 keeps key 1) and key 3 (day 02 empties)
+    val keys = Seq((2L, ts(1)), (3L, ts(2))).toDF("event_id", "ts")
+    val staged = LakeSnapshot.stageDelete(spark, dir, keys, "event_id", "ts")
+    assert(content(dir) === initial, "staged delete must be invisible")
+    LakeSnapshot.commit(spark, dir, staged)
+    assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
+    assert(staged.dropped === Seq("2024-01-02"))
+    // replayed erasure converges
+    LakeSnapshot.deleteKeys(spark, dir, keys, "event_id", "ts")
+    assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
+    LakeSnapshot.vacuum(spark, dir)
+    assert(!Files.exists(Paths.get(s"$dir/data/day=2024-01-02")),
+      "vacuum must remove the emptied day's directories")
+    assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
+  }
+
+  test("retention gate: a superseded generation survives vacuum inside " +
+    "the retention window, dies outside it") {
+    val dir = freshDir("retain")
+    seedLake(dir)
+    val oldGen = LakeSnapshot.liveView(spark, dir)("2024-01-01")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 99.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val oldDir = Paths.get(s"$dir/data/day=2024-01-01/gen=$oldGen")
+    LakeSnapshot.vacuum(spark, dir, retainMs = 60 * 60 * 1000L)
+    assert(Files.exists(oldDir),
+      "inside the retention window a reader may still be on the old gen")
+    LakeSnapshot.vacuum(spark, dir, retainMs = 0L)
+    assert(!Files.exists(oldDir))
+  }
+
+  test("SCHEMA EVOLUTION: a batch with a new column merges; old rows " +
+    "null-fill; an untouched old-schema day still reads") {
+    val dir = freshDir("evolve")
+    seedLake(dir)
+    val batch = Seq((1L, ts(1), 100.0, "fix"), (4L, ts(1), 4.0, "new"))
+      .toDF("event_id", "ts", "value", "src")
+    LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
+    val got = LakeSnapshot.read(spark, dir)
+      .select(col("event_id"), col("value"), col("day").cast("string"),
+        col("src"))
+      .as[(Long, Double, String, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, 100.0, "2024-01-01", Some("fix")),
+      (2L, 2.0, "2024-01-01", None),          // same-day old row: null src
+      (4L, 4.0, "2024-01-01", Some("new")),
+      (3L, 3.0, "2024-01-02", None)))         // untouched old-schema day
+    // and a LATER batch without the column still merges (missing columns
+    // null-fill in the other direction)
+    LakeSnapshot.merge(spark, dir,
+      Seq((3L, ts(2), 333.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val after = LakeSnapshot.read(spark, dir)
+      .filter(col("event_id") === 3L)
+      .select(col("value"), col("src")).as[(Double, Option[String])]
+      .collect().toSeq
+    assert(after === Seq((333.0, None)))
+  }
+
+  test("duplicate batch keys collapse greatest-struct-wins (shared " +
+    "LakeUpsert rule)") {
+    val dir = freshDir("dup")
+    seedLake(dir)
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 7.0), (1L, ts(1), 9.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    assert(content(dir).contains((1L, 9.0, "2024-01-01")))
+  }
+}
