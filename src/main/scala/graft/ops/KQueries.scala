@@ -1498,6 +1498,151 @@ object KQueries {
        |    = 999999 AS top1_is_planted""".stripMargin
   }
 
+  // --- K3k: IVFPQ OPERATING CURVE (VERDICT r11 #6) -------------------------
+  // The number an operator actually tunes at 100 TB: one row per nProbe ∈
+  // {1,2,4,8} with the probed-member count (the fraction of the corpus the
+  // serving path reads) and recall@10 against the EXACT brute-force top-10
+  // — the cost/quality frontier of the k3i composition. Everything is
+  // value-derived: DuckDB re-derives every list assignment, every probe
+  // set, the ADC ranking, the re-rank, the exact top-10, and the
+  // intersection counts, so a mis-ranked list or a lost candidate at ANY
+  // probe width fails the hash (the k3c discipline applied to the whole
+  // curve).
+  val k3kProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def k3kOperatingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val withPlant = corpus.select("vec_id", "embedding").union(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
+    val ivf = Similarity.ivfBuildFixed(
+      withPlant, "vec_id", "embedding", centroids)
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val pq = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    // the exact answer the curve is measured against (computed once)
+    val exact10 = withPlant.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosine_sim(
+          col("embedding"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id")
+      .localCheckpoint(true) // 10 rows, reused by every curve point
+    val rows = k3kProbes.map { np =>
+      val probeLists = q.crossJoin(broadcast(ivf.centroids))
+        .select(col("list_id"),
+          graft.functions.GraftFunctions.cosine_sim(
+            col("centroid"), col("qvec").cast("array<double>")).as("cs"))
+        .orderBy(col("cs").desc, col("list_id")).limit(np).select("list_id")
+      val members = ivf.assigned
+        .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      val top10 = Similarity
+        .ivfPqTopK(ivf, pq, q, k = 10, nProbe = np, rerank = 50)
+      members.agg(count(lit(1)).as("n_members"))
+        .crossJoin(
+          top10.join(exact10, top10("id") === exact10("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("recall10")))
+        .select(lit(np).as("n_probe"), col("n_members"), col("recall10"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("n_probe")
+  }
+
+  /** k3k's oracle: the k3i CTE chain shared across probe widths (the
+    * probe/member/ADC/re-rank tail instantiated once per nProbe), plus the
+    * exact brute-force top-10 and the per-width intersection counts.
+    */
+  val k3kSql: String = {
+    val nSub = 8
+    val sub = 8
+    val scale = Similarity.PqScale
+    def slice(arr: String) = s"$arr[(s.m*$sub+1):(s.m*$sub+$sub)]"
+    def d(a: String, b: String) =
+      s"""list_dot_product(${slice(a)}, ${slice(a)})
+         |           - 2 * list_dot_product(${slice(a)}, ${slice(b)})
+         |           + list_dot_product(${slice(b)}, ${slice(b)})""".stripMargin
+    def perProbe(np: Int): String =
+      s"""probe_$np AS (
+         |  SELECT list_id FROM (
+         |    SELECT c.list_id,
+         |           row_number() OVER (
+         |             ORDER BY list_cosine_similarity(
+         |               c.c, CAST(q.qvec AS DOUBLE[])) DESC, c.list_id) AS rn
+         |    FROM cent c CROSS JOIN q) WHERE rn <= $np),
+         |members_$np AS (SELECT vec_id FROM ivfa JOIN probe_$np USING (list_id)),
+         |adist_$np AS (
+         |  SELECT u.vec_id, sum(t.d) AS adist
+         |  FROM (SELECT vec_id, unnest(codes) AS code,
+         |               CAST(generate_subscripts(codes, 1) - 1 AS INT) AS m
+         |        FROM codes JOIN members_$np USING (vec_id)) u
+         |  JOIN tblq t USING (m, code)
+         |  GROUP BY u.vec_id),
+         |top50_$np AS (SELECT vec_id FROM adist_$np ORDER BY adist, vec_id LIMIT 50),
+         |rerank_$np AS (
+         |  SELECT c.vec_id, list_cosine_similarity(c.embedding, q.qvec) AS cos
+         |  FROM corpus c JOIN top50_$np USING (vec_id) CROSS JOIN q),
+         |top10_$np AS (SELECT vec_id FROM rerank_$np
+         |              ORDER BY cos DESC, vec_id LIMIT 10),
+         |row_$np AS (
+         |  SELECT CAST($np AS INT) AS n_probe,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM members_$np)
+         |           AS n_members,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM top10_$np t JOIN exact10 e USING (vec_id))
+         |           AS recall10)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT CAST(vec_id AS INT) AS list_id,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999999, qvec FROM q),
+       |scored AS (
+       |  SELECT v.vec_id, v.embedding, c.list_id,
+       |         list_dot_product(c.c, c.c)
+       |           - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+       |           AS dd
+       |  FROM corpus v CROSS JOIN cent c),
+       |ivfa AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dd, list_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |seeds AS (
+       |  SELECT CAST(vec_id - 1 AS INT) AS code,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qc
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |qv AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qv
+       |  FROM corpus),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range($nSub) t(m)),
+       |pqa AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, s.m ORDER BY
+       |             ${d("v.qv", "c.qc")}, c.code) AS rn
+       |    FROM qv v CROSS JOIN sub s CROSS JOIN seeds c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes
+       |  FROM pqa GROUP BY vec_id),
+       |tblq AS (
+       |  SELECT s.m, c.code, ${d("w.qq", "c.qc")} AS d
+       |  FROM sub s CROSS JOIN seeds c CROSS JOIN (
+       |    SELECT list_transform(CAST(qvec AS DOUBLE[]),
+       |                          x -> floor(x * $scale)) AS qq FROM q) w),
+       |exact10 AS (
+       |  SELECT vec_id FROM (
+       |    SELECT c.vec_id, list_cosine_similarity(c.embedding, q.qvec) AS cos
+       |    FROM corpus c CROSS JOIN q)
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |${k3kProbes.map(perProbe).mkString(",\n")}
+       |SELECT * FROM (
+       |${k3kProbes.map(np => s"  SELECT * FROM row_$np").mkString("\n  UNION ALL\n")})
+       |ORDER BY n_probe""".stripMargin
+  }
+
   /** k3g's oracle: the Lloyd's iterations unrolled as CTE chains (generated
     * so iteration count/scale stay in ONE place, shared with
     * [[Similarity.ivfBuildTrained]]).
@@ -3065,6 +3210,7 @@ object KQueries {
     ("k3h_pq_audit", k3hPq _, Some(k3hSql)),
     ("k3i_ivfpq", k3iIvfPq _, Some(k3iSql)),
     ("k3j_pq_trained", k3jPqTrained _, Some(k3jSql)),
+    ("k3k_ivfpq_curve", k3kOperatingCurve _, Some(k3kSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),
