@@ -187,6 +187,94 @@ object KQueries {
       |GROUP BY a.list_id
       |ORDER BY a.list_id""".stripMargin
 
+  // --- K37: INCREMENTAL semantic dedup (VERDICT r11 #7) --------------------
+  // k30's fixture split across the persisted-index lifecycle: the
+  // originals (vec_id < 100000) are saved as the fixed-quantizer IVF
+  // index, the planted scaled copies arrive as the BATCH, and the probe
+  // decides each batch row against stored + in-batch smaller ids —
+  // reading only the touched list partitions. The oracle is the ONE-SHOT
+  // k30 derivation restricted to batch ids (the k34 pattern), so
+  // "incremental == one-shot" is a green hash row. The batch then ingests
+  // through appendToIvfIndex with a tag (redelivery + excludeTag
+  // reproduction are SemanticDedupSpec-locked; the index lifecycle is
+  // k28/VacuumRaceSpec's — same storage, same manifest protocol).
+  def k37(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+      "k37 fixture assumes vec_id < 100000 (planted-copy id offset); " +
+        "raise the offset in BOTH k37 and k37Sql for this scale factor")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val corpus = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), x => x * lit(0.75)).as("v")))
+      .withColumn("nv",
+        transform(col("v"), x => x / GraftFunctions.l2_norm(col("v"))))
+    val centroids = corpus.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("list_id"), col("nv").as("centroid"))
+    val idxDir = "target/semantic_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(
+        corpus.filter(col("vec_id") < 100000L), "vec_id", "nv", centroids),
+      idxDir)
+    val batch = corpus.filter(col("vec_id") >= 100000L)
+      .select(col("vec_id"), col("nv"))
+    val probe = Similarity.incrementalSemanticDedup(
+      spark, idxDir, batch, "vec_id", "nv", threshold = 0.95)
+      .localCheckpoint(true) // decide BEFORE the append mutates the index
+    Similarity.appendToIvfIndex(batch, "vec_id", "nv", idxDir, tag = "b1")
+    probe.groupBy("list_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("drop"), col("id")).otherwise(0L)).as("dropped_sum"))
+      .orderBy("list_id")
+  }
+
+  /** k37's oracle: the k30 one-shot chain VERBATIM, with the final census
+    * restricted to batch ids — the incremental==one-shot equivalence.
+    */
+  val k37Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(v, x -> x * 0.75) AS v
+      |  FROM base),
+      |normed AS (
+      |  SELECT vec_id,
+      |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |           AS nv
+      |  FROM corpus),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) AS list_id, nv AS c
+      |  FROM normed WHERE vec_id BETWEEN 1 AND 16),
+      |assigned AS (
+      |  SELECT vec_id, nv, list_id FROM (
+      |    SELECT n.vec_id, n.nv, c.list_id,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY list_dot_product(c.c, c.c)
+      |                        - 2 * list_dot_product(n.nv, c.c),
+      |                      c.list_id) AS rn
+      |    FROM normed n CROSS JOIN cent c) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.nv, b.nv) >= 0.95)
+      |SELECT a.list_id,
+      |       CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+      |       CAST(coalesce(sum(d.vec_id), 0) AS BIGINT) AS dropped_sum
+      |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      |WHERE a.vec_id >= 100000
+      |GROUP BY a.list_id
+      |ORDER BY a.list_id""".stripMargin
+
   // --- K2c: duplicate-heavy adversarial near-dedup -------------------------
   // The VERDICT r5 scale-killer made a declared gate: corpus = documents
   // plus 500 byte-identical copies of the first long doc (ids 200001..
@@ -3218,6 +3306,7 @@ object KQueries {
     ("k2_minhash_neardup", k2 _, Some(k2Sql)),
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
     ("k30_semantic_dedup", k30 _, Some(k30Sql)),
+    ("k37_incremental_semdedup", k37 _, Some(k37Sql)),
     ("k2c_dupheavy_neardup", k2c _, Some(k2cSql)),
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),

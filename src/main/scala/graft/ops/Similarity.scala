@@ -1327,6 +1327,79 @@ object Similarity {
         coalesce(col("drop"), lit(false)).as("drop"))
   }
 
+  /** Incremental SemDeDup (VERDICT r11 #7): [[semanticDedup]]'s greedy
+    * smaller-id rule probed against the PERSISTED IVF index — the fifth
+    * incremental-index variant, and deliberately NOT a fifth storage
+    * format: "centroid-assigned members per list" is exactly what
+    * [[saveIvfIndex]]'s `assigned/epoch=E/list_id=L` layout already holds,
+    * so the semantic-dedup gate and ANN serving share one index, one
+    * epoch/claim/tag manifest protocol, one compaction/vacuum lifecycle
+    * (k28, VacuumRaceSpec) — two probe semantics over the same bytes.
+    *
+    * The probe is O(batch)-shaped: assign the batch with the STORED
+    * centroids (broadcast argmin, map-side), read ONLY the batch's
+    * touched `list_id` partitions across committed epochs (both `epoch`
+    * and `list_id` are partition columns — the scan's PartitionFilters
+    * prove the pruned read, plan-locked in SemanticDedupSpec), and pair
+    * within lists: a batch row drops iff a smaller-id row — stored or
+    * in-batch — in its cluster has cosine ≥ `threshold`. Because the
+    * greedy rule is decomposable (a row's fate depends only on smaller
+    * ids in its cluster, never on their own drop flags), the output
+    * equals the ONE-SHOT [[semanticDedup]] over corpus+batch restricted
+    * to batch ids — k37's DuckDB oracle and SemanticDedupSpec's property.
+    *
+    * Ingest is [[appendToIvfIndex]] (tag for redelivery no-ops);
+    * `excludeTag` lets a REDELIVERED batch's probe reproduce its
+    * first-delivery view by excluding its own committed epochs, the
+    * k19/k21 redelivery contract.
+    *
+    * Returns (id, list_id, drop) for every batch row.
+    */
+  def incrementalSemanticDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      excludeTag: String = ""): DataFrame = {
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, _, live) = ivfManifest(spark, p)
+    val excluded =
+      if (excludeTag.isEmpty) Nil
+      else IncrementalDedup.Manifest.read(spark, p.params)
+        .filter(_._2.get("tag").contains(excludeTag)).map(_._1)
+    require(excluded.forall(live.contains),
+      s"epoch(s) tagged '$excludeTag' were absorbed by a compaction — the " +
+        "pre-append index state no longer exists, so this redelivered " +
+        "probe cannot reproduce its first-delivery view; compact only " +
+        "when redelivery of absorbed batches is impossible")
+    val epochs = live.filterNot(excluded.contains)
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val assigned = assignToNearest(batch, idCol, vecCol, centroids)
+      .localCheckpoint(true) // feeds the list census AND two pair joins
+    val touched = assigned.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nLists ints: metadata
+    val stored = spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(epochs: _*) &&
+        col("list_id").isin(touched: _*))
+      .select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val bA = assigned.select(
+      col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val bB = assigned.select(
+      col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    // one cluster per row ⇒ each (a, b) pair forms at most once per side;
+    // a redelivered row meeting its stored self is killed by id_a < id_b
+    val dropped = stored.unionAll(bA).join(bB, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(GraftFunctions.cosine_sim(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("list_id"))
+      .join(dropped.withColumn("drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("list_id"),
+        coalesce(col("drop"), lit(false)).as("drop"))
+  }
+
   /** Near-duplicate vector pairs: bucket on sign-LSH, verify cosine. */
   def cosinePairs(
       df: DataFrame,

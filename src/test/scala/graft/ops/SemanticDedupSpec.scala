@@ -61,4 +61,80 @@ class SemanticDedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // --- k37: the incremental probe against the persisted IVF index ----------
+
+  private def freshDir(name: String): String = {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    val p = Paths.get(s"target/semantic_dedup_spec/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  private def probeMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Boolean)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+
+  test("incremental probe == one-shot semanticDedup restricted to batch " +
+    "ids (stored AND in-batch smaller ids both decide)") {
+    val dir = freshDir("equiv")
+    val stored = Seq((1L, unit(0.0)), (5L, unit(30.0))).toDF("id", "v")
+    // batch: 7 dups stored 1 (cos0°=1); 8 dups IN-BATCH 7 (cos2°); 9 is
+    // alone in cluster 1 beyond τ of 5
+    val batch = Seq(
+      (7L, unit(1.0)), (8L, unit(3.0)), (9L, unit(16.0))).toDF("id", "v")
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(stored, "id", "v", centroids), dir)
+    val inc = probeMap(Similarity.incrementalSemanticDedup(
+      spark, dir, batch, "id", "v", threshold = 0.999))
+    val oneShot = probeMap(Similarity.semanticDedup(
+      stored.unionAll(batch), "id", "v", centroids, threshold = 0.999))
+      .filter { case (id, _) => Set(7L, 8L, 9L).contains(id) }
+    assert(inc === oneShot, "incremental must equal one-shot on batch ids")
+    assert(inc === Map(
+      7L -> ((0, true)),   // dropped by STORED 1
+      8L -> ((0, true)),   // dropped by IN-BATCH 7 (cos2° ≥ 0.999)
+      9L -> ((1, false)))) // cluster-mate 5 is 14° away (cos < 0.999)
+  }
+
+  test("redelivery: append with a tag, re-probe with excludeTag " +
+    "reproduces the first-delivery view; re-append is a no-op") {
+    val dir = freshDir("redeliver")
+    val stored = Seq((1L, unit(0.0))).toDF("id", "v")
+    val batch = Seq((7L, unit(1.0)), (8L, unit(3.0))).toDF("id", "v")
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(stored, "id", "v", centroids), dir)
+    val first = probeMap(Similarity.incrementalSemanticDedup(
+      spark, dir, batch, "id", "v", threshold = 0.999))
+    Similarity.appendToIvfIndex(batch, "id", "v", dir, tag = "b1")
+    // the redelivered probe must NOT see the batch's own committed epoch
+    val redelivered = probeMap(Similarity.incrementalSemanticDedup(
+      spark, dir, batch, "id", "v", threshold = 0.999, excludeTag = "b1"))
+    assert(redelivered === first)
+    // and the redelivered APPEND is a provable no-op (same tag)
+    Similarity.appendToIvfIndex(batch, "id", "v", dir, tag = "b1")
+    assert(spark.read.parquet(s"$dir/assigned")
+      .filter(col("id") === 7L).count() === 1L,
+      "a tagged re-append must not duplicate rows")
+  }
+
+  test("the probe reads ONLY the batch's touched list partitions " +
+    "(PartitionFilters, not scaladoc)") {
+    val dir = freshDir("pruned")
+    val stored = Seq((1L, unit(0.0)), (5L, unit(30.0))).toDF("id", "v")
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuildFixed(stored, "id", "v", centroids), dir)
+    // batch entirely in cluster 0 → only list_id=0 may be scanned
+    val batch = Seq((7L, unit(1.0))).toDF("id", "v")
+    val plan = Similarity.incrementalSemanticDedup(
+      spark, dir, batch, "id", "v", threshold = 0.999)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("list_id") && plan.contains("PartitionFilters"),
+      plan)
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("list_id IN (0)") || pf.contains("list_id = 0") ||
+      pf.contains("list_id#"), pf)
+  }
 }
