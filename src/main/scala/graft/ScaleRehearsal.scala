@@ -107,7 +107,22 @@ object ScaleRehearsal {
     "q55_table_profile",
     // the fourth index kind + the extended composed chain rehearse too
     "k34_incremental_spans",
-    "k36_corpus_prep_v2")
+    "k36_corpus_prep_v2",
+    // r12: the LAKE tier (VERDICT r11 #5) — merge/delete cost is
+    // per-touched-day rewrite, and the batches (event_id % k) are
+    // day-aligned derivations of the events table, so they scale with it.
+    // p16/p17 additionally price the snapshot protocol (generation write +
+    // manifest commit) against p13/p15's dynamic-overwrite path; s19/s20
+    // share p13/p15's per-day rewrite cost through foreachBatch and are
+    // correctness-gated, not rehearsed (their own sinks/checkpoints).
+    "p13_lake_merge",
+    "p15_lake_delete",
+    "p16_snapshot_merge",
+    "p17_snapshot_delete",
+    "p18_lake_evolution",
+    // r12 serving/index adds
+    "k37_incremental_semdedup",
+    "k3k_ivfpq_curve")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

@@ -85,21 +85,75 @@ object LakeSnapshot {
   private def uncsv(s: String): Seq[String] =
     if (s == null || s.isEmpty) Nil else s.split(",").toSeq
 
+  private def renderSnapshot(m: Map[String, Int]): String =
+    m.toSeq.sorted.map { case (d, g) => s"$d:$g" }.mkString(",")
+  private def parseSnapshot(s: String): Map[String, Int] =
+    uncsv(s).map { e =>
+      val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toInt
+    }.toMap
+
+  /** Apply one committed row to the day → gen state. A CHECKPOINT row
+    * (`snapshot=d:g,...`) REPLACES the state wholesale; a mutation row
+    * layers its `days`/`dropped` on top.
+    */
+  private def applyRow(
+      m: Map[String, Int], kv: Map[String, String]): Map[String, Int] = {
+    val base = kv.get("snapshot").map(parseSnapshot).getOrElse(m)
+    val g = kv.getOrElse("gen", "-1").toInt
+    val withDays = uncsv(kv.getOrElse("days", "")).foldLeft(base)(_.updated(_, g))
+    uncsv(kv.getOrElse("dropped", "")).foldLeft(withDays)(_ - _)
+  }
+
+  /** The last durably-pointed checkpoint epoch (Delta's `_last_checkpoint`
+    * idea): readers fold from here instead of the whole commit history.
+    * The pointer is advisory — stale (crash between checkpoint commit and
+    * pointer write) just means folding from an older checkpoint, never
+    * wrong results.
+    */
+  private def checkpointEpoch(spark: SparkSession, dir: String): Int = {
+    val p = new Path(s"${LakePaths(dir).manifest}/_last_checkpoint")
+    val f = fsOf(spark, dir)
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Committed rows from the last checkpoint onward — what every current-
+    * view reader folds. O(rows since checkpoint) reads, one listing.
+    */
+  private[etl] def committedRows(
+      spark: SparkSession, dir: String): Seq[(Int, Map[String, String])] =
+    IncrementalDedup.Manifest.readFrom(
+      spark, LakePaths(dir).manifest, checkpointEpoch(spark, dir))
+
   /** Fold committed manifest rows (epoch order) into the live day → gen
     * view. Driver-side metadata: a few strings per commit.
     */
   private[etl] def liveView(
       spark: SparkSession, dir: String): Map[String, Int] =
+    committedRows(spark, dir)
+      .foldLeft(Map.empty[String, Int]) { case (m, (_, kv)) => applyRow(m, kv) }
+
+  /** The view as of `asOf` (time travel): fold the FULL history up to the
+    * epoch, ignoring any later checkpoint. Reaches only generations that
+    * still exist — a reader older than the vacuum retention fails loudly
+    * on missing files, the same contract as Delta time travel vs VACUUM.
+    */
+  private[etl] def viewAt(
+      spark: SparkSession, dir: String, asOf: Int): Map[String, Int] =
     IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
-      .foldLeft(Map.empty[String, Int]) { case (m, (_, kv)) =>
-        val g = kv.getOrElse("gen", "-1").toInt
-        val withDays = uncsv(kv.getOrElse("days", "")).foldLeft(m)(_.updated(_, g))
-        uncsv(kv.getOrElse("dropped", "")).foldLeft(withDays)(_ - _)
-      }
+      .filter(_._1 <= asOf)
+      .foldLeft(Map.empty[String, Int]) { case (m, (_, kv)) => applyRow(m, kv) }
 
   private def maxEpoch(spark: SparkSession, dir: String): Int =
-    IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
-      .map(_._1).maxOption.getOrElse(-1)
+    committedRows(spark, dir).map(_._1).maxOption.getOrElse(-1)
+
+  /** The current committed epoch — what [[readAt]] takes to pin a
+    * snapshot, and what monitoring graphs.
+    */
+  def currentEpoch(spark: SparkSession, dir: String): Int =
+    maxEpoch(spark, dir)
 
   /** Claim a fresh generation id through the [[ClaimStore]] seam —
     * `gen-G.claim`, a namespace separate from the commit epochs so a
@@ -125,17 +179,62 @@ object LakeSnapshot {
     * generations written before and after a schema evolution coexist;
     * added columns surface as NULL on pre-evolution rows.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val live = liveView(spark, dir)
-    require(live.nonEmpty, s"no committed snapshot at $dir")
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readView(spark, dir, liveView(spark, dir))
+
+  /** TIME TRAVEL: the committed view as of epoch `asOf` (inclusive) —
+    * generations are immutable, so any historical snapshot inside the
+    * vacuum retention window reads exactly as it committed.
+    */
+  def readAt(spark: SparkSession, dir: String, asOf: Int): DataFrame =
+    readView(spark, dir, viewAt(spark, dir, asOf))
+
+  private def readView(
+      spark: SparkSession, dir: String, view: Map[String, Int]): DataFrame = {
+    require(view.nonEmpty, s"no committed snapshot at $dir")
     val p = LakePaths(dir)
-    val paths = live.toSeq.sorted.map { case (d, g) => s"${p.data}/day=$d/gen=$g" }
+    val paths = view.toSeq.sorted.map { case (d, g) => s"${p.data}/day=$d/gen=$g" }
     spark.read
       .option("basePath", p.data)
       .option("mergeSchema", "true")
       .parquet(paths: _*)
       .drop("gen")
       .withColumn("day", col("day").cast("date"))
+  }
+
+  /** Collapse the commit history into ONE checkpoint row (full day → gen
+    * snapshot) and advance the `_last_checkpoint` pointer, so current-view
+    * readers fold O(rows since checkpoint) instead of O(all commits) —
+    * the table-format checkpoint, committed through the same conditional
+    * create as every mutation (a lost epoch race just re-reads and
+    * retries; a checkpoint can never conflict semantically because it
+    * changes nothing about the view). Time travel before the checkpoint
+    * keeps working: historical rows are never deleted.
+    */
+  def checkpointManifest(spark: SparkSession, dir: String): Int = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, dir)
+    while (true) {
+      val rows = committedRows(spark, dir)
+      require(rows.nonEmpty, s"nothing to checkpoint at $dir")
+      val live = rows.foldLeft(Map.empty[String, Int]) {
+        case (m, (_, kv)) => applyRow(m, kv)
+      }
+      val e = rows.map(_._1).max + 1
+      if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e,
+        Seq("snapshot" -> renderSnapshot(live)))) {
+        // advance the pointer: temp + rename, overwrite-safe; a crash
+        // here leaves a stale (still-correct) pointer
+        val tmp = new Path(p.manifest, s".tmp-last-checkpoint-$e")
+        val out = f.create(tmp, true)
+        try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+        val dst = new Path(p.manifest, "_last_checkpoint")
+        f.delete(dst, false)
+        require(f.rename(tmp, dst), s"checkpoint pointer rename failed: $dst")
+        return e
+      }
+    }
+    -1 // unreachable
   }
 
   /** Stage a MERGE: write the post-merge generation for every touched day
@@ -218,11 +317,15 @@ object LakeSnapshot {
     val touched = (staged.days ++ staged.dropped).toSet
     if (touched.isEmpty) return staged.baseEpoch
     while (true) {
-      val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
-      val overlapping = rows.filter { case (e, kv) =>
-        e > staged.baseEpoch &&
-          (uncsv(kv.getOrElse("days", "")) ++ uncsv(kv.getOrElse("dropped", "")))
-            .exists(touched)
+      // read EXACTLY the conflict window (epochs after the staged base) —
+      // never the checkpoint-pruned view: a checkpoint committed inside
+      // the window would advance the pointer past unseen mutation rows
+      // and blind the overlap check (lost update)
+      val rows = IncrementalDedup.Manifest.readFrom(
+        spark, p.manifest, staged.baseEpoch + 1)
+      val overlapping = rows.filter { case (_, kv) =>
+        (uncsv(kv.getOrElse("days", "")) ++ uncsv(kv.getOrElse("dropped", "")))
+          .exists(touched)
       }
       if (overlapping.nonEmpty)
         throw new ConcurrentLakeMutationException(
@@ -230,7 +333,7 @@ object LakeSnapshot {
             s"overlapping day(s) since this mutation staged against epoch " +
             s"${staged.baseEpoch} — staged gen ${staged.gen} abandoned " +
             "(vacuum reclaims it); re-run the mutation")
-      val e = rows.map(_._1).maxOption.getOrElse(-1) + 1
+      val e = (rows.map(_._1).maxOption.getOrElse(staged.baseEpoch)) + 1
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e, Seq(
         "gen" -> staged.gen.toString,
         "days" -> csv(staged.days),
@@ -280,19 +383,19 @@ object LakeSnapshot {
       spark: SparkSession, dir: String, retainMs: Long = 0L): Unit = {
     val p = LakePaths(dir)
     val f = fsOf(spark, dir)
-    val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
-    val live = liveView(spark, dir)
-    // (day, gen) → epoch of the row that superseded it
+    val rows = IncrementalDedup.Manifest.read(spark, p.manifest) // full history
+    // (day, gen) → epoch of the row that superseded it, via the generic
+    // before/after diff so checkpoint rows fold identically
     val superseded = scala.collection.mutable.Map.empty[(String, Int), Int]
-    rows.foldLeft(Map.empty[String, Int]) { case (m, (e, kv)) =>
-      val g = kv.getOrElse("gen", "-1").toInt
-      val ds = uncsv(kv.getOrElse("days", ""))
-      val dr = uncsv(kv.getOrElse("dropped", ""))
-      (ds ++ dr).foreach { d =>
-        m.get(d).filter(_ != g).foreach(old => superseded((d, old)) = e)
+    var folded = Map.empty[String, Int]
+    rows.foreach { case (e, kv) =>
+      val next = applyRow(folded, kv)
+      folded.foreach { case (d, g) =>
+        if (!next.get(d).contains(g)) superseded((d, g)) = e
       }
-      dr.foldLeft(ds.foldLeft(m)(_.updated(_, g)))(_ - _)
+      folded = next
     }
+    val live = folded
     val now = System.currentTimeMillis()
     def expired(tMs: Long): Boolean = retainMs <= 0L || now - tMs >= retainMs
     val dataRoot = new Path(p.data)

@@ -258,14 +258,24 @@ object IncrementalDedup {
     }
 
     /** All committed rows as (epoch, fieldMap), ascending by epoch. */
-    def read(spark: SparkSession, paramsDir: String): Seq[(Int, Map[String, String])] = {
+    def read(spark: SparkSession, paramsDir: String): Seq[(Int, Map[String, String])] =
+      readFrom(spark, paramsDir, 0)
+
+    /** Committed rows with epoch ≥ `minEpoch` — the filename filter runs
+      * BEFORE any file is opened, so a checkpoint-aware reader (the
+      * snapshot lake's `_last_checkpoint` pointer) pays one directory
+      * listing plus only the post-checkpoint rows' reads, not a re-parse
+      * of the whole commit history.
+      */
+    def readFrom(spark: SparkSession, paramsDir: String,
+        minEpoch: Int): Seq[(Int, Map[String, String])] = {
       val f = fs(spark, paramsDir)
       val dir = new Path(paramsDir)
       if (!f.exists(dir)) return Nil
       val Name = "epoch-(\\d+)\\.properties".r
       f.listStatus(dir).toSeq.flatMap { st =>
         st.getPath.getName match {
-          case Name(e) =>
+          case Name(e) if e.toInt >= minEpoch =>
             val in = f.open(st.getPath)
             val text =
               try scala.io.Source.fromInputStream(in, "UTF-8").mkString

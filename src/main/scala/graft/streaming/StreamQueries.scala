@@ -980,6 +980,37 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** s21: streaming MERGE through the SNAPSHOT-ATOMIC lake — s19's load
+    * loop retargeted at [[graft.etl.LakeSnapshot]]: each micro-batch
+    * stages its touched-day generations and publishes one conditional
+    * manifest commit, so a crash between batches (or inside one) leaves
+    * readers on the last committed snapshot, never a half-applied day
+    * set. Redelivery converges exactly as s19 (anti-join ∪ re-add), the
+    * micro-batches are key-disjoint, so the final view equals the
+    * one-shot p13 merge — s21 shares p13's oracle verbatim.
+    */
+  def s21(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = StreamInput.lakeDir("s21_snapshot_merge", sfDir)
+    graft.etl.LakeSnapshot.merge(spark, outDir,
+      graft.Tables.load(spark, sfDir, "events"), "event_id", "ts")
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.etl.LakeSnapshot.merge(spark, outDir, b, "event_id", "ts")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s21", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    graft.etl.LakeSnapshot.read(spark, outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1024,6 +1055,7 @@ object StreamQueries {
     ("s19_stream_lake_merge", s19 _, Some(graft.etl.PipelineQueries.p13Sql)),
     // s20 streams the p15 erasure keys; key-disjoint micro-batches make
     // sequential deletes equal the one-shot erasure — shares p15's oracle.
-    ("s20_stream_lake_delete", s20 _, Some(graft.etl.PipelineQueries.p15Sql))
+    ("s20_stream_lake_delete", s20 _, Some(graft.etl.PipelineQueries.p15Sql)),
+    ("s21_stream_snapshot_merge", s21 _, Some(graft.etl.PipelineQueries.p13Sql))
   )
 }

@@ -230,6 +230,67 @@ class LakeSnapshotSpec extends AnyFunSuite {
     assert(after === Seq((333.0, None)))
   }
 
+  test("TIME TRAVEL: readAt pins a historical epoch; generations are " +
+    "immutable so the old snapshot reads exactly as it committed") {
+    val dir = freshDir("travel")
+    seedLake(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 100.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.deleteKeys(spark, dir,
+      Seq((3L, ts(2))).toDF("event_id", "ts"), "event_id", "ts")
+    // current view: merged + day-02 gone
+    assert(content(dir) === Set(
+      (1L, 100.0, "2024-01-01"), (2L, 2.0, "2024-01-01")))
+    // as-of the initial commit: the pristine lake, deleted day included
+    val at0 = LakeSnapshot.readAt(spark, dir, e0)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(at0 === initial)
+  }
+
+  test("CHECKPOINT: collapses the fold, changes no values, keeps time " +
+    "travel, and never blinds a staged mutation's conflict check") {
+    val dir = freshDir("checkpoint")
+    seedLake(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 100.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val before = content(dir)
+    val cp = LakeSnapshot.checkpointManifest(spark, dir)
+    assert(content(dir) === before, "a checkpoint must not change the view")
+    // current-view readers now fold from the checkpoint row alone
+    assert(LakeSnapshot.committedRows(spark, dir).map(_._1).min === cp)
+    // mutations continue on top of it
+    LakeSnapshot.merge(spark, dir,
+      Seq((4L, ts(3), 4.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    assert(content(dir) === before + ((4L, 4.0, "2024-01-03")))
+    // time travel to BEFORE the checkpoint still works (history retained)
+    val at0 = LakeSnapshot.readAt(spark, dir, e0)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(at0 === initial)
+    // the lost-update guard: stage against the PRE-checkpoint base, let a
+    // conflicting mutation + a checkpoint land, then try to commit — the
+    // overlap must still be detected even though the checkpoint pointer
+    // advanced past the conflicting row
+    val stale = LakeSnapshot.stageMerge(spark, dir,
+      Seq((1L, ts(1), 555.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 777.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.checkpointManifest(spark, dir)
+    intercept[LakeSnapshot.ConcurrentLakeMutationException] {
+      LakeSnapshot.commit(spark, dir, stale)
+    }
+    assert(content(dir).contains((1L, 777.0, "2024-01-01")),
+      "the committed mutation must win; the stale stager must abort")
+  }
+
   test("duplicate batch keys collapse greatest-struct-wins (shared " +
     "LakeUpsert rule)") {
     val dir = freshDir("dup")
