@@ -372,6 +372,117 @@ object LakeSnapshot {
     staged.days ++ staged.dropped
   }
 
+  /** OPTIMIZE (small-file maintenance): rewrite the live generations of
+    * `days` (default: every live day) into fresh one-file-per-day
+    * generations, content-identical, committed atomically through the
+    * SAME OCC loop as any mutation. Conflict behavior is the symmetric
+    * OCC rule: whichever of a concurrent mutation and a compaction
+    * commits SECOND aborts loudly and re-runs — a compaction losing costs
+    * only its rewrite; a mutation losing re-runs as its standard recovery
+    * path (so schedule compaction off the ingest peak, exactly as you
+    * would a table-format OPTIMIZE). Because content is unchanged, the
+    * rewrite is CDC-silent ([[readChanges]] emits nothing for a
+    * compacted-only window) — spec-locked. This is what a streaming
+    * ingest needs after months of per-batch commits: day directories
+    * accumulate one small file set per touching batch, and the read path
+    * pays the file-open tax until rewritten.
+    */
+  def compactDays(
+      spark: SparkSession, dir: String, days: Seq[String] = Nil,
+      store: ClaimStore = FsClaimStore): Seq[String] = {
+    val p = LakePaths(dir)
+    val live = liveView(spark, dir)
+    val touched = (if (days.isEmpty) live.keys.toSeq else days.filter(live.contains)).sorted
+    if (touched.isEmpty) return Nil
+    val base = maxEpoch(spark, dir)
+    val gen = claimGen(spark, dir, base + 1, store)
+    spark.read
+      .option("basePath", p.data)
+      .option("mergeSchema", "true")
+      .parquet(touched.map(d => s"${p.data}/day=$d/gen=${live(d)}"): _*)
+      .drop("gen")
+      .withColumn("day", col("day").cast("string"))
+      .withColumn("gen", lit(gen))
+      // co-locate each day in one task → one file per day directory, with
+      // task parallelism ACROSS days (never a single global funnel);
+      // bound single-file size for huge days with
+      // spark.sql.files.maxRecordsPerFile if needed
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+    commit(spark, dir, Staged(gen, base, touched, Nil))
+    touched
+  }
+
+  /** CHANGE DATA FEED: the row-level difference between two committed
+    * snapshots (epochs `fromEpoch` exclusive-as-baseline → `toEpoch`
+    * inclusive), keyed by `keyCol` — what an incremental downstream
+    * consumer reads instead of re-scanning the table (Delta CDF's shape):
+    *
+    *   - `insert`           — key in `to` but not `from`
+    *   - `delete`           — key in `from` but not `to` (the preimage)
+    *   - `update_preimage`  — key in both, any column changed (old row)
+    *   - `update_postimage` — key in both, any column changed (new row)
+    *
+    * A key whose row is byte-identical across the window emits NOTHING —
+    * a rewritten day does not imply changed rows (compaction is
+    * CDC-silent). Cost is O(changed days): only days whose live
+    * generation differs between the two views are read, on BOTH sides —
+    * unchanged days never open a file. Columns added by schema evolution
+    * inside the window surface as NULL on the preimage side and count as
+    * changes only where the postimage is non-NULL (mergeSchema alignment).
+    */
+  def readChanges(
+      spark: SparkSession, dir: String, fromEpoch: Int, toEpoch: Int,
+      keyCol: String): DataFrame = {
+    require(fromEpoch <= toEpoch, s"fromEpoch $fromEpoch > toEpoch $toEpoch")
+    val p = LakePaths(dir)
+    val a = viewAt(spark, dir, fromEpoch)
+    val b = viewAt(spark, dir, toEpoch)
+    val changedDays = (a.keySet ++ b.keySet).filter(d => a.get(d) != b.get(d))
+    val oldPairs = changedDays.flatMap(d => a.get(d).map(g => s"$d:$g"))
+    val newPairs = changedDays.flatMap(d => b.get(d).map(g => s"$d:$g"))
+    val paths = (oldPairs ++ newPairs).toSeq.sorted
+      .map { dg => val i = dg.lastIndexOf(':')
+        s"${p.data}/day=${dg.take(i)}/gen=${dg.drop(i + 1)}" }
+    if (paths.isEmpty)
+      // no changed days: an empty frame with the key + change type shape
+      return readView(spark, dir, b)
+        .limit(0).withColumn("_change_type", lit(""))
+    val all = spark.read
+      .option("basePath", p.data)
+      .option("mergeSchema", "true")
+      .parquet(paths: _*)
+      .withColumn("day", col("day").cast("string"))
+      .withColumn("__dg", concat(col("day"), lit(":"), col("gen")))
+      .drop("gen")
+    val oldDf = all.filter(col("__dg").isin(oldPairs.toSeq: _*)).drop("__dg")
+    val newDf = all.filter(col("__dg").isin(newPairs.toSeq: _*)).drop("__dg")
+    val dataCols = oldDf.columns.filterNot(_ == keyCol).toSeq
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol) +:
+        dataCols.map(c => col(c).as(s"__${side}_$c")) :+
+        lit(true).as(s"__in_$side"): _*)
+    val joined = sided(oldDf, "o")
+      .join(sided(newDf, "n"), Seq(keyCol), "full_outer")
+    val changed = dataCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    def img(side: String, tpe: String): Seq[org.apache.spark.sql.Column] =
+      col(keyCol) +: dataCols.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(tpe).as("_change_type")
+    val inserts = joined.filter(col("__in_o").isNull).select(img("n", "insert"): _*)
+    val deletes = joined.filter(col("__in_n").isNull).select(img("o", "delete"): _*)
+    // both images come off ONE union plan over the same join subtree, so
+    // the exchange is computed once and reused (no materialization step —
+    // a checkpoint here would cache the whole update set)
+    val updated = joined
+      .filter(col("__in_o").isNotNull && col("__in_n").isNotNull && changed)
+    updated.select(img("o", "update_preimage"): _*)
+      .unionAll(updated.select(img("n", "update_postimage"): _*))
+      .unionAll(inserts).unionAll(deletes)
+      .withColumn("day", col("day").cast("date"))
+  }
+
   /** Remove generation directories no committed reader can reach:
     * superseded generations once the commit that superseded them is at
     * least `retainMs` old (the Delta/Iceberg `VACUUM ... RETAIN`

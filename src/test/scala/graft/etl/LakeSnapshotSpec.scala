@@ -291,6 +291,75 @@ class LakeSnapshotSpec extends AnyFunSuite {
       "the committed mutation must win; the stale stager must abort")
   }
 
+  test("CHANGE DATA FEED: inserts, deletes, update pre/post images; " +
+    "identical rows and untouched keys emit NOTHING") {
+    val dir = freshDir("cdf")
+    seedLake(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    // update key 1 (changed value), re-merge key 2 IDENTICALLY (same-day
+    // rewrite, no change), insert key 10
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 100.0), (2L, ts(1), 2.0), (10L, ts(3), 10.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.deleteKeys(spark, dir,
+      Seq((3L, ts(2))).toDF("event_id", "ts"), "event_id", "ts")
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    val ch = LakeSnapshot.readChanges(spark, dir, e0, e1, "event_id")
+      .select(col("event_id"), col("value"), col("_change_type"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(ch === Set(
+      (1L, 1.0, "update_preimage"),
+      (1L, 100.0, "update_postimage"),
+      (10L, 10.0, "insert"),
+      (3L, 3.0, "delete")),
+      "key 2 (identical re-merge) must be silent despite the day rewrite")
+  }
+
+  test("OPTIMIZE: one file per day after compaction, values identical, " +
+    "CDC-silent; the later OCC committer aborts and re-runs") {
+    val dir = freshDir("optimize")
+    seedLake(dir)
+    // several small generations on day 01
+    (1 to 3).foreach { i =>
+      LakeSnapshot.merge(spark, dir,
+        Seq((100L + i, ts(1), i.toDouble)).toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+    }
+    val before = content(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.compactDays(spark, dir)
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    assert(content(dir) === before, "compaction must not move values")
+    // CDC-silence: the compacted-only window carries no row changes
+    assert(LakeSnapshot.readChanges(spark, dir, e0, e1, "event_id")
+      .count() === 0L)
+    // post-compaction + vacuum: each live day directory holds ONE file
+    LakeSnapshot.vacuum(spark, dir)
+    val live = LakeSnapshot.liveView(spark, dir)
+    live.foreach { case (d, g) =>
+      val files = Files.list(Paths.get(s"$dir/data/day=$d/gen=$g"))
+        .iterator()
+      import scala.jdk.CollectionConverters._
+      val parts = files.asScala.count(_.getFileName.toString.startsWith("part-"))
+      assert(parts === 1, s"day $d gen $g must hold one file, got $parts")
+    }
+    assert(content(dir) === before)
+    // symmetric OCC: a merge staged before the compaction commits aborts...
+    val stale = LakeSnapshot.stageMerge(spark, dir,
+      Seq((1L, ts(1), 500.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.compactDays(spark, dir)
+    intercept[LakeSnapshot.ConcurrentLakeMutationException] {
+      LakeSnapshot.commit(spark, dir, stale)
+    }
+    // ...and its standard recovery (re-run) lands the update
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 500.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    assert(content(dir).contains((1L, 500.0, "2024-01-01")))
+  }
+
   test("duplicate batch keys collapse greatest-struct-wins (shared " +
     "LakeUpsert rule)") {
     val dir = freshDir("dup")
