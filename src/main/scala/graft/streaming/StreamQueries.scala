@@ -1011,6 +1011,52 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** s22: the INCREMENTAL CDC CONSUMER — the downstream half of the
+    * snapshot lake's change feed. The upstream loop is s21's (micro-batch
+    * merges through the snapshot-atomic commit); after each commit the
+    * consumer's cursor advances, and it reads
+    * [[graft.etl.LakeSnapshot.readChanges]] for exactly its window. The
+    * union of every window's changes must equal the changes of the WHOLE
+    * ingest — windows compose because each commit's epoch range is
+    * disjoint and generations are immutable — so the accumulated feed
+    * aggregates to p20's oracle VERBATIM: incremental consumption loses
+    * nothing, duplicates nothing, and fabricates nothing (the
+    * same-day-rewrite rows of later batches stay silent in earlier
+    * batches' windows).
+    */
+  def s22(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.LakeSnapshot
+    val outDir = StreamInput.lakeDir("s22_cdc_consumer", sfDir)
+    LakeSnapshot.merge(spark, outDir,
+      graft.Tables.load(spark, sfDir, "events"), "event_id", "ts")
+    // the consumer's cursor: epoch after each upstream commit
+    val cursors = scala.collection.mutable.ArrayBuffer(
+      LakeSnapshot.currentEpoch(spark, outDir))
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        LakeSnapshot.merge(spark, outDir, b, "event_id", "ts")
+        cursors += LakeSnapshot.currentEpoch(spark, outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s22", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    val windows = cursors.toSeq.distinct.sliding(2).collect {
+      case Seq(from, to) =>
+        LakeSnapshot.readChanges(spark, outDir, from, to, "event_id")
+          .select(col("day"), col("_change_type"), col("value"))
+    }.toSeq
+    require(windows.nonEmpty, "the ingest stream committed no batches")
+    windows.reduce(_.unionAll(_))
+      .groupBy(col("day"), col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day", "change_type")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1056,6 +1102,9 @@ object StreamQueries {
     // s20 streams the p15 erasure keys; key-disjoint micro-batches make
     // sequential deletes equal the one-shot erasure — shares p15's oracle.
     ("s20_stream_lake_delete", s20 _, Some(graft.etl.PipelineQueries.p15Sql)),
-    ("s21_stream_snapshot_merge", s21 _, Some(graft.etl.PipelineQueries.p13Sql))
+    ("s21_stream_snapshot_merge", s21 _, Some(graft.etl.PipelineQueries.p13Sql)),
+    // s22 shares p20's oracle verbatim: the union of per-window CDC reads
+    // must aggregate to the whole ingest's change census
+    ("s22_cdc_consumer", s22 _, Some(graft.etl.PipelineQueries.p20Sql))
   )
 }
