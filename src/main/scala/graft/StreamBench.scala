@@ -50,9 +50,13 @@ object StreamBench {
     // pb-pruned probe) and s19 (lake MERGE: partition-level copy-on-write
     // per micro-batch — dominated by the per-day rewrite, the honest cost
     // of row-level upserts on a file lake).
+    // r12: s21 (the snapshot-atomic merge loop) joins so the generation-
+    // protocol overhead vs s19's dynamic-overwrite path is a measured
+    // round-over-round number, not a claim.
     val targets = Seq("s1_ingest_replay", "s4_session_window",
       "s6b_transform_with_state", "s8_stream_stream_join",
-      "s18_stream_span_ingest", "s19_stream_lake_merge")
+      "s18_stream_span_ingest", "s19_stream_lake_merge",
+      "s21_stream_snapshot_merge")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
