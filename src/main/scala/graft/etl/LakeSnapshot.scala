@@ -15,13 +15,18 @@ import graft.ops.{ClaimStore, FsClaimStore, IncrementalDedup}
   * The fix is the manifest-last protocol the four persisted indexes
   * already proved, applied to the lake with day GENERATIONS:
   *
-  *   - data lives at `data/day=D/gen=G/` — copy-on-write: a mutation
+  *   - data lives at `data/gen=G/day=D/` — copy-on-write: a mutation
   *     never touches an existing file, it writes NEW generation
   *     directories for exactly the touched days (one partitioned append,
-  *     O(touched days), untouched days' files never opened);
+  *     O(touched days), untouched days' files never opened). The layout
+  *     is GEN-FIRST deliberately: each stager's write job roots at its
+  *     own claimed `gen=G` directory, so concurrent stagers share
+  *     neither data directories NOR the FileOutputCommitter's
+  *     `_temporary` staging dir — a day-first layout made two concurrent
+  *     merges corrupt each other's in-flight task files under the common
+  *     root (caught by LakeSnapshotSpec's two-writer race);
   *   - the generation id is claimed through the [[ClaimStore]] seam
-  *     (`manifest/gen-G.claim`), so concurrent stagers never collide on
-  *     a directory;
+  *     (`manifest/gen-G.claim`), so generation numbers are single-owner;
   *   - the commit is ONE manifest row (`manifest/epoch-E.properties`:
   *     `gen`, `days`, `dropped`) published via
   *     [[IncrementalDedup.Manifest.writeIfAbsent]] — the Delta-style
@@ -193,7 +198,7 @@ object LakeSnapshot {
       spark: SparkSession, dir: String, view: Map[String, Int]): DataFrame = {
     require(view.nonEmpty, s"no committed snapshot at $dir")
     val p = LakePaths(dir)
-    val paths = view.toSeq.sorted.map { case (d, g) => s"${p.data}/day=$d/gen=$g" }
+    val paths = view.toSeq.sorted.map { case (d, g) => s"${p.data}/gen=$g/day=$d" }
     spark.read
       .option("basePath", p.data)
       .option("mergeSchema", "true")
@@ -252,7 +257,7 @@ object LakeSnapshot {
     val base = maxEpoch(spark, dir)
     val live = liveView(spark, dir)
     val gen = claimGen(spark, dir, base + 1, store)
-    val storedPaths = days.flatMap(d => live.get(d).map(g => s"${p.data}/day=$d/gen=$g"))
+    val storedPaths = days.flatMap(d => live.get(d).map(g => s"${p.data}/gen=$g/day=$d"))
     val merged =
       if (storedPaths.isEmpty) b
       else {
@@ -269,8 +274,8 @@ object LakeSnapshot {
           // doesn't know about
           .unionByName(b, allowMissingColumns = true)
       }
-    merged.withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+    merged
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     Staged(gen, base, days, Nil)
   }
 
@@ -294,7 +299,7 @@ object LakeSnapshot {
     val stored = spark.read
       .option("basePath", p.data)
       .option("mergeSchema", "true")
-      .parquet(days.map(d => s"${p.data}/day=$d/gen=${live(d)}"): _*)
+      .parquet(days.map(d => s"${p.data}/gen=${live(d)}/day=$d"): _*)
       .drop("gen")
       .withColumn("day", col("day").cast("string"))
     val remaining = stored
@@ -302,8 +307,8 @@ object LakeSnapshot {
       .localCheckpoint(true) // survivors feed the day census AND the write
     val surviving = remaining.select("day").distinct()
       .collect().map(_.getString(0)).toSet
-    remaining.withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+    remaining
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     Staged(gen, base,
       days.filter(surviving), days.filterNot(surviving))
   }
@@ -399,16 +404,15 @@ object LakeSnapshot {
     spark.read
       .option("basePath", p.data)
       .option("mergeSchema", "true")
-      .parquet(touched.map(d => s"${p.data}/day=$d/gen=${live(d)}"): _*)
+      .parquet(touched.map(d => s"${p.data}/gen=${live(d)}/day=$d"): _*)
       .drop("gen")
       .withColumn("day", col("day").cast("string"))
-      .withColumn("gen", lit(gen))
       // co-locate each day in one task → one file per day directory, with
       // task parallelism ACROSS days (never a single global funnel);
       // bound single-file size for huge days with
       // spark.sql.files.maxRecordsPerFile if needed
       .repartition(col("day"))
-      .write.mode("append").partitionBy("day", "gen").parquet(p.data)
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     commit(spark, dir, Staged(gen, base, touched, Nil))
     touched
   }
@@ -443,11 +447,33 @@ object LakeSnapshot {
     val newPairs = changedDays.flatMap(d => b.get(d).map(g => s"$d:$g"))
     val paths = (oldPairs ++ newPairs).toSeq.sorted
       .map { dg => val i = dg.lastIndexOf(':')
-        s"${p.data}/day=${dg.take(i)}/gen=${dg.drop(i + 1)}" }
-    if (paths.isEmpty)
-      // no changed days: an empty frame with the key + change type shape
-      return readView(spark, dir, b)
-        .limit(0).withColumn("_change_type", lit(""))
+        s"${p.data}/gen=${dg.drop(i + 1)}/day=${dg.take(i)}" }
+    if (paths.isEmpty) {
+      // no changed days: an empty frame, schema derived from whichever
+      // endpoint still has data — or, when BOTH endpoint views are empty
+      // (a fully-erased lake), from any generation still on disk (found
+      // by the property spec: delete-everything → checkpoint windows)
+      val schemaView = if (b.nonEmpty) b else a
+      if (schemaView.nonEmpty)
+        return readView(spark, dir, schemaView)
+          .limit(0).withColumn("_change_type", lit(""))
+      val f = fsOf(spark, dir)
+      val root = new Path(p.data)
+      val anyDay =
+        if (!f.exists(root)) None
+        else f.listStatus(root).filter(_.isDirectory)
+          .flatMap(g => f.listStatus(g.getPath).filter(_.isDirectory))
+          .headOption
+      anyDay match {
+        case Some(d) =>
+          return spark.read.option("basePath", p.data).parquet(d.getPath.toString)
+            .drop("gen").withColumn("day", col("day").cast("date"))
+            .limit(0).withColumn("_change_type", lit(""))
+        case None => sys.error(
+          s"cannot derive a change-feed schema at $dir: both endpoint " +
+            "views are empty and no generation data remains on disk")
+      }
+    }
     val all = spark.read
       .option("basePath", p.data)
       .option("mergeSchema", "true")
@@ -511,11 +537,11 @@ object LakeSnapshot {
     def expired(tMs: Long): Boolean = retainMs <= 0L || now - tMs >= retainMs
     val dataRoot = new Path(p.data)
     if (!f.exists(dataRoot)) return
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { dayDir =>
-      val day = dayDir.getPath.getName.stripPrefix("day=")
-      val genDirs = f.listStatus(dayDir.getPath).filter(_.isDirectory)
-      genDirs.foreach { genDir =>
-        val g = genDir.getPath.getName.stripPrefix("gen=").toInt
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
+      val g = genDir.getPath.getName.stripPrefix("gen=").toInt
+      val dayDirs = f.listStatus(genDir.getPath).filter(_.isDirectory)
+      dayDirs.foreach { dayDir =>
+        val day = dayDir.getPath.getName.stripPrefix("day=")
         val keep =
           if (live.get(day).contains(g)) true
           else superseded.get((day, g)) match {
@@ -528,9 +554,9 @@ object LakeSnapshot {
                 !expired(f.getFileStatus(claim).getModificationTime)
               else retainMs > 0L // claimless stray: only a forced vacuum takes it
           }
-        if (!keep) f.delete(genDir.getPath, true)
+        if (!keep) f.delete(dayDir.getPath, true)
       }
-      if (f.listStatus(dayDir.getPath).isEmpty) f.delete(dayDir.getPath, true)
+      if (f.listStatus(genDir.getPath).isEmpty) f.delete(genDir.getPath, true)
     }
   }
 }

@@ -96,10 +96,10 @@ class LakeSnapshotSpec extends AnyFunSuite {
     assert(content(dir) === expected)
     // the orphan's directories exist on disk but no reader reaches them
     assert(Files.exists(
-      Paths.get(s"$dir/data/day=2024-01-01/gen=${orphan.gen}")))
+      Paths.get(s"$dir/data/gen=${orphan.gen}/day=2024-01-01")))
     LakeSnapshot.vacuum(spark, dir) // retainMs=0 forces
     assert(!Files.exists(
-      Paths.get(s"$dir/data/day=2024-01-01/gen=${orphan.gen}")),
+      Paths.get(s"$dir/data/gen=${orphan.gen}/day=2024-01-01")),
       "forced vacuum must reclaim orphaned generations")
     assert(content(dir) === expected, "vacuum must never change the view")
   }
@@ -108,7 +108,7 @@ class LakeSnapshotSpec extends AnyFunSuite {
     val dir = freshDir("untouched")
     seedLake(dir)
     val live = LakeSnapshot.liveView(spark, dir)
-    val day2Dir = s"$dir/data/day=2024-01-02/gen=${live("2024-01-02")}"
+    val day2Dir = s"$dir/data/gen=${live("2024-01-02")}/day=2024-01-02"
     val before = fileState(day2Dir)
     val batch = Seq((2L, ts(1), 200.0)).toDF("event_id", "ts", "value")
     LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
@@ -181,8 +181,11 @@ class LakeSnapshotSpec extends AnyFunSuite {
     LakeSnapshot.deleteKeys(spark, dir, keys, "event_id", "ts")
     assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
     LakeSnapshot.vacuum(spark, dir)
-    assert(!Files.exists(Paths.get(s"$dir/data/day=2024-01-02")),
-      "vacuum must remove the emptied day's directories")
+    // no generation anywhere still holds the erased day's directory
+    import scala.jdk.CollectionConverters._
+    val leftover = Files.walk(Paths.get(s"$dir/data")).iterator().asScala
+      .exists(_.getFileName.toString == "day=2024-01-02")
+    assert(!leftover, "vacuum must remove the emptied day's directories")
     assert(content(dir) === Set((1L, 1.0, "2024-01-01")))
   }
 
@@ -194,7 +197,7 @@ class LakeSnapshotSpec extends AnyFunSuite {
     LakeSnapshot.merge(spark, dir,
       Seq((1L, ts(1), 99.0)).toDF("event_id", "ts", "value"),
       "event_id", "ts")
-    val oldDir = Paths.get(s"$dir/data/day=2024-01-01/gen=$oldGen")
+    val oldDir = Paths.get(s"$dir/data/gen=$oldGen/day=2024-01-01")
     LakeSnapshot.vacuum(spark, dir, retainMs = 60 * 60 * 1000L)
     assert(Files.exists(oldDir),
       "inside the retention window a reader may still be on the old gen")
@@ -338,7 +341,7 @@ class LakeSnapshotSpec extends AnyFunSuite {
     LakeSnapshot.vacuum(spark, dir)
     val live = LakeSnapshot.liveView(spark, dir)
     live.foreach { case (d, g) =>
-      val files = Files.list(Paths.get(s"$dir/data/day=$d/gen=$g"))
+      val files = Files.list(Paths.get(s"$dir/data/gen=$g/day=$d"))
         .iterator()
       import scala.jdk.CollectionConverters._
       val parts = files.asScala.count(_.getFileName.toString.startsWith("part-"))
@@ -358,6 +361,46 @@ class LakeSnapshotSpec extends AnyFunSuite {
       Seq((1L, ts(1), 500.0)).toDF("event_id", "ts", "value"),
       "event_id", "ts")
     assert(content(dir).contains((1L, 500.0, "2024-01-01")))
+  }
+
+  test("TWO-WRITER RACE: concurrent overlapping merges with the " +
+    "documented retry-on-abort recovery both land; the result is a " +
+    "serial order of the two") {
+    val dir = freshDir("two_writers")
+    seedLake(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    def writer(key: Long, v: Double): java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          go.await()
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 10) {
+            attempts += 1
+            try {
+              LakeSnapshot.merge(spark, dir,
+                Seq((key, ts(1), v)).toDF("event_id", "ts", "value"),
+                "event_id", "ts")
+              done = true
+            } catch {
+              case _: LakeSnapshot.ConcurrentLakeMutationException => ()
+            }
+          }
+          assert(done, s"writer $key never committed in $attempts attempts")
+        }
+      })
+    try {
+      val a = writer(7L, 70.0)
+      val b = writer(8L, 80.0)
+      go.countDown()
+      a.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      b.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // both updates landed (each retried past the other's commit), the
+    // seed rows are intact, and nothing tore
+    assert(content(dir) === initial ++ Set(
+      (7L, 70.0, "2024-01-01"), (8L, 80.0, "2024-01-01")))
   }
 
   test("duplicate batch keys collapse greatest-struct-wins (shared " +

@@ -83,6 +83,47 @@ class ClaimStoreSpec extends AnyFunSuite {
     assert(IncrementalDedup.Manifest.claimEpoch(spark, dir, 1, store) == 4)
   }
 
+  test("writeIfAbsent: N threads racing to publish the SAME epoch — " +
+    "exactly one wins, and the surviving row is the winner's (the " +
+    "conditional commit the snapshot lake's OCC loop rides)") {
+    val dir = freshDir("write_if_absent")
+    val n = 12
+    val ready = new CountDownLatch(n)
+    val go = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins =
+      try {
+        val futures = (0 until n).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              ready.countDown(); go.await()
+              IncrementalDedup.Manifest.writeIfAbsent(
+                spark, dir, 7, Seq("writer" -> i.toString))
+            }
+          })
+        }
+        ready.await(); go.countDown()
+        futures.map(_.get(30, TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    assert(wins.count(identity) == 1,
+      s"exactly one publisher must win epoch 7, got ${wins.count(identity)}")
+    val rows = IncrementalDedup.Manifest.read(spark, dir)
+    assert(rows.map(_._1) == Seq(7))
+    val winner = wins.indexOf(true)
+    assert(rows.head._2("writer") == winner.toString,
+      "the committed row must be the winning thread's content, untorn")
+    // no temp litter
+    assert(!Files.list(Paths.get(dir)).iterator().asScalaNames
+      .exists(_.startsWith(".tmp")), "losers must clean up their temp files")
+  }
+
+  private implicit class It(it: java.util.Iterator[JPath]) {
+    def asScalaNames: Iterator[String] = {
+      import scala.jdk.CollectionConverters._
+      it.asScala.map(_.getFileName.toString)
+    }
+  }
+
   test("FsClaimStore (the default): racing file:// threads claim distinct " +
     "epochs via O_CREAT|O_EXCL") {
     val dir = freshDir("fs_race")
