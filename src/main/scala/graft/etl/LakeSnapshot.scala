@@ -417,6 +417,59 @@ object LakeSnapshot {
     touched
   }
 
+  /** OPTIMIZE ... ZORDER BY (a, b): rewrite the live generations of
+    * `days` (default: all) with rows laid along a Morton curve over two
+    * range-bucketized LONG dimensions — Delta's `OPTIMIZE ZORDER BY` on
+    * the snapshot lake, reusing [[ZOrder.mortonKey]]'s exact integer
+    * arithmetic (the DECIMAL-widened bucketize, so no range can overflow).
+    * Rows are range-partitioned on (day, zkey) and sorted within tasks,
+    * so each file inside a day directory owns a contiguous z-range — a
+    * rectangle in (a, b) space — and min/max stats skip files on EITHER
+    * dimension while `day` partition pruning is untouched. Same commit
+    * path as [[compactDays]]: content-identical, CDC-silent, symmetric
+    * OCC. `aCol`/`bCol` are LONG-typed expressions over the lake row
+    * (e.g. `col("user_id")`, `unix_micros(col("ts"))`).
+    */
+  def optimizeZOrder(
+      spark: SparkSession, dir: String,
+      aCol: org.apache.spark.sql.Column, bCol: org.apache.spark.sql.Column,
+      files: Int, days: Seq[String] = Nil,
+      store: ClaimStore = FsClaimStore): Seq[String] = {
+    val p = LakePaths(dir)
+    val live = liveView(spark, dir)
+    val touched = (if (days.isEmpty) live.keys.toSeq else days.filter(live.contains)).sorted
+    if (touched.isEmpty) return Nil
+    val base = maxEpoch(spark, dir)
+    val gen = claimGen(spark, dir, base + 1, store)
+    val df = spark.read
+      .option("basePath", p.data)
+      .option("mergeSchema", "true")
+      .parquet(touched.map(d => s"${p.data}/gen=${live(d)}/day=$d"): _*)
+      .drop("gen")
+      .withColumn("day", col("day").cast("string"))
+      .withColumn("__za", aCol.cast("long"))
+      .withColumn("__zb", bCol.cast("long"))
+    val bounds = df.agg(min("__za"), max("__za"), min("__zb"), max("__zb")).head()
+    val (mnA, mxA, mnB, mxB) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    df
+      // p12's overflow-proof bucketize: DECIMAL(38,0) multiply, integral
+      // divide, both dimensions stretched to the full 16-bit Morton scale
+      .withColumn("__ba",
+        expr(s"(CAST(__za - $mnA AS DECIMAL(38,0)) * 65535) div " +
+          s"${math.max(1L, mxA - mnA)}"))
+      .withColumn("__bb",
+        expr(s"(CAST(__zb - $mnB AS DECIMAL(38,0)) * 65535) div " +
+          s"${math.max(1L, mxB - mnB)}"))
+      .withColumn("__zkey", ZOrder.mortonKey(col("__ba"), col("__bb")))
+      .repartitionByRange(files, col("day"), col("__zkey"))
+      .sortWithinPartitions(col("day"), col("__zkey"))
+      .drop("__za", "__zb", "__ba", "__bb", "__zkey")
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    commit(spark, dir, Staged(gen, base, touched, Nil))
+    touched
+  }
+
   /** CHANGE DATA FEED: the row-level difference between two committed
     * snapshots (epochs `fromEpoch` exclusive-as-baseline → `toEpoch`
     * inclusive), keyed by `keyCol` — what an incremental downstream
