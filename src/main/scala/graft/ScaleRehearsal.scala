@@ -120,6 +120,10 @@ object ScaleRehearsal {
     "p16_snapshot_merge",
     "p17_snapshot_delete",
     "p18_lake_evolution",
+    // lake maintenance: full-table rewrites by construction — the ratio
+    // bounds the marginal per-row rewrite cost
+    "p21_snapshot_optimize",
+    "p22_snapshot_zorder",
     // r12 serving/index adds
     "k37_incremental_semdedup",
     "k3k_ivfpq_curve")

@@ -403,6 +403,18 @@ class LakeSnapshotSpec extends AnyFunSuite {
       (7L, 70.0, "2024-01-01"), (8L, 80.0, "2024-01-01")))
   }
 
+  test("a day filter over the snapshot read lands in PartitionFilters " +
+    "(pruning survives the generation indirection)") {
+    val dir = freshDir("pruned_read")
+    seedLake(dir)
+    val plan = LakeSnapshot.read(spark, dir)
+      .filter(col("day") === lit("2024-01-01").cast("date"))
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("day"), s"day must prune at the scan:\n$plan")
+  }
+
   test("duplicate batch keys collapse greatest-struct-wins (shared " +
     "LakeUpsert rule)") {
     val dir = freshDir("dup")
