@@ -1586,6 +1586,42 @@ object KQueries {
        |    = 999999 AS top1_is_planted""".stripMargin
   }
 
+  // --- K3l: PERSISTED IVFPQ — the serving ladder AT REST -------------------
+  // k3i proved the composed IVF×PQ×re-rank path in memory; k3l proves the
+  // identical contract survives persistence: the corpus saves through
+  // saveIvfPqIndex (assigned + codes + codebooks under one manifest), the
+  // planted copy enters through appendToIvfPqIndex (assign + encode with
+  // the STORED quantizers, claim → data → commit), and the probe touches
+  // storage in the production order — centroids, then ONLY the probed
+  // lists' code partitions, then full vectors for only the rerank set.
+  // The oracle is k3i's VERBATIM (the k3d discipline): persisted must
+  // value-match in-memory exactly.
+  def k3lIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val idxDir = "target/ivfpq_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val base = corpus.select("vec_id", "embedding")
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(base, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(base, "vec_id", "embedding", seeds),
+      idxDir)
+    Similarity.appendToIvfPqIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir, tag = "plant")
+    val top10 = Similarity
+      .ivfPqTopKPersisted(spark, idxDir, q, k = 10, nProbe = 4, rerank = 50)
+      .localCheckpoint(true) // tiny; reused by two aggregates below
+    val probed = Similarity.ivfProbedCandidatesPersisted(spark, idxDir, q, nProbe = 4)
+    probed.agg(
+      count(lit(1)).as("n_members"),
+      coalesce(max(col("id") === 999999L), lit(false)).as("planted_in_cand"))
+      .crossJoin(top10.orderBy(col("cos").desc, col("id")).limit(1)
+        .select((col("id") === 999999L).as("top1_is_planted")))
+      .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
+  }
+
   // --- K3k: IVFPQ OPERATING CURVE (VERDICT r11 #6) -------------------------
   // The number an operator actually tunes at 100 TB: one row per nProbe ∈
   // {1,2,4,8} with the probed-member count (the fraction of the corpus the
@@ -3299,6 +3335,8 @@ object KQueries {
     ("k3i_ivfpq", k3iIvfPq _, Some(k3iSql)),
     ("k3j_pq_trained", k3jPqTrained _, Some(k3jSql)),
     ("k3k_ivfpq_curve", k3kOperatingCurve _, Some(k3kSql)),
+    // k3l shares k3i's oracle verbatim: persisted IVFPQ == in-memory
+    ("k3l_ivfpq_persisted", k3lIvfPqPersisted _, Some(k3iSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

@@ -715,6 +715,8 @@ object Similarity {
     val assigned = s"$dir/assigned"
     val centroids = s"$dir/centroids"
     val params = s"$dir/params"
+    val codes = s"$dir/codes"           // PQ sidecar: epoch=E/list_id=L
+    val codebooks = s"$dir/codebooks"   // PQ sidecar: epoch=E (model-sized)
   }
 
   /** Persist a built IVF index: `assigned/epoch=E/list_id=L/` is PHYSICALLY
@@ -760,7 +762,9 @@ object Similarity {
 
   private def writeIvfEpoch(
       p: IvfIndexPaths, index: IvfIndex, epoch: Int, nLists: Long,
-      tag: String = ""): Unit = {
+      tag: String = "",
+      pqCodes: Option[DataFrame] = None,      // (list_id, id, codes)
+      pqCodebooks: Option[DataFrame] = None): Unit = {
     val spark = index.assigned.sparkSession
     val epochDir = s"${p.assigned}/epoch=$epoch"
     index.assigned
@@ -773,6 +777,19 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
     index.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$epoch")
+    // the PQ sidecar lands BEFORE the manifest commit, exactly like every
+    // other data surface — a committed epoch always has its codes (a
+    // crash mid-sidecar leaves an orphan epoch probes ignore)
+    pqCodes.foreach { c =>
+      val codesDir = s"${p.codes}/epoch=$epoch"
+      c.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
+        c.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+    }
+    pqCodebooks.foreach(_.coalesce(1)
+      .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$epoch"))
     IncrementalDedup.Manifest.write(spark, p.params, epoch, Seq(
       "n_lists" -> nLists.toString,
       "tag" -> tag))
@@ -888,6 +905,121 @@ object Similarity {
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+
+  // --- Persisted IVFPQ (the serving ladder at rest) ------------------------
+
+  /** Persist the composed IVFPQ index (k3i's configuration at rest): the
+    * k3d `assigned/epoch=E/list_id=L` layout plus the PQ sidecar —
+    * `codes/epoch=E/list_id=L` (id, codes: ~97% smaller than vectors) and
+    * the model-sized `codebooks/epoch=E`. One manifest governs all
+    * surfaces; the sidecar is written BEFORE the commit, so a committed
+    * epoch is always probe-complete.
+    */
+  def saveIvfPqIndex(ivf: IvfIndex, pq: PqIndex, dir: String): Unit = {
+    val spark = ivf.assigned.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val nLists = ivf.centroids.count()
+    val codes = pq.encoded.select(col("id"), col("codes"))
+      .join(ivf.assigned.select(col("id"), col("list_id")), Seq("id"))
+    writeIvfEpoch(IvfIndexPaths(dir), ivf, epoch = 0, nLists,
+      pqCodes = Some(codes), pqCodebooks = Some(pq.codebooks))
+  }
+
+  /** PQ shape recovered from a persisted codebooks frame — model-sized
+    * driver reads, no extra manifest fields to drift out of sync.
+    */
+  private def pqMetaOf(codebooks: DataFrame): (Int, Int, Int) = {
+    val r = codebooks
+      .agg(max(col("m")), max(col("code")), max(size(col("qsub")))).head()
+    (r.getInt(0) + 1, r.getInt(2), r.getInt(1) + 1) // (nSub, subDim, nCodes)
+  }
+
+  /** Incremental IVFPQ ingest: assign with the STORED centroids, encode
+    * with the STORED codebooks (quantizers never refit on append — the
+    * production contract; retraining is an offline rebuild), commit
+    * vectors + codes as one claimed epoch. Tagged redelivery is a no-op.
+    */
+  def appendToIvfPqIndex(
+      rows: DataFrame, idCol: String, vecCol: String, dir: String,
+      tag: String = ""): Unit = {
+    val spark = rows.sparkSession
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, nLists, _) = ivfManifest(spark, p)
+    if (tag.nonEmpty && IncrementalDedup.Manifest.read(spark, p.params)
+        .flatMap(_._2.get("tag")).contains(tag)) return
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
+    val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
+    val assigned = assignToNearest(rows, idCol, vecCol, centroids)
+    val encoded = pqEncodeFrom(rows, idCol, vecCol, codebooks,
+      nSub, subDim, nCodes).encoded
+    val codes = encoded.select(col("id"), col("codes"))
+      .join(assigned.select(col("id"), col("list_id")), Seq("id"))
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
+    writeIvfEpoch(p, IvfIndex(assigned, centroids), e, nLists, tag,
+      pqCodes = Some(codes), pqCodebooks = Some(codebooks))
+  }
+
+  /** Top-k against the persisted IVFPQ index, touching storage in the
+    * production order: centroids (model-sized) → the probed lists' CODE
+    * partitions (the ~3%-of-bytes tier; `epoch`/`list_id` pruned,
+    * plan-locked) → full vectors for ONLY the `rerank` ADC-best rows.
+    * Equals the in-memory [[ivfPqTopK]] over the same logical content —
+    * k3l shares k3i's DuckDB oracle verbatim to prove it.
+    */
+  def ivfPqTopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: DataFrame, // single row, column "qvec"
+      k: Int = 10,
+      nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
+    val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
+    val probeIds = query.crossJoin(broadcast(centroids))
+      .select(col("list_id"),
+        GraftFunctions.cosine_sim(
+          col("centroid"), col("qvec").cast("array<double>")).as("csim"))
+      .orderBy(col("csim").desc, col("list_id"))
+      .limit(nProbe).select("list_id")
+      .collect().map(_.getInt(0)).toSeq // nProbe ints: probe metadata
+    // ADC query table from the stored codebooks (one broadcast row)
+    val tbl = query.select(pqQuant(col("qvec")).as("qq"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("qs", expr(s"slice(qq, m * $subDim + 1, $subDim)"))
+      .withColumn("d", expr(pqIntDist))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("d")))),
+        e => e.getField("d")).as("tbl"))
+    // the code tier: ONLY probed lists' partitions are opened
+    val topIds = spark.read.parquet(p.codes)
+      .where(col("epoch").isin(epochs: _*) &&
+        col("list_id").isin(probeIds: _*))
+      .crossJoin(broadcast(tbl))
+      .withColumn("adist", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${nSub - 1}), " +
+          s"(c, mi) -> element_at(tbl, mi * $nCodes + c + 1)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .orderBy(col("adist").asc, col("id"))
+      .limit(rerank)
+      .select("id")
+    // the vector tier: probed-list partitions, row-filtered to the
+    // rerank candidates (R rows of full vectors per query)
+    spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(epochs: _*) &&
+        col("list_id").isin(probeIds: _*))
+      .join(topIds, Seq("id"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col("id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
 
   // --- Incremental embedding near-dedup (K21 — k19's pattern for vectors) --
 
