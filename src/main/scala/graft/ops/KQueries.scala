@@ -1622,6 +1622,44 @@ object KQueries {
       .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
   }
 
+  // --- K3m: IVFPQ index LIFECYCLE (the k28 closer for the composed tier) ---
+  // build(even half) → tagged append(odd half) → tagged append(plant) →
+  // compact (which must absorb the PQ sidecar in the SAME base-raising
+  // commit — a compaction that stranded the codes would leave every
+  // probe silently empty) → vacuum → the k3l audit probe. Shares k3i's
+  // oracle verbatim: lifecycle-equivalence is a green hash row.
+  def k3mIvfPqLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val idxDir = "target/ivfpq_lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val base = corpus.select("vec_id", "embedding")
+    val even = base.filter(col("vec_id") % 2 === 0)
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(even, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(even, "vec_id", "embedding", seeds),
+      idxDir)
+    Similarity.appendToIvfPqIndex(
+      base.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idxDir,
+      tag = "odd")
+    Similarity.appendToIvfPqIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir, tag = "plant")
+    Similarity.compactIvfIndex(spark, idxDir)
+    Similarity.vacuumIvfIndex(spark, idxDir)
+    val top10 = Similarity
+      .ivfPqTopKPersisted(spark, idxDir, q, k = 10, nProbe = 4, rerank = 50)
+      .localCheckpoint(true)
+    val probed = Similarity.ivfProbedCandidatesPersisted(spark, idxDir, q, nProbe = 4)
+    probed.agg(
+      count(lit(1)).as("n_members"),
+      coalesce(max(col("id") === 999999L), lit(false)).as("planted_in_cand"))
+      .crossJoin(top10.orderBy(col("cos").desc, col("id")).limit(1)
+        .select((col("id") === 999999L).as("top1_is_planted")))
+      .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
+  }
+
   // --- K3k: IVFPQ OPERATING CURVE (VERDICT r11 #6) -------------------------
   // The number an operator actually tunes at 100 TB: one row per nProbe ∈
   // {1,2,4,8} with the probed-member count (the fraction of the corpus the
@@ -3337,6 +3375,8 @@ object KQueries {
     ("k3k_ivfpq_curve", k3kOperatingCurve _, Some(k3kSql)),
     // k3l shares k3i's oracle verbatim: persisted IVFPQ == in-memory
     ("k3l_ivfpq_persisted", k3lIvfPqPersisted _, Some(k3iSql)),
+    // k3m too: the full lifecycle must end value-identical to one build
+    ("k3m_ivfpq_lifecycle", k3mIvfPqLifecycle _, Some(k3iSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

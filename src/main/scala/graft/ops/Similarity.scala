@@ -831,6 +831,26 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
     spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch").coalesce(1)
       .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$e")
+    // an IVFPQ index compacts its PQ sidecar in the SAME commit: a
+    // base-raising compaction that stranded the codes below the new base
+    // would make every persisted-IVFPQ probe silently empty (the codes
+    // read filters to live epochs) — the worst failure mode an index can
+    // have. Spec-locked in IvfPqPersistedSpec.
+    val fsys = new org.apache.hadoop.fs.Path(p.codes)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(new org.apache.hadoop.fs.Path(p.codes))) {
+      val codesDir = s"${p.codes}/epoch=$e"
+      val mergedCodes = spark.read.parquet(p.codes)
+        .where(col("epoch").isin(live: _*))
+        .select(col("id"), col("codes"), col("list_id"))
+      mergedCodes.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
+        mergedCodes.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+      spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch").coalesce(1)
+        .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$e")
+    }
     IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
       "n_lists" -> nLists.toString,
       "tag" -> "",
@@ -855,6 +875,10 @@ object Similarity {
     (0 until base).foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${p.assigned}/epoch=$e"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${p.centroids}/epoch=$e"), true)
+      // PQ sidecar epochs (IVFPQ indexes) are absorbed by the same
+      // compaction and die under the same retention gate
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.codes}/epoch=$e"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${p.codebooks}/epoch=$e"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${p.params}/epoch-$e.claim"), false)
     }
   }

@@ -70,6 +70,28 @@ class IvfPqPersistedSpec extends AnyFunSuite {
       .filter(col("id") === 99L).count() === 1L)
   }
 
+  test("compaction absorbs the PQ sidecar in the same base-raising " +
+    "commit; post-vacuum probes still serve (the stranded-codes hazard)") {
+    val dir = freshDir("lifecycle")
+    val q = fixture(dir)
+    Similarity.appendToIvfPqIndex(
+      Seq((99L, unitVec(1))).toDF("id", "v"), "id", "v", dir, tag = "b1")
+    val before = Similarity
+      .ivfPqTopKPersisted(spark, dir, q, k = 8, nProbe = 2, rerank = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(before.exists(_._1 == 99L), "the appended row must serve")
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.vacuumIvfIndex(spark, dir)
+    val after = Similarity
+      .ivfPqTopKPersisted(spark, dir, q, k = 8, nProbe = 2, rerank = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after === before,
+      "compact+vacuum must not change what the IVFPQ probe serves")
+    // the absorbed epochs' sidecar data is actually gone
+    assert(!Files.exists(Paths.get(s"$dir/codes/epoch=0")))
+    assert(!Files.exists(Paths.get(s"$dir/codebooks/epoch=0")))
+  }
+
   test("a crashed append (codes written, manifest missing) stays " +
     "invisible to the probe") {
     val dir = freshDir("crash")
