@@ -1660,6 +1660,149 @@ object KQueries {
       .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
   }
 
+  // --- K3n: BATCHED IVFPQ serving against the persisted index --------------
+  // Query THROUGHPUT is the production axis k3f measured for sign-LSH;
+  // k3n measures it for the composed tier: FOUR queries answered by ONE
+  // distributed plan (per-query probe lists via broadcast+window, the
+  // code tier read once pruned to the union of probed lists, per-query
+  // ADC tables on a broadcast, one candidate-union vector fetch). Each
+  // query's planted copy (999990+qid, entering the saved index) must
+  // surface in ITS top-10, and every per-query top-10 id set is
+  // value-derived — DuckDB re-runs the whole batch with qid-partitioned
+  // windows.
+  def k3nIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 999990L,
+      "k3n fixture assumes vec_id < 999990 (planted ids); raise the " +
+        "plant base in BOTH k3n and k3nSql for this scale factor")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .union(qs.select((col("qid") + 999990L).as("vec_id"),
+        col("qvec").as("embedding")))
+    val centroids = emb.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("list_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val idxDir = "target/ivfpq_batch/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(corpus, "vec_id", "embedding", seeds),
+      idxDir)
+    Similarity
+      .ivfPqTopKBatchPersisted(spark, idxDir, qs, k = 10, nProbe = 4,
+        rerank = 50)
+      .groupBy("qid")
+      .agg(
+        max(col("id") === col("qid") + 999990L).as("planted_in_top10"),
+        sum("id").as("top10_id_sum"))
+      .orderBy("qid")
+  }
+
+  /** k3n's oracle: the k3i chain with every probe/ADC/re-rank stage
+    * keyed by qid (window functions partitioned per query) — the batch
+    * must value-match Q independent single-query runs.
+    */
+  val k3nSql: String = {
+    val nSub = 8
+    val sub = 8
+    val scale = Similarity.PqScale
+    def slice(arr: String) = s"$arr[(s.m*$sub+1):(s.m*$sub+$sub)]"
+    def d(a: String, b: String) =
+      s"""list_dot_product(${slice(a)}, ${slice(a)})
+         |           - 2 * list_dot_product(${slice(a)}, ${slice(b)})
+         |           + list_dot_product(${slice(b)}, ${slice(b)})""".stripMargin
+    s"""WITH qs AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 4),
+       |cent AS (
+       |  SELECT CAST(vec_id AS INT) AS list_id,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |  UNION ALL SELECT 999990 + qid, qvec FROM qs),
+       |scored AS (
+       |  SELECT v.vec_id, v.embedding, c.list_id,
+       |         list_dot_product(c.c, c.c)
+       |           - 2 * list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+       |           AS dd
+       |  FROM corpus v CROSS JOIN cent c),
+       |ivfa AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dd, list_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, list_id FROM (
+       |    SELECT q.qid, c.list_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_cosine_similarity(
+       |               c.c, CAST(q.qvec AS DOUBLE[])) DESC, c.list_id) AS rn
+       |    FROM cent c CROSS JOIN qs q) WHERE rn <= 4),
+       |members AS (
+       |  SELECT p.qid, a.vec_id FROM ivfa a JOIN probe p USING (list_id)),
+       |seeds AS (
+       |  SELECT CAST(vec_id - 1 AS INT) AS code,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qc
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+       |qv AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS qv
+       |  FROM corpus),
+       |sub AS (SELECT CAST(m AS INT) AS m FROM range($nSub) t(m)),
+       |pqa AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, s.m ORDER BY
+       |             ${d("v.qv", "c.qc")}, c.code) AS rn
+       |    FROM qv v CROSS JOIN sub s CROSS JOIN seeds c) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes
+       |  FROM pqa GROUP BY vec_id),
+       |tblq AS (
+       |  SELECT w.qid, s.m, c.code, ${d("w.qq", "c.qc")} AS d
+       |  FROM sub s CROSS JOIN seeds c CROSS JOIN (
+       |    SELECT qid, list_transform(CAST(qvec AS DOUBLE[]),
+       |                               x -> floor(x * $scale)) AS qq
+       |    FROM qs) w),
+       |adist AS (
+       |  SELECT m2.qid, u.vec_id, sum(t.d) AS adist
+       |  FROM (SELECT vec_id, unnest(codes) AS code,
+       |               CAST(generate_subscripts(codes, 1) - 1 AS INT) AS m
+       |        FROM codes) u
+       |  JOIN members m2 USING (vec_id)
+       |  JOIN tblq t ON t.qid = m2.qid AND t.m = u.m AND t.code = u.code
+       |  GROUP BY m2.qid, u.vec_id),
+       |top50 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adist, vec_id) AS rn
+       |    FROM adist) WHERE rn <= 50),
+       |rerank AS (
+       |  SELECT t.qid, c.vec_id,
+       |         list_cosine_similarity(c.embedding, q.qvec) AS cos
+       |  FROM corpus c JOIN top50 t USING (vec_id)
+       |  JOIN qs q ON q.qid = t.qid),
+       |top10 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id) AS rn
+       |    FROM rerank) WHERE rn <= 10)
+       |SELECT qid,
+       |       count(*) FILTER (WHERE vec_id = 999990 + qid) > 0
+       |         AS planted_in_top10,
+       |       CAST(sum(vec_id) AS BIGINT) AS top10_id_sum
+       |FROM top10 GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
   // --- K3k: IVFPQ OPERATING CURVE (VERDICT r11 #6) -------------------------
   // The number an operator actually tunes at 100 TB: one row per nProbe ∈
   // {1,2,4,8} with the probed-member count (the fraction of the corpus the
@@ -3377,6 +3520,7 @@ object KQueries {
     ("k3l_ivfpq_persisted", k3lIvfPqPersisted _, Some(k3iSql)),
     // k3m too: the full lifecycle must end value-identical to one build
     ("k3m_ivfpq_lifecycle", k3mIvfPqLifecycle _, Some(k3iSql)),
+    ("k3n_ivfpq_batch", k3nIvfPqBatch _, Some(k3nSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),
     ("k1_exact_dedup", k1 _, Some(k1Sql)),

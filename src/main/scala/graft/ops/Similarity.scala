@@ -1045,6 +1045,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED top-k against the persisted IVFPQ index — the serving shape
+    * for query THROUGHPUT (k3f's lesson applied to the composed tier):
+    * one distributed plan answers Q queries, never a driver loop of Q
+    * probes. Per-query probe lists come from a broadcast centroid join +
+    * window rank (map-side); the code tier is read ONCE, pruned to the
+    * UNION of all queries' probed lists (the only driver-resident value —
+    * ≤ nLists ints); each code row fans out only to the queries that
+    * probed its list; ADC tables ride a broadcast (Q × model-sized);
+    * re-rank fetches full vectors once for the union of candidate sets.
+    * Returns (qid, id, cos), top k per query.
+    */
+  def ivfPqTopKBatchPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int = 10,
+      nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
+    val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
+    val probePairs = queries.crossJoin(broadcast(centroids))
+      .withColumn("__csim", GraftFunctions.cosine_sim(
+        col("centroid"), col("qvec").cast("array<double>")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("__csim").desc, col("list_id"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("list_id"))
+      .localCheckpoint(true) // Q×nProbe rows: the probe plan, reused thrice
+    val touched = probePairs.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nLists ints: metadata
+    // per-query ADC tables: Q × (nSub × nCodes) rows, broadcast-sized
+    val qtbl = queries.select(col("qid"), pqQuant(col("qvec")).as("qq"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("qs", expr(s"slice(qq, m * $subDim + 1, $subDim)"))
+      .withColumn("d", expr(pqIntDist))
+      .groupBy("qid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("d")))),
+        e => e.getField("d")).as("tbl"))
+    val cand = spark.read.parquet(p.codes)
+      .where(col("epoch").isin(epochs: _*) &&
+        col("list_id").isin(touched: _*))
+      .join(probePairs, Seq("list_id")) // fan out only to probing queries
+      .join(broadcast(qtbl), Seq("qid"))
+      .withColumn("adist", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${nSub - 1}), " +
+          s"(c, mi) -> element_at(tbl, mi * $nCodes + c + 1)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("id"))))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("id"))
+    spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(epochs: _*) &&
+        col("list_id").isin(touched: _*))
+      .select(col("id"), col("v"))
+      .join(cand, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .filter(col("__rn") <= k)
+      .select("qid", "id", "cos")
+  }
+
   // --- Incremental embedding near-dedup (K21 — k19's pattern for vectors) --
 
   final case class CosineIndexPaths(dir: String) {
