@@ -126,7 +126,8 @@ object ScaleRehearsal {
     "p22_snapshot_zorder",
     // r12 serving/index adds
     "k37_incremental_semdedup",
-    "k3k_ivfpq_curve")
+    "k3k_ivfpq_curve",
+    "k3n_ivfpq_batch")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

@@ -1610,6 +1610,16 @@ object KQueries {
     Similarity.appendToIvfPqIndex(
       q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
       "vec_id", "embedding", idxDir, tag = "plant")
+    ivfPqPersistedAuditFacts(spark, idxDir, q)
+  }
+
+  /** The k3l/k3m/s23 audit read: the k3i fact row computed through the
+    * PERSISTED IVFPQ probe path (shared so the streamed ingest's final
+    * state is gated by the same derivation — and the same DuckDB oracle —
+    * as the one-shot build).
+    */
+  def ivfPqPersistedAuditFacts(
+      spark: SparkSession, idxDir: String, q: DataFrame): DataFrame = {
     val top10 = Similarity
       .ivfPqTopKPersisted(spark, idxDir, q, k = 10, nProbe = 4, rerank = 50)
       .localCheckpoint(true) // tiny; reused by two aggregates below
@@ -1648,16 +1658,7 @@ object KQueries {
       "vec_id", "embedding", idxDir, tag = "plant")
     Similarity.compactIvfIndex(spark, idxDir)
     Similarity.vacuumIvfIndex(spark, idxDir)
-    val top10 = Similarity
-      .ivfPqTopKPersisted(spark, idxDir, q, k = 10, nProbe = 4, rerank = 50)
-      .localCheckpoint(true)
-    val probed = Similarity.ivfProbedCandidatesPersisted(spark, idxDir, q, nProbe = 4)
-    probed.agg(
-      count(lit(1)).as("n_members"),
-      coalesce(max(col("id") === 999999L), lit(false)).as("planted_in_cand"))
-      .crossJoin(top10.orderBy(col("cos").desc, col("id")).limit(1)
-        .select((col("id") === 999999L).as("top1_is_planted")))
-      .crossJoin(top10.agg(sum("id").as("top10_id_sum")))
+    ivfPqPersistedAuditFacts(spark, idxDir, q)
   }
 
   // --- K3n: BATCHED IVFPQ serving against the persisted index --------------

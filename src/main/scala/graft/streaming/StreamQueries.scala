@@ -1057,6 +1057,44 @@ object StreamQueries {
       .orderBy("day", "change_type")
   }
 
+  /** s23: streaming IVFPQ ingest — the s17 shape on the composed serving
+    * index: the odd corpus half plus the planted copy arrive as 4
+    * micro-batches, each assigned AND PQ-encoded with the STORED
+    * quantizers and committed (vectors + codes sidecar) as one
+    * claim-guarded, tag-idempotent epoch. The closing audit probes the
+    * persisted index through the production path (centroids → pruned
+    * code partitions → rerank vector fetch), and must equal k3i's
+    * single-build in-memory composition — s23 shares k3i's oracle
+    * verbatim.
+    */
+  def s23(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{KQueries, Similarity}
+    val (q, corpus, centroids) = KQueries.ivfFixture(spark, sfDir)
+    val idxDir = StreamInput.lakeDir("s23_ivfpq_index", sfDir)
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(even, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(even, "vec_id", "embedding", seeds),
+      idxDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.ivfBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.appendToIvfPqIndex(
+          batch.select("vec_id", "embedding"), "vec_id", "embedding",
+          idxDir, tag = s"b$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s23", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    KQueries.ivfPqPersistedAuditFacts(spark, idxDir, q)
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1105,6 +1143,9 @@ object StreamQueries {
     ("s21_stream_snapshot_merge", s21 _, Some(graft.etl.PipelineQueries.p13Sql)),
     // s22 shares p20's oracle verbatim: the union of per-window CDC reads
     // must aggregate to the whole ingest's change census
-    ("s22_cdc_consumer", s22 _, Some(graft.etl.PipelineQueries.p20Sql))
+    ("s22_cdc_consumer", s22 _, Some(graft.etl.PipelineQueries.p20Sql)),
+    // s23 shares k3i's oracle verbatim: streamed IVFPQ ingest must equal
+    // the single-build in-memory composition
+    ("s23_ivfpq_ingest", s23 _, Some(graft.ops.KQueries.k3iSql))
   )
 }
