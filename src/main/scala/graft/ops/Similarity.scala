@@ -354,6 +354,18 @@ object Similarity {
     * a broadcast argmin per (row, subspace) — map-side, no shuffle wider
     * than the per-id code collection.
     */
+  /** ADC tables index by `mi * nCodes + code`, so PQ codes MUST be dense
+    * 0..n-1 — a sparse or 1-based seed set would silently mis-address the
+    * table (or crash past its end). Model-sized check, loud failure.
+    */
+  private def requireDenseCodes(seeds: DataFrame): Unit = {
+    val codes = seeds.select(col("code").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(codes == (0 until codes.length),
+      s"PQ seed codes must be dense 0..n-1 (ADC tables index by code); " +
+        s"got ${codes.take(8).mkString(",")}${if (codes.length > 8) ",…" else ""}")
+  }
+
   def pqBuild(
       df: DataFrame,
       idCol: String,
@@ -363,6 +375,7 @@ object Similarity {
       dim: Int = 64): PqIndex = {
     val sub = dim / nSub
     require(sub * nSub == dim, s"dim $dim not divisible into $nSub subspaces")
+    requireDenseCodes(seeds)
     val codebooks = seeds
       .select(col("code").cast("int").as("code"),
         pqQuant(col("centroid")).as("qc"))
@@ -459,6 +472,7 @@ object Similarity {
     import spark.implicits._
     val sub = dim / nSub
     require(sub * nSub == dim, s"dim $dim not divisible into $nSub subspaces")
+    requireDenseCodes(seeds)
     val base = trainDf.getOrElse(df)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))

@@ -152,6 +152,50 @@ class VacuumRaceSpec extends AnyFunSuite {
     assertThrows[Exception] { staleProbe.collect() }
   }
 
+  // --- IVFPQ sidecar (r12: the composed tier's codes ride the same race) ---
+
+  test("IVFPQ: probe planned before compact survives a retained vacuum " +
+    "on BOTH the vector and code tiers") {
+    val dir = freshDir("ivfpq")
+    val corpus = (1 to 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (1, vec(1).map(_.toDouble).toSeq),
+      (2, vec(2).map(_.toDouble).toSeq)).toDF("list_id", "centroid")
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(corpus, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(corpus, "vec_id", "embedding", seeds,
+        nSub = 4, dim = 8),
+      dir)
+    Similarity.appendToIvfPqIndex(
+      Seq((101L, vec(1))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, tag = "b1")
+    val q = Seq(Tuple1(vec(1))).toDF("qvec")
+    def top(df: DataFrame): Seq[(Long, Double)] =
+      df.select("id", "cos").as[(Long, Double)].collect().toSeq
+    val staleProbe = Similarity.ivfPqTopKPersisted(
+      spark, dir, q, k = 5, nProbe = 2, rerank = 10)
+    val expected = top(Similarity.ivfPqTopKPersisted(
+      spark, dir, q, k = 5, nProbe = 2, rerank = 10))
+    assert(expected.nonEmpty && expected.head._1 == 1L,
+      "the probe's own vector must rank first before staging the race")
+
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.vacuumIvfIndex(spark, dir, retainMs = Retain)
+    assert(exists(s"$dir/codes/epoch=0"),
+      "retained vacuum must keep freshly absorbed sidecar data")
+    assert(top(staleProbe) == expected,
+      "pre-compaction probe must complete on the intact view under retention")
+
+    Similarity.vacuumIvfIndex(spark, dir)
+    assert(!exists(s"$dir/codes/epoch=0") && !exists(s"$dir/assigned/epoch=0"),
+      "vacuum deletes both tiers after retention")
+    assert(top(Similarity.ivfPqTopKPersisted(
+      spark, dir, q, k = 5, nProbe = 2, rerank = 10)) == expected)
+    assertThrows[Exception] { staleProbe.collect() }
+  }
+
   // --- span-hash index (the fourth kind, r11) ------------------------------
 
   test("span index: probe planned before compact survives a retained vacuum") {
