@@ -56,7 +56,10 @@ object StreamBench {
     val targets = Seq("s1_ingest_replay", "s4_session_window",
       "s6b_transform_with_state", "s8_stream_stream_join",
       "s18_stream_span_ingest", "s19_stream_lake_merge",
-      "s21_stream_snapshot_merge")
+      "s21_stream_snapshot_merge",
+      // r12 late add: the composed-index ingest loop (assign + PQ-encode
+      // + dual-surface epoch commit per micro-batch)
+      "s23_ivfpq_ingest")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>

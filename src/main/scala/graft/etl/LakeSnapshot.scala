@@ -562,6 +562,31 @@ object LakeSnapshot {
       .withColumn("day", col("day").cast("date"))
   }
 
+  /** DESCRIBE HISTORY: one row per committed epoch — operation kind
+    * (merge/delete-ish mutation, checkpoint), generation, touched and
+    * dropped day counts, and the commit wall-clock — the audit surface an
+    * operator reads before a time travel or an incident review. Pure
+    * manifest fold, zero data files touched.
+    */
+  def describeHistory(spark: SparkSession, dir: String): DataFrame = {
+    val p = LakePaths(dir)
+    val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
+    val hist = rows.map { case (e, kv) =>
+      val op =
+        if (kv.contains("snapshot")) "checkpoint"
+        else if (uncsv(kv.getOrElse("dropped", "")).nonEmpty) "delete"
+        else "write"
+      (e, op, kv.getOrElse("gen", "-1").toInt,
+        uncsv(kv.getOrElse("days", "")).length,
+        uncsv(kv.getOrElse("dropped", "")).length,
+        new java.sql.Timestamp(
+          IncrementalDedup.Manifest.commitTimeMs(spark, p.manifest, e)))
+    }
+    import spark.implicits._
+    hist.toDF("epoch", "operation", "gen", "n_days", "n_dropped",
+      "commit_time").orderBy("epoch")
+  }
+
   /** Remove generation directories no committed reader can reach:
     * superseded generations once the commit that superseded them is at
     * least `retainMs` old (the Delta/Iceberg `VACUUM ... RETAIN`

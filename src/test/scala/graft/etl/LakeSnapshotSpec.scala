@@ -403,6 +403,27 @@ class LakeSnapshotSpec extends AnyFunSuite {
       (7L, 70.0, "2024-01-01"), (8L, 80.0, "2024-01-01")))
   }
 
+  test("describeHistory: one row per commit with operation kind, day " +
+    "counts, and epochs an operator can time-travel to") {
+    val dir = freshDir("history")
+    seedLake(dir)
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 9.0)).toDF("event_id", "ts", "value"), "event_id", "ts")
+    LakeSnapshot.deleteKeys(spark, dir,
+      Seq((3L, ts(2))).toDF("event_id", "ts"), "event_id", "ts")
+    LakeSnapshot.checkpointManifest(spark, dir)
+    val h = LakeSnapshot.describeHistory(spark, dir)
+      .select(col("epoch"), col("operation"), col("n_days"), col("n_dropped"))
+      .as[(Int, String, Int, Int)].collect().toSeq
+    assert(h === Seq(
+      (0, "write", 2, 0),      // seed: days 01+02
+      (1, "write", 1, 0),      // merge touching day 01
+      (2, "delete", 0, 1),     // delete emptying day 02
+      (3, "checkpoint", 0, 0)))
+    // every listed epoch is a valid time-travel target
+    h.map(_._1).foreach(e => LakeSnapshot.readAt(spark, dir, e).count())
+  }
+
   test("a day filter over the snapshot read lands in PartitionFilters " +
     "(pruning survives the generation indirection)") {
     val dir = freshDir("pruned_read")
