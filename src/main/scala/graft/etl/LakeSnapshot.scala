@@ -60,9 +60,19 @@ import graft.ops.{ClaimStore, FsClaimStore, IncrementalDedup}
   *
   * At 100 TB: a mutation costs O(touched partitions) in data I/O plus one
   * metadata fold over the manifest (driver-side, a few integers per
-  * commit — compact it like any table-format checkpoint once commits
-  * reach the tens of thousands). This is deliberately the smallest
-  * correct subset of a lake table format the zero-egress image can carry.
+  * commit; [[checkpointManifest]] bounds the fold). This is deliberately
+  * the smallest correct subset of a lake table format the zero-egress
+  * image can carry.
+  *
+  * STATED LIMITATIONS (what a real table format adds that this does not):
+  * column RENAME/DROP need a rewrite (no column-mapping metadata — names
+  * bind physically in parquet); transactions span ONE table (no
+  * multi-table commit); the conditional manifest create inherits
+  * [[IncrementalDedup.Manifest.writeIfAbsent]]'s storage contract (HDFS /
+  * file:// in-image; S3-class stores plug a conditional put into the
+  * [[ClaimStore]] seam); and the commit granularity is the DAY — two
+  * mutations to disjoint KEYS of the same day still conflict (row-level
+  * conflict detection is what Delta's OCC adds on top of this shape).
   */
 object LakeSnapshot {
 
