@@ -359,33 +359,62 @@ object LakeSnapshot {
     -1 // unreachable
   }
 
+  /** Auto-rebase loop shared by [[merge]] and [[deleteKeys]]: on an OCC
+    * abort, RE-STAGE against the fresh snapshot and retry (`retries`
+    * times). This is the sound way to serialize concurrent writers under
+    * whole-day copy-on-write — re-deriving the generation from the
+    * winner's committed state — NOT a finer conflict check: even
+    * key-disjoint commits to one day don't commute here, because the
+    * loser's generation was built from the pre-commit day image and
+    * would silently undo the winner's rows. The aborted attempt's
+    * generation becomes vacuum fodder.
+    */
+  private def withRebase(retries: Int)(attempt: () => Seq[String]): Seq[String] = {
+    var left = retries
+    while (true) {
+      try return attempt()
+      catch {
+        case e: ConcurrentLakeMutationException =>
+          if (left <= 0) throw e
+          left -= 1
+      }
+    }
+    Nil // unreachable
+  }
+
   /** Snapshot-atomic MERGE (upsert) keyed by `keyCol`, day-partitioned by
     * `tsCol`. Same row semantics as [[LakeUpsert.merge]] (batch wins on
     * key collision, duplicate batch keys collapse greatest-struct-wins,
     * key → day immutable), plus: the whole touched-day set becomes
     * visible in one commit, idempotent re-run from any crash, OCC abort
-    * on a concurrent overlapping mutation.
+    * on a concurrent overlapping mutation — or, with `retries > 0`,
+    * automatic re-stage against the winner's snapshot ([[withRebase]]).
     */
   def merge(
       spark: SparkSession, dir: String, batch: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Seq[String] = {
-    val staged = stageMerge(spark, dir, batch, keyCol, tsCol, store)
-    commit(spark, dir, staged)
-    staged.days
-  }
+      store: ClaimStore = FsClaimStore,
+      retries: Int = 0): Seq[String] =
+    withRebase(retries) { () =>
+      val staged = stageMerge(spark, dir, batch, keyCol, tsCol, store)
+      commit(spark, dir, staged)
+      staged.days
+    }
 
   /** Snapshot-atomic DELETE of `keys` ((keyCol, tsCol) pairs). A fully
     * emptied day disappears from the live view in the same commit.
+    * `retries` rebases on OCC aborts like [[merge]].
     */
   def deleteKeys(
       spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Seq[String] = {
-    val staged = stageDelete(spark, dir, keys, keyCol, tsCol, store)
-    commit(spark, dir, staged)
-    staged.days ++ staged.dropped
-  }
+      store: ClaimStore = FsClaimStore,
+      retries: Int = 0): Seq[String] =
+    withRebase(retries) { () =>
+      val staged = stageDelete(spark, dir, keys, keyCol, tsCol, store)
+      commit(spark, dir, staged)
+      staged.days ++ staged.dropped
+    }
 
   /** OPTIMIZE (small-file maintenance): rewrite the live generations of
     * `days` (default: every live day) into fresh one-file-per-day

@@ -374,20 +374,12 @@ class LakeSnapshotSpec extends AnyFunSuite {
       pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
           go.await()
-          var done = false
-          var attempts = 0
-          while (!done && attempts < 10) {
-            attempts += 1
-            try {
-              LakeSnapshot.merge(spark, dir,
-                Seq((key, ts(1), v)).toDF("event_id", "ts", "value"),
-                "event_id", "ts")
-              done = true
-            } catch {
-              case _: LakeSnapshot.ConcurrentLakeMutationException => ()
-            }
-          }
-          assert(done, s"writer $key never committed in $attempts attempts")
+          // the built-in auto-rebase: re-stage against the winner's
+          // snapshot on each OCC abort
+          LakeSnapshot.merge(spark, dir,
+            Seq((key, ts(1), v)).toDF("event_id", "ts", "value"),
+            "event_id", "ts", retries = 10)
+          ()
         }
       })
     try {
