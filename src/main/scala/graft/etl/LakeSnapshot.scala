@@ -312,13 +312,21 @@ object LakeSnapshot {
       .parquet(days.map(d => s"${p.data}/gen=${live(d)}/day=$d"): _*)
       .drop("gen")
       .withColumn("day", col("day").cast("string"))
-    val remaining = stored
+    stored
       .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .localCheckpoint(true) // survivors feed the day census AND the write
-    val surviving = remaining.select("day").distinct()
-      .collect().map(_.getString(0)).toSet
-    remaining
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    // surviving-day census for FREE from the written layout: the
+    // partitioned write creates a day directory iff that day kept ≥ 1
+    // row, so one listing of the (invisible, single-owner) staged gen
+    // replaces a second pass over the survivors — the earlier cut
+    // localCheckpoint'ed the whole survivor set (data-sized executor
+    // storage) just to count its days
+    val f = fsOf(spark, dir)
+    val genPath = new Path(s"${p.data}/gen=$gen")
+    val surviving =
+      if (!f.exists(genPath)) Set.empty[String]
+      else f.listStatus(genPath).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("day=")).toSet
     Staged(gen, base,
       days.filter(surviving), days.filterNot(surviving))
   }
