@@ -164,29 +164,90 @@ object LakeSnapshot {
   private def maxEpoch(spark: SparkSession, dir: String): Int =
     committedRows(spark, dir).map(_._1).maxOption.getOrElse(-1)
 
+  /** ONE manifest listing → (max committed epoch, live view) — the staging
+    * snapshot every mutation derives its base from. Deriving BOTH from the
+    * same listing closes a TOCTOU (ADVICE r12): reading the live view and
+    * the max epoch through separate listings left a window where a commit
+    * landing between the two reads was counted into the base epoch but
+    * missing from the staged view — [[commit]]'s overlap check (epochs >
+    * base) then never saw it, and the stale whole-day rewrite silently
+    * reverted the winner's rows.
+    */
+  private[etl] def stagingSnapshot(
+      spark: SparkSession, dir: String): (Int, Map[String, Int]) = {
+    val rows = committedRows(spark, dir)
+    (rows.map(_._1).maxOption.getOrElse(-1),
+      rows.foldLeft(Map.empty[String, Int]) {
+        case (m, (_, kv)) => applyRow(m, kv) })
+  }
+
   /** The current committed epoch — what [[readAt]] takes to pin a
     * snapshot, and what monitoring graphs.
     */
   def currentEpoch(spark: SparkSession, dir: String): Int =
     maxEpoch(spark, dir)
 
+  /** Advisory next-generation high-water mark (`manifest/_next_gen`): a
+    * winner of [[claimGen]] records G+1 here so (a) the skip-scan starts
+    * past every generation ever claimed instead of walking claim files,
+    * and (b) [[vacuum]] may DELETE claim files for reclaimed generations
+    * without risking number reuse — a re-used generation number would let
+    * a new writer's data satisfy an old historical view silently (ADVICE
+    * r12 asked for exactly this hint-or-cleanup pair). The hint is only
+    * ever advanced; a stale hint (crash before the write) is safe because
+    * the claim file it would have covered still exists and the scan skips
+    * it.
+    */
+  private def genHint(spark: SparkSession, dir: String): Int = {
+    val p = new Path(s"${LakePaths(dir).manifest}/_next_gen")
+    val f = fsOf(spark, dir)
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def bumpGenHint(spark: SparkSession, dir: String, next: Int): Unit = {
+    val m = LakePaths(dir).manifest
+    val f = fsOf(spark, dir)
+    // write-then-re-read loop: two concurrent bumps can interleave so the
+    // SMALLER value lands last; re-reading and rewriting converges the
+    // file to the max. The hint stays advisory — a claim file vacuum has
+    // not yet reclaimed always backstops a transiently-stale hint.
+    var attempts = 0
+    while (attempts < 5 && genHint(spark, dir) < next) {
+      val tmp = new Path(m, s".tmp-next-gen-$next-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(m, "_next_gen")
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst)) f.delete(tmp, false) // lost an advisory race
+      attempts += 1
+    }
+  }
+
   /** Claim a fresh generation id through the [[ClaimStore]] seam —
     * `gen-G.claim`, a namespace separate from the commit epochs so a
     * staged generation and an unrelated commit never share a number.
+    * Starts at the [[genHint]] high-water mark so vacuumed claim files
+    * are never re-contended (and never re-issued).
     */
   private def claimGen(
       spark: SparkSession, dir: String, start: Int, store: ClaimStore): Int = {
     val p = LakePaths(dir)
     val f = fsOf(spark, p.manifest)
     f.mkdirs(new Path(p.manifest))
-    var g = math.max(0, start)
-    while (g < start + 10000) {
+    val from = math.max(math.max(0, start), genHint(spark, dir))
+    var g = from
+    while (g < from + 10000) {
       val claim = new Path(p.manifest, s"gen-$g.claim")
-      if (store.exists(f, claim)) g += 1
-      else if (store.createIfAbsent(f, claim)) return g
-      else g += 1
+      val won =
+        if (store.exists(f, claim)) false
+        else store.createIfAbsent(f, claim)
+      if (won) { bumpGenHint(spark, dir, g + 1); return g }
+      g += 1
     }
-    sys.error(s"could not claim a generation in [$start, ${start + 10000}) " +
+    sys.error(s"could not claim a generation in [$from, ${from + 10000}) " +
       s"at ${p.manifest}")
   }
 
@@ -264,8 +325,7 @@ object LakeSnapshot {
       .withColumn("day", to_date(col(tsCol)).cast("string"))
     val days = b.select("day").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val base = maxEpoch(spark, dir)
-    val live = liveView(spark, dir)
+    val (base, live) = stagingSnapshot(spark, dir)
     val gen = claimGen(spark, dir, base + 1, store)
     val storedPaths = days.flatMap(d => live.get(d).map(g => s"${p.data}/gen=$g/day=$d"))
     val merged =
@@ -299,11 +359,10 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore): Staged = {
     val p = LakePaths(dir)
     val b = keys.select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
-    val live = liveView(spark, dir)
+    val (base, live) = stagingSnapshot(spark, dir)
     val days = b.select("day").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
       .filter(live.contains) // deleting from an absent day is a no-op
-    val base = maxEpoch(spark, dir)
     if (days.isEmpty) return Staged(-1, base, Nil, Nil)
     val gen = claimGen(spark, dir, base + 1, store)
     val stored = spark.read
@@ -443,10 +502,9 @@ object LakeSnapshot {
       spark: SparkSession, dir: String, days: Seq[String] = Nil,
       store: ClaimStore = FsClaimStore): Seq[String] = {
     val p = LakePaths(dir)
-    val live = liveView(spark, dir)
+    val (base, live) = stagingSnapshot(spark, dir)
     val touched = (if (days.isEmpty) live.keys.toSeq else days.filter(live.contains)).sorted
     if (touched.isEmpty) return Nil
-    val base = maxEpoch(spark, dir)
     val gen = claimGen(spark, dir, base + 1, store)
     spark.read
       .option("basePath", p.data)
@@ -483,10 +541,9 @@ object LakeSnapshot {
       files: Int, days: Seq[String] = Nil,
       store: ClaimStore = FsClaimStore): Seq[String] = {
     val p = LakePaths(dir)
-    val live = liveView(spark, dir)
+    val (base, live) = stagingSnapshot(spark, dir)
     val touched = (if (days.isEmpty) live.keys.toSeq else days.filter(live.contains)).sorted
     if (touched.isEmpty) return Nil
-    val base = maxEpoch(spark, dir)
     val gen = claimGen(spark, dir, base + 1, store)
     val df = spark.read
       .option("basePath", p.data)
@@ -548,6 +605,17 @@ object LakeSnapshot {
     val paths = (oldPairs ++ newPairs).toSeq.sorted
       .map { dg => val i = dg.lastIndexOf(':')
         s"${p.data}/gen=${dg.drop(i + 1)}/day=${dg.take(i)}" }
+    // keyCol-first projection shared by every return path (ADVICE r12:
+    // the empty-window frame used to keep keyCol in its stored position
+    // while the non-empty path emits it first, so consumers that
+    // positionally unionAll per-window frames mis-aligned). Positional
+    // unions across windows remain fragile under schema evolution —
+    // prefer unionByName(allowMissingColumns = true).
+    def keyFirst(df: DataFrame): DataFrame = {
+      val dataCols = df.columns.filterNot(c =>
+        c == keyCol || c == "_change_type").toSeq
+      df.select(col(keyCol) +: dataCols.map(col) :+ col("_change_type"): _*)
+    }
     if (paths.isEmpty) {
       // no changed days: an empty frame, schema derived from whichever
       // endpoint still has data — or, when BOTH endpoint views are empty
@@ -555,8 +623,8 @@ object LakeSnapshot {
       // by the property spec: delete-everything → checkpoint windows)
       val schemaView = if (b.nonEmpty) b else a
       if (schemaView.nonEmpty)
-        return readView(spark, dir, schemaView)
-          .limit(0).withColumn("_change_type", lit(""))
+        return keyFirst(readView(spark, dir, schemaView)
+          .limit(0).withColumn("_change_type", lit("")))
       val f = fsOf(spark, dir)
       val root = new Path(p.data)
       val anyDay =
@@ -566,9 +634,10 @@ object LakeSnapshot {
           .headOption
       anyDay match {
         case Some(d) =>
-          return spark.read.option("basePath", p.data).parquet(d.getPath.toString)
-            .drop("gen").withColumn("day", col("day").cast("date"))
-            .limit(0).withColumn("_change_type", lit(""))
+          return keyFirst(
+            spark.read.option("basePath", p.data).parquet(d.getPath.toString)
+              .drop("gen").withColumn("day", col("day").cast("date"))
+              .limit(0).withColumn("_change_type", lit("")))
         case None => sys.error(
           s"cannot derive a change-feed schema at $dir: both endpoint " +
             "views are empty and no generation data remains on disk")
@@ -637,12 +706,22 @@ object LakeSnapshot {
   /** Remove generation directories no committed reader can reach:
     * superseded generations once the commit that superseded them is at
     * least `retainMs` old (the Delta/Iceberg `VACUUM ... RETAIN`
-    * contract — the caller promises no reader outlives the window), and
-    * orphaned generations (staged by a crashed or OCC-aborted mutation)
-    * once their claim is `retainMs` stale. `retainMs <= 0` forces both.
+    * contract — the caller promises no reader outlives the window;
+    * `retainMs <= 0` takes them immediately under that promise), and
+    * ORPHANED generations (claimed by a crashed or OCC-aborted mutation,
+    * never committed) once their claim is `retainMs` stale — but, ADVICE
+    * r12: an orphan is indistinguishable from a mutation that is staging
+    * RIGHT NOW, so `retainMs <= 0` alone never touches one; reclaiming an
+    * orphan requires either a positive retention its claim has outlived
+    * or the explicit `force = true` (the operator asserting no stager is
+    * alive). Claim files whose generation data this pass reclaimed (and
+    * whose number the [[genHint]] high-water mark already covers, so the
+    * number can never be re-issued) are deleted too, bounding manifest
+    * growth.
     */
   def vacuum(
-      spark: SparkSession, dir: String, retainMs: Long = 0L): Unit = {
+      spark: SparkSession, dir: String, retainMs: Long = 0L,
+      force: Boolean = false): Unit = {
     val p = LakePaths(dir)
     val f = fsOf(spark, dir)
     val rows = IncrementalDedup.Manifest.read(spark, p.manifest) // full history
@@ -673,15 +752,34 @@ object LakeSnapshot {
             case Some(e) => // reachable until the superseding commit ages out
               !expired(IncrementalDedup.Manifest
                 .commitTimeMs(spark, p.manifest, e))
-            case None => // orphan: never committed for this day
+            case None => // orphan: never committed for this day. Possibly a
+              // LIVE staging — only a claim older than a POSITIVE
+              // retention, or an explicit force, may take it
               val claim = new Path(p.manifest, s"gen-$g.claim")
-              if (f.exists(claim))
-                !expired(f.getFileStatus(claim).getModificationTime)
-              else retainMs > 0L // claimless stray: only a forced vacuum takes it
+              if (force) false
+              else if (retainMs <= 0L) true
+              else if (f.exists(claim))
+                now - f.getFileStatus(claim).getModificationTime < retainMs
+              else false // claimless stray: protocol-impossible; reclaim
           }
         if (!keep) f.delete(dayDir.getPath, true)
       }
       if (f.listStatus(genDir.getPath).isEmpty) f.delete(genDir.getPath, true)
     }
+    // claim-file cleanup (bounded manifest): a claim whose generation has
+    // no data left on disk AND whose number sits below the _next_gen
+    // high-water mark can never matter again — the scan starts past it,
+    // and no historical view can reach data that no longer exists.
+    val hint = genHint(spark, dir)
+    f.listStatus(new Path(p.manifest)).foreach { st =>
+      st.getPath.getName match {
+        case ClaimName(g) if g.toInt + 1 <= hint &&
+            !f.exists(new Path(s"${p.data}/gen=${g.toInt}")) =>
+          f.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
   }
+
+  private val ClaimName = "gen-(\\d+)\\.claim".r
 }

@@ -186,7 +186,18 @@ object IncrementalDedup {
         f.delete(tmp, false)
         won
       } else {
-        // HDFS rename returns false when the destination exists
+        // HDFS rename returns false when the destination exists — but
+        // that contract is HDFS-specific (object-store connectors may
+        // overwrite or throw), so FAIL LOUDLY anywhere else instead of
+        // silently losing the fails-if-exists guarantee the OCC commit
+        // depends on (ADVICE r12). Object stores plug a conditional put
+        // into the ClaimStore seam.
+        val scheme = f.getScheme
+        require(scheme == "hdfs" || scheme == "viewfs" || scheme == "webhdfs",
+          s"Manifest.writeIfAbsent: no atomic fails-if-exists primitive " +
+            s"for scheme '$scheme' — rename() semantics are only " +
+            "guaranteed on HDFS-class filesystems; route this store's " +
+            "conditional put through the ClaimStore seam instead")
         val won = f.rename(tmp, dst)
         if (!won) f.delete(tmp, false)
         won

@@ -97,7 +97,13 @@ class LakeSnapshotSpec extends AnyFunSuite {
     // the orphan's directories exist on disk but no reader reaches them
     assert(Files.exists(
       Paths.get(s"$dir/data/gen=${orphan.gen}/day=2024-01-01")))
-    LakeSnapshot.vacuum(spark, dir) // retainMs=0 forces
+    // ADVICE r12: retainMs=0 alone must NOT touch an orphan — it is
+    // indistinguishable from a live staging; reclaiming needs force
+    LakeSnapshot.vacuum(spark, dir)
+    assert(Files.exists(
+      Paths.get(s"$dir/data/gen=${orphan.gen}/day=2024-01-01")),
+      "un-forced vacuum must preserve a possibly-live staging")
+    LakeSnapshot.vacuum(spark, dir, force = true)
     assert(!Files.exists(
       Paths.get(s"$dir/data/gen=${orphan.gen}/day=2024-01-01")),
       "forced vacuum must reclaim orphaned generations")
