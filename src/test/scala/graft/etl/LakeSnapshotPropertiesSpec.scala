@@ -8,7 +8,8 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Model-based property lock on the snapshot lake: a random sequence of
-  * MERGE / DELETE / OPTIMIZE / CHECKPOINT operations over a small key/day
+  * MERGE / DELETE / MERGE-DELTA / DELETE-DELTA / OPTIMIZE / CHECKPOINT
+  * operations over a small key/day
   * space is applied both to [[LakeSnapshot]] and to a driver-side model
   * `Map[key -> (day, value)]`; after every sequence the lake's committed
   * view must equal the model, EVERY historical epoch must time-travel to
@@ -44,6 +45,9 @@ object LakeSnapshotPropertiesSpec extends Properties("LakeSnapshot") {
   sealed trait Op
   final case class Merge(rows: List[(Long, Int, Double)]) extends Op
   final case class Delete(keys: List[Long]) extends Op
+  // merge-on-read variants: same model semantics, delta storage (r13)
+  final case class MergeDelta(rows: List[(Long, Int, Double)]) extends Op
+  final case class DeleteDelta(keys: List[Long]) extends Op
   case object Optimize extends Op
   case object Checkpoint extends Op
 
@@ -63,7 +67,9 @@ object LakeSnapshotPropertiesSpec extends Properties("LakeSnapshot") {
 
   private val opsGen: Gen[List[Op]] =
     Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n,
-      Gen.frequency(5 -> mergeGen, 2 -> deleteGen,
+      Gen.frequency(4 -> mergeGen, 2 -> deleteGen,
+        3 -> mergeGen.map { case Merge(r) => MergeDelta(r) },
+        2 -> deleteGen.map { case Delete(k) => DeleteDelta(k) },
         1 -> Gen.const(Optimize), 1 -> Gen.const(Checkpoint))))
 
   private def lakeContent(dir: String): Map[Long, (String, Double)] = {
@@ -128,6 +134,28 @@ object LakeSnapshotPropertiesSpec extends Properties("LakeSnapshot") {
                 (k, java.sql.Timestamp.valueOf(s"$day 10:00:00")) }
             if (withTs.nonEmpty) {
               LakeSnapshot.deleteKeys(spark, dir,
+                withTs.toDF("event_id", "ts"), "event_id", "ts")
+              model = model -- withTs.map(_._1)
+            }
+          case MergeDelta(rows) =>
+            val placed = rows.map { case (k, d, v) =>
+              val day = model.get(k).map(_._1).getOrElse(f"2024-01-$d%02d")
+              (k, day, v)
+            }
+            LakeSnapshot.mergeDelta(spark, dir,
+              placed.map { case (k, day, v) =>
+                (k, java.sql.Timestamp.valueOf(s"$day 10:00:00"), v) }
+                .toDF("event_id", "ts", "value"), "event_id", "ts")
+            placed.groupBy(_._1).foreach { case (k, rs) =>
+              val (_, day, v) = rs.maxBy { case (_, day, v) => (day, v) }
+              model = model.updated(k, (day, v))
+            }
+          case DeleteDelta(keys) =>
+            val withTs = keys.flatMap(k => model.get(k).map(k -> _))
+              .map { case (k, (day, _)) =>
+                (k, java.sql.Timestamp.valueOf(s"$day 10:00:00")) }
+            if (withTs.nonEmpty) {
+              LakeSnapshot.deleteKeysDelta(spark, dir,
                 withTs.toDF("event_id", "ts"), "event_id", "ts")
               model = model -- withTs.map(_._1)
             }

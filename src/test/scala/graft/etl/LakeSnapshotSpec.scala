@@ -114,7 +114,7 @@ class LakeSnapshotSpec extends AnyFunSuite {
     val dir = freshDir("untouched")
     seedLake(dir)
     val live = LakeSnapshot.liveView(spark, dir)
-    val day2Dir = s"$dir/data/gen=${live("2024-01-02")}/day=2024-01-02"
+    val day2Dir = s"$dir/data/gen=${live.days("2024-01-02").base}/day=2024-01-02"
     val before = fileState(day2Dir)
     val batch = Seq((2L, ts(1), 200.0)).toDF("event_id", "ts", "value")
     LakeSnapshot.merge(spark, dir, batch, "event_id", "ts")
@@ -199,7 +199,7 @@ class LakeSnapshotSpec extends AnyFunSuite {
     "the retention window, dies outside it") {
     val dir = freshDir("retain")
     seedLake(dir)
-    val oldGen = LakeSnapshot.liveView(spark, dir)("2024-01-01")
+    val oldGen = LakeSnapshot.liveView(spark, dir).days("2024-01-01").base
     LakeSnapshot.merge(spark, dir,
       Seq((1L, ts(1), 99.0)).toDF("event_id", "ts", "value"),
       "event_id", "ts")
@@ -346,7 +346,8 @@ class LakeSnapshotSpec extends AnyFunSuite {
     // post-compaction + vacuum: each live day directory holds ONE file
     LakeSnapshot.vacuum(spark, dir)
     val live = LakeSnapshot.liveView(spark, dir)
-    live.foreach { case (d, g) =>
+    live.days.foreach { case (d, st) =>
+      val g = st.base
       val files = Files.list(Paths.get(s"$dir/data/gen=$g/day=$d"))
         .iterator()
       import scala.jdk.CollectionConverters._
