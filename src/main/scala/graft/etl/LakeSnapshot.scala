@@ -535,12 +535,17 @@ object LakeSnapshot {
       spark: SparkSession, p: LakePaths, gen: Int,
       changes: DataFrame): Unit = {
     // micros keep the sidecar readable by the streaming CDC source's
-    // standalone record reader (INT96 is a legacy shape it refuses)
+    // standalone record reader (INT96 is a legacy shape it refuses).
+    // The conf must be set on the frame's OWN session — under
+    // foreachBatch the micro-batch frame is bound to a cloned session
+    // with isolated conf, and setting the outer session's conf silently
+    // leaves the write on INT96 (found by s24).
+    val sess = changes.sparkSession
     val conf = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.get(conf)
-    spark.conf.set(conf, "TIMESTAMP_MICROS")
+    val prev = sess.conf.get(conf)
+    sess.conf.set(conf, "TIMESTAMP_MICROS")
     try changes.write.mode("append").parquet(s"${p.cdf}/gen=$gen")
-    finally spark.conf.set(conf, prev)
+    finally sess.conf.set(conf, prev)
   }
 
   /** Stage a DELETE: write the survivors' generation for every touched
@@ -1045,7 +1050,7 @@ object LakeSnapshot {
   /** The (epoch, gen) pairs with change sidecars in (from, to], with the
     * loud gap check [[readChangesCdf]] documents. Metadata-only.
     */
-  private[etl] def cdfGens(
+  private[graft] def cdfGens(
       spark: SparkSession, dir: String, from: Int,
       to: Int): Seq[(Int, Int)] = {
     IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)

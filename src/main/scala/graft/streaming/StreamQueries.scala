@@ -1095,6 +1095,58 @@ object StreamQueries {
     KQueries.ivfPqPersistedAuditFacts(spark, idxDir, q)
   }
 
+  /** s24: the CDC feed consumed through the DATASOURCE V2 STREAMING
+    * source (VERDICT r12 #2) — `readStream.format("graft-cdc")` replaces
+    * s22's driver-side poll loop. Upstream: s22's ingest, but every
+    * micro-batch merge commits with `cdf = true`, staging its write-time
+    * change sidecar. Downstream: the DSv2 source whose offsets are
+    * manifest epochs drains the feed in BOUNDED micro-batches
+    * (maxEpochsPerBatch=2 exercises admission control under
+    * AvailableNow), each sidecar file read on an executor by the
+    * standalone parquet reader — no snapshot diffing, no driver collect.
+    * The accumulated feed must aggregate to p20's oracle VERBATIM, same
+    * as s22: the write-time images of each commit equal that commit's
+    * snapshot diff (LakeDeltaSpec), and commits' windows compose.
+    * Checkpoint restart is GraftCdcSourceSpec's.
+    */
+  def s24(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.LakeSnapshot
+    val outDir = StreamInput.lakeDir("s24_cdc_source", sfDir)
+    LakeSnapshot.merge(spark, outDir,
+      graft.Tables.load(spark, sfDir, "events"), "event_id", "ts")
+    val e0 = LakeSnapshot.currentEpoch(spark, outDir)
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+    val up = in.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        LakeSnapshot.merge(spark, outDir, b, "event_id", "ts", cdf = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s24up", sfDir))
+      .start()
+    up.awaitTermination()
+    val feed = spark.readStream.format("graft-cdc")
+      .option("path", outDir)
+      .option("startingEpoch", e0.toString)
+      .option("maxEpochsPerBatch", "2")
+      .load()
+    val table = s"s24_feed_${runSeq.incrementAndGet()}"
+    val down = feed.writeStream
+      .format("memory").queryName(table)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s24", sfDir))
+      .start()
+    down.awaitTermination()
+    recordReplay(down)
+    spark.table(table)
+      .groupBy(col("day").cast("date").as("day"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day", "change_type")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1144,6 +1196,9 @@ object StreamQueries {
     // s22 shares p20's oracle verbatim: the union of per-window CDC reads
     // must aggregate to the whole ingest's change census
     ("s22_cdc_consumer", s22 _, Some(graft.etl.PipelineQueries.p20Sql)),
+    // s24 shares p20's oracle verbatim: the DSv2 feed's accumulated
+    // write-time images == the whole ingest's change set (see s24 doc)
+    ("s24_cdc_source", s24 _, Some(graft.etl.PipelineQueries.p20Sql)),
     // s23 shares k3i's oracle verbatim: streamed IVFPQ ingest must equal
     // the single-build in-memory composition
     ("s23_ivfpq_ingest", s23 _, Some(graft.ops.KQueries.k3iSql))
