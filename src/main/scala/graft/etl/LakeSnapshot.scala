@@ -111,13 +111,37 @@ object LakeSnapshot {
     def gens: List[Int] = (if (base >= 0) List(base) else Nil) ++ deltas
   }
 
-  /** The folded table state: per-day storage plus the table's row key
-    * (recorded by the first delta commit — folding needs it; rewrite-only
-    * lakes never set it).
+  /** The folded table state: per-day storage, the table's row key
+    * (recorded by the first delta commit — folding needs it), and the
+    * COLUMN MAPPING `colmap`: physical parquet name → Some(logical name)
+    * (renamed) | None (dropped). Physical names bind in the files once
+    * and never change; RENAME and DROP are manifest-only commits that
+    * move the mapping (VERDICT r12 #3 — the Iceberg field-id idea with
+    * the physical name as the id). A physical name absent from the map
+    * is identity (logical == physical). A logical name re-added after a
+    * drop gets a FRESH physical name (`name__2`, ...) so old files'
+    * dropped values can never bleed into the new column.
     */
   final case class LakeState(
-      days: Map[String, DayState], key: Option[String]) {
+      days: Map[String, DayState], key: Option[String],
+      colmap: Map[String, Option[String]] = Map.empty) {
     def nonEmpty: Boolean = days.nonEmpty
+
+    /** The logical name a stored physical column surfaces as — None when
+      * dropped. */
+    def logicalFor(p: String): Option[String] = colmap.get(p) match {
+      case Some(mapped) => mapped // renamed (Some) or dropped (None)
+      case None => Some(p)       // identity
+    }
+
+    /** The physical name a logical column writes to — None when the name
+      * needs a fresh physical allocation (taken by a rename/drop). */
+    def physicalFor(l: String): Option[String] =
+      colmap.collectFirst { case (p, Some(x)) if x == l => p }
+        .orElse(if (colmap.contains(l)) None else Some(l))
+
+    def logicalColumns: Set[String] =
+      colmap.values.flatten.toSet // renamed targets; identities are implicit
   }
   private val EmptyState = LakeState(Map.empty, None)
 
@@ -130,7 +154,9 @@ object LakeSnapshot {
       days: Seq[String],     // days whose new generation is `gen`
       dropped: Seq[String],  // days the mutation empties entirely
       cdf: Boolean = false,  // a change-data sidecar was staged for `gen`
-      maint: Boolean = false) // content-identical maintenance (CDC-silent)
+      maint: Boolean = false, // content-identical maintenance (CDC-silent)
+      addcols: Seq[(String, String)] = Nil, // fresh (physical, logical) binds
+      key: Option[String] = None) // the mutation's row key (recorded)
 
   final class ConcurrentLakeMutationException(msg: String)
     extends RuntimeException(msg)
@@ -164,14 +190,54 @@ object LakeSnapshot {
     * deltas — the rewrite read them); a DELTA row (`deltagen`/`days`)
     * layers a row-delta generation onto its days.
     */
+  // colmap rendering: `p>l` renamed, `p>-` dropped
+  private def renderColmap(m: Map[String, Option[String]]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (p, l) => s"$p>${l.getOrElse("-")}" }.mkString(",")
+  private def parseColmap(s: String): Map[String, Option[String]] =
+    uncsv(s).map { e =>
+      val i = e.indexOf('>')
+      e.take(i) -> (if (e.drop(i + 1) == "-") None else Some(e.drop(i + 1)))
+    }.toMap
+
   private def applyRow(st: LakeState, kv: Map[String, String]): LakeState = {
     val withKey = kv.get("key").filter(_.nonEmpty) match {
       case Some(k) => st.copy(key = Some(k))
       case None => st
     }
-    val base0 = kv.get("snapshot") match {
-      case Some(s) => withKey.copy(days = parseSnapshot(s))
+    val withCols0 = kv.get("snapshotcolmap") match {
+      case Some(s) => withKey.copy(colmap = parseColmap(s))
       case None => withKey
+    }
+    // addcol: fresh physical allocations riding a mutation commit
+    val withAdds = kv.get("addcol") match {
+      case Some(s) => withCols0.copy(colmap = withCols0.colmap ++ parseColmap(s))
+      case None => withCols0
+    }
+    // rename: move the logical name off whatever physical carries it
+    val withRename = kv.get("rename") match {
+      case Some(rn) =>
+        val i = rn.indexOf('>')
+        val (from, to) = (rn.take(i), rn.drop(i + 1))
+        withAdds.physicalFor(from) match {
+          case Some(p) =>
+            withAdds.copy(colmap = withAdds.colmap.updated(p, Some(to)))
+          case None => withAdds // renaming a non-live name: no-op fold
+        }
+      case None => withAdds
+    }
+    val withDrops = kv.get("dropcol") match {
+      case Some(name) =>
+        withRename.physicalFor(name) match {
+          case Some(p) =>
+            withRename.copy(colmap = withRename.colmap.updated(p, None))
+          case None => withRename
+        }
+      case None => withRename
+    }
+    val base0 = kv.get("snapshot") match {
+      case Some(s) => withDrops.copy(days = parseSnapshot(s))
+      case None => withDrops
     }
     if (kv.contains("deltagen")) {
       val g = kv("deltagen").toInt
@@ -409,11 +475,74 @@ object LakeSnapshot {
           .filter(col("__rn") === 1 && col("__op") =!= "d")
           .drop("__rn", "__seq", "__op"))
       }
-    (fastDf, foldDf) match {
+    val raw = (fastDf, foldDf) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, b) => b.get
     }
+    toLogical(raw, view)
+  }
+
+  /** Surface a raw (physical-named) frame through `view`'s column
+    * mapping: dropped physicals vanish, renamed ones alias to their
+    * logical names. Internal (`__*`) and the partition `day` column pass
+    * through untouched.
+    */
+  private def toLogical(df: DataFrame, view: LakeState): DataFrame = {
+    if (view.colmap.isEmpty) return df
+    val cols = df.columns.toSeq.flatMap { c =>
+      if (c == "day" || c.startsWith("__")) Some(col(c))
+      else view.logicalFor(c) match {
+        case Some(l) if l == c => Some(col(c))
+        case Some(l) => Some(col(c).as(l))
+        case None => None // dropped: masked out of every read
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Bind a logical-named frame back to PHYSICAL names for a generation
+    * write (names in the files never change — that is what makes rename
+    * a metadata-only commit). Every logical column must already have a
+    * physical home; fresh allocations happen in the staging paths via
+    * [[allocatePhysicals]] before this runs.
+    */
+  private def toPhysical(df: DataFrame, view: LakeState): DataFrame = {
+    if (view.colmap.isEmpty) return df
+    val cols = df.columns.toSeq.map { c =>
+      if (c == "day" || c.startsWith("__")) col(c)
+      else view.physicalFor(c) match {
+        case Some(p) if p == c => col(c)
+        case Some(p) => col(c).as(p)
+        case None => sys.error(
+          s"logical column '$c' has no physical binding — staging must " +
+            "allocate before writing")
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Fresh physical names for batch logical columns whose natural names
+    * are TAKEN by the mapping (a name re-added after a drop, or shadowed
+    * by a rename): `name__2`, `name__3`, ... Returns the view extended
+    * with the allocations (so [[toPhysical]] binds) plus the
+    * physical→logical pairs the commit row must record.
+    */
+  private def allocatePhysicals(
+      b: DataFrame, view: LakeState): (LakeState, Seq[(String, String)]) = {
+    val needs = b.columns.toSeq.filter(c =>
+      c != "day" && !c.startsWith("__") && view.physicalFor(c).isEmpty)
+    if (needs.isEmpty) return (view, Nil)
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= view.colmap.keys
+    taken ++= b.columns
+    val allocs = needs.map { l =>
+      val p = Iterator.from(2).map(k => s"${l}__$k").find(!taken(_)).get
+      taken += p
+      (p, l)
+    }
+    (view.copy(colmap =
+      view.colmap ++ allocs.map { case (p, l) => p -> Some(l) }), allocs)
   }
 
   /** Collapse the commit history into ONE checkpoint row (full day → gen
@@ -437,7 +566,9 @@ object LakeSnapshot {
       val e = rows.map(_._1).max + 1
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e,
         Seq("snapshot" -> renderSnapshot(live)) ++
-          live.key.map("key" -> _).toSeq)) {
+          live.key.map("key" -> _).toSeq ++
+          (if (live.colmap.nonEmpty)
+            Seq("snapshotcolmap" -> renderColmap(live.colmap)) else Nil))) {
         // advance the pointer: temp + rename, overwrite-safe; a crash
         // here leaves a stale (still-correct) pointer
         val tmp = new Path(p.manifest, s".tmp-last-checkpoint-$e")
@@ -473,6 +604,9 @@ object LakeSnapshot {
     val days = b.select("day").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val (base, live) = stagingSnapshot(spark, dir)
+    require(live.key.forall(_ == keyCol),
+      s"merge key '$keyCol' does not match the table's recorded key " +
+        s"'${live.key.getOrElse("")}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
     val storedDays = days.filter(live.days.contains).toSet
     val stored =
@@ -487,10 +621,15 @@ object LakeSnapshot {
           // doesn't know about
           .unionByName(b, allowMissingColumns = true)
     }
-    merged
+    // logical → physical for the write; brand-new logical names whose
+    // natural physical is taken (re-add after drop/rename) get fresh
+    // physical ids, recorded in the commit row
+    val (viewX, addcols) = allocatePhysicals(b, live)
+    toPhysical(merged, viewX)
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     if (cdf) stageCdfMerge(spark, p, gen, stored, b, keyCol)
-    Staged(gen, base, days, Nil, cdf = cdf)
+    Staged(gen, base, days, Nil, cdf = cdf, addcols = addcols,
+      key = Some(keyCol))
   }
 
   /** Stage the write-time change rows of a merge: updates where any
@@ -567,8 +706,7 @@ object LakeSnapshot {
     val gen = claimGen(spark, dir, base + 1, store)
     val stored = readDaysRaw(spark, dir, live, days.toSet)
     val delKeys = b.select(col(keyCol)).distinct()
-    stored
-      .join(delKeys, Seq(keyCol), "left_anti")
+    toPhysical(stored.join(delKeys, Seq(keyCol), "left_anti"), live)
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     if (cdf)
       writeCdf(spark, p, gen,
@@ -587,7 +725,8 @@ object LakeSnapshot {
       else f.listStatus(genPath).filter(_.isDirectory)
         .map(_.getPath.getName.stripPrefix("day=")).toSet
     Staged(gen, base,
-      days.filter(surviving), days.filterNot(surviving), cdf = cdf)
+      days.filter(surviving), days.filterNot(surviving), cdf = cdf,
+      key = Some(keyCol))
   }
 
   /** Stage a row-DELTA merge: ONE partitioned append of the (deduped)
@@ -612,8 +751,10 @@ object LakeSnapshot {
       s"delta key '$keyCol' does not match the table's recorded key " +
         s"'${live.key.get}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
-    b.write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
-    Staged(gen, base, days, Nil)
+    val (viewX, addcols) = allocatePhysicals(b, live)
+    toPhysical(b, viewX)
+      .write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
+    Staged(gen, base, days, Nil, addcols = addcols)
   }
 
   /** Stage a row-DELTA delete: the (key, day) markers themselves, `__op =
@@ -663,7 +804,10 @@ object LakeSnapshot {
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e, Seq(
         "deltagen" -> staged.gen.toString,
         "days" -> csv(staged.days),
-        "key" -> keyCol)))
+        "key" -> keyCol) ++
+        (if (staged.addcols.nonEmpty) Seq("addcol" ->
+          staged.addcols.map { case (ph, l) => s"$ph>$l" }.mkString(","))
+         else Nil)))
         return e
     }
     -1 // unreachable
@@ -726,7 +870,11 @@ object LakeSnapshot {
         "days" -> csv(staged.days),
         "dropped" -> csv(staged.dropped)) ++
         (if (staged.cdf) Seq("cdf" -> "1") else Nil) ++
-        (if (staged.maint) Seq("maint" -> "1") else Nil)))
+        (if (staged.maint) Seq("maint" -> "1") else Nil) ++
+        (if (staged.addcols.nonEmpty) Seq("addcol" ->
+          staged.addcols.map { case (p, l) => s"$p>$l" }.mkString(","))
+         else Nil) ++
+        staged.key.map("key" -> _).toSeq))
         return e
       // lost the epoch race to a non-overlapping commit: re-check, retry
     }
@@ -792,6 +940,71 @@ object LakeSnapshot {
       staged.days ++ staged.dropped
     }
 
+  /** RENAME a column: a MANIFEST-ONLY commit (VERDICT r12 #3) — zero
+    * data files are touched; the physical parquet name keeps carrying
+    * the values and the mapping moves, so current reads surface `to`,
+    * while TIME TRAVEL to a pre-rename epoch surfaces `from` (the
+    * mapping folds with the history). Batches merged after the rename
+    * use the new name; their values land in the SAME physical column.
+    * The table key and the partition column cannot be renamed (folding
+    * and pruning bind to them). Returns the committed epoch.
+    */
+  def renameColumn(
+      spark: SparkSession, dir: String, from: String, to: String): Int =
+    commitColumnOp(spark, dir, "rename", s"$from>$to") { live =>
+      require(from != to, "rename: from == to")
+      Seq(from, to).foreach { n =>
+        require(!n.contains(">") && !n.contains(",") && n != "-" &&
+          n.nonEmpty, s"unsupported column name '$n'")
+      }
+      require(live.key.forall(k => k != from && k != to),
+        "renaming the table key is unsupported (delta folding binds to it)")
+      require(from != "day" && to != "day",
+        "the partition column cannot be renamed")
+      // the mapping alone cannot prove existence (identity names are
+      // implicit) — one footer-read of the live view settles both checks
+      val cols =
+        if (live.nonEmpty) readView(spark, dir, live).columns.toSet
+        else Set.empty[String]
+      require(cols.contains(from), s"no live column '$from' to rename")
+      require(!cols.contains(to),
+        s"a live column named '$to' already exists")
+    }
+
+  /** DROP a column: a MANIFEST-ONLY commit — the physical column stays
+    * in the files (history still time-travels to it) but every current
+    * read masks it out. Re-adding the same logical name later allocates
+    * a FRESH physical column, so the dropped values never resurface.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int =
+    commitColumnOp(spark, dir, "dropcol", name) { live =>
+      require(live.key.forall(_ != name),
+        "dropping the table key is unsupported")
+      require(name != "day", "the partition column cannot be dropped")
+      require(live.nonEmpty &&
+        readView(spark, dir, live).columns.contains(name),
+        s"no live column '$name' to drop")
+    }
+
+  /** Shared OCC loop for metadata-only column commits: validate against
+    * the freshest fold, attempt the next epoch, re-validate on a lost
+    * race. Day-wise these rows conflict with nothing.
+    */
+  private def commitColumnOp(
+      spark: SparkSession, dir: String, field: String, value: String)(
+      validate: LakeState => Unit): Int = {
+    val p = LakePaths(dir)
+    while (true) {
+      val (base, live) = stagingSnapshot(spark, dir)
+      validate(live)
+      val e = base + 1
+      if (IncrementalDedup.Manifest.writeIfAbsent(
+        spark, p.manifest, e, Seq(field -> value)))
+        return e
+    }
+    -1 // unreachable
+  }
+
   /** OPTIMIZE (small-file maintenance): rewrite the live generations of
     * `days` (default: every live day) into fresh one-file-per-day
     * generations, content-identical, committed atomically through the
@@ -817,7 +1030,7 @@ object LakeSnapshot {
        else days.filter(live.days.contains)).sorted
     if (touched.isEmpty) return Nil
     val gen = claimGen(spark, dir, base + 1, store)
-    readDaysRaw(spark, dir, live, touched.toSet)
+    toPhysical(readDaysRaw(spark, dir, live, touched.toSet), live)
       // co-locate each day in one task → one file per day directory, with
       // task parallelism ACROSS days (never a single global funnel);
       // bound single-file size for huge days with
@@ -885,6 +1098,7 @@ object LakeSnapshot {
       .repartitionByRange(files, col("day"), col("__zkey"))
       .sortWithinPartitions(col("day"), col("__zkey"))
       .drop("__za", "__zb", "__ba", "__bb", "__zkey")
+      .transform(toPhysical(_, live))
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     val f = fsOf(spark, dir)
     val genPath = new Path(s"${p.data}/gen=$gen")
@@ -970,12 +1184,30 @@ object LakeSnapshot {
     }
     // both endpoints read through the ONE folded path — delta commits
     // inside the window are materialized per key before the diff
-    val oldRaw =
+    val oldRaw0 =
       if (oldDays.isEmpty) None else Some(readDaysRaw(spark, dir, a, oldDays))
     val newRaw =
       if (newDays.isEmpty) None else Some(readDaysRaw(spark, dir, b, newDays))
-    val allCols = (oldRaw.toSeq ++ newRaw.toSeq)
-      .flatMap(_.columns).distinct
+    // a RENAME inside the window: both endpoints carry the same physical
+    // column under different logical names — translate the old side to
+    // the TO-endpoint's names via the shared physical so values compare
+    // as values, not as one column vanishing and another appearing
+    val renames: Map[String, String] =
+      (a.colmap.keySet ++ b.colmap.keySet).flatMap { ph =>
+        (a.logicalFor(ph), b.logicalFor(ph)) match {
+          case (Some(la), Some(lb)) if la != lb => Some(la -> lb)
+          case _ => None
+        }
+      }.toMap
+    val oldRaw = oldRaw0.map { df =>
+      if (renames.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        renames.get(c).map(col(c).as(_)).getOrElse(col(c))): _*)
+    }
+    // the TO-endpoint's schema governs the diff: a column DROPPED inside
+    // the window is excluded (otherwise every surviving row would read
+    // as updated); a column added inside it null-fills on the old side
+    val allCols = (newRaw orElse oldRaw).get.columns.toSeq
     val dataCols = allCols.filterNot(_ == keyCol).toSeq
     def aligned(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
