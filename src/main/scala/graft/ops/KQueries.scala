@@ -1661,6 +1661,38 @@ object KQueries {
     ivfPqPersistedAuditFacts(spark, idxDir, q)
   }
 
+  // --- K3o: IVFPQ codebook RETRAIN-IN-PLACE (VERDICT r12 #4) ---------------
+  // The serving tier's drift-maintenance step: the index is BUILT with
+  // deliberately degraded codebooks (the seed centroids reversed — dense
+  // and valid, but wrong for the data), the plant enters encoded under
+  // them, and then retrainIvfPqIndex commits the TRUE seed codebooks +
+  // re-encoded codes as one base-raising epoch. The closing audit probe
+  // must equal k3i's single-build oracle VERBATIM — so a retrain that
+  // kept stale codes, stale codebooks, or mixed the pair (the stranded-
+  // pair hazard) fails the hash. Crash-window and pair-pinning are
+  // IvfPqPersistedSpec's.
+  def k3oIvfPqRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val (q, corpus, centroids) = ivfFixture(spark, dir)
+    val idxDir = "target/ivfpq_retrain/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").dropWhile(_ == '_')
+    val seeds = centroids.select(
+      (col("list_id") - 1).cast("int").as("code"), col("centroid"))
+    val badSeeds = seeds.select(col("code"),
+      reverse(col("centroid")).as("centroid"))
+    val base = corpus.select("vec_id", "embedding")
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfBuildFixed(base, "vec_id", "embedding", centroids),
+      Similarity.pqBuild(base, "vec_id", "embedding", badSeeds),
+      idxDir)
+    Similarity.appendToIvfPqIndex(
+      q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", idxDir, tag = "plant")
+    Similarity.retrainIvfPqIndex(spark, idxDir)(df =>
+      Similarity.pqBuild(df, "id", "v", seeds))
+    Similarity.vacuumIvfIndex(spark, idxDir)
+    ivfPqPersistedAuditFacts(spark, idxDir, q)
+  }
+
   // --- K3n: BATCHED IVFPQ serving against the persisted index --------------
   // Query THROUGHPUT is the production axis k3f measured for sign-LSH;
   // k3n measures it for the composed tier: FOUR queries answered by ONE
@@ -3521,6 +3553,9 @@ object KQueries {
     ("k3l_ivfpq_persisted", k3lIvfPqPersisted _, Some(k3iSql)),
     // k3m too: the full lifecycle must end value-identical to one build
     ("k3m_ivfpq_lifecycle", k3mIvfPqLifecycle _, Some(k3iSql)),
+    // k3o shares k3i's oracle verbatim: retrain-in-place must land the
+    // exact (codebooks, codes) pair the single build would have
+    ("k3o_ivfpq_retrain", k3oIvfPqRetrain _, Some(k3iSql)),
     ("k3n_ivfpq_batch", k3nIvfPqBatch _, Some(k3nSql)),
     ("k3_recall_ann", k3RecallAnn _, Some(k3RecallAnnSql)),
     ("k3_recall_ivf", k3RecallIvf _, Some(k3RecallIvfSql)),

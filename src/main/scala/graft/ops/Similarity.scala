@@ -999,6 +999,70 @@ object Similarity {
       pqCodes = Some(codes), pqCodebooks = Some(codebooks))
   }
 
+  /** RETRAIN-IN-PLACE for the persisted IVFPQ index (VERDICT r12 #4):
+    * rebuild the PQ codebooks from the CURRENT stored corpus and commit
+    * new codebooks + RE-ENCODED codes as one BASE-RAISING epoch — the
+    * serving tier's drift-maintenance step, previously an offline
+    * rebuild. The commit shape is [[compactIvfIndex]]'s:
+    *
+    *   - vectors: every live vector copied with its (final) list
+    *     assignment — the coarse quantizer does NOT refit, so list
+    *     membership and probe routing are untouched;
+    *   - codes: every live vector re-encoded under the NEW codebooks;
+    *   - codebooks: the new generation, written with the codes BEFORE
+    *     the manifest row, under the SAME epoch;
+    *   - manifest: `base = e` — readers pin the (codebooks, codes) PAIR
+    *     by epoch, so the old pair becomes unreachable in the same
+    *     commit (a reader mixing old codes with new codebooks would
+    *     mis-rank silently — the stranded-pair hazard, spec-locked in
+    *     IvfPqPersistedSpec exactly like k3m's compaction hazard), and a
+    *     crash anywhere before the manifest write leaves every reader on
+    *     the intact old pair. [[vacuumIvfIndex]] retires the old
+    *     generation under the usual retention gate.
+    *
+    * `buildPq` receives the stored vectors as (id, v) and returns the
+    * retrained [[PqIndex]] — the codebook-generation policy (fresh
+    * Lloyd's via [[pqBuildTrained]], new seeds via [[pqBuild]], a
+    * sampled trainDf) is the caller's; the in-place commit protocol is
+    * this function's. Appends after the retrain encode with the NEW
+    * codebooks automatically ([[appendToIvfPqIndex]] reads the max
+    * epoch's).
+    */
+  def retrainIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String)(
+      buildPq: DataFrame => PqIndex): Unit = {
+    val p = IvfIndexPaths(dir)
+    val (maxEpoch, nLists, live) = ivfManifest(spark, p)
+    val vectors = spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(live: _*))
+      .select(col("id"), col("v"), col("list_id"))
+    val pq = buildPq(vectors.select(col("id"), col("v")))
+    val codes = pq.encoded.select(col("id"), col("codes"))
+      .join(vectors.select(col("id"), col("list_id")), Seq("id"))
+    val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
+    val epochDir = s"${p.assigned}/epoch=$e"
+    vectors.repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+      vectors.drop("list_id").limit(0)
+        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    val codesDir = s"${p.codes}/epoch=$e"
+    codes.repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
+    if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
+      codes.drop("list_id").limit(0)
+        .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+    spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$e")
+    pq.codebooks.coalesce(1)
+      .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$e")
+    IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
+      "n_lists" -> nLists.toString,
+      "tag" -> "",
+      "base" -> e.toString,
+      "retrain" -> "1"))
+  }
+
   /** Top-k against the persisted IVFPQ index, touching storage in the
     * production order: centroids (model-sized) → the probed lists' CODE
     * partitions (the ~3%-of-bytes tier; `epoch`/`list_id` pruned,

@@ -116,4 +116,81 @@ class IvfPqPersistedSpec extends AnyFunSuite {
     assert(after === before, "orphan epoch data must be invisible")
     assert(!after.contains(99L))
   }
+
+  test("RETRAIN-IN-PLACE (k3o): one base-raising commit swaps the " +
+    "(codebooks, codes) pair; appends after encode with the new pair") {
+    val dir = freshDir("retrain")
+    val q = fixture(dir)
+    val p = Similarity.IvfIndexPaths(dir)
+    val goodBooks = spark.read.parquet(s"${p.codebooks}/epoch=0")
+      .orderBy("m", "code").collect().toSeq
+    // degrade: retrain to REVERSED seed slices, then retrain back
+    val centroids = Seq(
+      (0, unitVec(1).map(_.toDouble)), (1, unitVec(5).map(_.toDouble)))
+      .toDF("list_id", "centroid")
+    val seeds = centroids.select(col("list_id").as("code"), col("centroid"))
+    val badSeeds = seeds.select(col("code"),
+      reverse(col("centroid")).as("centroid"))
+    Similarity.retrainIvfPqIndex(spark, dir)(df =>
+      Similarity.pqBuild(df, "id", "v", badSeeds))
+    val (e1, badRows) = {
+      val rows = IncrementalDedup.Manifest.read(spark, p.params)
+      val e = rows.map(_._1).max
+      (e, spark.read.parquet(s"${p.codebooks}/epoch=$e")
+        .orderBy("m", "code").collect().toSeq)
+    }
+    assert(badRows !== goodBooks, "the retrain must land NEW codebooks")
+    // base raised: the old pair is unreachable in the same commit
+    val base = IncrementalDedup.Manifest.read(spark, p.params)
+      .map(_._2.getOrElse("base", "0").toInt).max
+    assert(base === e1, "retrain must raise the base to its own epoch")
+    // an append now encodes with the retrained codebooks
+    Similarity.appendToIvfPqIndex(
+      Seq((99L, unitVec(1))).toDF("id", "v"), "id", "v", dir, tag = "b1")
+    // retrain BACK to the true seeds: probe results return to the
+    // original pair's semantics over corpus+append
+    Similarity.retrainIvfPqIndex(spark, dir)(df =>
+      Similarity.pqBuild(df, "id", "v", seeds))
+    Similarity.vacuumIvfIndex(spark, dir)
+    val top = Similarity
+      .ivfPqTopKPersisted(spark, dir, q, k = 3, nProbe = 2, rerank = 8)
+      .collect().map(_.getLong(0))
+    assert(top.contains(99L) || top.contains(1L),
+      s"the e1-axis vectors must rank on an e1-axis query, got " +
+        top.mkString(","))
+    val booksNow = spark.read.parquet(p.codebooks)
+      .where(col("epoch") === IncrementalDedup.Manifest
+        .read(spark, p.params).map(_._1).max)
+      .orderBy("m", "code").drop("epoch").collect().toSeq
+    assert(booksNow === goodBooks,
+      "retraining back to the true seeds must restore the exact books")
+  }
+
+  test("RETRAIN crash window: codebooks + codes written but NO manifest " +
+    "row leaves every reader on the intact OLD pair") {
+    val dir = freshDir("retrain_crash")
+    val q = fixture(dir)
+    val before = Similarity
+      .ivfPqTopKPersisted(spark, dir, q, k = 8, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val p = Similarity.IvfIndexPaths(dir)
+    // simulate the crash: epoch-1 vector/code/codebook dirs exist (with
+    // GARBAGE codebooks) but no manifest row
+    val centroids = Seq(
+      (0, unitVec(1).map(_.toDouble)), (1, unitVec(5).map(_.toDouble)))
+      .toDF("list_id", "centroid")
+    val badSeeds = centroids.select(col("list_id").as("code"),
+      reverse(col("centroid")).as("centroid"))
+    val vectors = spark.read.parquet(s"${p.assigned}/epoch=0")
+    vectors.write.parquet(s"${p.assigned}/epoch=1/list_id=0")
+    Similarity.pqBuild(
+      vectors.select("id", "v"), "id", "v", badSeeds).codebooks
+      .write.parquet(s"${p.codebooks}/epoch=1")
+    val after = Similarity
+      .ivfPqTopKPersisted(spark, dir, q, k = 8, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after === before,
+      "a crashed retrain must be invisible: the old (codebooks, codes) " +
+        "pair keeps serving byte-identically")
+  }
 }
