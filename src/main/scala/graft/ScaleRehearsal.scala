@@ -127,7 +127,16 @@ object ScaleRehearsal {
     // r12 serving/index adds
     "k37_incremental_semdedup",
     "k3k_ivfpq_curve",
-    "k3n_ivfpq_batch")
+    "k3n_ivfpq_batch",
+    // r13: the √N-rule SemDeDup rehearses NEXT TO fixed-nLists k30 — the
+    // pair is the evidence for the scaling rule (k30's ratio is the
+    // quadratic trap, k38's must sit near linear); the MoR lake tier and
+    // retrain-in-place price their protocols against the COW paths
+    "k38_semdedup_auto",
+    "p23_delta_merge",
+    "p25_delta_delete",
+    "p24_column_rename",
+    "k3o_ivfpq_retrain")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

@@ -187,6 +187,82 @@ object KQueries {
       |GROUP BY a.list_id
       |ORDER BY a.list_id""".stripMargin
 
+  // --- K38: SemDeDup under the √N nLists RULE (VERDICT r12 #5) -------------
+  // k30 pins nLists = 16 by fixture design, which is exactly the quadratic
+  // trap at corpus growth (its 10× rehearsal ratio ~3.9). k38 runs the
+  // same corpus through semanticDedupAuto: nLists = round(√(2N)), seed
+  // centroids = the nLists smallest-id rows (deterministic, so DuckDB
+  // rebuilds the exact clustering), dedup within clusters. The census
+  // locks the cluster count, the drop set, AND the max cluster
+  // population — the quantity the √N rule exists to bound.
+  def k38(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+      "k38 fixture assumes vec_id < 100000 (planted-copy id offset); " +
+        "raise the offset in BOTH k38 and k38Sql for this scale factor")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val corpus = base.unionAll(base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), x => x * lit(0.75)).as("v")))
+      .withColumn("nv",
+        transform(col("v"), x => x / GraftFunctions.l2_norm(col("v"))))
+    val dd = Similarity
+      .semanticDedupAuto(corpus, "vec_id", "nv", threshold = 0.95)
+      .localCheckpoint(true) // small (id, list_id, drop); two aggregates
+    dd.agg(
+      countDistinct(col("list_id")).cast("long").as("n_lists"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("drop"), col("id")).otherwise(0L)).as("dropped_sum"))
+      .crossJoin(
+        dd.groupBy("list_id").agg(count(lit(1)).as("pop"))
+          .agg(max("pop").as("max_pop")))
+  }
+
+  val k38Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(v, x -> x * 0.75) AS v
+      |  FROM base),
+      |normed AS (
+      |  SELECT vec_id,
+      |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |           AS nv
+      |  FROM corpus),
+      |nl AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS n FROM normed),
+      |cent AS (
+      |  SELECT CAST(rn AS INT) AS list_id, nv AS c FROM (
+      |    SELECT vec_id, nv,
+      |           row_number() OVER (ORDER BY vec_id) AS rn
+      |    FROM normed)
+      |  WHERE rn <= (SELECT n FROM nl)),
+      |assigned AS (
+      |  SELECT vec_id, nv, list_id FROM (
+      |    SELECT n.vec_id, n.nv, c.list_id,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY list_dot_product(c.c, c.c)
+      |                        - 2 * list_dot_product(n.nv, c.c),
+      |                      c.list_id) AS rn
+      |    FROM normed n CROSS JOIN cent c) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.nv, b.nv) >= 0.95),
+      |pops AS (SELECT list_id, count(*) AS pop FROM assigned GROUP BY 1)
+      |SELECT CAST((SELECT count(*) FROM cent) AS BIGINT) AS n_lists,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+      |       CAST(coalesce(sum(d.vec_id), 0) AS BIGINT) AS dropped_sum,
+      |       CAST((SELECT max(pop) FROM pops) AS BIGINT) AS max_pop
+      |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+
   // --- K37: INCREMENTAL semantic dedup (VERDICT r11 #7) --------------------
   // k30's fixture split across the persisted-index lifecycle: the
   // originals (vec_id < 100000) are saved as the fixed-quantizer IVF
@@ -3565,6 +3641,7 @@ object KQueries {
     ("k2b_embedding_neardup", k2b _, Some(k2bSql)),
     ("k30_semantic_dedup", k30 _, Some(k30Sql)),
     ("k37_incremental_semdedup", k37 _, Some(k37Sql)),
+    ("k38_semdedup_auto", k38 _, Some(k38Sql)),
     ("k2c_dupheavy_neardup", k2c _, Some(k2cSql)),
     ("k10_dup_clusters", k10 _, Some(k10Sql)),
     ("k_simhash_neardup", kSimhash _, Some(kSimhashSql)),

@@ -259,7 +259,11 @@ object Similarity {
       vecCol: String,
       seedCentroids: DataFrame,
       iters: Int = 3,
-      trainDf: Option[DataFrame] = None): IvfIndex = {
+      trainDf: Option[DataFrame] = None,
+      corpusSize: Option[Long] = None): IvfIndex = {
+    // the √N guard (VERDICT r12 #5): callers who know N must not train
+    // an absurdly coarse quantizer — see requireSaneNLists
+    requireSaneNLists(seedCentroids.count(), corpusSize, "ivfBuildTrained")
     val spark = df.sparkSession
     import spark.implicits._
     // Train on `trainDf` when given (the production shape: a quantizer is
@@ -1612,12 +1616,66 @@ object Similarity {
     * ids in its cluster), so the incremental-index pattern (k19/k21)
     * extends to it unchanged, and it is exactly re-derivable in SQL.
     */
+  /** The nLists SCALING RULE (VERDICT r12 #5): √N clusters. SemDeDup's
+    * pairwise stage costs Σ|cluster|² ≈ N²/nLists for balanced clusters,
+    * so nLists = √N keeps the candidate count ≈ N^1.5 — the paper's own
+    * operating point (11k clusters for LAION-440M ≈ 0.5·√N). A FIXED
+    * nLists under corpus growth is the quadratic trap the 10× rehearsal
+    * measures on k30 (fixture-pinned 16 lists by design); k38 rehearses
+    * the auto-scaled rule next to it.
+    */
+  def nListsFor(n: Long): Int =
+    math.max(1L, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** Guard against a quadratic-blowup cluster count: callers who know
+    * the corpus size must not run SemDeDup with nLists far below √N.
+    * The 1/8 slack admits deliberate coarse quantizers (recall tuning)
+    * while rejecting the fixed-small-nLists-on-grown-corpus mistake.
+    */
+  private def requireSaneNLists(
+      nLists: Long, corpusSize: Option[Long], op: String): Unit =
+    corpusSize.foreach { n =>
+      require(nLists.toDouble >= math.sqrt(n.toDouble) / 8.0,
+        s"$op: nLists=$nLists is absurdly coarse for a corpus of $n rows " +
+          s"(rule: nLists ≈ √N = ${nListsFor(n)}; minimum √N/8). " +
+          "Within-cluster pairwise cost is Σ|cluster|² ≈ N²/nLists — " +
+          "re-cluster with more lists (nListsFor) instead")
+    }
+
+  /** [[semanticDedup]] with the √N rule applied for the caller: counts
+    * the corpus (one pass — at production scale pass the known size to
+    * [[semanticDedup]] via `corpusSize` instead), takes the `nLists`
+    * smallest-id rows as FIXED seed centroids (deterministic and
+    * SQL-re-derivable — k38's oracle rebuilds the exact clustering), and
+    * dedups within clusters. Callers wanting a trained quantizer compose
+    * [[ivfBuildTrained]] + [[semanticDedup]] directly.
+    */
+  def semanticDedupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = df.count()
+    val nLists = nListsFor(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol)) // model-sized: nLists rows pass the limit
+    val centroids = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nLists)
+      .select(org.apache.spark.sql.functions.row_number().over(w)
+        .as("list_id"),
+        col(vecCol).as("centroid"))
+    semanticDedup(df, idCol, vecCol, centroids, threshold,
+      corpusSize = Some(n))
+  }
+
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      corpusSize: Option[Long] = None): DataFrame = {
+    requireSaneNLists(centroids.count(), corpusSize, "semanticDedup")
     val assigned = ivfBuildFixed(df, idCol, vecCol, centroids).assigned
     val a = assigned.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))

@@ -137,4 +137,43 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(pf.contains("list_id IN (0)") || pf.contains("list_id = 0") ||
       pf.contains("list_id#"), pf)
   }
+
+  test("the \u221aN rule (VERDICT r12 #5): nListsFor scales as sqrt, " +
+    "auto-sized cluster populations grow SUB-LINEARLY in N, and an " +
+    "absurdly coarse explicit nLists fails loudly") {
+    assert(Similarity.nListsFor(100) === 10)
+    assert(Similarity.nListsFor(10000) === 100)
+    assert(Similarity.nListsFor(1) === 1)
+    // deterministic pseudo-random corpora at n and 16n: the auto rule
+    // must keep max-cluster population growth near sqrt(16)=4x, far
+    // below the 16x a fixed-nLists clustering would show
+    def corpus(n: Int) = {
+      import org.apache.spark.sql.functions._
+      spark.range(1, n + 1).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 15),
+                i -> CAST(pmod(xxhash64(id, i), 2000001) - 1000000 AS DOUBLE)
+                     / 1000000.0)
+             """).as("nv"))
+    }
+    def maxPop(n: Int): Long = {
+      import org.apache.spark.sql.functions._
+      Similarity.semanticDedupAuto(corpus(n), "vec_id", "nv", 0.99)
+        .groupBy("list_id").agg(count(lit(1)).as("pop"))
+        .agg(max("pop")).head().getLong(0)
+    }
+    val (small, big) = (maxPop(256), maxPop(4096))
+    assert(big.toDouble / small <= 8.0,
+      s"auto-sized max cluster pop must grow ~sqrt(N): $small -> $big")
+    // the guard: explicit nLists far below sqrt(N) with a known corpus
+    // size must throw, pointing at the rule
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(corpus(4096), "vec_id", "nv",
+        corpus(4096).filter(org.apache.spark.sql.functions.col("vec_id") <= 2)
+          .select(org.apache.spark.sql.functions.col("vec_id")
+            .cast("int").as("list_id"),
+            org.apache.spark.sql.functions.col("nv").as("centroid")),
+        0.99, corpusSize = Some(4096L))
+    }
+    assert(ex.getMessage.contains("nListsFor"))
+  }
 }
