@@ -67,12 +67,35 @@ object Bench {
   def sweepOrder[T](entries: Seq[(String, T)], seed: Long): Seq[(String, T)] =
     new scala.util.Random(seed).shuffle(entries.sortBy(_._1))
 
-  /** One benched query's evidence: both passes when a rerun fired. */
+  /** 1-minute system load average, sampled right before a timed run —
+    * the contention-attribution telemetry VERDICT r12 #8 asked for (a
+    * 26 s third timing under loadavg 30 is ambient contention; under
+    * loadavg 2 it is a real regression). /proc/loadavg on Linux, the
+    * MXBean elsewhere, -1 when neither answers.
+    */
+  def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch {
+      case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** One benched query's evidence: both passes when a rerun fired.
+    * `mainRuns`/`rerunRuns` carry (seconds, loadavg-at-start) in RUN
+    * ORDER — `timings` stays sorted for the statistics, the run-ordered
+    * pairs make each individual outlier attributable at adjudication
+    * time.
+    */
   final case class QueryTiming(
       name: String,
       timings: Seq[Double],            // main pass, sorted; empty = failed
       rerun: Option[Seq[Double]],      // outlier re-run pass, sorted
-      baseline: Option[Double]) {
+      baseline: Option[Double],
+      mainRuns: Seq[(Double, Double)] = Nil,
+      rerunRuns: Option[Seq[(Double, Double)]] = None) {
     def failed: Boolean = timings.isEmpty
     def mainMedian: Double = if (failed) -1.0 else median(timings)
     /** Compact-line value: the better pass's median (contention-corrected). */
@@ -120,20 +143,22 @@ object Bench {
     * slow-then-fast workload (BenchSpec simulates the loaded box).
     */
   def timeQuery(name: String, run: () => Unit, baseline: Option[Double]): QueryTiming = {
-    def timedPass(): Seq[Double] =
+    def timedPass(): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
+        val la = loadAvg()
         val t0 = System.nanoTime()
         run()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-    val timings =
+        ((System.nanoTime() - t0) / 1e9, la)
+      }
+    val mainRuns =
       try { run(); timedPass() } // warm-up (JIT + codegen cache), then pass 1
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Seq.empty[Double]
+          Seq.empty[(Double, Double)]
       }
-    val rerun =
+    val timings = mainRuns.map(_._1).sorted
+    val rerunRuns =
       if (timings.nonEmpty && needsRerun(median(timings), baseline)) {
         System.err.println(
           f"[bench] $name median ${median(timings)}%.3f s > ${RerunFactor}x baseline " +
@@ -143,7 +168,8 @@ object Bench {
           System.err.println(s"[bench] $name rerun FAILED: ${e.getMessage}"); None
         }
       } else None
-    QueryTiming(name, timings, rerun, baseline)
+    QueryTiming(name, timings, rerunRuns.map(_.map(_._1).sorted), baseline,
+      mainRuns, rerunRuns)
   }
 
   /** Full audit artifact for target/bench.json: every timing, both passes.
@@ -153,13 +179,18 @@ object Bench {
   def fullJson(results: Seq[QueryTiming], sfDir: String,
       orderSeed: Option[Long] = None): String = {
     def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    def runsArr(rs: Seq[(Double, Double)]) = rs
+      .map { case (sec, la) => f"""{"sec":$sec%.3f,"load":$la%.2f}""" }
+      .mkString("[", ",", "]")
     val qs = results.map { r =>
       val base = r.baseline.fold("null")(b => f"$b%.3f")
       val rerun = r.rerun.fold("null")(arr)
+      val rr = r.rerunRuns.fold("null")(runsArr)
       "\"" + r.name + "\":{" +
         s""""timings":${arr(r.timings)},"median":${f"${r.mainMedian}%.3f"},""" +
         s""""min":${f"${r.minOfRuns}%.3f"},"baseline":$base,""" +
-        s""""rerun":$rerun,"final":${f"${r.finalMedian}%.3f"}}"""
+        s""""rerun":$rerun,"final":${f"${r.finalMedian}%.3f"},""" +
+        s""""runs":${runsArr(r.mainRuns)},"rerun_runs":$rr}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -142,4 +142,19 @@ class BenchSpec extends AnyFunSuite {
     // the checked-in resource must parse if present
     Bench.loadBaseline() // throws on malformed lines
   }
+
+  test("contention telemetry (VERDICT r12 #8): every timed run carries a " +
+    "loadavg sample in run order, and the audit JSON serializes it") {
+    val t = Bench.timeQuery("q", () => (), Some(10.0))
+    assert(t.mainRuns.length === 3, "3 timed runs -> 3 (sec, load) pairs")
+    assert(t.mainRuns.forall { case (sec, la) => sec >= 0.0 && la >= -1.0 })
+    val slow = Bench.QueryTiming("k24", Seq(6.0, 8.0, 26.35), None, Some(6.0),
+      mainRuns = Seq((8.0, 2.1), (6.0, 1.9), (26.35, 31.5)))
+    val json = Bench.fullJson(Seq(slow), "sf")
+    assert(json.contains("\"runs\":[{\"sec\":8.000,\"load\":2.10}"),
+      s"run-ordered (sec, load) pairs must serialize: $json")
+    assert(json.contains("\"load\":31.50"),
+      "the outlier run's load must be attributable in the audit")
+    assert(json.contains("\"rerun_runs\":null"))
+  }
 }
