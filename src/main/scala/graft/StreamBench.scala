@@ -59,7 +59,11 @@ object StreamBench {
       "s21_stream_snapshot_merge",
       // r12 late add: the composed-index ingest loop (assign + PQ-encode
       // + dual-surface epoch commit per micro-batch)
-      "s23_ivfpq_ingest")
+      "s23_ivfpq_ingest",
+      // r13: the DSv2 CDC source loop — cdf-enabled snapshot merges
+      // upstream plus the epoch-offset feed drain downstream; the
+      // round-over-round ratio prices write-time CDF + the source
+      "s24_cdc_source")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
