@@ -323,6 +323,16 @@ object LakeSnapshot {
   def currentEpoch(spark: SparkSession, dir: String): Int =
     maxEpoch(spark, dir)
 
+  /** The folded table state external planners read — the DSv2 batch
+    * relation ([[graft.sources.GraftLakeSource]]) derives its file
+    * partitions, key column, and column mapping from exactly the view a
+    * Scala-API reader would fold, so the two surfaces can never disagree
+    * on what is committed. Driver-side metadata only.
+    */
+  def tableState(
+      spark: SparkSession, dir: String, asOf: Option[Int] = None): LakeState =
+    asOf.map(viewAt(spark, dir, _)).getOrElse(liveView(spark, dir))
+
   /** Advisory next-generation high-water mark (`manifest/_next_gen`): a
     * winner of [[claimGen]] records G+1 here so (a) the skip-scan starts
     * past every generation ever claimed instead of walking claim files,

@@ -1,0 +1,507 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.LakeSnapshot
+import graft.etl.LakeSnapshot.LakeState
+
+/** DataSource V2 BATCH relation over the snapshot lake (round-14 ring):
+  * `spark.read.format("graft-lake").option("path", dir)` — so external
+  * tools (SQL-only clients, other engines' Spark jobs) compose over the
+  * lake without calling the Scala API. `option("epoch", e)` pins a
+  * time-travel snapshot; both surfaces fold the SAME manifest state
+  * ([[LakeSnapshot.tableState]]), so a DSv2 read and a
+  * [[LakeSnapshot.read]] can never disagree on what is committed.
+  *
+  * Plan shape, built for the 100 TB case:
+  *   - planning is driver-side METADATA only: one manifest fold + one
+  *     file listing per live generation directory of the SELECTED days;
+  *   - `day` filters push down into that selection
+  *     ([[SupportsPushDownFilters]]) — an untouched day's files are
+  *     never listed, let alone opened — and
+  *     [[SupportsRuntimeFiltering]] re-prunes the day set at execution
+  *     time, so a join against a small dimension of days dynamically
+  *     prunes partitions the static plan could not;
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]) reaches the
+  *     record conversion: unprojected columns are never materialized;
+  *   - one [[InputPartition]] PER BASE FILE, so scan parallelism follows
+  *     the data. MERGE-ON-READ folding is executor-side and
+  *     shuffle-free: each base-file reader loads its day's row-delta
+  *     key-state (O(batch) by design — OPTIMIZE absorbs deltas) and
+  *     drops superseded keys while streaming, the equality-delete shape
+  *     Iceberg uses; one extra partition per delta-carrying day emits
+  *     the youngest-wins upsert rows. Delta-free days (the steady state
+  *     after OPTIMIZE) pay zero fold cost;
+  *   - the column MAPPING (rename/drop as manifest-only commits) is
+  *     applied at conversion: files keep physical names forever, the
+  *     reader surfaces the logical names of the pinned epoch.
+  *
+  * Readers are the same standalone parquet-example shape as
+  * [[CdcPartitionReader]], extended with INT96 (legacy Spark timestamp)
+  * and MILLIS/NANOS unit normalization so any generation a Spark writer
+  * ever produced stays readable.
+  */
+class GraftLakeSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = GraftLakeSource.dirOf(options.asScala.toMap)
+    Option(options.get("epoch")).map(_.toInt) match {
+      case Some(e) => LakeSnapshot.readAt(spark, dir, e).schema
+      case None => LakeSnapshot.read(spark, dir).schema
+    }
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LakeTable(schema, properties.asScala.toMap)
+}
+
+object GraftLakeSource {
+  private[sources] def dirOf(props: Map[String, String]): String =
+    props.getOrElse("path",
+      sys.error("graft-lake: the 'path' option (lake directory) is required"))
+
+  /** Render a pushed filter value for the STRING day-partition compare.
+    * ISO dates order lexically, so range filters stay exact.
+    */
+  private[sources] def dayStr(v: Any): String = v match {
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case s: String => s
+    case u: UTF8String => u.toString
+    case other => other.toString
+  }
+
+  /** Is this a filter the planner can turn into exact day pruning? */
+  private[sources] def isDayFilter(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("day", _) | sources.In("day", _) |
+         sources.GreaterThan("day", _) | sources.GreaterThanOrEqual("day", _) |
+         sources.LessThan("day", _) | sources.LessThanOrEqual("day", _) |
+         sources.IsNotNull("day") => true
+    case _ => false
+  }
+
+  private[sources] def dayOk(day: String, fs: Seq[sources.Filter]): Boolean =
+    fs.forall {
+      case sources.EqualTo("day", v) => day == dayStr(v)
+      case sources.In("day", vs) => vs.exists(v => day == dayStr(v))
+      case sources.GreaterThan("day", v) => day > dayStr(v)
+      case sources.GreaterThanOrEqual("day", v) => day >= dayStr(v)
+      case sources.LessThan("day", v) => day < dayStr(v)
+      case sources.LessThanOrEqual("day", v) => day <= dayStr(v)
+      case _ => true // IsNotNull (partition values are never null), residual
+    }
+}
+
+private[sources] class LakeTable(
+    tableSchema: StructType, props: Map[String, String])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-lake:${props.getOrElse("path", "?")}"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(tableSchema, props)
+}
+
+private[sources] class LakeScanBuilder(
+    fullSchema: StructType, props: Map[String, String])
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var dayFilters: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (day, rest) = filters.partition(GraftLakeSource.isDayFilter)
+    dayFilters = day
+    rest // residual: Spark evaluates everything else above the scan
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = dayFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands the projection it needs; an empty prune (count(*))
+    // still reads day-partition row counts correctly via empty rows
+    required = requiredSchema
+
+  override def build(): Scan =
+    new LakeScan(required, props, dayFilters.toSeq)
+}
+
+private[sources] class LakeScan(
+    prunedSchema: StructType, props: Map[String, String],
+    staticDayFilters: Seq[sources.Filter])
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  private val dir = GraftLakeSource.dirOf(props)
+  private val asOf = props.get("epoch").map(_.toInt)
+
+  // runtime (DPP-style) filters arrive after planning starts; they only
+  // ever SHRINK the day set, so late arrival is safe
+  @volatile private var runtimeDayFilters: Seq[sources.Filter] = Nil
+
+  // ONE manifest fold per scan, shared by partition planning and the
+  // reader factory — folding twice would let a commit racing the read
+  // pair a new column mapping with the old generation set (the staging
+  // TOCTOU shape ADVICE r12 closed in LakeSnapshot)
+  private lazy val state: LakeState =
+    LakeSnapshot.tableState(SparkSession.active, dir, asOf)
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def description(): String = {
+    val eff = staticDayFilters ++ runtimeDayFilters
+    s"graft-lake $dir${asOf.map(e => s" epoch=$e").getOrElse("")}" +
+      (if (eff.nonEmpty) s" dayFilters=${eff.mkString(",")}" else "")
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("day"))
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    runtimeDayFilters = filters.toSeq.filter(GraftLakeSource.isDayFilter)
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    require(state.nonEmpty, s"no committed snapshot at $dir")
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eff = staticDayFilters ++ runtimeDayFilters
+    def files(d: String): Seq[String] = {
+      val dp = new Path(d)
+      if (!fs.exists(dp)) sys.error(
+        s"graft-lake: committed generation directory $d is missing — " +
+          "vacuumed past this reader's epoch? (raise the retention)")
+      fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
+    val sel = state.days.toSeq.sortBy(_._1)
+      .filter { case (d, _) => GraftLakeSource.dayOk(d, eff) }
+    val anyDeltas = sel.exists(_._2.deltas.nonEmpty)
+    val key = state.key.orNull
+    if (anyDeltas) require(key != null,
+      s"delta generations exist at $dir but no table key is recorded")
+    sel.flatMap { case (day, ds) =>
+      // commit-order fold positions: generation numbers are claim-ordered,
+      // not commit-ordered, so seq comes from the manifest fold
+      val deltas = ds.deltas.zipWithIndex.flatMap { case (g, i) =>
+        files(s"${p.delta}/gen=$g/day=$day").map(LakeDeltaFileRef(_, i + 1))
+      }
+      val base =
+        if (ds.base < 0) Nil
+        else files(s"${p.data}/gen=${ds.base}/day=$day")
+          .map(f => LakeBaseFilePartition(day, f, deltas, key): InputPartition)
+      base ++ (if (deltas.nonEmpty)
+        Seq(LakeDeltaFoldPartition(day, deltas, key): InputPartition)
+      else Nil)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // physical file column behind each projected logical column; `day`
+    // is the partition value (never stored in files)
+    val physical = prunedSchema.fields.map { f =>
+      if (f.name == "day") null
+      else state.physicalFor(f.name).getOrElse(sys.error(
+        s"graft-lake: projected column '${f.name}' has no physical " +
+          s"binding at $dir — not a live column of this epoch"))
+    }
+    new LakeReaderFactory(prunedSchema, physical,
+      spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+  }
+}
+
+/** One row-delta parquet file + its commit-order fold position. */
+final case class LakeDeltaFileRef(path: String, seq: Int)
+
+/** One base-generation file of `day`, with the day's full delta list so
+  * the reader can drop superseded keys while streaming.
+  */
+final case class LakeBaseFilePartition(
+    day: String, file: String, deltas: Seq[LakeDeltaFileRef], key: String)
+  extends InputPartition
+
+/** The per-day delta fold: emits the youngest-wins upsert image of the
+  * day's delta generations (rows whose youngest op is `u`).
+  */
+final case class LakeDeltaFoldPartition(
+    day: String, deltas: Seq[LakeDeltaFileRef], key: String)
+  extends InputPartition
+
+private[sources] class LakeReaderFactory(
+    schema: StructType, physical: Array[String],
+    hadoopConf: Map[String, String])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case b: LakeBaseFilePartition =>
+        new LakeBaseReader(b, schema, physical, hadoopConf)
+      case d: LakeDeltaFoldPartition =>
+        new LakeDeltaFoldReader(d, schema, physical, hadoopConf)
+      case other => sys.error(s"graft-lake: unexpected partition $other")
+    }
+}
+
+/** Standalone parquet-example record access shared by the lake readers:
+  * Group → typed value with the full timestamp story (INT96 legacy,
+  * MILLIS/MICROS/NANOS int64 annotations → micros) so every generation
+  * a Spark writer ever produced reads identically.
+  */
+private[sources] object LakeGroupRead {
+
+  def confOf(hadoopConf: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Streaming iterator over one parquet file's Groups. */
+  final class GroupIterator(path: String, conf: Configuration)
+    extends Iterator[Group] with AutoCloseable {
+    private val reader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+    private val io = new ColumnIOFactory().getColumnIO(fileSchema)
+    private var rr: org.apache.parquet.io.RecordReader[Group] = _
+    private var remaining = 0L
+    override def hasNext: Boolean = {
+      while (remaining == 0L) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        rr = io.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        remaining = pages.getRowCount
+      }
+      true
+    }
+    override def next(): Group = { remaining -= 1; rr.read() }
+    override def close(): Unit = reader.close()
+  }
+
+  private val JulianEpochDay = 2440588L // 1970-01-01 as a julian day
+
+  private def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val bytes = b.getBytes // little-endian: 8B nanos-of-day, 4B julian day
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanos = buf.getLong
+    val julian = buf.getInt
+    (julian - JulianEpochDay) * 86400L * 1000000L + nanos / 1000L
+  }
+
+  private def timestampMicros(
+      g: Group, fs: MessageType, name: String): Long = {
+    val pt = fs.getType(fs.getFieldIndex(name)).asPrimitiveType()
+    if (pt.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96)
+      return int96Micros(g.getInt96(name, 0))
+    val raw = g.getLong(name, 0)
+    pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+          case LogicalTypeAnnotation.TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
+          case _ => raw
+        }
+      case _ => raw
+    }
+  }
+
+  /** The Catalyst-internal value of `name` under the declared Spark type
+    * — null when the column is absent from this file (schema evolution)
+    * or null in this row.
+    */
+  def internalValue(
+      g: Group, fs: MessageType, name: String, dt: DataType): Any =
+    if (!fs.containsField(name)) null
+    else if (g.getFieldRepetitionCount(name) == 0) null
+    else dt match {
+      case TimestampType => timestampMicros(g, fs, name)
+      case LongType => g.getLong(name, 0)
+      case IntegerType => g.getInteger(name, 0)
+      case DateType => g.getInteger(name, 0)
+      case DoubleType => g.getDouble(name, 0)
+      case FloatType => g.getFloat(name, 0)
+      case BooleanType => g.getBoolean(name, 0)
+      case StringType => UTF8String.fromString(g.getString(name, 0))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake reader: unsupported column type $other for '$name'")
+    }
+
+  /** The fold-map key of this record: numerics normalize (int → long,
+    * float → double) so a key column whose physical width differs across
+    * generations still collides correctly; strings compare as String.
+    */
+  def keyValue(g: Group, fs: MessageType, name: String): Any = {
+    if (!fs.containsField(name) || g.getFieldRepetitionCount(name) == 0)
+      return null
+    val pt =
+      fs.getType(fs.getFieldIndex(name)).asPrimitiveType().getPrimitiveTypeName
+    pt match {
+      case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(name, 0)
+      case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(name, 0).toLong
+      case PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(name, 0)
+      case PrimitiveType.PrimitiveTypeName.FLOAT => g.getFloat(name, 0).toDouble
+      case PrimitiveType.PrimitiveTypeName.BOOLEAN => g.getBoolean(name, 0)
+      case _ => g.getString(name, 0)
+    }
+  }
+
+  /** Fold a day's delta files into key → (youngest seq, youngest op).
+    * O(delta rows) time, O(distinct delta keys) memory — the deltas are
+    * O(batch) by design (OPTIMIZE absorbs them into bases).
+    */
+  def deltaState(
+      deltas: Seq[LakeDeltaFileRef], key: String,
+      conf: Configuration): java.util.HashMap[Any, (Int, String)] = {
+    val m = new java.util.HashMap[Any, (Int, String)]()
+    deltas.foreach { ref =>
+      val it = new GroupIterator(ref.path, conf)
+      try it.foreach { g =>
+        val k = keyValue(g, it.fileSchema, key)
+        val prev = m.get(k)
+        if (prev == null || ref.seq >= prev._1)
+          m.put(k, (ref.seq, g.getString("__op", 0)))
+      } finally it.close()
+    }
+    m
+  }
+}
+
+private[sources] abstract class LakeRowReader(
+    day: String, schema: StructType, physical: Array[String])
+  extends PartitionReader[InternalRow] {
+
+  private val epochDay: Int =
+    java.time.LocalDate.parse(day).toEpochDay.toInt
+
+  protected def convert(g: Group, fs: MessageType): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) =
+        if (physical(i) == null) epochDay // the day partition value
+        else LakeGroupRead.internalValue(
+          g, fs, physical(i), schema.fields(i).dataType)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}
+
+/** Streams one base file, dropping every key a younger delta superseded
+  * (upsert rewrites it, delete marker removes it — either way the base
+  * row is dead).
+  */
+private[sources] class LakeBaseReader(
+    part: LakeBaseFilePartition, schema: StructType,
+    physical: Array[String], hadoopConf: Map[String, String])
+  extends LakeRowReader(part.day, schema, physical) {
+
+  private val conf = LakeGroupRead.confOf(hadoopConf)
+  private val superseded =
+    if (part.deltas.isEmpty) null
+    else LakeGroupRead.deltaState(part.deltas, part.key, conf)
+  private val it = new LakeGroupRead.GroupIterator(part.file, conf)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val g = it.next()
+      if (superseded == null ||
+          !superseded.containsKey(
+            LakeGroupRead.keyValue(g, it.fileSchema, part.key))) {
+        current = convert(g, it.fileSchema)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = it.close()
+}
+
+/** Emits the day's youngest-wins delta image: one pass builds the winner
+  * map, a second emits exactly the rows whose (key, seq) won with op `u`
+  * — delete markers and superseded upserts vanish. Per-(gen, day) keys
+  * are unique (the stager collapses its batch), so (key, seq) identifies
+  * one row.
+  */
+private[sources] class LakeDeltaFoldReader(
+    part: LakeDeltaFoldPartition, schema: StructType,
+    physical: Array[String], hadoopConf: Map[String, String])
+  extends LakeRowReader(part.day, schema, physical) {
+
+  private val conf = LakeGroupRead.confOf(hadoopConf)
+  private val winners =
+    LakeGroupRead.deltaState(part.deltas, part.key, conf)
+  private val files = part.deltas.iterator
+  private var it: LakeGroupRead.GroupIterator = _
+  private var seq = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (it == null || !it.hasNext) {
+        if (it != null) { it.close(); it = null }
+        if (!files.hasNext) return false
+        val ref = files.next()
+        it = new LakeGroupRead.GroupIterator(ref.path, conf)
+        seq = ref.seq
+      }
+      while (it.hasNext) {
+        val g = it.next()
+        val w = winners.get(LakeGroupRead.keyValue(g, it.fileSchema, part.key))
+        if (w != null && w._1 == seq && w._2 == "u") {
+          current = convert(g, it.fileSchema)
+          return true
+        }
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (it != null) it.close()
+}
