@@ -81,15 +81,18 @@ import graft.ops.{ClaimStore, FsClaimStore, IncrementalDedup}
   * the smallest correct subset of a lake table format the zero-egress
   * image can carry.
   *
-  * STATED LIMITATIONS (what a real table format adds that this does not):
-  * column RENAME/DROP need a rewrite (no column-mapping metadata — names
-  * bind physically in parquet); transactions span ONE table (no
-  * multi-table commit); the conditional manifest create inherits
+  * STATED LIMITATIONS (what a real table format adds that this does
+  * not): the conditional manifest create inherits
   * [[IncrementalDedup.Manifest.writeIfAbsent]]'s storage contract (HDFS /
   * file:// in-image; S3-class stores plug a conditional put into the
-  * [[ClaimStore]] seam); and row-delta commits do not materialize
-  * write-time change sidecars (their CDC reads via [[readChanges]]'s
-  * snapshot diff).
+  * [[ClaimStore]] seam); delete deltas are row markers, not deletion
+  * vectors (folding re-reads the marker rows, no bitmap skip); and a
+  * `cdf = true` row delta gives up never-abort — its preimages pin the
+  * staging snapshot, so an overlapping non-maintenance commit aborts it
+  * ([[commitDelta]]). Column RENAME/DROP are manifest-only commits
+  * ([[renameColumn]]/[[dropColumn]] via the column mapping), and
+  * multi-table transactions pin per-table epochs through
+  * [[LakeTxn]].
   */
 object LakeSnapshot {
 
@@ -749,7 +752,8 @@ object LakeSnapshot {
   private[etl] def stageMergeDelta(
       spark: SparkSession, dir: String, batch: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Staged = {
+      store: ClaimStore = FsClaimStore,
+      cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
     val b = LakeUpsert.dedupBatch(batch, keyCol)
       .withColumn("day", to_date(col(tsCol)).cast("string"))
@@ -764,7 +768,18 @@ object LakeSnapshot {
     val (viewX, addcols) = allocatePhysicals(b, live)
     toPhysical(b, viewX)
       .write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
-    Staged(gen, base, days, Nil, addcols = addcols)
+    // write-time CDF for a delta commit needs PREIMAGES — one folded
+    // read of the touched STORED days (the O(touched days) price a
+    // cdf=false delta never pays), and [[commitDelta]] must then abort
+    // on an overlapping commit (the images pin the predecessor state)
+    if (cdf) {
+      val storedDays = days.filter(live.days.contains).toSet
+      val stored =
+        if (storedDays.isEmpty) None
+        else Some(readDaysRaw(spark, dir, live, storedDays))
+      stageCdfMerge(spark, p, gen, stored, b.drop("__op"), keyCol)
+    }
+    Staged(gen, base, days, Nil, cdf = cdf, addcols = addcols)
   }
 
   /** Stage a row-DELTA delete: the (key, day) markers themselves, `__op =
@@ -776,7 +791,8 @@ object LakeSnapshot {
   private[etl] def stageDeleteDelta(
       spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Staged = {
+      store: ClaimStore = FsClaimStore,
+      cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
     val b = keys
       .select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
@@ -790,7 +806,18 @@ object LakeSnapshot {
         s"'${live.key.get}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
     b.write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
-    Staged(gen, base, days, Nil)
+    // delete preimages: the folded rows the markers will kill — markers
+    // for absent keys/days emit nothing (same suppression as the fold)
+    if (cdf) {
+      val storedDays = days.filter(live.days.contains).toSet
+      if (storedDays.nonEmpty) {
+        val stored = readDaysRaw(spark, dir, live, storedDays)
+        writeCdf(spark, p, gen,
+          stored.join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("delete")))
+      }
+    }
+    Staged(gen, base, days, Nil, cdf = cdf)
   }
 
   /** Publish a staged row delta. NO overlap abort, by design: a row
@@ -801,20 +828,44 @@ object LakeSnapshot {
     * OCC conflict into true row-level concurrency: two key-disjoint
     * same-day writers BOTH commit, no abort, no whole-day re-stage
     * (VERDICT r12 #1). Only the epoch-number race is retried.
+    *
+    * EXCEPTION — `staged.cdf`: a delta that staged write-time change
+    * images computed its PREIMAGES against the staging snapshot, so any
+    * overlapping mutation committed since invalidates them — the commit
+    * then aborts like the COW path ([[ConcurrentLakeMutationException]];
+    * `retries` on the public APIs re-stages). Content-identical
+    * maintenance commits (OPTIMIZE/ZORDER, `maint`) are exempt: they
+    * move files, not values, so the staged images stay exact.
     */
   private[etl] def commitDelta(
       spark: SparkSession, dir: String, staged: Staged,
       keyCol: String): Int = {
     val p = LakePaths(dir)
     if (staged.days.isEmpty) return staged.baseEpoch
+    val touched = staged.days.toSet
     while (true) {
       val rows = IncrementalDedup.Manifest.readFrom(
         spark, p.manifest, staged.baseEpoch + 1)
+      if (staged.cdf) {
+        val overlapping = rows.filter { case (_, kv) =>
+          !kv.contains("maint") &&
+            (uncsv(kv.getOrElse("days", "")) ++
+              uncsv(kv.getOrElse("dropped", ""))).exists(touched)
+        }
+        if (overlapping.nonEmpty)
+          throw new ConcurrentLakeMutationException(
+            s"epoch(s) ${overlapping.map(_._1).mkString(",")} committed " +
+              s"overlapping day(s) since this cdf delta staged against " +
+              s"epoch ${staged.baseEpoch} — its change preimages are " +
+              s"stale; staged gen ${staged.gen} abandoned (vacuum " +
+              "reclaims it); re-run the mutation")
+      }
       val e = (rows.map(_._1).maxOption.getOrElse(staged.baseEpoch)) + 1
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e, Seq(
         "deltagen" -> staged.gen.toString,
         "days" -> csv(staged.days),
         "key" -> keyCol) ++
+        (if (staged.cdf) Seq("cdf" -> "1") else Nil) ++
         (if (staged.addcols.nonEmpty) Seq("addcol" ->
           staged.addcols.map { case (ph, l) => s"$ph>$l" }.mkString(","))
          else Nil)))
@@ -833,9 +884,13 @@ object LakeSnapshot {
   def mergeDelta(
       spark: SparkSession, dir: String, batch: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Int =
-    commitDelta(spark, dir,
-      stageMergeDelta(spark, dir, batch, keyCol, tsCol, store), keyCol)
+      store: ClaimStore = FsClaimStore,
+      cdf: Boolean = false,
+      retries: Int = 0): Int =
+    withRebase(retries) { () =>
+      commitDelta(spark, dir,
+        stageMergeDelta(spark, dir, batch, keyCol, tsCol, store, cdf), keyCol)
+    }
 
   /** MERGE-ON-READ delete: commits (key, day) markers as a row-delta
     * generation — O(keys) cost, no abort; folded out at read. Same row
@@ -845,9 +900,13 @@ object LakeSnapshot {
   def deleteKeysDelta(
       spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, tsCol: String,
-      store: ClaimStore = FsClaimStore): Int =
-    commitDelta(spark, dir,
-      stageDeleteDelta(spark, dir, keys, keyCol, tsCol, store), keyCol)
+      store: ClaimStore = FsClaimStore,
+      cdf: Boolean = false,
+      retries: Int = 0): Int =
+    withRebase(retries) { () =>
+      commitDelta(spark, dir,
+        stageDeleteDelta(spark, dir, keys, keyCol, tsCol, store, cdf), keyCol)
+    }
 
   /** Publish a staged mutation: ONE conditional manifest-row create under
     * the OCC loop (see object scaladoc). Returns the committed epoch.
@@ -901,7 +960,7 @@ object LakeSnapshot {
     * would silently undo the winner's rows. The aborted attempt's
     * generation becomes vacuum fodder.
     */
-  private def withRebase(retries: Int)(attempt: () => Seq[String]): Seq[String] = {
+  private def withRebase[T](retries: Int)(attempt: () => T): T = {
     var left = retries
     while (true) {
       try return attempt()
@@ -911,7 +970,7 @@ object LakeSnapshot {
           left -= 1
       }
     }
-    Nil // unreachable
+    throw new IllegalStateException("unreachable")
   }
 
   /** Snapshot-atomic MERGE (upsert) keyed by `keyCol`, day-partitioned by
@@ -1299,12 +1358,15 @@ object LakeSnapshot {
       .filter { case (e, _) => e > from && e <= to }
       .flatMap { case (e, kv) =>
         if (kv.contains("snapshot")) None // checkpoint: no data change
-        else if (kv.contains("cdf")) Some(e -> kv("gen").toInt)
+        else if (kv.contains("cdf"))
+          // COW commits carry `gen`, row-delta commits `deltagen` — a
+          // cdf sidecar rides either kind under the same gen number
+          Some(e -> kv.getOrElse("gen", kv("deltagen")).toInt)
         else if (kv.contains("maint")) None // OPTIMIZE/ZORDER: CDC-silent
         else if (kv.contains("deltagen")) sys.error(
-          s"epoch $e at $dir is a row-delta commit — write-time change " +
-            "rows are not materialized for deltas; use readChanges " +
-            "(snapshot diff) for windows containing delta commits")
+          s"epoch $e at $dir is a row-delta commit without a change " +
+            "sidecar — re-run it with cdf=true or use readChanges " +
+            "(snapshot diff) for windows containing it")
         else sys.error(
           s"epoch $e at $dir committed without a change sidecar " +
             "(cdf=false) — the write-time feed would silently miss its " +
@@ -1420,8 +1482,9 @@ object LakeSnapshot {
     val cdfRoot = new Path(p.cdf)
     if (f.exists(cdfRoot)) {
       val cdfEpochByGen = rows.collect {
-        case (e, kv) if kv.contains("cdf") && kv.contains("gen") =>
-          kv("gen").toInt -> e
+        case (e, kv) if kv.contains("cdf") &&
+            (kv.contains("gen") || kv.contains("deltagen")) =>
+          kv.getOrElse("gen", kv("deltagen")).toInt -> e
       }.toMap
       f.listStatus(cdfRoot).filter(_.isDirectory).foreach { genDir =>
         val g = genDir.getPath.getName.stripPrefix("gen=").toInt

@@ -239,6 +239,81 @@ class LakeDeltaSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cdf=false"))
   }
 
+  test("DELTA CDF: write-time feed == snapshot-diff feed for cdf delta " +
+    "merges/deletes; identical rows suppress; delete preimages carry " +
+    "the younger correction") {
+    val dir = freshDir("delta_cdf")
+    seedLake(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    // update key 1, insert key 10, re-write key 3 IDENTICALLY (suppressed)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, ts(1), 100.0), (10L, ts(1), 10.0), (3L, ts(2), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val eA = LakeSnapshot.currentEpoch(spark, dir)
+    // delete key 1 — its preimage must be the YOUNGER delta value
+    // (100.0), not the base row — plus an absent-key no-op marker
+    LakeSnapshot.deleteKeysDelta(spark, dir,
+      Seq((1L, ts(1)), (99L, ts(1))).toDF("event_id", "ts"),
+      "event_id", "ts", cdf = true)
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    def census(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("value"), col("_change_type"))
+      .as[(Long, Double, String)].collect().toSet
+    // the write-time feed is PER-COMMIT granular (Delta CDF semantics);
+    // a two-snapshot diff TELESCOPES a key's multi-commit history, so
+    // the equivalence holds per commit window, not across one
+    val diff = census(LakeSnapshot.readChanges(spark, dir, e0, eA, "event_id")) ++
+      census(LakeSnapshot.readChanges(spark, dir, eA, e1, "event_id"))
+    val feed = census(LakeSnapshot.readChangesCdf(spark, dir, e0, e1))
+    assert(feed === diff)
+    assert(feed === Set(
+      (1L, 1.0, "update_preimage"), (1L, 100.0, "update_postimage"),
+      (10L, 10.0, "insert"), (1L, 100.0, "delete")))
+    // the streaming-source gen map resolves deltagen commits too
+    assert(LakeSnapshot.cdfGens(spark, dir, e0, e1).size === 2)
+  }
+
+  test("a cdf delta ABORTS when an overlapping commit invalidates its " +
+    "preimages; maintenance and disjoint-day commits are exempt") {
+    val dir = freshDir("delta_cdf_abort")
+    seedLake(dir)
+    import graft.ops.FsClaimStore
+    // stage a cdf delta against the current snapshot, then land an
+    // overlapping same-day mutation before the commit: the staged
+    // preimages are stale and the commit must abort
+    val staged = LakeSnapshot.stageMergeDelta(spark, dir,
+      Seq((1L, ts(1), 50.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", FsClaimStore, cdf = true)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((2L, ts(1), 20.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    intercept[LakeSnapshot.ConcurrentLakeMutationException] {
+      LakeSnapshot.commitDelta(spark, dir, staged, "event_id")
+    }
+    // a maintenance commit (content-identical) does NOT abort it
+    val staged2 = LakeSnapshot.stageMergeDelta(spark, dir,
+      Seq((1L, ts(1), 60.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", FsClaimStore, cdf = true)
+    LakeSnapshot.compactDays(spark, dir)
+    val e = LakeSnapshot.commitDelta(spark, dir, staged2, "event_id")
+    assert(e > 0)
+    // nor does a DISJOINT-day commit
+    val staged3 = LakeSnapshot.stageMergeDelta(spark, dir,
+      Seq((1L, ts(1), 70.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", FsClaimStore, cdf = true)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((8L, ts(2), 8.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.commitDelta(spark, dir, staged3, "event_id")
+    assert(content(dir).contains((1L, 70.0, "2024-01-01")))
+    // retries re-stage through the same public path as COW rebase
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, ts(1), 80.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true, retries = 2)
+    assert(content(dir).contains((1L, 80.0, "2024-01-01")))
+  }
+
   test("the fold read plan stays O(touched days): a day filter prunes " +
     "fast-path AND delta scans to that day's directories") {
     val dir = freshDir("prune")
