@@ -85,8 +85,7 @@ import graft.ops.{ClaimStore, FsClaimStore, IncrementalDedup}
   * not): the conditional manifest create inherits
   * [[IncrementalDedup.Manifest.writeIfAbsent]]'s storage contract (HDFS /
   * file:// in-image; S3-class stores plug a conditional put into the
-  * [[ClaimStore]] seam); delete deltas are row markers, not deletion
-  * vectors (folding re-reads the marker rows, no bitmap skip); and a
+  * [[ClaimStore]] seam); and a
   * `cdf = true` row delta gives up never-abort — its preimages pin the
   * staging snapshot, so an overlapping non-maintenance commit aborts it
   * ([[commitDelta]]). Column RENAME/DROP are manifest-only commits
@@ -99,19 +98,27 @@ object LakeSnapshot {
   final case class LakePaths(dir: String) {
     val data = s"$dir/data"
     val delta = s"$dir/delta"
+    val dv = s"$dir/dv"
     val cdf = s"$dir/cdf"
     val manifest = s"$dir/manifest"
   }
 
   /** One day's storage state under merge-on-read: the BASE generation
     * (whole-day copy-on-write image; -1 = no base, the day exists only as
-    * deltas) plus the ordered row-DELTA generations layered on top
-    * (commit order — folded at read, youngest wins per key). A rewrite
-    * commit (merge/delete/OPTIMIZE/ZORDER) resets the day to
-    * `DayState(g, Nil)`; a delta commit appends to `deltas`.
+    * deltas), the ordered row-DELTA generations layered on top (commit
+    * order — folded at read, youngest wins per key), and the DELETION
+    * VECTOR generations (`dvs` — Iceberg-style positional delete files
+    * that tombstone base rows by (file, position); order-free among
+    * themselves because they always bind to THIS base's immutable
+    * layout, and below every delta because a DV only commits against a
+    * delta-free day). A rewrite commit (merge/delete/OPTIMIZE/ZORDER)
+    * resets the day to `DayState(g, Nil, Nil)`; a delta commit appends
+    * to `deltas`; a DV commit appends to `dvs`.
     */
-  final case class DayState(base: Int, deltas: List[Int]) {
-    def gens: List[Int] = (if (base >= 0) List(base) else Nil) ++ deltas
+  final case class DayState(
+      base: Int, deltas: List[Int], dvs: List[Int] = Nil) {
+    def gens: List[Int] =
+      (if (base >= 0) List(base) else Nil) ++ deltas ++ dvs
   }
 
   /** The folded table state: per-day storage, the table's row key
@@ -158,6 +165,7 @@ object LakeSnapshot {
       dropped: Seq[String],  // days the mutation empties entirely
       cdf: Boolean = false,  // a change-data sidecar was staged for `gen`
       maint: Boolean = false, // content-identical maintenance (CDC-silent)
+      dv: Boolean = false,   // `gen` is a deletion-vector generation
       addcols: Seq[(String, String)] = Nil, // fresh (physical, logical) binds
       key: Option[String] = None) // the mutation's row key (recorded)
 
@@ -172,12 +180,16 @@ object LakeSnapshot {
     if (s == null || s.isEmpty) Nil else s.split(",").toSeq
 
   // a day renders as `d:b+d1+d2` (base generation + ordered delta
-  // generations); the legacy `d:g` form parses as a delta-free base
+  // generations) with deletion-vector generations as `~g` elements;
+  // the legacy `d:g` form parses as a delta-free base
   private def renderDay(s: DayState): String =
-    (s.base.toString +: s.deltas.map(_.toString)).mkString("+")
+    (s.base.toString +: (s.deltas.map(_.toString) ++
+      s.dvs.map(g => s"~$g"))).mkString("+")
   private def parseDay(s: String): DayState = {
     val parts = s.split("\\+").toList
-    DayState(parts.head.toInt, parts.tail.map(_.toInt))
+    val (dv, deltas) = parts.tail.partition(_.startsWith("~"))
+    DayState(parts.head.toInt, deltas.map(_.toInt),
+      dv.map(_.stripPrefix("~").toInt))
   }
   private def renderSnapshot(st: LakeState): String =
     st.days.toSeq.sortBy(_._1)
@@ -248,6 +260,14 @@ object LakeSnapshot {
         (m, d) =>
           val s = m.getOrElse(d, DayState(-1, Nil))
           m.updated(d, s.copy(deltas = s.deltas :+ g))
+      }
+      base0.copy(days = days2)
+    } else if (kv.contains("dvgen")) {
+      val g = kv("dvgen").toInt
+      val days2 = uncsv(kv.getOrElse("days", "")).foldLeft(base0.days) {
+        (m, d) =>
+          val s = m.getOrElse(d, DayState(-1, Nil))
+          m.updated(d, s.copy(dvs = s.dvs :+ g))
       }
       base0.copy(days = days2)
     } else {
@@ -449,9 +469,44 @@ object LakeSnapshot {
         .parquet(pairs.map { case (d, g) => s"${p.data}/gen=$g/day=$d" }: _*)
         .drop("gen")
         .withColumn("day", col("day").cast("string"))
+    // base image of `states`' days with DELETION VECTORS folded: days
+    // without DVs stream straight off their base; DV-carrying days
+    // subtract their positional tombstones with ONE broadcast anti-join
+    // on (file, row position) — no key shuffle, no window, wide rows
+    // never move (the DV selling point vs row markers)
+    def readBaseFolded(states: Seq[(String, DayState)]): DataFrame = {
+      val (dvPairs, plainPairs) = states.partition(_._2.dvs.nonEmpty)
+      val plain =
+        if (plainPairs.isEmpty) None
+        else Some(readBase(plainPairs.map { case (d, s) => (d, s.base) }))
+      val dvd =
+        if (dvPairs.isEmpty) None
+        else {
+          val base = spark.read
+            .option("basePath", p.data).option("mergeSchema", "true")
+            .parquet(dvPairs.map { case (d, s) =>
+              s"${p.data}/gen=${s.base}/day=$d" }: _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .drop("gen")
+            .withColumn("day", col("day").cast("string"))
+          val dvPaths = dvPairs.flatMap { case (d, s) =>
+            s.dvs.map(g => s"${p.dv}/gen=$g/day=$d") }
+          val tomb = spark.read.option("basePath", p.dv)
+            .parquet(dvPaths: _*)
+            .select(col("file").as("__file"), col("pos").as("__pos"))
+          Some(base.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
+            .drop("__file", "__pos"))
+        }
+      (plain, dvd) match {
+        case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+        case (Some(a), None) => a
+        case (None, b) => b.get
+      }
+    }
     val fastDf =
       if (fast.isEmpty) None
-      else Some(readBase(fast.map { case (d, s) => (d, s.base) }))
+      else Some(readBaseFolded(fast))
     val foldDf =
       if (fold.isEmpty) None
       else {
@@ -474,10 +529,10 @@ object LakeSnapshot {
           .withColumn("day", col("day").cast("string"))
           .join(broadcast(seqDf), Seq("day", "gen"))
           .drop("gen")
-        val basePairs = fold.collect { case (d, s) if s.base >= 0 => (d, s.base) }
+        val baseStates = fold.filter(_._2.base >= 0)
         val withBase =
-          if (basePairs.isEmpty) deltas
-          else readBase(basePairs)
+          if (baseStates.isEmpty) deltas
+          else readBaseFolded(baseStates) // DVs fold below the key fold
             .withColumn("__seq", lit(0L))
             .withColumn("__op", lit("u"))
             .unionByName(deltas, allowMissingColumns = true)
@@ -820,6 +875,68 @@ object LakeSnapshot {
     Staged(gen, base, days, Nil, cdf = cdf)
   }
 
+  /** Stage a POSITIONAL delete (deletion vectors): instead of row
+    * markers folded by a key window, the doomed rows are located ONCE at
+    * write time and tombstoned by (base file, row position) — flat
+    * positional delete files (`dv/gen=G/day=D`: file, pos), the Iceberg
+    * positional-delete shape. Staging pays one metadata-augmented read
+    * of the touched days' bases plus a key semi-join; every subsequent
+    * read then subtracts the tombstones with a broadcast anti-join — no
+    * key shuffle, no window, wide rows never move (the write-once vs
+    * fold-per-read trade against [[stageDeleteDelta]]). Positions bind
+    * to the base's immutable file layout, so the day must be DELTA-FREE
+    * (fold truth for a key under pending deltas is not positional) and
+    * [[commit]]'s OCC abort covers any overlapping commit — including
+    * maintenance, which rewrites the very positions. Prior DVs fold
+    * into the location read, so an already-dead row never re-tombstones.
+    * A fully-tombstoned day keeps its (empty) view until OPTIMIZE
+    * absorbs the DVs and the written-layout census drops it.
+    */
+  private[etl] def stageDeletePositional(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore): Staged = {
+    val p = LakePaths(dir)
+    val b = keys
+      .select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
+      .distinct()
+    val (base, live) = stagingSnapshot(spark, dir)
+    require(live.key.forall(_ == keyCol),
+      s"delete key '$keyCol' does not match the table's recorded key " +
+        s"'${live.key.getOrElse("")}' at $dir")
+    val days = b.select("day").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+      .filter(live.days.contains) // deleting from an absent day is a no-op
+    if (days.isEmpty) return Staged(-1, base, Nil, Nil)
+    val pending = days.filter(d => live.days(d).deltas.nonEmpty)
+    require(pending.isEmpty,
+      s"positional delete binds to base row positions, but day(s) " +
+        s"${pending.mkString(",")} carry pending row deltas — OPTIMIZE " +
+        "(compactDays) first or use deleteKeysDelta")
+    val gen = claimGen(spark, dir, base + 1, store)
+    val states = days.map(d => d -> live.days(d))
+    val baseMeta = spark.read
+      .option("basePath", p.data).option("mergeSchema", "true")
+      .parquet(states.map { case (d, s) =>
+        s"${p.data}/gen=${s.base}/day=$d" }: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .withColumn("day", col("day").cast("string"))
+    val priorPaths = states.flatMap { case (d, s) =>
+      s.dvs.map(g => s"${p.dv}/gen=$g/day=$d") }
+    val liveBase =
+      if (priorPaths.isEmpty) baseMeta
+      else baseMeta.join(
+        broadcast(spark.read.option("basePath", p.dv).parquet(priorPaths: _*)
+          .select(col("file").as("__file"), col("pos").as("__pos"))),
+        Seq("__file", "__pos"), "left_anti")
+    liveBase
+      .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("day"), col("__file").as("file"), col("__pos").as("pos"))
+      .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen")
+    Staged(gen, base, days, Nil, dv = true, key = Some(keyCol))
+  }
+
   /** Publish a staged row delta. NO overlap abort, by design: a row
     * delta FOLDS over whatever committed since staging — a concurrent
     * delta serializes by epoch order (youngest wins per key), and a
@@ -935,7 +1052,7 @@ object LakeSnapshot {
             "(vacuum reclaims it); re-run the mutation")
       val e = (rows.map(_._1).maxOption.getOrElse(staged.baseEpoch)) + 1
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e, Seq(
-        "gen" -> staged.gen.toString,
+        (if (staged.dv) "dvgen" else "gen") -> staged.gen.toString,
         "days" -> csv(staged.days),
         "dropped" -> csv(staged.dropped)) ++
         (if (staged.cdf) Seq("cdf" -> "1") else Nil) ++
@@ -1007,6 +1124,24 @@ object LakeSnapshot {
       val staged = stageDelete(spark, dir, keys, keyCol, tsCol, store, cdf)
       commit(spark, dir, staged)
       staged.days ++ staged.dropped
+    }
+
+  /** DELETE `keys` as DELETION VECTORS ([[stageDeletePositional]]):
+    * positional tombstones written once, subtracted at read by a
+    * broadcast anti-join — the delete representation for wide-row
+    * tables where a key-window fold per read is the dominant cost.
+    * Requires the touched days delta-free; `retries` rebases on OCC
+    * aborts like [[merge]]. Returns the touched days.
+    */
+  def deleteKeysPositional(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, tsCol: String,
+      store: ClaimStore = FsClaimStore,
+      retries: Int = 0): Seq[String] =
+    withRebase(retries) { () =>
+      val staged = stageDeletePositional(spark, dir, keys, keyCol, tsCol, store)
+      commit(spark, dir, staged)
+      staged.days
     }
 
   /** RENAME a column: a MANIFEST-ONLY commit (VERDICT r12 #3) — zero
@@ -1388,9 +1523,11 @@ object LakeSnapshot {
       val op =
         if (kv.contains("snapshot")) "checkpoint"
         else if (kv.contains("deltagen")) "delta"
+        else if (kv.contains("dvgen")) "delete-vector"
         else if (uncsv(kv.getOrElse("dropped", "")).nonEmpty) "delete"
         else "write"
-      (e, op, kv.getOrElse("deltagen", kv.getOrElse("gen", "-1")).toInt,
+      (e, op, kv.getOrElse("deltagen",
+        kv.getOrElse("dvgen", kv.getOrElse("gen", "-1"))).toInt,
         uncsv(kv.getOrElse("days", "")).length,
         uncsv(kv.getOrElse("dropped", "")).length,
         new java.sql.Timestamp(
@@ -1442,9 +1579,10 @@ object LakeSnapshot {
     val live = folded
     val now = System.currentTimeMillis()
     def expired(tMs: Long): Boolean = retainMs <= 0L || now - tMs >= retainMs
-    // both storage roots carry generation directories: whole-day bases
-    // under data/, row deltas under delta/ — identical reachability rules
-    Seq(p.data, p.delta).foreach { rootDir =>
+    // all three storage roots carry generation directories: whole-day
+    // bases under data/, row deltas under delta/, deletion vectors under
+    // dv/ — identical reachability rules
+    Seq(p.data, p.delta, p.dv).foreach { rootDir =>
     val dataRoot = new Path(rootDir)
     if (!f.exists(dataRoot)) () else
     f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
@@ -1507,6 +1645,7 @@ object LakeSnapshot {
         case ClaimName(g) if g.toInt + 1 <= hint &&
             !f.exists(new Path(s"${p.data}/gen=${g.toInt}")) &&
             !f.exists(new Path(s"${p.delta}/gen=${g.toInt}")) &&
+            !f.exists(new Path(s"${p.dv}/gen=${g.toInt}")) &&
             !f.exists(new Path(s"${p.cdf}/gen=${g.toInt}")) =>
           f.delete(st.getPath, false)
         case _ => ()

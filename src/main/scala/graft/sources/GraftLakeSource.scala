@@ -224,10 +224,13 @@ private[sources] class LakeScan(
       val deltas = ds.deltas.zipWithIndex.flatMap { case (g, i) =>
         files(s"${p.delta}/gen=$g/day=$day").map(LakeDeltaFileRef(_, i + 1))
       }
+      // deletion vectors: flat positional tombstones over the day's base
+      val dvFiles = ds.dvs.flatMap(g => files(s"${p.dv}/gen=$g/day=$day"))
       val base =
         if (ds.base < 0) Nil
         else files(s"${p.data}/gen=${ds.base}/day=$day")
-          .map(f => LakeBaseFilePartition(day, f, deltas, key): InputPartition)
+          .map(f =>
+            LakeBaseFilePartition(day, f, deltas, dvFiles, key): InputPartition)
       base ++ (if (deltas.nonEmpty)
         Seq(LakeDeltaFoldPartition(day, deltas, key): InputPartition)
       else Nil)
@@ -254,10 +257,12 @@ private[sources] class LakeScan(
 final case class LakeDeltaFileRef(path: String, seq: Int)
 
 /** One base-generation file of `day`, with the day's full delta list so
-  * the reader can drop superseded keys while streaming.
+  * the reader can drop superseded keys while streaming, and the day's
+  * deletion-vector files so tombstoned positions skip.
   */
 final case class LakeBaseFilePartition(
-    day: String, file: String, deltas: Seq[LakeDeltaFileRef], key: String)
+    day: String, file: String, deltas: Seq[LakeDeltaFileRef],
+    dvFiles: Seq[String], key: String)
   extends InputPartition
 
 /** The per-day delta fold: emits the youngest-wins upsert image of the
@@ -429,7 +434,9 @@ private[sources] abstract class LakeRowReader(
 
 /** Streams one base file, dropping every key a younger delta superseded
   * (upsert rewrites it, delete marker removes it — either way the base
-  * row is dead).
+  * row is dead) and every position a deletion vector tombstoned. The
+  * position is the running record index in file order — exactly what
+  * the writer recorded from `_metadata.row_index`.
   */
 private[sources] class LakeBaseReader(
     part: LakeBaseFilePartition, schema: StructType,
@@ -440,15 +447,38 @@ private[sources] class LakeBaseReader(
   private val superseded =
     if (part.deltas.isEmpty) null
     else LakeGroupRead.deltaState(part.deltas, part.key, conf)
+  private val tombstoned: java.util.HashSet[Long] =
+    if (part.dvFiles.isEmpty) null
+    else {
+      // `file` was recorded from _metadata.file_path (file:///…) while
+      // part.file comes from a listing (file:/…) — compare scheme-free
+      def norm(s: String): String = new Path(s).toUri.getPath
+      val mine = norm(part.file)
+      val s = new java.util.HashSet[Long]()
+      part.dvFiles.foreach { f =>
+        val dvIt = new LakeGroupRead.GroupIterator(f, conf)
+        try dvIt.foreach { g =>
+          // flat positional tombstones: only OUR file's rows apply
+          if (norm(g.getString("file", 0)) == mine)
+            s.add(g.getLong("pos", 0))
+        } finally dvIt.close()
+      }
+      s
+    }
   private val it = new LakeGroupRead.GroupIterator(part.file, conf)
+  private var pos = -1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (it.hasNext) {
       val g = it.next()
-      if (superseded == null ||
-          !superseded.containsKey(
-            LakeGroupRead.keyValue(g, it.fileSchema, part.key))) {
+      pos += 1
+      val dead =
+        (tombstoned != null && tombstoned.contains(pos)) ||
+          (superseded != null &&
+            superseded.containsKey(
+              LakeGroupRead.keyValue(g, it.fileSchema, part.key)))
+      if (!dead) {
         current = convert(g, it.fileSchema)
         return true
       }
