@@ -1275,7 +1275,25 @@ object LakeSnapshot {
       spark: SparkSession, dir: String,
       aCol: org.apache.spark.sql.Column, bCol: org.apache.spark.sql.Column,
       files: Int, days: Seq[String] = Nil,
+      store: ClaimStore = FsClaimStore): Seq[String] =
+    optimizeZOrderN(spark, dir, Seq(aCol, bCol), files, days, store)
+
+  /** OPTIMIZE ... ZORDER BY (c1 … ck) for ANY k ≥ 2 (round-14 ring):
+    * the round-robin interleave [[ZOrder.mortonKeyN]] over k
+    * range-bucketized LONG dimensions. Bit budget: each dimension gets
+    * `min(16, 62/k)` bits, so adding a dimension costs every other
+    * dimension stat resolution — the standard z-order trade a caller
+    * accepts explicitly by listing more columns.
+    */
+  def optimizeZOrderN(
+      spark: SparkSession, dir: String,
+      dims: Seq[org.apache.spark.sql.Column],
+      files: Int, days: Seq[String] = Nil,
       store: ClaimStore = FsClaimStore): Seq[String] = {
+    val k = dims.length
+    require(k >= 2, s"z-order needs at least 2 dimensions, got $k")
+    val bits = math.min(16, 62 / k)
+    val scale = (1L << bits) - 1
     val p = LakePaths(dir)
     val (base, live) = stagingSnapshot(spark, dir)
     val touched =
@@ -1283,25 +1301,26 @@ object LakeSnapshot {
        else days.filter(live.days.contains)).sorted
     if (touched.isEmpty) return Nil
     val gen = claimGen(spark, dir, base + 1, store)
-    val df = readDaysRaw(spark, dir, live, touched.toSet)
-      .withColumn("__za", aCol.cast("long"))
-      .withColumn("__zb", bCol.cast("long"))
-    val bounds = df.agg(min("__za"), max("__za"), min("__zb"), max("__zb")).head()
-    val (mnA, mxA, mnB, mxB) =
-      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
-    df
+    val raw = readDaysRaw(spark, dir, live, touched.toSet)
+    val df = dims.zipWithIndex.foldLeft(raw) { case (d, (c, i)) =>
+      d.withColumn(s"__z$i", c.cast("long"))
+    }
+    val aggs = (0 until k).flatMap(i => Seq(min(s"__z$i"), max(s"__z$i")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketed = (0 until k).foldLeft(df) { (d, i) =>
+      val (mn, mx) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
       // p12's overflow-proof bucketize: DECIMAL(38,0) multiply, integral
-      // divide, both dimensions stretched to the full 16-bit Morton scale
-      .withColumn("__ba",
-        expr(s"(CAST(__za - $mnA AS DECIMAL(38,0)) * 65535) div " +
-          s"${math.max(1L, mxA - mnA)}"))
-      .withColumn("__bb",
-        expr(s"(CAST(__zb - $mnB AS DECIMAL(38,0)) * 65535) div " +
-          s"${math.max(1L, mxB - mnB)}"))
-      .withColumn("__zkey", ZOrder.mortonKey(col("__ba"), col("__bb")))
+      // divide, every dimension stretched to the full per-dim bit scale
+      d.withColumn(s"__b$i",
+        expr(s"(CAST(__z$i - $mn AS DECIMAL(38,0)) * $scale) div " +
+          s"${math.max(1L, mx - mn)}"))
+    }
+    bucketed
+      .withColumn("__zkey",
+        ZOrder.mortonKeyN((0 until k).map(i => col(s"__b$i")), bits))
       .repartitionByRange(files, col("day"), col("__zkey"))
       .sortWithinPartitions(col("day"), col("__zkey"))
-      .drop("__za", "__zb", "__ba", "__bb", "__zkey")
+      .drop((0 until k).flatMap(i => Seq(s"__z$i", s"__b$i")) :+ "__zkey": _*)
       .transform(toPhysical(_, live))
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     val f = fsOf(spark, dir)

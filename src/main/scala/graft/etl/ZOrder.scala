@@ -27,14 +27,29 @@ object ZOrder {
     * Built as a fold of shift/and/or columns: pure codegen'd integer ops,
     * no UDF, no driver involvement.
     */
-  def mortonKey(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+  def mortonKey(a: Column, b: Column, bits: Int = 16): Column =
+    mortonKeyN(Seq(a, b), bits)
+
+  /** N-DIMENSIONAL Morton key: round-robin bit interleave of `dims`
+    * (dims(0) owns positions 0, k, 2k…; dims(1) positions 1, k+1…).
+    * Every file of a layout range-partitioned on this key owns a
+    * k-rectangle in the bucketized space, so min/max stats stay narrow
+    * on ALL k columns. k·bits ≤ 62; with the default 16-bit scale that
+    * bounds k ≤ 3 — pass a smaller `bits` for more dimensions (each
+    * added dimension costs every other dimension stat resolution, the
+    * standard z-order trade).
+    */
+  def mortonKeyN(dims: Seq[Column], bits: Int = 16): Column = {
+    val k = dims.length
+    require(k >= 2, s"z-order needs at least 2 dimensions, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"$k dims x $bits bits exceed a non-negative long (k*bits <= 62)")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(
-          shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(
-          shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(d.cast("long"), i).bitwiseAND(lit(1L)),
+          k * i + j))
+      }
     }
   }
 

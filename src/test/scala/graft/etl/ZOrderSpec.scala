@@ -65,4 +65,73 @@ class ZOrderSpec extends AnyFunSuite {
     assert(tt <= 0.25, s"time-sort should cluster time tightly: $tt")
     assert(tu > 0.75, s"time-sort should NOT cluster user: $tu")
   }
+
+  test("N-dim morton key: round-robin bit placement, exact") {
+    // k=3, a=1 (bit 0 → pos 0), b=1 (bit 0 → pos 1), c=1 (bit 0 → pos 2)
+    // ⇒ key = 0b111 = 7; (a=2,b=0,c=1) ⇒ a bit1→pos3, c bit0→pos2 ⇒ 12
+    val k1 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.mortonKeyN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .head().getLong(0)
+    assert(k1 === 7L)
+    val k2 = Seq((2L, 0L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.mortonKeyN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .head().getLong(0)
+    assert(k2 === 12L)
+    // 2-dim N-key must equal the original pairwise key bit-for-bit
+    val (p2, pN) = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.mortonKey(col("a"), col("b")).as("z2"),
+        ZOrder.mortonKeyN(Seq(col("a"), col("b"))).as("zn"))
+      .as[(Long, Long)].head()
+    assert(p2 === pN)
+    // bit-budget guard: 4 dims × 16 bits would overflow a long
+    intercept[IllegalArgumentException] {
+      ZOrder.mortonKeyN(Seq(col("a"), col("b"), col("a"), col("b")), 16)
+    }
+  }
+
+  test("3-dim lake z-order clusters ALL THREE dimensions; the 2-dim " +
+    "layout leaves the third wide") {
+    import java.nio.file.{Files, Paths, Path => JPath}
+    def fresh(n: String): String = {
+      val p = Paths.get(s"target/etl/zorder3_spec/$n")
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+          .forEach(f => Files.deleteIfExists(f))
+      p.toString
+    }
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select("event_id", "user_id", "ts", "value")
+    def ratios(dir: String): (Double, Double, Double) = {
+      val back = LakeSnapshot.read(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      val g = back.agg(
+        (max("user_id") - min("user_id")).as("gu"),
+        (max("us") - min("us")).as("gt"),
+        (max("event_id") - min("event_id")).as("ge")).head()
+      val s = ZOrder.fileSpans(back, Seq("user_id", "us", "event_id"))
+        .agg(count(lit(1)).as("nf"), sum("span_user_id").as("su"),
+          sum("span_us").as("st"), sum("span_event_id").as("se")).head()
+      (s.getLong(1).toDouble / (s.getLong(0) * g.getLong(0)),
+        s.getLong(2).toDouble / (s.getLong(0) * g.getLong(1)),
+        s.getLong(3).toDouble / (s.getLong(0) * g.getLong(2)))
+    }
+    val d3 = fresh("z3")
+    LakeSnapshot.merge(spark, d3, ev, "event_id", "ts")
+    LakeSnapshot.optimizeZOrderN(spark, d3,
+      Seq(col("user_id"), unix_micros(col("ts")), col("event_id")),
+      files = 16)
+    val (u3, t3, e3) = ratios(d3)
+    assert(u3 <= 0.85 && t3 <= 0.85 && e3 <= 0.85,
+      s"3-dim z-order ratios: $u3, $t3, $e3")
+    // the 2-dim layout over (user, time) leaves event_id unclustered —
+    // the gap the third dimension exists to close (event_id at sf0.001
+    // correlates only weakly with (user, time) cells)
+    val d2 = fresh("z2")
+    LakeSnapshot.merge(spark, d2, ev, "event_id", "ts")
+    LakeSnapshot.optimizeZOrder(spark, d2,
+      col("user_id"), unix_micros(col("ts")), files = 16)
+    val (u2, t2, e2) = ratios(d2)
+    assert(u2 <= 0.85 && t2 <= 0.85, s"2-dim baseline ratios: $u2, $t2")
+    assert(e2 > e3, s"third dimension must tighten: 2-dim $e2 vs 3-dim $e3")
+  }
 }
