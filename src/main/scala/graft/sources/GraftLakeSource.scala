@@ -143,15 +143,23 @@ private[sources] class LakeScanBuilder(
 
   private var required: StructType = fullSchema
   private var dayFilters: Array[sources.Filter] = Array.empty
+  private var statFilters: Array[sources.Filter] = Array.empty
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
     val (day, rest) = filters.partition(GraftLakeSource.isDayFilter)
     dayFilters = day
+    // comparison filters on data columns become ROW-GROUP SKIP hints:
+    // the reader checks footer min/max stats per row group (parquet's
+    // native skipping granularity, executor-side, zero driver cost) —
+    // they stay RESIDUAL too, so Spark re-evaluates them row-by-row and
+    // a stats miss can never change results
+    statFilters = rest.filter(f => RowGroupFilter.of(f).isDefined)
     rest // residual: Spark evaluates everything else above the scan
   }
 
-  override def pushedFilters(): Array[sources.Filter] = dayFilters
+  override def pushedFilters(): Array[sources.Filter] =
+    dayFilters ++ statFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the projection it needs; an empty prune (count(*))
@@ -159,12 +167,13 @@ private[sources] class LakeScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new LakeScan(required, props, dayFilters.toSeq)
+    new LakeScan(required, props, dayFilters.toSeq, statFilters.toSeq)
 }
 
 private[sources] class LakeScan(
     prunedSchema: StructType, props: Map[String, String],
-    staticDayFilters: Seq[sources.Filter])
+    staticDayFilters: Seq[sources.Filter],
+    statFilters: Seq[sources.Filter] = Nil)
   extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val dir = GraftLakeSource.dirOf(props)
@@ -247,9 +256,61 @@ private[sources] class LakeScan(
         s"graft-lake: projected column '${f.name}' has no physical " +
           s"binding at $dir — not a live column of this epoch"))
     }
-    new LakeReaderFactory(prunedSchema, physical,
+    // skip hints resolve through the same column mapping as the
+    // projection: a filter on a renamed logical column checks the
+    // PHYSICAL chunk's stats; one on a non-live column is dropped
+    val skip = statFilters.flatMap(RowGroupFilter.of).flatMap { f =>
+      state.physicalFor(f.col).map(p => f.copy(col = p))
+    }
+    new LakeReaderFactory(prunedSchema, physical, skip,
       spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap)
+  }
+}
+
+/** A comparison filter normalized for footer-stats evaluation: `col` is
+  * the attribute (logical at capture, PHYSICAL once resolved), `op` one
+  * of eq/gt/ge/lt/le, and the value carried in the matching family
+  * (integral `lv` — longs, ints, dates as epoch days, timestamps as
+  * micros — or floating `dv`).
+  */
+final case class RowGroupFilter(
+    col: String, op: String, isFloat: Boolean, lv: Long, dv: Double)
+
+object RowGroupFilter {
+  private def norm(col: String, op: String, v: Any): Option[RowGroupFilter] =
+    v match {
+      case l: Long => Some(RowGroupFilter(col, op, isFloat = false, l, 0d))
+      case i: Int => Some(RowGroupFilter(col, op, isFloat = false, i.toLong, 0d))
+      case s: Short => Some(RowGroupFilter(col, op, isFloat = false, s.toLong, 0d))
+      case b: Byte => Some(RowGroupFilter(col, op, isFloat = false, b.toLong, 0d))
+      case d: Double => Some(RowGroupFilter(col, op, isFloat = true, 0L, d))
+      case f: Float => Some(RowGroupFilter(col, op, isFloat = true, 0L, f.toDouble))
+      case d: java.sql.Date =>
+        Some(RowGroupFilter(col, op, isFloat = false, d.toLocalDate.toEpochDay, 0d))
+      case d: java.time.LocalDate =>
+        Some(RowGroupFilter(col, op, isFloat = false, d.toEpochDay, 0d))
+      case t: java.sql.Timestamp =>
+        // getTime carries whole millis (incl. the nanos' millis part);
+        // add the sub-milli micros
+        Some(RowGroupFilter(col, op, isFloat = false,
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L, 0d))
+      case t: java.time.Instant =>
+        Some(RowGroupFilter(col, op, isFloat = false,
+          t.getEpochSecond * 1000000L + t.getNano / 1000L, 0d))
+      case _ => None // strings/decimals: correctness via the residual
+    }
+
+  /** The skip hint for a pushed filter, if its shape and value family
+    * are stats-comparable.
+    */
+  def of(f: sources.Filter): Option[RowGroupFilter] = f match {
+    case sources.EqualTo(a, v) => norm(a, "eq", v)
+    case sources.GreaterThan(a, v) => norm(a, "gt", v)
+    case sources.GreaterThanOrEqual(a, v) => norm(a, "ge", v)
+    case sources.LessThan(a, v) => norm(a, "lt", v)
+    case sources.LessThanOrEqual(a, v) => norm(a, "le", v)
+    case _ => None
   }
 }
 
@@ -274,13 +335,16 @@ final case class LakeDeltaFoldPartition(
 
 private[sources] class LakeReaderFactory(
     schema: StructType, physical: Array[String],
-    hadoopConf: Map[String, String])
+    skip: Seq[RowGroupFilter], hadoopConf: Map[String, String])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case b: LakeBaseFilePartition =>
-        new LakeBaseReader(b, schema, physical, hadoopConf)
+        // group skipping applies to the BASE stream only: the delta
+        // passes must see every key (winner maps), and they are
+        // O(batch)-small by design
+        new LakeBaseReader(b, schema, physical, skip, hadoopConf)
       case d: LakeDeltaFoldPartition =>
         new LakeDeltaFoldReader(d, schema, physical, hadoopConf)
       case other => sys.error(s"graft-lake: unexpected partition $other")
@@ -300,19 +364,44 @@ private[sources] object LakeGroupRead {
     c
   }
 
-  /** Streaming iterator over one parquet file's Groups. */
-  final class GroupIterator(path: String, conf: Configuration)
+  /** Diagnostic only (specs assert skipping actually fires in local
+    * mode); never read on a correctness path.
+    */
+  val skippedGroups = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming iterator over one parquet file's Groups. With `skip`
+    * filters, row groups whose footer min/max stats prove no row can
+    * match are skipped WITHOUT reading their pages — parquet's native
+    * skipping granularity, executor-side. NOTE: callers that skip must
+    * not also track running row positions (deletion vectors); the base
+    * reader separates the two (positions only advance on read groups it
+    * accounts for).
+    */
+  final class GroupIterator(
+      path: String, conf: Configuration,
+      skip: Seq[RowGroupFilter] = Nil,
+      onSkip: Long => Unit = _ => ())
     extends Iterator[Group] with AutoCloseable {
     private val reader =
       ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+    private val blocks = reader.getFooter.getBlocks
+    private var blockIdx = 0
     private val io = new ColumnIOFactory().getColumnIO(fileSchema)
     private var rr: org.apache.parquet.io.RecordReader[Group] = _
     private var remaining = 0L
     override def hasNext: Boolean = {
       while (remaining == 0L) {
+        while (skip.nonEmpty && blockIdx < blocks.size() &&
+            groupProvablyEmpty(blocks.get(blockIdx), skip, fileSchema)) {
+          onSkip(blocks.get(blockIdx).getRowCount)
+          skippedGroups.incrementAndGet()
+          reader.skipNextRowGroup()
+          blockIdx += 1
+        }
         val pages = reader.readNextRowGroup()
         if (pages == null) return false
+        blockIdx += 1
         rr = io.getRecordReader(pages, new GroupRecordConverter(fileSchema))
         remaining = pages.getRowCount
       }
@@ -320,6 +409,63 @@ private[sources] object LakeGroupRead {
     }
     override def next(): Group = { remaining -= 1; rr.read() }
     override def close(): Unit = reader.close()
+  }
+
+  /** True when `block`'s footer stats PROVE no row can satisfy some
+    * filter (comparison semantics: null rows never match, so an all-null
+    * or absent column chunk is skippable; missing/unknown stats are
+    * never skippable; INT96 stats are unusable).
+    */
+  def groupProvablyEmpty(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      filters: Seq[RowGroupFilter], fileSchema: MessageType): Boolean =
+    filters.exists { f =>
+      if (!fileSchema.containsField(f.col)) true // all-null evolution gap
+      else block.getColumns.asScala
+        .find(_.getPath.toDotString == f.col) match {
+        case None => true // chunk absent: all null in this group
+        case Some(cc) =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty) false
+          else if (!st.hasNonNullValue) true // every value null
+          else {
+            val pt = cc.getPrimitiveType.getPrimitiveTypeName
+            import PrimitiveType.PrimitiveTypeName._
+            (pt, f.isFloat) match {
+              case (INT64, false) | (INT32, false) =>
+                val (mn, mx) = (
+                  st.genericGetMin.asInstanceOf[Number].longValue(),
+                  st.genericGetMax.asInstanceOf[Number].longValue())
+                provablyEmptyLong(f.op, f.lv, mn, mx)
+              case (DOUBLE, true) | (FLOAT, true) =>
+                val (mn, mx) = (
+                  st.genericGetMin.asInstanceOf[Number].doubleValue(),
+                  st.genericGetMax.asInstanceOf[Number].doubleValue())
+                provablyEmptyDouble(f.op, f.dv, mn, mx)
+              case _ => false // family mismatch or INT96: no claim
+            }
+          }
+      }
+    }
+
+  private def provablyEmptyLong(
+      op: String, v: Long, mn: Long, mx: Long): Boolean = op match {
+    case "eq" => v < mn || v > mx
+    case "gt" => mx <= v
+    case "ge" => mx < v
+    case "lt" => mn >= v
+    case "le" => mn > v
+    case _ => false
+  }
+
+  private def provablyEmptyDouble(
+      op: String, v: Double, mn: Double, mx: Double): Boolean = op match {
+    case "eq" => v < mn || v > mx
+    case "gt" => mx <= v
+    case "ge" => mx < v
+    case "lt" => mn >= v
+    case "le" => mn > v
+    case _ => false
   }
 
   private val JulianEpochDay = 2440588L // 1970-01-01 as a julian day
@@ -440,7 +586,8 @@ private[sources] abstract class LakeRowReader(
   */
 private[sources] class LakeBaseReader(
     part: LakeBaseFilePartition, schema: StructType,
-    physical: Array[String], hadoopConf: Map[String, String])
+    physical: Array[String], skip: Seq[RowGroupFilter],
+    hadoopConf: Map[String, String])
   extends LakeRowReader(part.day, schema, physical) {
 
   private val conf = LakeGroupRead.confOf(hadoopConf)
@@ -465,8 +612,12 @@ private[sources] class LakeBaseReader(
       }
       s
     }
-  private val it = new LakeGroupRead.GroupIterator(part.file, conf)
   private var pos = -1L
+  // a skipped group's rows still occupy POSITIONS in the file — advance
+  // the running index so deletion-vector matching stays aligned (a
+  // tombstoned row inside a skipped group is dead either way)
+  private val it = new LakeGroupRead.GroupIterator(
+    part.file, conf, skip, n => pos += n)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

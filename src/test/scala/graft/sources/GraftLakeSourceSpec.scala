@@ -202,6 +202,45 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .select(col("event_id"), col("ts").cast("string"))))
   }
 
+  test("row-group stats skip provably-empty groups; results unchanged " +
+    "and the filters surface as pushed") {
+    val dir = freshDir("statskip")
+    val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+      .select("event_id", "user_id", "ts", "value")
+    LakeSnapshot.merge(spark, dir, ev, "event_id", "ts")
+    // z-order so user_id min/max stats are NARROW per file — the layout
+    // stat skipping exists to exploit
+    LakeSnapshot.optimizeZOrderN(spark, dir,
+      Seq(col("user_id"), unix_micros(col("ts")), col("event_id")),
+      files = 8)
+    val mn = ev.agg(min("user_id")).head().getLong(0)
+    val filt = col("user_id") <= lit(mn) // selective: one user bucket
+    LakeGroupRead.skippedGroups.set(0L)
+    val v2 = dsv2(dir).filter(filt)
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    val sc = LakeSnapshot.read(spark, dir).filter(filt)
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    assert(v2 === sc)
+    assert(v2.getLong(0) > 0, "the probe key must exist")
+    assert(LakeGroupRead.skippedGroups.get() > 0,
+      "narrow stats plus a selective filter must skip row groups")
+    val explained = dsv2(dir).filter(filt)
+      .queryExecution.executedPlan.toString
+    assert(explained.contains("user_id"),
+      "the skip filter should surface in the scan's pushed filters")
+  }
+
+  test("stat skipping resolves the column mapping: a filter on a " +
+    "RENAMED column checks the physical chunk's stats") {
+    val dir = freshDir("statskip_rename")
+    buildFullLake(dir) // value renamed to amount; physical stays `value`
+    LakeGroupRead.skippedGroups.set(0L)
+    // nothing is ≥ 1e9 — every base group is provably empty by stats
+    assert(dsv2(dir).filter(col("amount") >= 1e9).count() === 0L)
+    assert(LakeGroupRead.skippedGroups.get() > 0,
+      "the impossible range must skip via the physical column's stats")
+  }
+
   test("count(*) over an empty projection still folds deltas") {
     val dir = freshDir("countstar")
     buildFullLake(dir)
