@@ -74,16 +74,26 @@ object LakeTxn {
     -1 // unreachable
   }
 
+  /** The pinned epoch of ONE participant — how non-lake surfaces join
+    * the transaction: a derived INDEX (span/IVF) pins its manifest epoch
+    * in the same txn row as the lake it derives from, and its pinned
+    * consumer passes this epoch to the index's as-of read (e.g.
+    * [[graft.ops.SpanIndex.probeSpanStats]]'s `asOf`). Fails loudly when
+    * the table was never pinned.
+    */
+  def pinnedEpoch(
+      spark: SparkSession, txnDir: String, table: String): Int = {
+    val pins = currentPins(spark, txnDir)
+    pins.getOrElse(table, sys.error(
+      s"table '$table' has no pin at $txnDir (pinned: " +
+        s"${pins.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
   /** Read `table` AS OF its pinned epoch — the cross-table-consistent
     * view. Fails loudly when the table was never pinned.
     */
   def readPinned(
       spark: SparkSession, txnDir: String, table: String,
-      tableDir: String): DataFrame = {
-    val pins = currentPins(spark, txnDir)
-    val epoch = pins.getOrElse(table, sys.error(
-      s"table '$table' has no pin at $txnDir (pinned: " +
-        s"${pins.keys.toSeq.sorted.mkString(", ")})"))
-    LakeSnapshot.readAt(spark, tableDir, epoch)
-  }
+      tableDir: String): DataFrame =
+    LakeSnapshot.readAt(spark, tableDir, pinnedEpoch(spark, txnDir, table))
 }

@@ -45,9 +45,20 @@ object SpanIndex {
     ()
   }
 
-  private def readMeta(spark: SparkSession, p: Paths): Meta = {
-    val rows = Manifest.read(spark, p.params)
-    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
+  private def readMeta(spark: SparkSession, p: Paths): Meta =
+    readMetaAt(spark, p, Int.MaxValue)
+
+  /** The manifest folded AS OF `asOf` (inclusive) — what a
+    * transaction-pinned consumer reads ([[LakeTxn]] integration): the
+    * live-epoch set and compaction base exactly as they stood at that
+    * commit. Epochs are immutable, so the view reads exactly as it
+    * committed — unless vacuum reclaimed it, which the probe checks
+    * loudly.
+    */
+  private def readMetaAt(spark: SparkSession, p: Paths, asOf: Int): Meta = {
+    val rows = Manifest.read(spark, p.params).filter(_._1 <= asOf)
+    require(rows.nonEmpty, s"no committed manifest at ${p.params}" +
+      (if (asOf != Int.MaxValue) s" as of epoch $asOf" else ""))
     val consts = rows.map { case (_, kv) =>
       (kv("span_n").toInt, kv("pbuckets").toInt)
     }.distinct
@@ -124,17 +135,21 @@ object SpanIndex {
     */
   def appendToSpanIndex(
       batch: DataFrame, idCol: String, textCol: String, dir: String,
-      n: Int = 8, tag: String = ""): Unit = {
+      n: Int = 8, tag: String = ""): Int = {
     val spark = batch.sparkSession
     val p = Paths(dir)
     val meta = requireParams(spark, p, n)
-    if (tag.nonEmpty && Manifest.read(spark, p.params)
-        .flatMap(_._2.get("tag")).filter(_.nonEmpty).toSet.contains(tag))
-      return
+    if (tag.nonEmpty) {
+      // tagged redelivery: return the ALREADY-committed epoch, so a
+      // caller pinning epochs into a LakeTxn gets the same pin twice
+      val prior = taggedEpochs(spark, p, tag)
+      if (prior.nonEmpty) return prior.max
+    }
     val e = Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
     writeEpoch(spark, p,
       spanRows(batch, idCol, textCol, n).select("h").distinct(),
       meta.copy(epoch = e), tag)
+    e
   }
 
   /** Per-doc span accounting for a probe batch against the index:
@@ -150,9 +165,23 @@ object SpanIndex {
     */
   def probeSpanStats(
       spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String, excludeTag: String = ""): DataFrame = {
+      idCol: String, textCol: String, excludeTag: String = "",
+      asOf: Int = Int.MaxValue): DataFrame = {
     val p = Paths(dir)
-    val meta = readMeta(spark, p)
+    val meta = readMetaAt(spark, p, asOf)
+    if (asOf != Int.MaxValue) {
+      // a pinned view is only as durable as vacuum retention — fail
+      // loudly if any pinned-live epoch was reclaimed, never read a
+      // silently-thinner index
+      val f = new org.apache.hadoop.fs.Path(p.spans)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      meta.live.foreach { e =>
+        require(f.exists(new org.apache.hadoop.fs.Path(
+          s"${p.spans}/epoch=$e")),
+          s"pinned epoch $e at ${p.dir} was vacuumed — the as-of view " +
+            "no longer exists (raise the retention for pinned readers)")
+      }
+    }
     val ex =
       if (excludeTag.isEmpty) Nil
       else {

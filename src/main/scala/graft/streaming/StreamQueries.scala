@@ -904,6 +904,7 @@ object StreamQueries {
         graft.ops.SpanIndex.appendToSpanIndex(
           b.select("doc_id", "text"), "doc_id", "text", idxDir,
           tag = s"b$id")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", StreamInput.freshCheckpoint("s18", sfDir))

@@ -111,4 +111,65 @@ class LakeTxnSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no pin"))
   }
+
+  test("a DERIVED INDEX joins the transaction: the pinned probe sees " +
+    "exactly the pinned index epochs, a crash between index append and " +
+    "txn row leaves the pinned pair consistent, and a vacuumed pin " +
+    "fails loudly") {
+    import graft.ops.SpanIndex
+    val root = freshDir("index_pin")
+    val (lakeDir, idxDir, txnDir) = (s"$root/docs", s"$root/spans", s"$root/txn")
+    val mkDoc = (id: Long, text: String) => (id, ts(1), text)
+    val eight = "a b c d e f g h"
+    val docs = Seq(mkDoc(1L, eight), mkDoc(2L, "w x y z p q r s"))
+      .toDF("doc_id", "ts", "text")
+    LakeSnapshot.merge(spark, lakeDir, docs, "doc_id", "ts")
+    SpanIndex.buildSpanIndex(docs, "doc_id", "text", idxDir)
+    LakeTxn.commit(spark, txnDir, Map(
+      "docs" -> LakeSnapshot.currentEpoch(spark, lakeDir), "spans" -> 0))
+    def pinnedDup(): Seq[(Long, Long, Long)] = {
+      val lake = LakeTxn.readPinned(spark, txnDir, "docs", lakeDir)
+        .select("doc_id", "text")
+      SpanIndex.probeSpanStats(spark, idxDir, lake, "doc_id", "text",
+          asOf = LakeTxn.pinnedEpoch(spark, txnDir, "spans"))
+        .select(col("id").cast("long"), col("n_spans"), col("n_dup"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(pinnedDup() === Seq((1L, 1L, 1L), (2L, 1L, 1L)),
+      "every pinned-lake doc hits the pinned index")
+    // mid-flight transaction: lake delta + index append land, txn row
+    // does NOT — the pinned consumer must stay on the old consistent pair
+    val corrected = Seq(mkDoc(1L, s"$eight $eight"))
+      .toDF("doc_id", "ts", "text")
+    LakeSnapshot.mergeDelta(spark, lakeDir, corrected, "doc_id", "ts")
+    val eIdx = SpanIndex.appendToSpanIndex(
+      corrected, "doc_id", "text", idxDir, tag = "fix")
+    assert(pinnedDup() === Seq((1L, 1L, 1L), (2L, 1L, 1L)),
+      "the pinned pair must not move before the txn row")
+    // recovery publishes the txn row: both surfaces flip at once — and
+    // the doubled doc's 9 spans (incl. the bridge windows) ALL hit
+    LakeTxn.commit(spark, txnDir, Map(
+      "docs" -> LakeSnapshot.currentEpoch(spark, lakeDir),
+      "spans" -> eIdx))
+    assert(pinnedDup() === Seq((1L, 9L, 9L), (2L, 1L, 1L)))
+    // a tagged redelivery returns the SAME epoch — idempotent pins
+    assert(SpanIndex.appendToSpanIndex(
+      corrected, "doc_id", "text", idxDir, tag = "fix") === eIdx)
+    // as-of excludes YOUNGER epochs: the old pin must not see the append
+    val oldProbe = SpanIndex.probeSpanStats(spark, idxDir,
+        corrected.select("doc_id", "text"), "doc_id", "text", asOf = 0)
+      .select("n_spans", "n_dup").as[(Long, Long)].head()
+    assert(oldProbe._1 === 9L)
+    assert(oldProbe._2 < 9L,
+      "the pre-append pin must miss the bridge spans")
+    // compaction + vacuum past the pin: the pinned probe fails LOUDLY
+    SpanIndex.compactSpanIndex(spark, idxDir)
+    SpanIndex.vacuumSpanIndex(spark, idxDir)
+    val ex = intercept[IllegalArgumentException] {
+      SpanIndex.probeSpanStats(spark, idxDir,
+        corrected.select("doc_id", "text"), "doc_id", "text",
+        asOf = eIdx).collect()
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
 }

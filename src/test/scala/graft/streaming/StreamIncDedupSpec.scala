@@ -195,6 +195,7 @@ class StreamIncDedupSpec extends AnyFunSuite {
         .foreachBatch { (b: DataFrame, id: Long) =>
           SpanIndex.appendToSpanIndex(
             b, "doc_id", "text", idxDir, tag = s"b$id")
+          ()
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", cpDir)
