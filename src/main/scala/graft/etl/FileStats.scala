@@ -1,0 +1,229 @@
+package graft.etl
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+
+/** MANIFEST-CARRIED FILE STATS (round-14 ring c): per-file column
+  * min/max recorded once at STAGE time, so planning can skip whole
+  * FILES without opening a single footer — the Iceberg/Delta
+  * "stats in metadata" shape. Row-group stat skipping (the r13 reader)
+  * still prunes WITHIN surviving files executor-side; this layer prunes
+  * ABOVE it driver-side, which is what matters at 100 TB: a planner
+  * that must open a footer per file to prune does O(files) remote reads
+  * before the first task launches, while a stats sidecar is one small
+  * read per touched generation.
+  *
+  * Layout: `data/gen=G/_filestats.tsv`, one line per data file —
+  * written while the generation is still invisible (staging), so the
+  * sidecar commits, time-travels, and VACUUMs atomically WITH its
+  * generation; the underscore prefix hides it from every parquet
+  * listing (Spark, the DSv2 reader's `part-` filter, DuckDB). A
+  * generation without a sidecar (pre-r13 lakes) simply doesn't
+  * file-skip — stats are an optimization, never a correctness input,
+  * and the pushed comparison filters stay residual above the scan.
+  *
+  * Line format (TAB-separated):
+  * {{{
+  *   day=D/part-x.parquet  <rows>  col:l:<min>:<max>  col2:d:<min>:<max>  col3:n  col4:x
+  * }}}
+  * families: `l` integral (longs/ints; dates as epoch days; timestamps
+  * normalized to MICROS whatever int64 unit the file used), `d`
+  * floating, `n` present-but-all-null (comparisons never match → always
+  * skippable), `x` present but stats-unusable (INT96, strings,
+  * missing stats → never skippable). A column ABSENT from a line is
+  * absent from the file itself (schema evolution gap) — all-null, so
+  * skippable, mirroring [[graft.sources]]' row-group rule.
+  */
+object FileStats {
+
+  final case class ColStat(family: String, lmn: Long = 0L, lmx: Long = 0L,
+      dmn: Double = 0d, dmx: Double = 0d)
+
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  /** Diagnostic only: base files pruned at PLANNING time from the
+    * sidecar — specs and the p33 layout gate assert the skip fires;
+    * never read on a correctness path.
+    */
+  val skippedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Collect per-file stats for every data file under `genDir` and write
+    * the `_filestats.tsv` sidecar. Footer reads distribute over the
+    * cluster when the generation is wide (one tiny task per slice) —
+    * driver-side only for small generations, so local iteration stays
+    * cheap and a 100k-file generation never serializes through one node.
+    */
+  def stage(spark: SparkSession, genDir: String): Unit = {
+    val fs = fsOf(spark, genDir)
+    val root = new Path(genDir)
+    if (!fs.exists(root)) return // a fully-dropped staging (all deletes)
+    val files = fs.listStatus(root).filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => s"${d.getPath.getName}/${st.getPath.getName}")
+    }.toSeq.sorted
+    if (files.isEmpty) return
+    val lines: Seq[String] =
+      if (files.size <= 64) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map(rel => line(rel, footerStat(s"$genDir/$rel", conf)))
+      } else {
+        val confMap = spark.sparkContext.hadoopConfiguration.asScala
+          .map(e => e.getKey -> e.getValue).toMap
+        spark.sparkContext
+          .parallelize(files, math.min(files.size, 256))
+          .map { rel =>
+            val c = new Configuration(false)
+            confMap.foreach { case (k, v) => c.set(k, v) }
+            line(rel, footerStat(s"$genDir/$rel", c))
+          }
+          .collect().toSeq.sorted // stat lines only: O(files) metadata
+      }
+    val tmp = new Path(root, s"._filestats-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, "_filestats.tsv")
+    fs.delete(dst, false) // idempotent re-stage replaces its own sidecar
+    require(fs.rename(tmp, dst), s"file-stats sidecar rename failed: $dst")
+  }
+
+  /** The sidecar of `genDir`, keyed by day-relative path — None when the
+    * generation predates file stats (reader then opens footers as
+    * before).
+    */
+  def read(spark: SparkSession, genDir: String): Option[Map[String, FileStat]] = {
+    val fs = fsOf(spark, genDir)
+    val p = new Path(genDir, "_filestats.tsv")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(text.linesIterator.filter(_.nonEmpty).map { l =>
+      val parts = l.split('\t')
+      val cols = parts.drop(2).map { ent =>
+        val f = ent.split(':')
+        f(1) match {
+          case "l" => f(0) -> ColStat("l", lmn = f(2).toLong, lmx = f(3).toLong)
+          case "d" => f(0) -> ColStat("d", dmn = f(2).toDouble, dmx = f(3).toDouble)
+          case fam => f(0) -> ColStat(fam)
+        }
+      }.toMap
+      parts(0) -> FileStat(parts(1).toLong, cols)
+    }.toMap)
+  }
+
+  /** True when `st` PROVES no row of the file can satisfy `col op v`
+    * (the same conservative semantics as the row-group layer: unknown
+    * never skips; all-null and column-absent always skip a comparison).
+    */
+  def provablyEmpty(st: FileStat, col: String, op: String,
+      isFloat: Boolean, lv: Long, dv: Double): Boolean =
+    st.cols.get(col) match {
+      case None => true                 // column absent from the file
+      case Some(ColStat("n", _, _, _, _)) => true // every value null
+      case Some(c @ ColStat("l", _, _, _, _)) if !isFloat =>
+        emptyRange(op, lv, c.lmn, c.lmx)
+      case Some(c @ ColStat("d", _, _, _, _)) if isFloat =>
+        emptyRangeD(op, dv, c.dmn, c.dmx)
+      case _ => false                   // family mismatch / unusable
+    }
+
+  private def emptyRange(op: String, v: Long, mn: Long, mx: Long): Boolean =
+    op match {
+      case "eq" => v < mn || v > mx
+      case "gt" => mx <= v
+      case "ge" => mx < v
+      case "lt" => mn >= v
+      case "le" => mn > v
+      case _ => false
+    }
+
+  private def emptyRangeD(op: String, v: Double, mn: Double, mx: Double): Boolean =
+    op match {
+      case "eq" => v < mn || v > mx
+      case "gt" => mx <= v
+      case "ge" => mx < v
+      case "lt" => mn >= v
+      case "le" => mn > v
+      case _ => false
+    }
+
+  private def line(rel: String, st: FileStat): String = {
+    val cols = st.cols.toSeq.sortBy(_._1).map {
+      case (n, ColStat("l", mn, mx, _, _)) => s"$n:l:$mn:$mx"
+      case (n, ColStat("d", _, _, mn, mx)) => s"$n:d:$mn:$mx"
+      case (n, ColStat(fam, _, _, _, _)) => s"$n:$fam"
+    }
+    (Seq(rel, st.rows.toString) ++ cols).mkString("\t")
+  }
+
+  /** One footer read → the file's stat row: every primitive column's
+    * row-group stats folded to file-level min/max in the reader's
+    * comparison families (timestamps normalized to micros, INT96 marked
+    * unusable).
+    */
+  private[graft] def footerStat(path: String, conf: Configuration): FileStat = {
+    val reader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      import PrimitiveType.PrimitiveTypeName._
+      val cols = schema.getFields.asScala.filter(_.isPrimitive).map { f =>
+        val name = f.getName
+        val pt = f.asPrimitiveType()
+        // the int64 timestamp unit multiplier into micros (1 = already
+        // micros or a plain long); NANOS divides instead
+        val (mul, nanos) = pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => (1000L, false)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => (1L, true)
+              case _ => (1L, false)
+            }
+          case _ => (1L, false)
+        }
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == name))
+        val stats = chunks.map(_.getStatistics)
+        val usable = stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)
+        if (!usable) name -> ColStat("x")
+        else if (stats.forall(!_.hasNonNullValue)) name -> ColStat("n")
+        else {
+          val nn = stats.filter(_.hasNonNullValue)
+          pt.getPrimitiveTypeName match {
+            case INT64 | INT32 =>
+              def norm(v: Long): Long =
+                if (nanos) Math.floorDiv(v, 1000L) else v * mul
+              name -> ColStat("l",
+                lmn = nn.map(s =>
+                  norm(s.genericGetMin.asInstanceOf[Number].longValue())).min,
+                lmx = nn.map(s =>
+                  norm(s.genericGetMax.asInstanceOf[Number].longValue())).max)
+            case DOUBLE | FLOAT =>
+              name -> ColStat("d",
+                dmn = nn.map(
+                  _.genericGetMin.asInstanceOf[Number].doubleValue()).min,
+                dmx = nn.map(
+                  _.genericGetMax.asInstanceOf[Number].doubleValue()).max)
+            case _ => name -> ColStat("x") // INT96, binary, boolean
+          }
+        }
+      }.toMap
+      FileStat(rows, cols)
+    } finally reader.close()
+  }
+}

@@ -695,6 +695,7 @@ object LakeSnapshot {
     val (viewX, addcols) = allocatePhysicals(b, live)
     toPhysical(merged, viewX)
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    FileStats.stage(spark, s"${p.data}/gen=$gen")
     if (cdf) stageCdfMerge(spark, p, gen, stored, b, keyCol)
     Staged(gen, base, days, Nil, cdf = cdf, addcols = addcols,
       key = Some(keyCol))
@@ -776,6 +777,7 @@ object LakeSnapshot {
     val delKeys = b.select(col(keyCol)).distinct()
     toPhysical(stored.join(delKeys, Seq(keyCol), "left_anti"), live)
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    FileStats.stage(spark, s"${p.data}/gen=$gen")
     if (cdf)
       writeCdf(spark, p, gen,
         stored.join(delKeys, Seq(keyCol), "left_semi")
@@ -1244,6 +1246,7 @@ object LakeSnapshot {
       // shuffle-free fast read path.
       .repartition(col("day"))
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    FileStats.stage(spark, s"${p.data}/gen=$gen")
     // a day whose rows all folded away (delta deletes) writes no
     // directory — the same written-layout census as stageDelete
     val f = fsOf(spark, dir)
@@ -1323,6 +1326,7 @@ object LakeSnapshot {
       .drop((0 until k).flatMap(i => Seq(s"__z$i", s"__b$i")) :+ "__zkey": _*)
       .transform(toPhysical(_, live))
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    FileStats.stage(spark, s"${p.data}/gen=$gen")
     val f = fsOf(spark, dir)
     val genPath = new Path(s"${p.data}/gen=$gen")
     val surviving =

@@ -15,11 +15,12 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,6 +73,10 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = GraftLakeSource.dirOf(options.asScala.toMap)
+    // a FIRST write targets a lake with no committed snapshot yet — no
+    // schema to infer; the table accepts any schema and the write path
+    // records it (reads of an empty lake still fail loudly in the scan)
+    if (LakeSnapshot.currentEpoch(spark, dir) < 0) return new StructType()
     Option(options.get("epoch")).map(_.toInt) match {
       case Some(e) => LakeSnapshot.readAt(spark, dir, e).schema
       case None => LakeSnapshot.read(spark, dir).schema
@@ -123,17 +128,81 @@ object GraftLakeSource {
 
 private[sources] class LakeTable(
     tableSchema: StructType, props: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-lake:${props.getOrElse("path", "?")}"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    // ACCEPT_ANY_SCHEMA: the lake's own merge unions by name with
+    // null-fill (schema evolution is a table feature, not a writer
+    // error); BATCH_WRITE + V1_BATCH_WRITE: BATCH_WRITE is what
+    // DataFrameWriter.save() checks to route mode("append") through V2
+    // at all, V1_BATCH_WRITE marks the write as a V1 bridge — it hands
+    // the whole DataFrame to the one transactional staging/commit
+    // implementation (claim → stage → conditional manifest row) instead
+    // of reimplementing it as per-partition writers (the Delta-style
+    // V2-table/V1-write bridge). No TRUNCATE/OVERWRITE_BY_FILTER:
+    // mode("overwrite") fails loudly at analysis; replacing committed
+    // data is [[graft.etl.LakeSnapshot.merge]]/OPTIMIZE territory.
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(tableSchema, props)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(props ++ info.options.asScala.toMap)
+}
+
+/** `df.write.format("graft-lake").mode("append")` — external tools
+  * MUTATE the lake without the Scala API. Semantics are upsert-by-key,
+  * not blind append: the default lands the batch as a MERGE-ON-READ
+  * row-delta commit (O(batch), never aborts, concurrent writers both
+  * commit); `option("writeMode", "cow")` takes the whole-day
+  * copy-on-write path instead (OCC abort + auto-rebase via
+  * `option("retries", n)`); `option("cdf", "true")` stages write-time
+  * change sidecars on either path. `option("key", …)` is required on
+  * first write and validated against the recorded table key afterwards;
+  * `option("ts", …)` names the event-time column (default `ts`).
+  */
+private[sources] class LakeWriteBuilder(props: Map[String, String])
+  extends WriteBuilder {
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwrite: Boolean): Unit = {
+          require(!overwrite,
+            "graft-lake: overwrite is not a lake operation — append " +
+              "merges by key; use OPTIMIZE/deleteKeys for rewrites")
+          val spark = data.sparkSession
+          val dir = GraftLakeSource.dirOf(props)
+          val key = props.get("key")
+            .orElse(LakeSnapshot.tableState(spark, dir).key)
+            .getOrElse(sys.error(
+              "graft-lake: option 'key' is required on the first write " +
+                "(no recorded table key yet)"))
+          val ts = props.getOrElse("ts", "ts")
+          val cdf = props.get("cdf").exists(_.toBoolean)
+          val retries = props.get("retries").map(_.toInt).getOrElse(0)
+          props.getOrElse("writeMode", "delta") match {
+            case "delta" =>
+              LakeSnapshot.mergeDelta(spark, dir, data, key, ts,
+                cdf = cdf, retries = retries)
+            case "cow" =>
+              LakeSnapshot.merge(spark, dir, data, key, ts,
+                retries = retries, cdf = cdf)
+            case other => sys.error(
+              s"graft-lake: unknown writeMode '$other' (delta | cow)")
+          }
+          ()
+        }
+      }
+  }
 }
 
 private[sources] class LakeScanBuilder(
@@ -221,6 +290,32 @@ private[sources] class LakeScan(
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString)
     }
+    // MANIFEST-CARRIED FILE STATS: pushed comparison filters, resolved
+    // through the column mapping to PHYSICAL names, prune whole base
+    // files from the stats sidecar each generation staged with itself —
+    // zero footer opens at planning (the sidecar is ONE small read per
+    // touched generation). Base-only, like the row-group layer: a
+    // skipped file's rows are either residual-filtered out anyway or
+    // superseded/tombstoned (both only REMOVE rows), so the skip can
+    // never change results; deltas stay exhaustive for the winner maps.
+    val skipPhys = statFilters.flatMap(RowGroupFilter.of).flatMap { f =>
+      state.physicalFor(f.col).map(ph => f.copy(col = ph))
+    }
+    val statsByGen = scala.collection.mutable.Map.empty[
+      Int, Option[Map[String, graft.etl.FileStats.FileStat]]]
+    def fileOk(baseGen: Int, day: String, file: String): Boolean = {
+      if (skipPhys.isEmpty) return true
+      val stats = statsByGen.getOrElseUpdate(baseGen,
+        graft.etl.FileStats.read(spark, s"${p.data}/gen=$baseGen"))
+      stats.flatMap(_.get(s"day=$day/${new Path(file).getName}")) match {
+        case None => true // no sidecar / unknown file: never skip blind
+        case Some(st) =>
+          val dead = skipPhys.exists(f => graft.etl.FileStats
+            .provablyEmpty(st, f.col, f.op, f.isFloat, f.lv, f.dv))
+          if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
+          !dead
+      }
+    }
     val sel = state.days.toSeq.sortBy(_._1)
       .filter { case (d, _) => GraftLakeSource.dayOk(d, eff) }
     val anyDeltas = sel.exists(_._2.deltas.nonEmpty)
@@ -238,6 +333,7 @@ private[sources] class LakeScan(
       val base =
         if (ds.base < 0) Nil
         else files(s"${p.data}/gen=${ds.base}/day=$day")
+          .filter(f => fileOk(ds.base, day, f))
           .map(f =>
             LakeBaseFilePartition(day, f, deltas, dvFiles, key): InputPartition)
       base ++ (if (deltas.nonEmpty)

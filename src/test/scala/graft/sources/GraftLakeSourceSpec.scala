@@ -202,6 +202,23 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .select(col("event_id"), col("ts").cast("string"))))
   }
 
+  /** Remove every generation's `_filestats.tsv` — simulates a pre-stats
+    * lake so the executor-side ROW-GROUP layer is exercised in
+    * isolation (file-level planning skips would otherwise prune the
+    * very files whose groups these tests watch).
+    */
+  private def dropSidecars(dir: String): Unit = {
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(p.data)
+    if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory)
+      .foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(g.getPath, "_filestats.tsv"),
+          false)
+      }
+  }
+
   test("row-group stats skip provably-empty groups; results unchanged " +
     "and the filters surface as pushed") {
     val dir = freshDir("statskip")
@@ -213,6 +230,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     LakeSnapshot.optimizeZOrderN(spark, dir,
       Seq(col("user_id"), unix_micros(col("ts")), col("event_id")),
       files = 8)
+    dropSidecars(dir)
     val mn = ev.agg(min("user_id")).head().getLong(0)
     val filt = col("user_id") <= lit(mn) // selective: one user bucket
     LakeGroupRead.skippedGroups.set(0L)
@@ -234,6 +252,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     "RENAMED column checks the physical chunk's stats") {
     val dir = freshDir("statskip_rename")
     buildFullLake(dir) // value renamed to amount; physical stays `value`
+    dropSidecars(dir)
     LakeGroupRead.skippedGroups.set(0L)
     // nothing is ≥ 1e9 — every base group is provably empty by stats
     assert(dsv2(dir).filter(col("amount") >= 1e9).count() === 0L)
@@ -241,9 +260,166 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       "the impossible range must skip via the physical column's stats")
   }
 
+  test("manifest-carried file stats skip whole files at PLANNING; " +
+    "results unchanged; no footer opens for skipped files") {
+    val dir = freshDir("filestats")
+    val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+      .select("event_id", "user_id", "ts", "value")
+    LakeSnapshot.merge(spark, dir, ev, "event_id", "ts")
+    LakeSnapshot.optimizeZOrderN(spark, dir,
+      Seq(col("user_id"), unix_micros(col("ts")), col("event_id")),
+      files = 8)
+    val mn = ev.agg(min("user_id")).head().getLong(0)
+    val filt = col("user_id") <= lit(mn)
+    graft.etl.FileStats.skippedFiles.set(0L)
+    val planned = scanOf(dsv2(dir).filter(filt)).inputPartitions
+    val all = scanOf(dsv2(dir)).inputPartitions
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "z-ordered narrow stats plus a selective filter must skip files")
+    assert(planned.size < all.size,
+      "skipped files must leave the planned partition set")
+    val v2 = dsv2(dir).filter(filt)
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    val sc = LakeSnapshot.read(spark, dir).filter(filt)
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    assert(v2 === sc)
+    assert(v2.getLong(0) > 0, "the probe key must exist")
+  }
+
+  test("file-stat skipping resolves the column mapping and never fires " +
+    "without a sidecar") {
+    val dir = freshDir("filestats_rename")
+    buildFullLake(dir) // value renamed to amount; physical stays `value`
+    graft.etl.FileStats.skippedFiles.set(0L)
+    // nothing is ≥ 1e9 — every BASE FILE is provably empty by stats
+    assert(dsv2(dir).filter(col("amount") >= 1e9).count() === 0L)
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "the impossible range must skip files via the physical column")
+    // a generation without a sidecar (pre-stats lake) reads fine and
+    // simply doesn't file-skip — stats are never a correctness input
+    dropSidecars(dir)
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("amount") >= 1e9).count() === 0L)
+    assert(graft.etl.FileStats.skippedFiles.get() === 0L,
+      "no sidecar → no file skip (row-group layer still applies)")
+  }
+
+  test("footerStat folds row groups: longs, doubles, dates, timestamp " +
+    "units normalize to micros, all-null and absent columns mark") {
+    val dir = freshDir("footerstat")
+    val df = Seq(
+      (5L, ts(1), 1.5, java.sql.Date.valueOf("2024-01-01"),
+        null.asInstanceOf[String]),
+      (9L, ts(2), -2.5, java.sql.Date.valueOf("2024-02-01"),
+        null.asInstanceOf[String]))
+      .toDF("k", "t", "v", "d", "s").coalesce(1)
+    // MILLIS on purpose: the collector must normalize any int64 unit
+    val conf = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "TIMESTAMP_MILLIS")
+    try df.write.mode("overwrite").parquet(dir)
+    finally spark.conf.set(conf, prev)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val st = graft.etl.FileStats.footerStat(file.toString,
+      spark.sparkContext.hadoopConfiguration)
+    assert(st.rows === 2L)
+    assert(st.cols("k") === graft.etl.FileStats.ColStat("l", 5L, 9L))
+    assert(st.cols("v").family === "d")
+    assert(st.cols("v").dmn === -2.5 && st.cols("v").dmx === 1.5)
+    assert(st.cols("d") === graft.etl.FileStats.ColStat("l",
+      java.time.LocalDate.parse("2024-01-01").toEpochDay,
+      java.time.LocalDate.parse("2024-02-01").toEpochDay))
+    // ts stats must land in MICROS whatever unit the writer chose
+    val tmin = ts(1).getTime * 1000L
+    assert(st.cols("t") === graft.etl.FileStats.ColStat("l",
+      tmin, ts(2).getTime * 1000L))
+    assert(st.cols("s").family === "n", "all-null column marks 'n'")
+    assert(graft.etl.FileStats.provablyEmpty(st, "absent", "eq",
+      isFloat = false, 1L, 0d), "absent column is skippable")
+    assert(graft.etl.FileStats.provablyEmpty(st, "s", "eq",
+      isFloat = false, 1L, 0d), "all-null column is skippable")
+    assert(!graft.etl.FileStats.provablyEmpty(st, "k", "eq",
+      isFloat = false, 7L, 0d), "in-range eq cannot skip")
+    assert(graft.etl.FileStats.provablyEmpty(st, "k", "gt",
+      isFloat = false, 9L, 0d), "out-of-range gt skips")
+  }
+
   test("count(*) over an empty projection still folds deltas") {
     val dir = freshDir("countstar")
     buildFullLake(dir)
     assert(dsv2(dir).count() === LakeSnapshot.read(spark, dir).count())
+  }
+
+  test("DSv2 WRITE: first write creates the table (cow), appends land " +
+    "as row-delta commits, key records and validates, reads fold") {
+    import spark.implicits._
+    val dir = freshDir("write")
+    val seed = Seq((1L, ts(1), 1.0), (2L, ts(1), 2.0), (3L, ts(2), 3.0))
+      .toDF("event_id", "ts", "value")
+    seed.write.format("graft-lake")
+      .option("path", dir).option("key", "event_id")
+      .option("writeMode", "cow").mode("append").save()
+    // default append = merge-on-read delta: update key 1, insert key 10
+    Seq((1L, ts(1), 100.0), (10L, ts(1), 10.0))
+      .toDF("event_id", "ts", "value")
+      .write.format("graft-lake").option("path", dir).mode("append").save()
+    val got = dsv2(dir)
+      .select(col("event_id"), col("value"), col("day").cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, 100.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (10L, 10.0, "2024-01-01"), (3L, 3.0, "2024-01-02")))
+    // the second commit really is a delta (no whole-day rewrite)
+    val ops = LakeSnapshot.describeHistory(spark, dir)
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("write", "delta"))
+    // the recorded key is the default for later writers...
+    Seq((2L, ts(1), 22.0)).toDF("event_id", "ts", "value")
+      .write.format("graft-lake").option("path", dir).mode("append").save()
+    assert(dsv2(dir).filter(col("event_id") === 2L)
+      .select("value").as[Double].head() === 22.0)
+    // ...and a mismatched explicit key fails loudly
+    val ex = intercept[Exception] {
+      Seq((9L, ts(1), 9.0)).toDF("event_id", "ts", "value")
+        .write.format("graft-lake").option("path", dir)
+        .option("key", "value").mode("append").save()
+    }
+    assert(ex.getMessage.contains("does not match"))
+    // overwrite is not a lake operation
+    val ex2 = intercept[Exception] {
+      seed.write.format("graft-lake").option("path", dir)
+        .mode("overwrite").save()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("overwrite") ||
+      ex2.getMessage.contains("TRUNCATE"))
+  }
+
+  test("DSv2 WRITE: cdf option stages write-time change sidecars; " +
+    "missing key on a brand-new lake fails loudly") {
+    import spark.implicits._
+    val dir = freshDir("write_cdf")
+    val ex = intercept[Exception] {
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value")
+        .write.format("graft-lake").option("path", dir)
+        .mode("append").save()
+    }
+    assert(ex.getMessage.contains("key"))
+    Seq((1L, ts(1), 1.0), (2L, ts(1), 2.0))
+      .toDF("event_id", "ts", "value")
+      .write.format("graft-lake").option("path", dir)
+      .option("key", "event_id").option("writeMode", "cow")
+      .option("cdf", "true").mode("append").save()
+    Seq((1L, ts(1), 100.0)).toDF("event_id", "ts", "value")
+      .write.format("graft-lake").option("path", dir)
+      .option("cdf", "true").mode("append").save()
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    val feed = LakeSnapshot.readChangesCdf(spark, dir, 0, e1)
+      .select(col("event_id"), col("_change_type"))
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set(
+      (1L, "update_preimage"), (1L, "update_postimage")))
   }
 }
