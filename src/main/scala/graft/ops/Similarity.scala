@@ -763,19 +763,25 @@ object Similarity {
     */
   def appendToIvfIndex(
       rows: DataFrame, idCol: String, vecCol: String, dir: String,
-      tag: String = ""): Unit = {
+      tag: String = ""): Int = {
     val spark = rows.sparkSession
     val p = IvfIndexPaths(dir)
     val (maxEpoch, nLists, _) = ivfManifest(spark, p)
     // redelivery contract (same as the other indexes): a committed tag
-    // makes a replayed micro-batch append a provable no-op
-    if (tag.nonEmpty && IncrementalDedup.Manifest.read(spark, p.params)
-        .flatMap(_._2.get("tag")).contains(tag)) return
+    // makes a replayed micro-batch append a provable no-op — returning
+    // the epoch that already carries the tag, so a caller pinning the
+    // append into a LakeTxn row pins the SAME epoch on redelivery
+    if (tag.nonEmpty) {
+      val prior = IncrementalDedup.Manifest.read(spark, p.params)
+        .collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
+      if (prior.isDefined) return prior.get
+    }
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     writeIvfEpoch(p,
       IvfIndex(assignToNearest(rows, idCol, vecCol, centroids), centroids),
       e, nLists, tag)
+    e
   }
 
   private def writeIvfEpoch(
@@ -813,17 +819,56 @@ object Similarity {
       "tag" -> tag))
   }
 
-  /** (max committed epoch, nLists, LIVE committed epoch set ≥ base). */
+  /** (max committed epoch, nLists, LIVE committed epoch set ≥ base) —
+    * AS OF `asOf` when given (the [[graft.etl.LakeTxn]] pin shape: a
+    * consumer reads the index at the manifest epoch its transaction row
+    * pinned, exactly like [[graft.ops.SpanIndex]]'s as-of probes).
+    * Younger manifest rows are invisible; the base is the youngest
+    * compaction AT OR BELOW the pin. A pinned epoch whose data a LATER
+    * compaction+vacuum reclaimed fails LOUDLY here — the silent
+    * alternative is an empty probe that reads as "no neighbors", the
+    * worst failure an index can have (the lake's vacuumed-pin rule).
+    */
   private def ivfManifest(
       spark: org.apache.spark.sql.SparkSession,
-      p: IvfIndexPaths): (Int, Long, Seq[Int]) = {
-    val rows = IncrementalDedup.Manifest.read(spark, p.params)
-    require(rows.nonEmpty, s"no committed manifest at ${p.params}")
+      p: IvfIndexPaths, asOf: Int = Int.MaxValue): (Int, Long, Seq[Int]) = {
+    val all = IncrementalDedup.Manifest.read(spark, p.params)
+    val rows = all.filter(_._1 <= asOf)
+    require(rows.nonEmpty,
+      if (all.isEmpty) s"no committed manifest at ${p.params}"
+      else s"no manifest row at or below asOf=$asOf at ${p.params}")
     val nLists = rows.map(_._2("n_lists").toLong).distinct
     require(nLists.length == 1,
       s"manifest at ${p.params} carries conflicting n_lists: $nLists")
     val base = rows.map(_._2.getOrElse("base", "0").toInt).max
-    (rows.map(_._1).max, nLists.head, rows.map(_._1).filter(_ >= base))
+    val live = rows.map(_._1).filter(_ >= base)
+    if (asOf != Int.MaxValue) {
+      val fs = new org.apache.hadoop.fs.Path(p.assigned)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gone = live.filterNot(e =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"${p.assigned}/epoch=$e")))
+      require(gone.isEmpty,
+        s"as-of $asOf pins epochs ${gone.mkString(",")} whose data a " +
+          s"later compaction vacuumed at ${p.assigned} — re-pin or raise " +
+          "the vacuum retention past the oldest live transaction")
+    }
+    (rows.map(_._1).max, nLists.head, live)
+  }
+
+  /** The index's vector rows AS OF `asOf` — (id, v, list_id, epoch) over
+    * exactly the live epoch set a pinned consumer may see. Appends never
+    * supersede (an id re-ingested after a correction has one row per
+    * epoch); youngest-wins is the CONSUMER's fold, epoch is surfaced for
+    * it.
+    */
+  def ivfVectorsAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Int = Int.MaxValue): DataFrame = {
+    val p = IvfIndexPaths(dir)
+    val (_, _, epochs) = ivfManifest(spark, p, asOf)
+    spark.read.parquet(p.assigned)
+      .where(col("epoch").isin(epochs: _*))
+      .select(col("id"), col("v"), col("list_id"), col("epoch"))
   }
 
   /** Merge every live epoch into one compacted epoch (same base-raising
@@ -912,9 +957,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       query: DataFrame, // single row, column "qvec"
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      asOf: Int = Int.MaxValue): DataFrame = {
     val p = IvfIndexPaths(dir)
-    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p, asOf)
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val probeIds = query
       .crossJoin(broadcast(centroids))
@@ -942,8 +988,9 @@ object Similarity {
       dir: String,
       query: DataFrame,
       k: Int,
-      nProbe: Int = 4): DataFrame =
-    ivfProbedCandidatesPersisted(spark, dir, query, nProbe)
+      nProbe: Int = 4,
+      asOf: Int = Int.MaxValue): DataFrame =
+    ivfProbedCandidatesPersisted(spark, dir, query, nProbe, asOf)
       .select(col("id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
@@ -1080,9 +1127,10 @@ object Similarity {
       query: DataFrame, // single row, column "qvec"
       k: Int = 10,
       nProbe: Int = 4,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50,
+      asOf: Int = Int.MaxValue): DataFrame = {
     val p = IvfIndexPaths(dir)
-    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p, asOf)
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
     val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
@@ -1144,10 +1192,11 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       k: Int = 10,
       nProbe: Int = 4,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50,
+      asOf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = IvfIndexPaths(dir)
-    val (maxEpoch, _, epochs) = ivfManifest(spark, p)
+    val (maxEpoch, _, epochs) = ivfManifest(spark, p, asOf)
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
     val (nSub, subDim, nCodes) = pqMetaOf(codebooks)

@@ -872,6 +872,7 @@ object StreamQueries {
         graft.ops.Similarity.appendToIvfIndex(
           batch.select("vec_id", "embedding"), "vec_id", "embedding",
           idxDir, tag = s"b$id")
+        () // appendToIvfIndex now returns the committed epoch
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", StreamInput.freshCheckpoint("s17", sfDir))

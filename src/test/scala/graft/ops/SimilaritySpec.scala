@@ -350,6 +350,53 @@ class SimilaritySpec extends AnyFunSuite {
       "compacted epoch survives vacuum")
   }
 
+  test("as-of probes pin the vector manifest: younger epochs invisible, " +
+    "a vacuumed pin fails loudly (the LakeTxn consistency seam)") {
+    val dir = freshDir("ivf_asof")
+    Similarity.saveIvfIndex(
+      Similarity.ivfBuild(corpus, "vec_id", "embedding"), dir)
+    val e1 = Similarity.appendToIvfIndex(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", dir, tag = "b1")
+    assert(e1 == 1, s"first append commits epoch 1, got $e1")
+    // redelivery returns the SAME epoch — a LakeTxn pin of a replayed
+    // append pins identical state
+    assert(Similarity.appendToIvfIndex(
+      query.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")),
+      "vec_id", "embedding", dir, tag = "b1") == e1)
+    // asOf=0 excludes the planted copy; asOf=e1 (and unpinned) see it
+    val top0 = Similarity.ivfProbePersisted(spark, dir, query, k = 1,
+      asOf = 0).collect().head.getLong(0)
+    assert(top0 != 999999L, "asOf=0 must not see epoch 1's plant")
+    val top1 = Similarity.ivfProbePersisted(spark, dir, query, k = 1,
+      asOf = e1).collect().head.getLong(0)
+    assert(top1 == 999999L, "asOf=e1 must see the plant")
+    // ivfVectorsAt surfaces exactly the pinned epoch set
+    assert(Similarity.ivfVectorsAt(spark, dir, asOf = 0)
+      .filter(col("id") === 999999L).count() === 0L)
+    assert(Similarity.ivfVectorsAt(spark, dir, asOf = e1)
+      .filter(col("id") === 999999L).count() === 1L)
+    // below every committed row: loud, not empty
+    val noRow = intercept[Exception] {
+      Similarity.ivfProbePersisted(spark, dir, query, k = 1, asOf = -1)
+    }
+    assert(noRow.getMessage.contains("asOf"))
+    // compaction+vacuum reclaim epochs 0..e1 — the old pin now names
+    // data that is GONE and must fail loudly, never probe empty
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.vacuumIvfIndex(spark, dir)
+    val gone = intercept[Exception] {
+      Similarity.ivfProbePersisted(spark, dir, query, k = 1, asOf = 0)
+    }
+    assert(gone.getMessage.contains("vacuum"),
+      s"vacuumed pin must fail loudly, got: ${gone.getMessage}")
+    // the compacted epoch itself still pins fine
+    val eC = graft.ops.IncrementalDedup.Manifest.read(
+      spark, s"$dir/params").map(_._1).max
+    assert(Similarity.ivfProbePersisted(spark, dir, query, k = 1,
+      asOf = eC).collect().head.getLong(0) == 999999L)
+  }
+
   test("PQ: codes compress to nSub ints, planted dup wins the re-rank, " +
       "ADC floor is the query's own codes") {
     val seeds = emb.filter(col("vec_id").between(1, 16))
