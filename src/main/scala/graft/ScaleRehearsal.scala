@@ -136,7 +136,16 @@ object ScaleRehearsal {
     "p23_delta_merge",
     "p25_delta_delete",
     "p24_column_rename",
-    "k3o_ivfpq_retrain")
+    "k3o_ivfpq_retrain",
+    // r13 late ring: price the STANDALONE DSv2 reader against the Scala
+    // path (p27 folds deltas + rename through it; p29 subtracts deletion
+    // vectors), the DataFrameWriter path against the API commits (p32),
+    // and the planning-time file-stat probe, whose cost at 10× should be
+    // the skipped-files story, not a 10× scan (p33)
+    "p27_lake_dsv2_read",
+    "p29_dv_delete",
+    "p32_lake_dsv2_write",
+    "p33_file_stat_pruning")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

@@ -1579,7 +1579,40 @@ object LakeSnapshot {
     */
   def vacuum(
       spark: SparkSession, dir: String, retainMs: Long = 0L,
-      force: Boolean = false): Unit = {
+      force: Boolean = false): Unit =
+    vacuumPolicy(spark, dir,
+      RetentionPolicy(historyMs = retainMs, cdfMs = retainMs,
+        orphanMs = retainMs),
+      force = force)
+
+  /** Per-surface retention (round-14 ring d) — the Delta/Iceberg
+    * `VACUUM ... RETAIN` contract split by what a surface's consumers
+    * actually outlive: HISTORY (superseded generations — time-travel
+    * readers), CDF (change sidecars — CDC consumers, often much longer
+    * than time travel), ORPHANS (claimed-never-committed stagings — an
+    * in-flight writer's window, usually hours not days). `<= 0` means:
+    * history reclaims immediately (the caller promises no reader), cdf
+    * and orphans are KEPT (only `force` takes them) — exactly the
+    * asymmetry [[vacuum]] always had, now named per surface.
+    */
+  final case class RetentionPolicy(
+      historyMs: Long = 7L * 24 * 3600 * 1000,
+      cdfMs: Long = 7L * 24 * 3600 * 1000,
+      orphanMs: Long = 24L * 3600 * 1000)
+
+  /** One vacuum candidate: a day-generation directory (history/orphan)
+    * or a cdf generation directory, with the verdict this pass would
+    * reach and why. The SINGLE source of truth both [[vacuumPolicy]]
+    * (applies it) and [[describeRetention]] (reports it) consume — an
+    * audit that ran different code than the delete would be worthless.
+    */
+  private[etl] final case class VacuumItem(
+      surface: String, path: Path, gen: Int,
+      reclaimable: Boolean, pinned: Boolean, reason: String)
+
+  private def vacuumPlan(
+      spark: SparkSession, dir: String, policy: RetentionPolicy,
+      pins: Seq[Int], force: Boolean, now: Long): Seq[VacuumItem] = {
     val p = LakePaths(dir)
     val f = fsOf(spark, dir)
     val rows = IncrementalDedup.Manifest.read(spark, p.manifest) // full history
@@ -1600,46 +1633,66 @@ object LakeSnapshot {
       folded = next
     }
     val live = folded
-    val now = System.currentTimeMillis()
-    def expired(tMs: Long): Boolean = retainMs <= 0L || now - tMs >= retainMs
+    // PIN PROTECTION (the LakeTxn seam): every (day, gen) reachable from
+    // a pinned epoch's view is untouchable whatever its age — a pin is a
+    // live reader with no expiry, so time travel to it keeps working
+    // after any vacuum (the read-side vacuumed-pin loudness then only
+    // ever fires for pins the operator explicitly abandoned).
+    val pinnedReach: Set[(String, Int)] = pins.toSet[Int].flatMap { e =>
+      viewAt(spark, dir, e).days.toSeq
+        .flatMap { case (d, s) => s.gens.map(g => (d, g)) }
+    }
+    def aged(tMs: Long, retain: Long): Boolean =
+      retain <= 0L || now - tMs >= retain
+    val items = Seq.newBuilder[VacuumItem]
     // all three storage roots carry generation directories: whole-day
     // bases under data/, row deltas under delta/, deletion vectors under
     // dv/ — identical reachability rules
     Seq(p.data, p.delta, p.dv).foreach { rootDir =>
-    val dataRoot = new Path(rootDir)
-    if (!f.exists(dataRoot)) () else
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
-      val g = genDir.getPath.getName.stripPrefix("gen=").toInt
-      val dayDirs = f.listStatus(genDir.getPath).filter(_.isDirectory)
-      dayDirs.foreach { dayDir =>
-        val day = dayDir.getPath.getName.stripPrefix("day=")
-        val keep =
-          if (live.days.get(day).exists(_.gens.contains(g))) true
-          else superseded.get((day, g)) match {
-            case Some(e) => // reachable until the superseding commit ages out
-              !expired(IncrementalDedup.Manifest
-                .commitTimeMs(spark, p.manifest, e))
-            case None => // orphan: never committed for this day. Possibly a
-              // LIVE staging — only a claim older than a POSITIVE
-              // retention, or an explicit force, may take it
-              val claim = new Path(p.manifest, s"gen-$g.claim")
-              if (force) false
-              else if (retainMs <= 0L) true
-              else if (f.exists(claim))
-                now - f.getFileStatus(claim).getModificationTime < retainMs
-              else false // claimless stray: protocol-impossible; reclaim
+      val dataRoot = new Path(rootDir)
+      if (f.exists(dataRoot))
+        f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
+          val g = genDir.getPath.getName.stripPrefix("gen=").toInt
+          f.listStatus(genDir.getPath).filter(_.isDirectory).foreach { dayDir =>
+            val day = dayDir.getPath.getName.stripPrefix("day=")
+            val isPinned = pinnedReach((day, g))
+            val item =
+              if (live.days.get(day).exists(_.gens.contains(g)))
+                VacuumItem("history", dayDir.getPath, g,
+                  reclaimable = false, pinned = isPinned, "live")
+              else if (isPinned)
+                VacuumItem("history", dayDir.getPath, g,
+                  reclaimable = false, pinned = true, "pinned")
+              else superseded.get((day, g)) match {
+                case Some(e) => // reachable until the superseding commit ages out
+                  val a = aged(IncrementalDedup.Manifest
+                    .commitTimeMs(spark, p.manifest, e), policy.historyMs)
+                  VacuumItem("history", dayDir.getPath, g, a, pinned = false,
+                    if (a) "retention elapsed" else "within retention")
+                case None => // orphan: never committed for this day. Possibly a
+                  // LIVE staging — only a claim older than a POSITIVE
+                  // retention, or an explicit force, may take it
+                  val claim = new Path(p.manifest, s"gen-$g.claim")
+                  val (r, why) =
+                    if (force) (true, "forced")
+                    else if (policy.orphanMs <= 0L)
+                      (false, "no orphan retention set")
+                    else if (f.exists(claim)) {
+                      val a = now - f.getFileStatus(claim)
+                        .getModificationTime >= policy.orphanMs
+                      (a, if (a) "claim expired" else "possibly live staging")
+                    } else (true, "claimless stray") // protocol-impossible
+                  VacuumItem("orphan", dayDir.getPath, g, r,
+                    pinned = false, why)
+              }
+            items += item
           }
-        if (!keep) f.delete(dayDir.getPath, true)
-      }
-      // a generation whose every day directory is gone holds at most job
-      // marker files (_SUCCESS) — nothing a reader can reach
-      if (!f.listStatus(genDir.getPath).exists(_.isDirectory))
-        f.delete(genDir.getPath, true)
-    }
+        }
     }
     // change-data sidecars are read by CDC consumers, not by any view —
-    // the same retention contract covers them: reclaim only past a
-    // positive retention on their commit, or under force
+    // reclaim only past a positive cdf retention on their commit, or
+    // under force. Pins don't protect cdf: a pin names table STATE, the
+    // feed is a different consumer with its own retention.
     val cdfRoot = new Path(p.cdf)
     if (f.exists(cdfRoot)) {
       val cdfEpochByGen = rows.collect {
@@ -1649,14 +1702,47 @@ object LakeSnapshot {
       }.toMap
       f.listStatus(cdfRoot).filter(_.isDirectory).foreach { genDir =>
         val g = genDir.getPath.getName.stripPrefix("gen=").toInt
-        val take = cdfEpochByGen.get(g) match {
-          case Some(e) => force || (retainMs > 0L &&
-            now - IncrementalDedup.Manifest.commitTimeMs(
-              spark, p.manifest, e) >= retainMs)
-          case None => force // orphan sidecar from a crashed staging
+        val item = cdfEpochByGen.get(g) match {
+          case Some(e) =>
+            val a = force || (policy.cdfMs > 0L &&
+              now - IncrementalDedup.Manifest.commitTimeMs(
+                spark, p.manifest, e) >= policy.cdfMs)
+            VacuumItem("cdf", genDir.getPath, g, a, pinned = false,
+              if (a) "retention elapsed" else "within retention")
+          case None => // orphan sidecar from a crashed staging
+            VacuumItem("cdf", genDir.getPath, g, force, pinned = false,
+              if (force) "forced" else "orphan sidecar (force to take)")
         }
-        if (take) f.delete(genDir.getPath, true)
+        items += item
       }
+    }
+    items.result()
+  }
+
+  /** [[vacuum]] with a per-surface [[RetentionPolicy]] and LakeTxn PIN
+    * protection: pass the epochs the transaction catalog still pins
+    * ([[LakeTxn.pinsFor]]) and every generation those views reach
+    * survives regardless of age — the Iceberg "refs protect snapshots"
+    * rule. Claim files whose generation data this pass reclaimed (and
+    * whose number the genHint high-water mark covers) are deleted too.
+    */
+  def vacuumPolicy(
+      spark: SparkSession, dir: String, policy: RetentionPolicy,
+      pins: Seq[Int] = Nil, force: Boolean = false): Unit = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, dir)
+    val plan = vacuumPlan(spark, dir, policy, pins, force,
+      System.currentTimeMillis())
+    plan.filter(_.reclaimable).foreach(i => f.delete(i.path, true))
+    // a generation whose every day directory is gone holds at most job
+    // marker files (_SUCCESS, _filestats.tsv) — nothing a reader reaches
+    Seq(p.data, p.delta, p.dv).foreach { rootDir =>
+      val dataRoot = new Path(rootDir)
+      if (f.exists(dataRoot))
+        f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
+          if (!f.listStatus(genDir.getPath).exists(_.isDirectory))
+            f.delete(genDir.getPath, true)
+        }
     }
     // claim-file cleanup (bounded manifest): a claim whose generation has
     // no data left on disk AND whose number sits below the _next_gen
@@ -1674,6 +1760,40 @@ object LakeSnapshot {
         case _ => ()
       }
     }
+  }
+
+  /** DESCRIBE RETENTION: what the NEXT [[vacuumPolicy]] pass with this
+    * policy would keep and take, per surface — built from the identical
+    * plan the vacuum itself applies, so the audit can never lie about
+    * the delete. One row per surface: tracked objects, how many are
+    * reclaimable right now, how many a transaction pin protects.
+    * Metadata-only (one manifest fold + directory listings).
+    */
+  def describeRetention(
+      spark: SparkSession, dir: String, policy: RetentionPolicy,
+      pins: Seq[Int] = Nil): DataFrame = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, dir)
+    val plan = vacuumPlan(spark, dir, policy, pins, force = false,
+      System.currentTimeMillis())
+    val hint = genHint(spark, dir)
+    val claims = f.listStatus(new Path(p.manifest)).toSeq
+      .map(_.getPath.getName).collect { case ClaimName(g) => g.toInt }
+    val claimsReclaimable = claims.count(g => g + 1 <= hint &&
+      !f.exists(new Path(s"${p.data}/gen=$g")) &&
+      !f.exists(new Path(s"${p.delta}/gen=$g")) &&
+      !f.exists(new Path(s"${p.dv}/gen=$g")) &&
+      !f.exists(new Path(s"${p.cdf}/gen=$g")))
+    val retain = Map("history" -> policy.historyMs, "cdf" -> policy.cdfMs,
+      "orphan" -> policy.orphanMs)
+    val out = Seq("cdf", "history", "orphan").map { s =>
+      val it = plan.filter(_.surface == s)
+      (s, retain(s), it.size.toLong,
+        it.count(_.reclaimable).toLong, it.count(_.pinned).toLong)
+    } :+ (("claims", 0L, claims.size.toLong, claimsReclaimable.toLong, 0L))
+    import spark.implicits._
+    out.toDF("surface", "retain_ms", "objects", "reclaimable",
+      "pin_protected").orderBy("surface")
   }
 
   private val ClaimName = "gen-(\\d+)\\.claim".r

@@ -89,6 +89,16 @@ object LakeTxn {
         s"${pins.keys.toSeq.sorted.mkString(", ")})"))
   }
 
+  /** The epochs of `table` the transaction catalog currently protects —
+    * what a [[LakeSnapshot.vacuumPolicy]] caller passes as `pins` so no
+    * pass reclaims a generation a pinned consumer can still reach.
+    * Today that is the LATEST pin per table (older txn rows are history,
+    * like Iceberg's expired snapshots); empty when never pinned.
+    */
+  def pinsFor(
+      spark: SparkSession, txnDir: String, table: String): Seq[Int] =
+    currentPins(spark, txnDir).get(table).toSeq
+
   /** Read `table` AS OF its pinned epoch — the cross-table-consistent
     * view. Fails loudly when the table was never pinned.
     */
