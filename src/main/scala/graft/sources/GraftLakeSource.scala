@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
@@ -243,7 +243,8 @@ private[sources] class LakeScan(
     prunedSchema: StructType, props: Map[String, String],
     staticDayFilters: Seq[sources.Filter],
     statFilters: Seq[sources.Filter] = Nil)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
 
   private val dir = GraftLakeSource.dirOf(props)
   private val asOf = props.get("epoch").map(_.toInt)
@@ -268,7 +269,13 @@ private[sources] class LakeScan(
   }
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("day"))
+    // only when the projection still carries `day`: Spark resolves these
+    // against the scan OUTPUT, so advertising a pruned-away column makes
+    // DPP's PartitionPruning throw on any join over a day-less
+    // projection (found by the statistics spec's broadcast join)
+    if (prunedSchema.fieldNames.contains("day"))
+      Array(Expressions.column("day"))
+    else Array.empty
 
   override def filter(filters: Array[sources.Filter]): Unit =
     runtimeDayFilters = filters.toSeq.filter(GraftLakeSource.isDayFilter)
@@ -340,6 +347,63 @@ private[sources] class LakeScan(
         Seq(LakeDeltaFoldPartition(day, deltas, key): InputPartition)
       else Nil)
     }.toArray
+  }
+
+  /** Planner statistics off METADATA only: file sizes from the day-dir
+    * listings, row counts from the `_filestats.tsv` sidecars — so
+    * Catalyst's join planning sees a filtered lake read for what it is.
+    * Without this a DSv2 relation reports `defaultSizeInBytes`
+    * (practically infinite) and a dimension-sized lake read NEVER
+    * broadcasts — at 100 TB that one missing interface turns every
+    * lake-dimension join into a full shuffle. Day filters are applied
+    * (they pruned the listing); rows are the pre-fold upper bound, which
+    * is the conservative direction for a broadcast decision.
+    */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eff = staticDayFilters ++ runtimeDayFilters
+    var bytes = 0L
+    var rows = 0L
+    var rowsKnown = true
+    val statsCache = scala.collection.mutable.Map.empty[
+      Int, Option[Map[String, graft.etl.FileStats.FileStat]]]
+    state.days.toSeq
+      .filter { case (d, _) => GraftLakeSource.dayOk(d, eff) }
+      .foreach { case (day, ds) =>
+        def addDir(root: String, g: Int, counted: Boolean): Unit = {
+          val dp = new Path(s"$root/gen=$g/day=$day")
+          if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
+            if (st.isFile && st.getPath.getName.startsWith("part-")) {
+              bytes += st.getLen
+              if (counted) {
+                val side = statsCache.getOrElseUpdate(g,
+                  graft.etl.FileStats.read(spark, s"$root/gen=$g"))
+                side.flatMap(
+                  _.get(s"day=$day/${st.getPath.getName}")) match {
+                  case Some(f) => rows += f.rows
+                  case None => rowsKnown = false
+                }
+              } else rowsKnown = false // fold output size: no exact claim
+            }
+          }
+        }
+        if (ds.base >= 0) addDir(p.data, ds.base, counted = true)
+        // deltas have no sidecar (always read whole) and both upsert and
+        // delete rows; count their bytes, leave rows an upper-bound gap
+        ds.deltas.foreach(g => addDir(p.delta, g, counted = false))
+        ds.dvs.foreach(g => addDir(p.dv, g, counted = false))
+      }
+    val nRows = rows
+    val nBytes = bytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nBytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rowsKnown) java.util.OptionalLong.of(nRows)
+        else java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

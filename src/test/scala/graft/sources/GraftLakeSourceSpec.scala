@@ -347,6 +347,57 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       isFloat = false, 9L, 0d), "out-of-range gt skips")
   }
 
+  test("the scan reports statistics from metadata (sidecar rows + file " +
+    "sizes) and a small lake read wins a BROADCAST join") {
+    val dir = freshDir("stats_report")
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    // delta-free lake: row counts are exact from the sidecars
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(1), 2.0), (3L, ts(2), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val st = scanOf(dsv2(dir)).scan.asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === 3L, "sidecar row counts are exact")
+    assert(st.sizeInBytes().getAsLong > 0L &&
+      st.sizeInBytes().getAsLong < (1L << 20),
+      "size must be the real file bytes, not defaultSizeInBytes")
+    // day pruning shrinks the estimate with the listing
+    val pruned = scanOf(
+      dsv2(dir).filter(col("day") === lit("2024-01-01").cast("date")))
+      .scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(pruned.numRows().getAsLong === 2L)
+    // a delta makes row counts an upper-bound gap → empty numRows, but
+    // sizes still real
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((4L, ts(1), 4.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val withDelta = scanOf(dsv2(dir)).scan
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(!withDelta.numRows().isPresent)
+    assert(withDelta.sizeInBytes().getAsLong > st.sizeInBytes().getAsLong)
+    // the join-planning consequence: with a threshold between the lake's
+    // real size and the big side's, the LAKE side broadcasts — without
+    // reported stats a DSv2 relation is defaultSizeInBytes and this
+    // would be a sort-merge join
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, (1 << 20).toString) // 1 MiB
+      val big = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+        .select(col("event_id"), col("value").as("ev_value"))
+      val joined = big.join(dsv2(dir).select("event_id", "value"),
+        Seq("event_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"the small lake read must broadcast:\n$plan")
+      val bcastIdx = plan.indexOf("BroadcastExchange")
+      assert(bcastIdx >= 0 && plan.indexOf("graft-lake", bcastIdx) > bcastIdx,
+        s"the graft-lake scan must sit UNDER the broadcast exchange:\n$plan")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("count(*) over an empty projection still folds deltas") {
     val dir = freshDir("countstar")
     buildFullLake(dir)
