@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.LakeSnapshot
+
+/** A DataSource V2 TableCatalog over a warehouse of snapshot lakes — the
+  * pure-SQL surface:
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *   SET spark.sql.catalog.graft.warehouse = /data/lakes
+  *   CREATE TABLE graft.events (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+  *     TBLPROPERTIES ('key' = 'event_id', 'ts' = 'ts')
+  *   INSERT INTO graft.events SELECT ...    -- upsert-by-key (MoR delta)
+  *   SELECT * FROM graft.events             -- the folded live view
+  *   SELECT * FROM graft.events VERSION AS OF 2   -- time travel
+  *   ALTER TABLE graft.events RENAME COLUMN value TO amount
+  *   ALTER TABLE graft.events DROP COLUMN note    -- manifest-only commits
+  *   DROP TABLE graft.events
+  * }}}
+  *
+  * An identifier `ns1.ns2.tbl` maps to `<warehouse>/ns1/ns2/tbl`; a table
+  * IS its lake directory, so SQL clients, `spark.read.format("graft-lake")`
+  * readers, and the Scala API all see the one manifest (the catalog adds
+  * NO state beyond `manifest/_table.properties`, the declared key/ts/
+  * schema a CREATE records so the FIRST insert knows its merge key).
+  * INSERT INTO is upsert-by-key — the lake's append semantics, same as
+  * the DataFrameWriter path. The warehouse is re-read from the session
+  * conf on every call, so tests and multi-warehouse sessions can repoint
+  * it without a new catalog instance.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initOptions: Map[String, String] = Map.empty
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options.asScala.toMap
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initOptions.get("warehouse"))
+      .getOrElse(sys.error(
+        s"graft catalog '$catalogName' needs spark.sql.catalog." +
+          s"$catalogName.warehouse"))
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    fs(d).exists(new Path(s"$d/manifest"))
+  }
+
+  // --- create-time properties (manifest/_table.properties) -----------------
+
+  private def propsPath(dir: String) =
+    new Path(s"$dir/manifest/_table.properties")
+
+  private def writeCreateProps(
+      dir: String, fields: Seq[(String, String)]): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new Path(s"$dir/manifest"))
+    val out = f.create(propsPath(dir), false) // CREATE races fail loudly
+    try out.write(fields.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[sources] def readCreateProps(dir: String): Map[String, String] =
+    GraftCatalog.readCreateProps(spark, dir)
+
+  // --- TableCatalog -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(root.toString)
+    if (!f.exists(root)) return Array.empty
+    f.listStatus(root).filter(_.isDirectory)
+      .filter(st => f.exists(new Path(st.getPath, "manifest")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, epoch = None)
+
+  /** `SELECT ... FROM graft.tbl VERSION AS OF e` — the lake's time
+    * travel through SQL; `e` is the manifest epoch [[LakeSnapshot
+    * .describeHistory]] lists.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, epoch = Some(version.toInt))
+
+  private def loadAt(ident: Identifier, epoch: Option[Int]): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val created = readCreateProps(dir)
+    val committed = LakeSnapshot.currentEpoch(spark, dir) >= 0
+    val schema: StructType =
+      if (!committed)
+        created.get("schema").map(StructType.fromDDL)
+          .getOrElse(new StructType())
+      else epoch match {
+        case Some(e) => LakeSnapshot.readAt(spark, dir, e).schema
+        case None => LakeSnapshot.read(spark, dir).schema
+      }
+    new LakeTable(schema,
+      created ++ Map("path" -> dir) ++
+        epoch.map(e => "epoch" -> e.toString).toMap)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables are always day-partitioned on the 'ts' column — " +
+        "PARTITIONED BY is not a choice to make")
+    val props = properties.asScala.toMap
+    val key = props.getOrElse("key", sys.error(
+      "CREATE TABLE needs TBLPROPERTIES ('key' = '<merge key column>')" +
+        " — INSERT INTO is upsert-by-key"))
+    require(schema.fieldNames.contains(key),
+      s"declared key '$key' is not a column of ${schema.fieldNames.toSeq}")
+    val ts = props.getOrElse("ts", "ts")
+    require(schema.fieldNames.contains(ts),
+      s"event-time column '$ts' is not a column of " +
+        s"${schema.fieldNames.toSeq} (set TBLPROPERTIES ts)")
+    val dir = dirOf(ident)
+    writeCreateProps(dir, Seq(
+      "key" -> key, "ts" -> ts, "schema" -> schema.toDDL))
+    new LakeTable(schema, Map("path" -> dir, "key" -> key, "ts" -> ts))
+  }
+
+  /** RENAME/DROP COLUMN land as the lake's manifest-only column-mapping
+    * commits — zero data rewrite, old epochs keep the old names (p24's
+    * machinery behind ALTER TABLE). Everything else is not a lake
+    * operation and fails loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "nested column rename is not supported")
+        LakeSnapshot.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "nested column drop is not supported")
+        LakeSnapshot.dropColumn(spark, dir, d.fieldNames()(0))
+      case other => sys.error(
+        s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
+          " — renames/drops are manifest commits, anything else is a " +
+          "merge or OPTIMIZE")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!exists(ident)) return false
+    fs(dirOf(ident)).delete(new Path(dirOf(ident)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val f = fs(dirOf(oldIdent))
+    f.mkdirs(new Path(dirOf(newIdent)).getParent)
+    require(f.rename(new Path(dirOf(oldIdent)), new Path(dirOf(newIdent))),
+      s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+}
+
+object GraftCatalog {
+  /** The CREATE-time declarations of `dir` (key/ts/schema), empty for a
+    * lake never created through the catalog.
+    */
+  def readCreateProps(
+      spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new Path(s"$dir/manifest/_table.properties")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.contains('=')).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+}

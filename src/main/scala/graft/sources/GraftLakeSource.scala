@@ -181,20 +181,46 @@ private[sources] class LakeWriteBuilder(props: Map[String, String])
               "merges by key; use OPTIMIZE/deleteKeys for rewrites")
           val spark = data.sparkSession
           val dir = GraftLakeSource.dirOf(props)
+          // key resolution: explicit option > the recorded table key >
+          // the catalog CREATE's declaration (so a first INSERT into a
+          // freshly created table knows its merge key)
+          lazy val created = GraftCatalog.readCreateProps(spark, dir)
           val key = props.get("key")
             .orElse(LakeSnapshot.tableState(spark, dir).key)
+            .orElse(created.get("key"))
             .getOrElse(sys.error(
               "graft-lake: option 'key' is required on the first write " +
                 "(no recorded table key yet)"))
-          val ts = props.getOrElse("ts", "ts")
+          val ts = props.get("ts")
+            .orElse(created.get("ts")).getOrElse("ts")
+          // store assignment: ACCEPT_ANY_SCHEMA told the analyzer to skip
+          // its coercion, so a SQL INSERT's literal types (DECIMAL(4,1)
+          // for `1.0`, …) arrive raw — align every column the table
+          // already KNOWS to its declared type; brand-new columns pass
+          // through untouched (schema evolution stays a table feature)
+          val target: Option[StructType] =
+            if (LakeSnapshot.currentEpoch(spark, dir) >= 0)
+              Some(StructType(LakeSnapshot.read(spark, dir)
+                .schema.filterNot(_.name == "day")))
+            else created.get("schema").map(StructType.fromDDL)
+          val aligned = target match {
+            case None => data
+            case Some(t) =>
+              val types = t.map(f => f.name -> f.dataType).toMap
+              import org.apache.spark.sql.functions.col
+              data.select(data.columns.toSeq.map { c =>
+                types.get(c).map(dt => col(c).cast(dt).as(c))
+                  .getOrElse(col(c))
+              }: _*)
+          }
           val cdf = props.get("cdf").exists(_.toBoolean)
           val retries = props.get("retries").map(_.toInt).getOrElse(0)
           props.getOrElse("writeMode", "delta") match {
             case "delta" =>
-              LakeSnapshot.mergeDelta(spark, dir, data, key, ts,
+              LakeSnapshot.mergeDelta(spark, dir, aligned, key, ts,
                 cdf = cdf, retries = retries)
             case "cow" =>
-              LakeSnapshot.merge(spark, dir, data, key, ts,
+              LakeSnapshot.merge(spark, dir, aligned, key, ts,
                 retries = retries, cdf = cdf)
             case other => sys.error(
               s"graft-lake: unknown writeMode '$other' (delta | cow)")

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import graft.TestSpark
+import graft.etl.LakeSnapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface over snapshot lakes (GraftCatalog): a user who
+  * speaks only SQL gets CREATE / INSERT-upsert / SELECT / time travel /
+  * ALTER rename+drop / DROP — all riding the one manifest the Scala API
+  * and the path-based DSv2 relation read.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = {
+    val p = Paths.get("target/graft_catalog_spec/wh")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+  spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+  test("CREATE + INSERT (upsert-by-key) + SELECT + VERSION AS OF + " +
+    "ALTER RENAME/DROP + DROP TABLE, SQL only") {
+    spark.sql("CREATE TABLE graft.ev (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE, note STRING) TBLPROPERTIES ('key' = 'event_id')")
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ev"))
+    spark.sql("INSERT INTO graft.ev (event_id, ts, value, note) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0, 'a'), " +
+      "(2, TIMESTAMP '2024-01-01 11:00:00', 2.0, 'b'), " +
+      "(3, TIMESTAMP '2024-01-02 10:00:00', 3.0, 'c')")
+    val preUpdate = LakeSnapshot.currentEpoch(spark, s"$wh/ev")
+    // INSERT is upsert-by-key: key 1 updates, key 4 inserts
+    spark.sql("INSERT INTO graft.ev (event_id, ts, value, note) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 100.0, 'a2'), " +
+      "(4, TIMESTAMP '2024-01-02 12:00:00', 4.0, 'd')")
+    assert(spark.sql(
+      "SELECT event_id, value FROM graft.ev ORDER BY event_id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 100.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    // time travel to the pre-update epoch
+    assert(spark.sql(
+      s"SELECT event_id, value FROM graft.ev VERSION AS OF $preUpdate " +
+        "ORDER BY event_id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // manifest-only column ops through ALTER TABLE
+    spark.sql("ALTER TABLE graft.ev RENAME COLUMN value TO amount")
+    spark.sql("ALTER TABLE graft.ev DROP COLUMN note")
+    val cols = spark.sql("SELECT * FROM graft.ev").columns.toSet
+    assert(cols.contains("amount") && !cols.contains("value") &&
+      !cols.contains("note"))
+    // the pre-rename epoch still answers under the OLD names
+    assert(spark.sql(
+      s"SELECT value, note FROM graft.ev VERSION AS OF $preUpdate " +
+        "WHERE event_id = 2").as[(Double, String)].head() === ((2.0, "b")))
+    // the catalog added no state: the path-based relation and the Scala
+    // API read the same table
+    assert(spark.read.format("graft-lake").option("path", s"$wh/ev")
+      .load().count() === 4L)
+    assert(LakeSnapshot.read(spark, s"$wh/ev").count() === 4L)
+    spark.sql("DROP TABLE graft.ev")
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ev"))
+  }
+
+  test("CREATE without a key fails loudly; the declared key validates " +
+    "and later writers inherit it") {
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.nokey (id BIGINT, ts TIMESTAMP)")
+    }
+    assert(ex.getMessage.contains("key"))
+    val ex2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.badkey (id BIGINT, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('key' = 'nope')")
+    }
+    assert(ex2.getMessage.contains("not a column"))
+    spark.sql("CREATE TABLE graft.inherit (id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) TBLPROPERTIES ('key' = 'id')")
+    // a PATH-based writer (no option(key)) inherits the CREATE's key
+    Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7.0))
+      .toDF("id", "ts", "v")
+      .write.format("graft-lake").option("path", s"$wh/inherit")
+      .mode("append").save()
+    assert(spark.sql("SELECT id, v FROM graft.inherit")
+      .as[(Long, Double)].head() === ((7L, 7.0)))
+    spark.sql("DROP TABLE graft.inherit")
+  }
+
+  test("namespaces map to directories; listTables sees only lakes") {
+    spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    spark.sql("INSERT INTO graft.raw.ev2 (id, ts) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00')")
+    assert(Files.exists(Paths.get(s"$wh/raw/ev2/manifest")))
+    assert(spark.sql("SELECT count(*) FROM graft.raw.ev2")
+      .as[Long].head() === 1L)
+    // a stray non-lake directory is not a table
+    Files.createDirectories(Paths.get(s"$wh/raw/junk"))
+    assert(spark.sql("SHOW TABLES IN graft.raw").collect()
+      .map(_.getString(1)).toSet === Set("ev2"))
+    spark.sql("DROP TABLE graft.raw.ev2")
+  }
+}
