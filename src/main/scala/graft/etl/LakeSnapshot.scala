@@ -1027,6 +1027,34 @@ object LakeSnapshot {
         stageDeleteDelta(spark, dir, keys, keyCol, tsCol, store, cdf), keyCol)
     }
 
+  /** Drop whole days (default: ALL → TRUNCATE) as a MANIFEST-ONLY
+    * commit: no data file is read or written — the commit row's
+    * `dropped` list removes the days from the live view, history keeps
+    * them reachable for time travel, and vacuum reclaims them on the
+    * history retention. O(1) data cost at any table size; the same OCC
+    * overlap rules as every mutation (a concurrent writer to a dropped
+    * day aborts one side). CDC note: a drop commits no change sidecar,
+    * so a write-time feed window containing it fails LOUDLY in
+    * [[readChangesCdf]] — CDC lakes should DELETE keys (cdf = true)
+    * instead of dropping days.
+    */
+  def dropDays(
+      spark: SparkSession, dir: String, days: Seq[String] = Nil,
+      store: ClaimStore = FsClaimStore,
+      retries: Int = 0): Seq[String] =
+    withRebase(retries) { () =>
+      val (base, live) = stagingSnapshot(spark, dir)
+      val victims =
+        (if (days.isEmpty) live.days.keys.toSeq
+         else days.filter(live.days.contains)).sorted
+      if (victims.isEmpty) Nil
+      else {
+        val gen = claimGen(spark, dir, base + 1, store)
+        commit(spark, dir, Staged(gen, base, Nil, victims))
+        victims
+      }
+    }
+
   /** Publish a staged mutation: ONE conditional manifest-row create under
     * the OCC loop (see object scaladoc). Returns the committed epoch.
     */

@@ -117,8 +117,13 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     val created = readCreateProps(dir)
     val committed = LakeSnapshot.currentEpoch(spark, dir) >= 0
+    val emptyView = committed &&
+      LakeSnapshot.tableState(spark, dir,
+        epoch.map(e => e: Int)).days.isEmpty
     val schema: StructType =
-      if (!committed)
+      if (!committed || emptyView)
+        // never written, or TRUNCATEd empty: the CREATE's declaration
+        // (scans of the empty view return zero rows of it)
         created.get("schema").map(StructType.fromDDL)
           .getOrElse(new StructType())
       else epoch match {

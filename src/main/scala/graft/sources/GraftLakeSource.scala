@@ -124,15 +124,97 @@ object GraftLakeSource {
       case sources.LessThanOrEqual("day", v) => day <= dayStr(v)
       case _ => true // IsNotNull (partition values are never null), residual
     }
+
+  /** A pushed filter as a Column over the folded view — how DELETE WHERE
+    * selects its victims. None when the shape is untranslatable
+    * (canDeleteWhere then refuses loudly at analysis).
+    */
+  private[sources] def filterColumn(
+      f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case sources.Not(c) => filterColumn(c).map(not)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 private[sources] class LakeTable(
     tableSchema: StructType, props: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-lake:${props.getOrElse("path", "?")}"
 
   override def schema(): StructType = tableSchema
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftLakeSource.filterColumn(f).isDefined)
+
+  /** `DELETE FROM graft.t WHERE ...` — two tiers:
+    *   - day-only predicates drop whole days as a MANIFEST-ONLY commit
+    *     (zero data read at any size);
+    *   - anything else reads the folded view once, selects the matching
+    *     (key, ts) pairs, and commits them as a merge-on-read row-delta
+    *     DELETE — O(matching rows), never a table rewrite.
+    */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val dir = GraftLakeSource.dirOf(props)
+    if (filters.nonEmpty && filters.forall(GraftLakeSource.isDayFilter)) {
+      val live = LakeSnapshot.tableState(spark, dir).days.keys.toSeq
+      val victims = live.filter(d => GraftLakeSource.dayOk(d, filters.toSeq))
+      // empty victims must be a no-op — dropDays(Nil) means TRUNCATE
+      if (victims.nonEmpty) LakeSnapshot.dropDays(spark, dir, victims)
+      return
+    }
+    val cond = filters.toSeq.flatMap(GraftLakeSource.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    require(filters.forall(f => GraftLakeSource.filterColumn(f).isDefined),
+      s"graft-lake: untranslatable DELETE predicate(s) " +
+        s"${filters.mkString(", ")}")
+    val state = LakeSnapshot.tableState(spark, dir)
+    val key = state.key
+      .orElse(GraftCatalog.readCreateProps(spark, dir).get("key"))
+      .getOrElse(sys.error(
+        s"graft-lake: no recorded key at $dir — nothing was ever merged"))
+    val tsPhysical =
+      GraftCatalog.readCreateProps(spark, dir).getOrElse("ts", "ts")
+    val tsLogical = state.logicalFor(tsPhysical).getOrElse(sys.error(
+      s"graft-lake: event-time column '$tsPhysical' was dropped — " +
+        "row-level DELETE needs it to derive the day"))
+    val victims = LakeSnapshot.read(spark, dir).filter(cond)
+      .select(org.apache.spark.sql.functions.col(key),
+        org.apache.spark.sql.functions.col(tsLogical))
+    LakeSnapshot.deleteKeysDelta(spark, dir, victims, key, tsLogical)
+    ()
+  }
+
+  /** `TRUNCATE TABLE graft.t`: drop every live day, manifest-only. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    LakeSnapshot.dropDays(spark, GraftLakeSource.dirOf(props))
+    true
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     // ACCEPT_ANY_SCHEMA: the lake's own merge unions by name with
@@ -310,7 +392,13 @@ private[sources] class LakeScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    require(state.nonEmpty, s"no committed snapshot at $dir")
+    if (!state.nonEmpty) {
+      // committed-but-EMPTY (every day dropped/TRUNCATEd) scans as zero
+      // rows; a lake that never committed anything stays a loud error
+      require(LakeSnapshot.currentEpoch(spark, dir) >= 0,
+        s"no committed snapshot at $dir")
+      return Array.empty
+    }
     val p = LakeSnapshot.LakePaths(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val eff = staticDayFilters ++ runtimeDayFilters

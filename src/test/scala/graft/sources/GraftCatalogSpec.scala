@@ -95,6 +95,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.inherit")
   }
 
+  test("DELETE FROM: day-only predicates drop days manifest-only, " +
+    "row predicates land as MoR delta deletes; TRUNCATE empties; " +
+    "time travel still sees everything") {
+    spark.sql("CREATE TABLE graft.del (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    spark.sql("INSERT INTO graft.del (event_id, ts, value) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-01-01 11:00:00', 2.0), " +
+      "(3, TIMESTAMP '2024-01-02 10:00:00', 3.0), " +
+      "(4, TIMESTAMP '2024-01-03 10:00:00', 4.0)")
+    val full = LakeSnapshot.currentEpoch(spark, s"$wh/del")
+    // row-level: a delta delete, no rewrite
+    spark.sql("DELETE FROM graft.del WHERE value > 1.5 AND event_id < 3")
+    assert(spark.sql("SELECT event_id FROM graft.del ORDER BY event_id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+    val ops = LakeSnapshot.describeHistory(spark, s"$wh/del")
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("delta", "delta"),
+      s"row DELETE must land as a delta commit, never a rewrite: $ops")
+    // day-only: manifest commit, zero data read — history shows a
+    // 0-day 1-dropped row
+    spark.sql("DELETE FROM graft.del WHERE day = DATE '2024-01-02'")
+    assert(spark.sql("SELECT event_id FROM graft.del ORDER BY event_id")
+      .as[Long].collect().toSeq === Seq(1L, 4L))
+    val hist = LakeSnapshot.describeHistory(spark, s"$wh/del")
+      .orderBy(col("epoch").desc).limit(1)
+      .select("n_days", "n_dropped").as[(Int, Int)].head()
+    assert(hist === ((0, 1)), "day DELETE commits no generation data")
+    // a no-match day predicate is a no-op, NOT a truncate
+    val e0 = LakeSnapshot.currentEpoch(spark, s"$wh/del")
+    spark.sql("DELETE FROM graft.del WHERE day = DATE '2030-01-01'")
+    assert(LakeSnapshot.currentEpoch(spark, s"$wh/del") === e0)
+    assert(spark.sql("SELECT count(*) FROM graft.del").as[Long].head() === 2L)
+    // TRUNCATE: manifest-only, everything gone, history intact
+    spark.sql("TRUNCATE TABLE graft.del")
+    assert(spark.sql("SELECT count(*) FROM graft.del").as[Long].head() === 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.del VERSION AS OF $full")
+      .as[Long].head() === 4L,
+      "time travel must still see the pre-delete table")
+    spark.sql("DROP TABLE graft.del")
+  }
+
   test("namespaces map to directories; listTables sees only lakes") {
     spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
       "TBLPROPERTIES ('key' = 'id')")
