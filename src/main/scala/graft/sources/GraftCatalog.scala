@@ -112,6 +112,31 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, epoch = Some(version.toInt))
 
+  /** `SELECT ... FROM graft.tbl TIMESTAMP AS OF '...'` — resolves to
+    * the youngest epoch whose commit wall-clock is at or before the
+    * requested instant (Spark hands MICROSECONDS since epoch), then
+    * rides the same epoch-pinned read as VERSION AS OF. Loud when the
+    * instant predates every commit.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val manifest = s"$dir/manifest"
+    val tMs = timestampMicros / 1000L
+    val epochs = graft.ops.IncrementalDedup.Manifest.read(spark, manifest)
+      .map(_._1)
+    val at = epochs.filter(e =>
+      graft.ops.IncrementalDedup.Manifest.commitTimeMs(spark, manifest, e)
+        <= tMs)
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tMs)} predates " +
+        s"every commit of ${ident} (first commit: " +
+        s"${java.time.Instant.ofEpochMilli(epochs.minOption.map(e =>
+          graft.ops.IncrementalDedup.Manifest.commitTimeMs(
+            spark, manifest, e)).getOrElse(0L))})")
+    loadAt(ident, epoch = Some(at.max))
+  }
+
   private def loadAt(ident: Identifier, epoch: Option[Int]): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)

@@ -166,6 +166,13 @@ private[sources] class LakeTable(
 
   override def schema(): StructType = tableSchema
 
+  /** Surfaces the merge key / event-time declaration (and the path) to
+    * DESCRIBE TABLE EXTENDED and every other properties reader.
+    */
+  override def properties(): util.Map[String, String] =
+    props.view.filterKeys(k => k == "key" || k == "ts" || k == "path")
+      .toMap.asJava
+
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     filters.forall(f => GraftLakeSource.filterColumn(f).isDefined)
 

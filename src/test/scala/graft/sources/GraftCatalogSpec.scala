@@ -138,6 +138,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del")
   }
 
+  test("TIMESTAMP AS OF resolves commit wall-clocks; DESCRIBE EXTENDED " +
+    "surfaces the key; writeTo/spark.table ride the catalog") {
+    spark.sql("CREATE TABLE graft.tt (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    spark.sql("INSERT INTO graft.tt (id, ts, v) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0)")
+    val between = java.time.Instant.now()
+    Thread.sleep(20)
+    // the V2 writeTo API appends through the same bridge
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2.0))
+      .toDF("id", "ts", "v").writeTo("graft.tt").append()
+    assert(spark.table("graft.tt").count() === 2L)
+    assert(spark.sql(
+      s"SELECT id FROM graft.tt TIMESTAMP AS OF '$between'")
+      .as[Long].collect().toSeq === Seq(1L),
+      "an instant between the commits sees only the first")
+    assert(spark.sql("SELECT count(*) FROM graft.tt TIMESTAMP AS OF " +
+      s"'${java.time.Instant.now()}'").as[Long].head() === 2L)
+    val early = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt TIMESTAMP AS OF " +
+        "'2000-01-01 00:00:00'").collect()
+    }
+    assert(early.getMessage.contains("predates"))
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.tt").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("key") && desc.contains("id"),
+      s"DESCRIBE EXTENDED must surface the merge key:\n$desc")
+    spark.sql("DROP TABLE graft.tt")
+  }
+
   test("namespaces map to directories; listTables sees only lakes") {
     spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
       "TBLPROPERTIES ('key' = 'id')")
