@@ -356,7 +356,8 @@ object LakeSnapshot {
       spark: SparkSession, dir: String, asOf: Option[Int] = None): LakeState =
     asOf.map(viewAt(spark, dir, _)).getOrElse(liveView(spark, dir))
 
-  /** Advisory next-generation high-water mark (`manifest/_next_gen`): a
+  /** Advisory next-generation high-water mark (`manifest/_next_gen-<N>`,
+    * hint-named write-once files; the max name wins): a
     * winner of [[claimGen]] records G+1 here so (a) the skip-scan starts
     * past every generation ever claimed instead of walking claim files,
     * and (b) [[vacuum]] may DELETE claim files for reclaimed generations
@@ -367,38 +368,65 @@ object LakeSnapshot {
     * the claim file it would have covered still exists and the scan skips
     * it.
     */
-  private def genHint(spark: SparkSession, dir: String): Int = {
-    val p = new Path(s"${LakePaths(dir).manifest}/_next_gen")
+  private[etl] def genHint(spark: SparkSession, dir: String): Int = {
+    val m = new Path(LakePaths(dir).manifest)
     val f = fsOf(spark, dir)
-    if (!f.exists(p)) return 0
-    try {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+    // hint-NAMED files (`_next_gen-<N>`): the file name IS the value, so
+    // a reader takes the max over one listing and never opens a hint file
+    // — no delete→rename visibility gap (the ADVICE r13 number-reuse
+    // hazard) and no CRC pairing window (the VERDICT r13 p23
+    // ChecksumException abort), both impossible by construction
+    val named = try {
+      if (!f.exists(m)) 0
+      else f.listStatus(m).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("_next_gen-"))
+        .flatMap(n =>
+          scala.util.Try(n.stripPrefix("_next_gen-").toInt).toOption)
+        .foldLeft(0)(math.max)
+    } catch { case _: java.io.IOException => 0 }
+    // legacy single-file hint (pre-r14 lakes): value-bearing, so reading
+    // it can race a legacy writer's swap — ANY IO failure (not just FNF:
+    // ChecksumException is an IOException too) reads as 0; the claim
+    // files still on disk backstop the scan either way
+    val legacy = try {
+      val p = new Path(m, "_next_gen")
+      if (!f.exists(p)) 0
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
     } catch {
-      // a concurrent bump's delete→rename gap: transiently absent is the
-      // same as never-written — claims still on disk backstop the scan
-      case _: java.io.FileNotFoundException => 0
+      case _: java.io.IOException => 0
+      case _: NumberFormatException => 0
     }
+    math.max(named, legacy)
   }
 
-  private def bumpGenHint(spark: SparkSession, dir: String, next: Int): Unit = {
+  private[etl] def bumpGenHint(
+      spark: SparkSession, dir: String, next: Int): Unit = {
     val m = LakePaths(dir).manifest
     val f = fsOf(spark, dir)
-    // write-then-re-read loop: two concurrent bumps can interleave so the
-    // SMALLER value lands last; re-reading and rewriting converges the
-    // file to the max. The hint stays advisory — a claim file vacuum has
-    // not yet reclaimed always backstops a transiently-stale hint.
-    var attempts = 0
-    while (attempts < 5 && genHint(spark, dir) < next) {
-      val tmp = new Path(m, s".tmp-next-gen-$next-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      val dst = new Path(m, "_next_gen")
-      f.delete(dst, false)
-      if (!f.rename(tmp, dst)) f.delete(tmp, false) // lost an advisory race
-      attempts += 1
-    }
+    if (genHint(spark, dir) >= next) return
+    // one atomic create publishes the new high-water mark; a concurrent
+    // peer creating the same name is the same value (collision harmless)
+    try { f.create(new Path(m, s"_next_gen-$next"), false).close() }
+    catch { case _: java.io.IOException => () }
+    // retire lower-valued hints (and any legacy file — provably < next,
+    // genHint folds it into the max) only AFTER the new hint is visible,
+    // so a concurrent listing always sees a value >= the pre-bump max
+    try {
+      f.listStatus(new Path(m)).foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          if (n == "_next_gen") true
+          else if (n.startsWith("_next_gen-"))
+            scala.util.Try(n.stripPrefix("_next_gen-").toInt)
+              .toOption.exists(_ < next)
+          else false
+        if (stale) f.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Claim a fresh generation id through the [[ClaimStore]] seam —
@@ -968,8 +996,14 @@ object LakeSnapshot {
       if (staged.cdf) {
         val overlapping = rows.filter { case (_, kv) =>
           !kv.contains("maint") &&
-            (uncsv(kv.getOrElse("days", "")) ++
-              uncsv(kv.getOrElse("dropped", ""))).exists(touched)
+            ((uncsv(kv.getOrElse("days", "")) ++
+              uncsv(kv.getOrElse("dropped", ""))).exists(touched) ||
+              // a column-mapping commit (rename/drop) since staging means
+              // the staged sidecar carries pre-mapping column names —
+              // readChangesCdf's unionByName would split the renamed
+              // column into two half-null halves across the window
+              // (ADVICE r13); day-disjointness cannot save it, so abort
+              kv.contains("rename") || kv.contains("dropcol"))
         }
         if (overlapping.nonEmpty)
           throw new ConcurrentLakeMutationException(
@@ -1026,6 +1060,37 @@ object LakeSnapshot {
       commitDelta(spark, dir,
         stageDeleteDelta(spark, dir, keys, keyCol, tsCol, store, cdf), keyCol)
     }
+
+  /** Staging half of an EXTERNALLY-WRITTEN delta commit (the DSv2
+    * row-level MERGE path): ONE staging snapshot + a claimed generation
+    * whose `delta/gen=<gen>/day=<d>/part-*` files the caller's
+    * DISTRIBUTED writers fill directly (per-task parquet, no driver
+    * collect — the shape that survives a 1000-executor merge). Returns
+    * (gen, baseEpoch, the staging view) — the view is what writers must
+    * bind physical column names against, the same state the generation
+    * was claimed under. Publish via [[commitExternalDelta]]; an
+    * abandoned gen is unreferenced and vacuum reclaims it.
+    */
+  private[graft] def stageExternalDelta(
+      spark: SparkSession, dir: String,
+      keyCol: String): (Int, Int, LakeState) = {
+    val (base, live) = stagingSnapshot(spark, dir)
+    require(live.key.forall(_ == keyCol),
+      s"delta key '$keyCol' does not match the table's recorded key " +
+        s"'${live.key.getOrElse("")}' at $dir")
+    (claimGen(spark, dir, base + 1, FsClaimStore), base, live)
+  }
+
+  /** Commit half of [[stageExternalDelta]]: publish the filled
+    * generation exactly like [[commitDelta]] — row-delta semantics, so
+    * NO overlap abort (concurrent writers serialize by epoch order).
+    * Returns the committed epoch (or `baseEpoch` for an empty merge).
+    */
+  private[graft] def commitExternalDelta(
+      spark: SparkSession, dir: String, gen: Int, baseEpoch: Int,
+      days: Seq[String], keyCol: String): Int =
+    commitDelta(spark, dir,
+      Staged(gen, baseEpoch, days.distinct.sorted, Nil), keyCol)
 
   /** Drop whole days (default: ALL → TRUNCATE) as a MANIFEST-ONLY
     * commit: no data file is read or written — the commit row's
@@ -1528,9 +1593,30 @@ object LakeSnapshot {
       return spark.read.parquet(anyGen.head.getPath.toString)
         .limit(0).withColumn("_commit_epoch", lit(0))
     }
+    // a RENAME/DROP inside the window: a sidecar committed BEFORE the
+    // column op carries pre-op logical names — translate each sidecar
+    // through the column ops committed after it (epoch order), exactly
+    // as readChanges translates its old endpoint, so the union never
+    // splits a renamed column into two half-null halves (ADVICE r13)
+    val colOps: Seq[(Int, String, String)] =
+      IncrementalDedup.Manifest.read(spark, p.manifest)
+        .filter { case (e, _) => e <= toEpoch }
+        .flatMap { case (e, kv) =>
+          kv.get("rename").map(v => (e, "rename", v)).toSeq ++
+            kv.get("dropcol").map(v => (e, "dropcol", v))
+        }.sortBy(_._1)
     gens.map { case (e, g) =>
-      spark.read.parquet(s"${p.cdf}/gen=$g")
-        .withColumn("_commit_epoch", lit(e))
+      val raw = spark.read.parquet(s"${p.cdf}/gen=$g")
+      colOps.filter(_._1 > e).foldLeft(raw) { case (df, (_, kind, v)) =>
+        kind match {
+          case "rename" =>
+            val Array(from, to) = v.split(">", 2)
+            if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+            else df
+          case _ => // dropcol: the window-end schema governs the feed
+            if (df.columns.contains(v)) df.drop(v) else df
+        }
+      }.withColumn("_commit_epoch", lit(e))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1549,6 +1635,10 @@ object LakeSnapshot {
           // cdf sidecar rides either kind under the same gen number
           Some(e -> kv.getOrElse("gen", kv("deltagen")).toInt)
         else if (kv.contains("maint")) None // OPTIMIZE/ZORDER: CDC-silent
+        // ALTER TABLE RENAME/DROP COLUMN: manifest-only, zero data rows
+        // change — exempt like checkpoints, or a column op inside a CDF
+        // window would permanently stall every feed at its epoch
+        else if (kv.contains("rename") || kv.contains("dropcol")) None
         else if (kv.contains("deltagen")) sys.error(
           s"epoch $e at $dir is a row-delta commit without a change " +
             "sidecar — re-run it with cdf=true or use readChanges " +

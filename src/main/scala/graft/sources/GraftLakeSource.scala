@@ -401,8 +401,12 @@ private[sources] class LakeScan(
     val spark = SparkSession.active
     if (!state.nonEmpty) {
       // committed-but-EMPTY (every day dropped/TRUNCATEd) scans as zero
-      // rows; a lake that never committed anything stays a loud error
-      require(LakeSnapshot.currentEpoch(spark, dir) >= 0,
+      // rows, and so does a catalog table CREATEd but never written
+      // (its declared schema lives in _table.properties — the standard
+      // CREATE TABLE → SELECT flow, ADVICE r13); only a path-based read
+      // of a lake that never existed stays a loud error
+      require(LakeSnapshot.currentEpoch(spark, dir) >= 0 ||
+        GraftCatalog.readCreateProps(spark, dir).nonEmpty,
         s"no committed snapshot at $dir")
       return Array.empty
     }

@@ -138,6 +138,55 @@ class LakeColumnMappingSpec extends AnyFunSuite {
       (2L, 2.0, "update_preimage"), (2L, 22.0, "update_postimage")))
   }
 
+  test("a column op INSIDE a write-time CDF window is exempt (it moved " +
+    "no data) and earlier sidecars translate to the window-end names") {
+    val dir = freshDir("cdf_colop")
+    seedLake(dir)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((2L, ts(1), 22.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val eRename = LakeSnapshot.renameColumn(spark, dir, "value", "amount")
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((3L, ts(2), 33.0)).toDF("event_id", "ts", "amount"),
+      "event_id", "ts", cdf = true)
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    // pre-fix this threw 'committed without a change sidecar' at the
+    // rename epoch, stalling every feed window containing it forever
+    val feed = LakeSnapshot.readChangesCdf(spark, dir, e0, e1)
+    assert(!feed.columns.contains("value"),
+      "pre-rename sidecar must translate to the window-end name")
+    assert(!feed.select("_commit_epoch").as[Int].collect().contains(eRename))
+    val got = feed
+      .filter(col("_change_type").isin("update_postimage", "insert"))
+      .select(col("event_id"), col("amount"), col("_change_type"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (2L, 22.0, "update_postimage"), (3L, 33.0, "update_postimage")))
+  }
+
+  test("a cdf delta whose staging->commit window spans a column op " +
+    "aborts loudly (its sidecar carries pre-op names)") {
+    val dir = freshDir("cdf_stale_colop")
+    seedLake(dir)
+    val staged = LakeSnapshot.stageMergeDelta(spark, dir,
+      Seq((2L, ts(1), 22.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    LakeSnapshot.renameColumn(spark, dir, "value", "amount")
+    intercept[LakeSnapshot.ConcurrentLakeMutationException] {
+      LakeSnapshot.commitDelta(spark, dir, staged, "event_id")
+    }
+    // a plain (cdf=false) delta does NOT abort — nothing pins preimages
+    val staged2 = LakeSnapshot.stageMergeDelta(spark, dir,
+      Seq((3L, ts(2), 33.0)).toDF("event_id", "ts", "amount"),
+      "event_id", "ts")
+    LakeSnapshot.commitDelta(spark, dir, staged2, "event_id")
+    val got = LakeSnapshot.read(spark, dir)
+      .select(col("event_id"), col("amount"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 1.0, 2L -> 2.0, 3L -> 33.0))
+  }
+
   test("invalid column ops fail loudly") {
     val dir = freshDir("invalid")
     seedLake(dir)

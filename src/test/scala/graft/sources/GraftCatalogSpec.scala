@@ -72,6 +72,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("ev"))
   }
 
+  test("SELECT from a CREATEd-but-never-written table returns zero rows " +
+    "(ADVICE r13); a path-based read of a never-existing lake stays loud") {
+    spark.sql("CREATE TABLE graft.bare (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      val df = spark.sql("SELECT * FROM graft.bare")
+      assert(df.count() === 0L)
+      assert(df.columns.toSeq === Seq("event_id", "ts", "value"))
+      // aggregates over the declared schema work too
+      assert(spark.sql("SELECT sum(value) FROM graft.bare")
+        .collect().head.isNullAt(0))
+      // and the first INSERT afterwards behaves normally
+      spark.sql("INSERT INTO graft.bare (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0)")
+      assert(spark.sql("SELECT * FROM graft.bare").count() === 1L)
+    } finally spark.sql("DROP TABLE graft.bare")
+    val boom = intercept[Exception] {
+      spark.read.format("graft-lake")
+        .option("path", s"$wh/never_existed").load().count()
+    }
+    assert(boom.getMessage.contains("no committed snapshot"))
+  }
+
   test("CREATE without a key fails loudly; the declared key validates " +
     "and later writers inherit it") {
     val ex = intercept[Exception] {
