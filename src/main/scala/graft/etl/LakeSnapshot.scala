@@ -986,7 +986,7 @@ object LakeSnapshot {
     */
   private[etl] def commitDelta(
       spark: SparkSession, dir: String, staged: Staged,
-      keyCol: String): Int = {
+      keyCol: String, tag: String = ""): Int = {
     val p = LakePaths(dir)
     if (staged.days.isEmpty) return staged.baseEpoch
     val touched = staged.days.toSet
@@ -1018,6 +1018,7 @@ object LakeSnapshot {
         "deltagen" -> staged.gen.toString,
         "days" -> csv(staged.days),
         "key" -> keyCol) ++
+        (if (tag.nonEmpty) Seq("tag" -> tag) else Nil) ++
         (if (staged.cdf) Seq("cdf" -> "1") else Nil) ++
         (if (staged.addcols.nonEmpty) Seq("addcol" ->
           staged.addcols.map { case (ph, l) => s"$ph>$l" }.mkString(","))
@@ -1084,13 +1085,26 @@ object LakeSnapshot {
   /** Commit half of [[stageExternalDelta]]: publish the filled
     * generation exactly like [[commitDelta]] — row-delta semantics, so
     * NO overlap abort (concurrent writers serialize by epoch order).
-    * Returns the committed epoch (or `baseEpoch` for an empty merge).
+    * A non-empty `tag` makes the commit IDEMPOTENT under redelivery
+    * (the streaming-sink contract, same idea as the incremental index's
+    * append tags): if any committed epoch already carries it, this call
+    * is a no-op returning that epoch — a restarted micro-batch replays
+    * harmlessly. Tags are read over the FULL manifest (never the
+    * checkpoint-collapsed view), so a manifest checkpoint cannot erase
+    * redelivery protection. Returns the committed epoch (or `baseEpoch`
+    * for an empty merge).
     */
   private[graft] def commitExternalDelta(
       spark: SparkSession, dir: String, gen: Int, baseEpoch: Int,
-      days: Seq[String], keyCol: String): Int =
+      days: Seq[String], keyCol: String, tag: String = ""): Int = {
+    if (tag.nonEmpty) {
+      val prior = IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
+        .collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
+      if (prior.isDefined) return prior.get
+    }
     commitDelta(spark, dir,
-      Staged(gen, baseEpoch, days.distinct.sorted, Nil), keyCol)
+      Staged(gen, baseEpoch, days.distinct.sorted, Nil), keyCol, tag)
+  }
 
   /** Drop whole days (default: ALL → TRUNCATE) as a MANIFEST-ONLY
     * commit: no data file is read or written — the commit row's

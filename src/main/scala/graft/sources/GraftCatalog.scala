@@ -142,9 +142,16 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     val created = readCreateProps(dir)
     val committed = LakeSnapshot.currentEpoch(spark, dir) >= 0
-    val emptyView = committed &&
-      LakeSnapshot.tableState(spark, dir,
-        epoch.map(e => e: Int)).days.isEmpty
+    val state =
+      if (committed)
+        Some(LakeSnapshot.tableState(spark, dir, epoch.map(e => e: Int)))
+      else None
+    val emptyView = state.exists(_.days.isEmpty)
+    // the merge key: the CREATE declaration, else the key the first
+    // delta commit recorded — so MERGE INTO works on lakes built by the
+    // Scala API and only later attached to the catalog
+    val keyProp = created.get("key").orElse(state.flatMap(_.key))
+      .map("key" -> _).toMap
     val schema: StructType =
       if (!committed || emptyView)
         // never written, or TRUNCATEd empty: the CREATE's declaration
@@ -156,7 +163,8 @@ class GraftCatalog extends TableCatalog {
         case None => LakeSnapshot.read(spark, dir).schema
       }
     new LakeTable(schema,
-      created ++ Map("path" -> dir) ++
+      created ++ keyProp ++
+        Map("path" -> dir, "ts" -> created.getOrElse("ts", "ts")) ++
         epoch.map(e => "epoch" -> e.toString).toMap)
   }
 

@@ -1,0 +1,349 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetFileWriter
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.LakeSnapshot
+import graft.etl.LakeSnapshot.LakeState
+
+/** SQL `MERGE INTO` (and row-level `UPDATE`) over the lake — the
+  * DSv2 row-level-operation surface (VERDICT r13 #2):
+  *
+  * {{{
+  *   MERGE INTO graft.events t USING updates s ON t.event_id = s.event_id
+  *   WHEN MATCHED AND s.op = 'd' THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * The operation is DELTA-BASED ([[SupportsDelta]], the Iceberg
+  * merge-on-read shape): Spark joins the target scan with the source and
+  * hands each output row to a [[DeltaWriter]] as an INSERT / UPDATE /
+  * DELETE — it never rewrites untouched rows, so the write cost is
+  * O(merge output), not O(touched partitions). Each writer task streams
+  * its rows into per-day delta parquet files under the generation
+  * [[LakeSnapshot.stageExternalDelta]] claimed (upserts as `__op = "u"`
+  * full rows, deletes as `__op = "d"` key markers — exactly the files
+  * `mergeDelta`/`deleteKeysDelta` stage), and the driver publishes ONE
+  * manifest row via [[LakeSnapshot.commitExternalDelta]]: a whole
+  * MATCHED-UPDATE/MATCHED-DELETE/NOT-MATCHED-INSERT mix lands as one
+  * atomic MoR delta commit, never a rewrite, with row-delta concurrency
+  * (no overlap abort). Writers write task-private dot-temp files and
+  * rename on task commit, so a retried task never leaks half a file
+  * into the committed generation.
+  *
+  * Row identity: `rowId = (key, ts)` — key is the lake's merge key; ts
+  * rides along so a DELETE (which only receives the row ID) can derive
+  * the day its marker files under, the same (key, ts) → day contract as
+  * [[LakeSnapshot.deleteKeysDelta]]. The 100 TB shape: the target scan
+  * is the day-pruned DSv2 relation, the join is Catalyst's to plan, and
+  * the write moves only the merge output — no driver collect anywhere.
+  */
+private[sources] class LakeRowLevelOperation(
+    tableSchema: StructType, props: Map[String, String],
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  private val key = props.getOrElse("key", sys.error(
+    "graft-lake: MERGE/UPDATE needs the table's merge key — CREATE the " +
+      "table through the graft catalog (TBLPROPERTIES 'key') or write " +
+      "to it once so the key is recorded"))
+  private val ts = props.getOrElse("ts", "ts")
+  require(tableSchema.fieldNames.contains(ts),
+    s"graft-lake: event-time column '$ts' is not in the table schema " +
+      s"${tableSchema.fieldNames.toSeq} — row-level ops derive each " +
+      "row's day from it")
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-lake $cmd rowId=($key, $ts)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(tableSchema, props)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new LakeDeltaWrite(props, key, ts, info)
+    }
+
+  /** (key, ts): key IS row identity in an upsert lake; ts rides along so
+    * deletes can place their day marker (see class doc).
+    */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(key), Expressions.column(ts))
+}
+
+/** Task-level commit: the (day, published file) pairs this task wrote —
+  * file paths so a driver-side mover (the streaming sink) relocates
+  * EXACTLY the committed attempt's files, never a failed attempt's
+  * leftovers.
+  */
+private[sources] final case class LakeMergeTaskCommit(
+    files: Seq[(String, String)])
+  extends WriterCommitMessage {
+  def days: Seq[String] = files.map(_._1).distinct
+}
+
+private[sources] class LakeDeltaWrite(
+    props: Map[String, String], key: String, ts: String,
+    info: LogicalWriteInfo)
+  extends DeltaWrite with DeltaBatchWrite {
+
+  private val dir = GraftLakeSource.dirOf(props)
+
+  // ONE claim, driver-side, shared by factory/commit/abort — the
+  // staging snapshot also fixes the column mapping the writers bind
+  // physical names against (same state the generation was claimed under)
+  private lazy val staged: (Int, Int, LakeState) =
+    LakeSnapshot.stageExternalDelta(SparkSession.active, dir, key)
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def description(): String = s"graft-lake delta write $dir"
+
+  override def createBatchWriterFactory(
+      pi: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val (gen, _, state) = staged
+    val dataSchema = info.schema()
+    val rowIdSchema = info.rowIdSchema().orElseGet(() => sys.error(
+      "graft-lake: delta write without a row ID schema"))
+    // physical parquet name behind each logical data column; `day` is
+    // the partition value (derived from ts, never stored in files)
+    val physical = dataSchema.fields.map { f =>
+      if (f.name == "day") null
+      else state.physicalFor(f.name).getOrElse(sys.error(
+        s"graft-lake: merge column '${f.name}' has no physical binding " +
+          s"at $dir — not a live column of this table"))
+    }
+    require(dataSchema.fieldNames.contains(ts),
+      s"graft-lake: merge row schema ${dataSchema.fieldNames.toSeq} is " +
+        s"missing the event-time column '$ts'")
+    new LakeDeltaWriterFactory(
+      dir, s"${LakeSnapshot.LakePaths(dir).delta}/gen=$gen",
+      dataSchema, physical, dataSchema.fieldIndex(ts),
+      rowIdSchema, rowIdSchema.fieldIndex(key), rowIdSchema.fieldIndex(ts),
+      state.physicalFor(key).getOrElse(key),
+      spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (gen, base, _) = staged
+    val days = messages.toSeq
+      .collect { case m: LakeMergeTaskCommit => m.days }.flatten.distinct
+    // an empty merge output commits nothing — the claimed gen is
+    // unreferenced and vacuum reclaims it
+    if (days.nonEmpty)
+      LakeSnapshot.commitExternalDelta(
+        SparkSession.active, dir, gen, base, days, key)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (gen, _, _) = staged
+    val p = new Path(s"${LakeSnapshot.LakePaths(dir).delta}/gen=$gen")
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}
+
+private[sources] class LakeDeltaWriterFactory(
+    dir: String, root: String,
+    dataSchema: StructType, physical: Array[String], tsIdxData: Int,
+    rowIdSchema: StructType, keyIdxId: Int, tsIdxId: Int,
+    keyPhysical: String, hadoopConf: Map[String, String])
+  extends DeltaWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new LakeDeltaTaskWriter(dir, root, dataSchema, physical, tsIdxData,
+      rowIdSchema, keyIdxId, tsIdxId, keyPhysical, hadoopConf,
+      partitionId, taskId)
+}
+
+/** One task's delta writer: streams merge output rows into per-day
+  * parquet files (`__op`-tagged, physical column names) under
+  * `root/day=D/`, dot-temp until task commit. `root` is the claimed
+  * generation directory on the batch MERGE path, or the streaming
+  * sink's per-epoch staging area (the driver moves files into the
+  * generation at batch commit). Memory is O(open day writers), not
+  * O(rows).
+  */
+private[sources] class LakeDeltaTaskWriter(
+    dir: String, root: String,
+    dataSchema: StructType, physical: Array[String], tsIdxData: Int,
+    rowIdSchema: StructType, keyIdxId: Int, tsIdxId: Int,
+    keyPhysical: String, hadoopConf: Map[String, String],
+    partitionId: Int, taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private val conf = LakeGroupRead.confOf(hadoopConf)
+
+  private val fileSchema: MessageType = {
+    val b = Types.buildMessage()
+    dataSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (physical(i) != null)
+        LakeGroupWrite.addField(b, physical(i), f.dataType)
+    }
+    b.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("__op")
+    b.named("spark_schema")
+  }
+  private val groups = new SimpleGroupFactory(fileSchema)
+
+  private final case class DayOut(
+    writer: ParquetWriter[Group], tmp: Path, fin: Path)
+  private val open = mutable.LinkedHashMap.empty[String, DayOut]
+  private var done = false
+
+  private def outFor(day: String): DayOut = open.getOrElseUpdate(day, {
+    val dayDir = s"$root/day=$day"
+    // dot-temp: invisible to every reader (Spark and the DSv2 listings
+    // both skip dot-files); renamed to part-* only on task commit, so a
+    // failed/straggler attempt never leaks rows into the generation
+    val tmp = new Path(dayDir, s".inprog-$partitionId-$taskId.parquet")
+    val fin = new Path(dayDir, f"part-$partitionId%05d-$taskId-merge.parquet")
+    val w = ExampleParquetWriter.builder(tmp)
+      .withType(fileSchema)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE) // retry reuses name
+      .build()
+    DayOut(w, tmp, fin)
+  })
+
+  private def dayOf(micros: Long): String =
+    java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(micros, 86400000000L)).toString
+
+  /** The full upsert image of `row` as a `__op = "u"` delta row. */
+  private def upsert(row: InternalRow): Unit = {
+    require(!row.isNullAt(tsIdxData),
+      s"graft-lake MERGE: NULL event-time — every written row needs " +
+        s"'${dataSchema.fields(tsIdxData).name}' to derive its day")
+    val g = groups.newGroup()
+    var i = 0
+    while (i < physical.length) {
+      if (physical(i) != null && !row.isNullAt(i))
+        LakeGroupWrite.addValue(
+          g, physical(i), dataSchema.fields(i).dataType, row, i)
+      i += 1
+    }
+    g.add("__op", "u")
+    outFor(dayOf(row.getLong(tsIdxData))).writer.write(g)
+  }
+
+  override def insert(row: InternalRow): Unit = upsert(row)
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    upsert(row)
+
+  override def update(
+      meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    // the new image supersedes the old row by key at fold time — the
+    // same one-row semantics as mergeDelta's upsert
+    upsert(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // id = (key, ts) of the EXISTING row: the marker lands in that
+    // row's day, the deleteKeysDelta contract
+    val g = groups.newGroup()
+    LakeGroupWrite.addValue(
+      g, keyPhysical, rowIdSchema.fields(keyIdxId).dataType, id, keyIdxId)
+    g.add("__op", "d")
+    outFor(dayOf(id.getLong(tsIdxId))).writer.write(g)
+  }
+
+  override def write(row: InternalRow): Unit = upsert(row)
+
+  override def commit(): WriterCommitMessage = {
+    done = true
+    val fs = new Path(dir).getFileSystem(conf)
+    open.values.foreach { o =>
+      o.writer.close()
+      if (fs.exists(o.fin)) fs.delete(o.fin, false) // retried task's prior
+      require(fs.rename(o.tmp, o.fin),
+        s"graft-lake MERGE: publish rename ${o.tmp} -> ${o.fin} failed")
+    }
+    LakeMergeTaskCommit(
+      open.toSeq.map { case (day, o) => day -> o.fin.toString })
+  }
+
+  override def abort(): Unit = {
+    done = true
+    val fs = new Path(dir).getFileSystem(conf)
+    open.values.foreach { o =>
+      try o.writer.close() catch { case _: Throwable => () }
+      if (fs.exists(o.tmp)) fs.delete(o.tmp, false)
+    }
+  }
+
+  override def close(): Unit =
+    // lifecycle: commit() or abort() already ran; close leftover writers
+    // defensively if neither did (driver-side kill)
+    if (!done) abort()
+}
+
+/** Spark type → parquet schema/value bridging for the merge delta
+  * writer — the WRITE mirror of [[LakeGroupRead.internalValue]], same
+  * type family (the lake's supported column types), MICROS timestamps.
+  */
+private[sources] object LakeGroupWrite {
+
+  def addField(
+      b: Types.GroupBuilder[MessageType], name: String,
+      dt: DataType): Unit = {
+    import PrimitiveType.PrimitiveTypeName._
+    dt match {
+      case LongType => b.optional(INT64).named(name)
+      case IntegerType => b.optional(INT32).named(name)
+      case TimestampType => b.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(
+          true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case DateType => b.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case DoubleType => b.optional(DOUBLE).named(name)
+      case FloatType => b.optional(FLOAT).named(name)
+      case BooleanType => b.optional(BOOLEAN).named(name)
+      case StringType => b.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake merge writer: unsupported column type $other " +
+          s"for '$name'")
+    }
+    ()
+  }
+
+  def addValue(
+      g: Group, name: String, dt: DataType,
+      row: InternalRow, i: Int): Unit = dt match {
+    case LongType | TimestampType => g.add(name, row.getLong(i))
+    case IntegerType | DateType => g.add(name, row.getInt(i))
+    case DoubleType => g.add(name, row.getDouble(i))
+    case FloatType => g.add(name, row.getFloat(i))
+    case BooleanType => g.add(name, row.getBoolean(i))
+    case StringType => g.add(name, row.getUTF8String(i).toString)
+    case other => throw new UnsupportedOperationException(
+      s"graft-lake merge writer: unsupported column type $other for '$name'")
+  }
+}

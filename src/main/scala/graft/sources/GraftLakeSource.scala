@@ -160,11 +160,37 @@ object GraftLakeSource {
 private[sources] class LakeTable(
     tableSchema: StructType, props: Map[String, String])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft-lake:${props.getOrElse("path", "?")}"
 
-  override def schema(): StructType = tableSchema
+  /** key/ts surface NON-NULLABLE: they are the table's row identity
+    * (every committed row derived its day partition from ts, and key is
+    * the merge key — neither is ever null by construction), and Spark's
+    * row-level-command planner refuses nullable row-ID attributes, so
+    * without this MERGE INTO could never plan.
+    */
+  override def schema(): StructType = {
+    val id: Set[String] = props.get("key").toSet ++ props.get("ts").toSet
+    if (id.isEmpty) tableSchema
+    else StructType(tableSchema.map(f =>
+      if (id.contains(f.name)) f.copy(nullable = false) else f))
+  }
+
+  /** SQL MERGE INTO / UPDATE — delta-based row-level operations landing
+    * as ONE merge-on-read delta commit (see [[LakeRowLevelOperation]]).
+    * DELETE keeps the [[deleteWhere]] fast paths (manifest-only day
+    * drops) via [[org.apache.spark.sql.connector.catalog.SupportsDelete]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new LakeRowLevelOperation(schema(), props, info.command())
+    }
 
   /** Surfaces the merge key / event-time declaration (and the path) to
     * DESCRIBE TABLE EXTENDED and every other properties reader.
@@ -224,9 +250,7 @@ private[sources] class LakeTable(
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    // ACCEPT_ANY_SCHEMA: the lake's own merge unions by name with
-    // null-fill (schema evolution is a table feature, not a writer
-    // error); BATCH_WRITE + V1_BATCH_WRITE: BATCH_WRITE is what
+    // BATCH_WRITE + V1_BATCH_WRITE: BATCH_WRITE is what
     // DataFrameWriter.save() checks to route mode("append") through V2
     // at all, V1_BATCH_WRITE marks the write as a V1 bridge — it hands
     // the whole DataFrame to the one transactional staging/commit
@@ -235,15 +259,30 @@ private[sources] class LakeTable(
     // V2-table/V1-write bridge). No TRUNCATE/OVERWRITE_BY_FILTER:
     // mode("overwrite") fails loudly at analysis; replacing committed
     // data is [[graft.etl.LakeSnapshot.merge]]/OPTIMIZE territory.
+    // Deliberately NOT ACCEPT_ANY_SCHEMA (round 14): the analyzer skips
+    // MergeIntoTable resolution entirely for accept-any-schema targets
+    // (`skipSchemaResolution` — connectors like Delta ship their own
+    // analyzer extension instead), which would leave SQL MERGE INTO
+    // permanently unresolvable against foreign sessions graft cannot
+    // inject rules into. With the real schema declared, Spark's own
+    // resolution + store assignment handle INSERT/writeTo/MERGE (missing
+    // nullable columns null-fill, literals coerce); the one trade is
+    // that ADDING a column now goes through the Scala API
+    // ([[graft.etl.LakeSnapshot.merge]] unions by name) rather than a
+    // widened DSv2 append — schema evolution stays a table feature, the
+    // writer surface just stops being the door for it.
+    // STREAMING_WRITE: writeStream.format("graft-lake") — the native
+    // streaming sink ([[LakeStreamingWrite]]), tag-idempotent MoR delta
+    // commits per micro-batch.
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(tableSchema, props)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeWriteBuilder(props ++ info.options.asScala.toMap)
+    new LakeWriteBuilder(props ++ info.options.asScala.toMap, info)
 }
 
 /** `df.write.format("graft-lake").mode("append")` — external tools
@@ -256,11 +295,17 @@ private[sources] class LakeTable(
   * change sidecars on either path. `option("key", …)` is required on
   * first write and validated against the recorded table key afterwards;
   * `option("ts", …)` names the event-time column (default `ts`).
+  * `writeStream.format("graft-lake")` rides [[LakeStreamingWrite]]
+  * instead (same options, tag-idempotent per-batch delta commits).
   */
-private[sources] class LakeWriteBuilder(props: Map[String, String])
+private[sources] class LakeWriteBuilder(
+    props: Map[String, String], info: LogicalWriteInfo)
   extends WriteBuilder {
 
   override def build(): Write = new V1Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new LakeStreamingWrite(props, info)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
@@ -282,11 +327,12 @@ private[sources] class LakeWriteBuilder(props: Map[String, String])
                 "(no recorded table key yet)"))
           val ts = props.get("ts")
             .orElse(created.get("ts")).getOrElse("ts")
-          // store assignment: ACCEPT_ANY_SCHEMA told the analyzer to skip
-          // its coercion, so a SQL INSERT's literal types (DECIMAL(4,1)
-          // for `1.0`, …) arrive raw — align every column the table
-          // already KNOWS to its declared type; brand-new columns pass
-          // through untouched (schema evolution stays a table feature)
+          // belt-and-suspenders type alignment: Spark's store assignment
+          // coerces against the TABLE's declared schema, but a first
+          // write resolves against the empty inferred schema and arrives
+          // raw (DECIMAL(4,1) literals, …) — align every column the lake
+          // already KNOWS to its declared type; unknown columns pass
+          // through untouched
           val target: Option[StructType] =
             if (LakeSnapshot.currentEpoch(spark, dir) >= 0)
               Some(StructType(LakeSnapshot.read(spark, dir)

@@ -1149,6 +1149,44 @@ object StreamQueries {
       .orderBy("day", "change_type")
   }
 
+  /** s25: the lake as a NATIVE streaming sink (VERDICT r13 #3) —
+    * `writeStream.format("graft-lake")` replaces s19/s21's foreachBatch
+    * idiom with the DSv2 [[graft.sources.LakeStreamingWrite]]: executors
+    * stream each micro-batch into per-day delta files under a staging
+    * area, the driver claims a generation, moves exactly the committed
+    * files and publishes ONE tag-idempotent merge-on-read delta commit
+    * (`sw-<queryId>-<batchId>` — a restart's replayed batch no-ops).
+    * Micro-batches are key-disjoint, so the final folded view equals the
+    * one-shot p13 merge — s25 shares p13's oracle VERBATIM; the history
+    * gate pins that every batch landed as a delta, never a rewrite.
+    * Restart/redelivery is LakeStreamSinkSpec's.
+    */
+  def s25(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.LakeSnapshot
+    val outDir = StreamInput.lakeDir("s25_lake_sink", sfDir)
+    LakeSnapshot.merge(spark, outDir,
+      graft.Tables.load(spark, sfDir, "events"), "event_id", "ts")
+    val in = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+    val query = in.writeStream
+      .format("graft-lake")
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s25", sfDir))
+      .start()
+    query.awaitTermination()
+    recordReplay(query)
+    val ops = LakeSnapshot.describeHistory(spark, outDir)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    require(ops.head == "write" && ops.tail.forall(_ == "delta") &&
+      ops.tail.nonEmpty,
+      s"the native sink must land every batch as a delta commit, got $ops")
+    LakeSnapshot.read(spark, outDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1203,6 +1241,9 @@ object StreamQueries {
     ("s24_cdc_source", s24 _, Some(graft.etl.PipelineQueries.p20Sql)),
     // s23 shares k3i's oracle verbatim: streamed IVFPQ ingest must equal
     // the single-build in-memory composition
-    ("s23_ivfpq_ingest", s23 _, Some(graft.ops.KQueries.k3iSql))
+    ("s23_ivfpq_ingest", s23 _, Some(graft.ops.KQueries.k3iSql)),
+    // s25 shares p13's oracle verbatim: the native DSv2 streaming sink's
+    // folded end-state == the one-shot merge (see s25 doc)
+    ("s25_stream_lake_sink", s25 _, Some(graft.etl.PipelineQueries.p13Sql))
   )
 }
