@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
@@ -405,7 +406,7 @@ private[sources] class LakeScan(
     staticDayFilters: Seq[sources.Filter],
     statFilters: Seq[sources.Filter] = Nil)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics with SupportsReportPartitioning {
 
   private val dir = GraftLakeSource.dirOf(props)
   private val asOf = props.get("epoch").map(_.toInt)
@@ -577,6 +578,28 @@ private[sources] class LakeScan(
     }
   }
 
+  /** The layout IS day-partitioned — say so ([[KeyGroupedPartitioning]]
+    * on `day`, the storage-partitioned-join/aggregate interface). Under
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups this scan's
+    * per-file partitions by their [[HasPartitionKey]] day and a
+    * day-grouped aggregation (the commonest rollup shape) runs with
+    * ZERO exchange below the final agg — at 100 TB that is a whole
+    * avoided pass over the data (VERDICT r13 #3/#4 candidate, task 4).
+    * The trade is one task per day on the grouped path, which is why it
+    * rides Spark's opt-in conf rather than firing always. Only reported
+    * while `day` survives projection (like [[filterAttributes]]: the
+    * keys resolve against the scan OUTPUT).
+    */
+  override def outputPartitioning(): Partitioning = {
+    val eff = staticDayFilters ++ runtimeDayFilters
+    val nDays = state.days.keysIterator
+      .count(d => GraftLakeSource.dayOk(d, eff))
+    if (prunedSchema.fieldNames.contains("day") && nDays > 0)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("day")), nDays)
+    else new UnknownPartitioning(0)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     // physical file column behind each projected logical column; `day`
@@ -655,14 +678,21 @@ final case class LakeDeltaFileRef(path: String, seq: Int)
 final case class LakeBaseFilePartition(
     day: String, file: String, deltas: Seq[LakeDeltaFileRef],
     dvFiles: Seq[String], key: String)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  // the day as a DateType value — what identity("day") groups on
+  override def partitionKey(): InternalRow = new GenericInternalRow(
+    Array[Any](java.time.LocalDate.parse(day).toEpochDay.toInt))
+}
 
 /** The per-day delta fold: emits the youngest-wins upsert image of the
   * day's delta generations (rows whose youngest op is `u`).
   */
 final case class LakeDeltaFoldPartition(
     day: String, deltas: Seq[LakeDeltaFileRef], key: String)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(
+    Array[Any](java.time.LocalDate.parse(day).toEpochDay.toInt))
+}
 
 private[sources] class LakeReaderFactory(
     schema: StructType, physical: Array[String],

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import graft.TestSpark
+import graft.etl.LakeSnapshot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KeyGroupedPartitioning on `day` (VERDICT r13 #4): the DSv2 scan
+  * reports the lake's day layout (SupportsReportPartitioning +
+  * HasPartitionKey), so under `spark.sql.sources.v2.bucketing.enabled`
+  * a day-grouped aggregation plans with ZERO exchange — the
+  * storage-partitioned-aggregate shape that saves a whole shuffle pass
+  * at 100 TB. Locked both ways: conf off → the Exchange returns.
+  */
+class LakeDayPartitioningSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Conf = "spark.sql.sources.v2.bucketing.enabled"
+
+  private def ts(day: Int, h: Int = 10): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  private def freshLake(name: String): String = {
+    val p = Paths.get(s"target/lake_day_part_spec/$name")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    val dir = p.toString
+    // 3 days, several files per day (two merges), plus a delta on day 1
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(1), 2.0), (3L, ts(2), 3.0),
+        (4L, ts(3), 4.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.merge(spark, dir,
+      Seq((5L, ts(1), 5.0), (6L, ts(2), 6.0))
+        .toDF("event_id", "ts", "value"), "event_id", "ts")
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, ts(1), 100.0), (7L, ts(1), 7.0))
+        .toDF("event_id", "ts", "value"), "event_id", "ts")
+    dir
+  }
+
+  private def withConf[T](v: String)(body: => T): T = {
+    val prior = spark.conf.getOption(Conf)
+    spark.conf.set(Conf, v)
+    try body
+    finally prior match {
+      case Some(x) => spark.conf.set(Conf, x)
+      case None => spark.conf.unset(Conf)
+    }
+  }
+
+  private def agg(dir: String) =
+    spark.read.format("graft-lake").option("path", dir).load()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+
+  test("day-grouped aggregate plans with ZERO exchange under v2 " +
+    "bucketing, and the grouped fold (base files + deltas per day-task) " +
+    "is value-identical to the Scala read") {
+    val dir = freshLake("zero_exchange")
+    val want = LakeSnapshot.read(spark, dir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2))).toSet
+    withConf("true") {
+      val df = agg(dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected an exchange-free grouped plan, got:\n$plan")
+      val got = df.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2))).toSet
+      assert(got === want)
+      // grouped execution: one task per day
+      assert(df.rdd.getNumPartitions === 3)
+    }
+    // the lock is MEANINGFUL: with the conf off the shuffle returns
+    withConf("false") {
+      val plan = agg(dir).queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"conf off must fall back to the shuffled agg, got:\n$plan")
+    }
+  }
+
+  test("a day-pruned projection without `day` still plans (partitioning " +
+    "reports unknown, never a resolution error)") {
+    val dir = freshLake("no_day")
+    withConf("true") {
+      val got = spark.read.format("graft-lake").option("path", dir).load()
+        .select("event_id", "value").agg(round(sum("value"), 2))
+        .as[Double].head()
+      assert(got === 127.0) // 100+2+5+7 (day1) + 3+6 (day2) + 4 (day3)
+    }
+  }
+
+  test("day filters compose with the grouped plan: pruned days never " +
+    "plan a partition, the agg stays exchange-free") {
+    val dir = freshLake("filtered")
+    withConf("true") {
+      val df = spark.read.format("graft-lake").option("path", dir).load()
+        .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-02")))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(df.rdd.getNumPartitions === 2)
+      assert(df.orderBy("day").as[(java.sql.Date, Long)].collect()
+        .map { case (d, n) => (d.toString, n) }.toSeq ===
+        Seq(("2024-01-02", 2L), ("2024-01-03", 1L)))
+    }
+  }
+}
