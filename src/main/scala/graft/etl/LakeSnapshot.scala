@@ -523,7 +523,10 @@ object LakeSnapshot {
           val tomb = spark.read.option("basePath", p.dv)
             .parquet(dvPaths: _*)
             .select(col("file").as("__file"), col("pos").as("__pos"))
-          Some(base.join(broadcast(tomb), Seq("__file", "__pos"), "left_anti")
+          // broadcast only while the tombstone set is broadcast-sized;
+          // a big accumulated DV tier joins shuffled instead (p29)
+          Some(base.join(maybeBroadcast(spark, tomb, dvPaths),
+            Seq("__file", "__pos"), "left_anti")
             .drop("__file", "__pos"))
         }
       (plain, dvd) match {
@@ -945,26 +948,112 @@ object LakeSnapshot {
         "(compactDays) first or use deleteKeysDelta")
     val gen = claimGen(spark, dir, base + 1, store)
     val states = days.map(d => d -> live.days(d))
+    // ONE pruned pass over the bases (the r13 p29 watch item): the
+    // victim keys' [min, max] bounds (one tiny driver row) check
+    // against each base file's stats-sidecar key range, so a file that
+    // provably holds no victim is never OPENED — after a Z-ORDER on the
+    // key this prunes most of the day; and the read infers its schema
+    // from ONE footer (no mergeSchema pass over every file: only the
+    // key column is projected, and the key's physical shape is stable
+    // by the table contract). Positions are per-file (_metadata
+    // .row_index), so skipping whole files cannot shift them.
+    val physKey = live.physicalFor(keyCol).getOrElse(keyCol)
+    // bounds in the key's own family — a long→double cast would round
+    // above 2^53 and could skip a file holding the boundary victim
+    val integralKey = b.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => Some(true)
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => Some(false)
+      case _ => None // strings etc: sidecar family is 'x' — no pruning
+    }
+    val keyBounds: Option[(Boolean, Long, Long, Double, Double)] =
+      integralKey.flatMap { isInt =>
+        val kb =
+          if (isInt) b.agg(min(col(keyCol)).cast("long"),
+            max(col(keyCol)).cast("long")).head()
+          else b.agg(min(col(keyCol)).cast("double"),
+            max(col(keyCol)).cast("double")).head()
+        if (kb.isNullAt(0) || kb.isNullAt(1)) None
+        else if (isInt) Some((true, kb.getLong(0), kb.getLong(1), 0d, 0d))
+        else Some((false, 0L, 0L, kb.getDouble(0), kb.getDouble(1)))
+      }
+    val statsByGen = scala.collection.mutable.Map
+      .empty[Int, Option[Map[String, FileStats.FileStat]]]
+    def disjoint(g: Int, day: String, file: String): Boolean =
+      keyBounds.exists { case (isInt, lmn, lmx, dmn, dmx) =>
+        statsByGen.getOrElseUpdate(g,
+          FileStats.read(spark, s"${p.data}/gen=$g"))
+          .flatMap(_.get(s"day=$day/$file"))
+          .flatMap(_.cols.get(physKey)).exists { c =>
+            val dead = (c.family, isInt) match {
+              case ("l", true) => c.lmx < lmn || c.lmn > lmx
+              case ("d", false) => c.dmx < dmn || c.dmn > dmx
+              case ("n", _) => true // all-null key chunk: no victim here
+              case _ => false // family mismatch / unusable: never skip
+            }
+            if (dead) FileStats.skippedFiles.incrementAndGet()
+            dead
+          }
+      }
+    val baseFiles = states.flatMap { case (d, s) =>
+      val dp = new Path(s"${p.data}/gen=${s.base}/day=$d")
+      fsOf(spark, dir).listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath)
+        .filterNot(f => disjoint(s.base, d, f.getName))
+        .map(_.toString)
+    }
+    if (baseFiles.isEmpty) return Staged(-1, base, Nil, Nil)
     val baseMeta = spark.read
-      .option("basePath", p.data).option("mergeSchema", "true")
-      .parquet(states.map { case (d, s) =>
-        s"${p.data}/gen=${s.base}/day=$d" }: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .withColumn("day", col("day").cast("string"))
+      .option("basePath", p.data)
+      .parquet(baseFiles: _*)
+      .select(col(keyCol), col("day").cast("string").as("day"),
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
     val priorPaths = states.flatMap { case (d, s) =>
       s.dvs.map(g => s"${p.dv}/gen=$g/day=$d") }
     val liveBase =
       if (priorPaths.isEmpty) baseMeta
       else baseMeta.join(
-        broadcast(spark.read.option("basePath", p.dv).parquet(priorPaths: _*)
-          .select(col("file").as("__file"), col("pos").as("__pos"))),
+        maybeBroadcast(spark,
+          spark.read.option("basePath", p.dv).parquet(priorPaths: _*)
+            .select(col("file").as("__file"), col("pos").as("__pos")),
+          priorPaths),
         Seq("__file", "__pos"), "left_anti")
     liveBase
       .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(col("day"), col("__file").as("file"), col("__pos").as("pos"))
       .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen")
     Staged(gen, base, days, Nil, dv = true, key = Some(keyCol))
+  }
+
+  /** Broadcast `df` only while its on-disk footprint stays
+    * broadcast-sized (the session's autoBroadcastJoinThreshold, or
+    * 64 MB when unset/disabled): positional tombstones are usually
+    * tiny, but a DV tier that accumulated a big deleted set must not
+    * OOM the driver — past the bound the hint drops and Spark plans a
+    * shuffled join on (file, pos) instead (ADVICE-r13-adjacent p29
+    * hygiene: "bound the position broadcast").
+    */
+  private def maybeBroadcast(
+      spark: SparkSession, df: DataFrame, paths: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, paths.head)
+    val bytes = paths.map { d =>
+      val dp = new Path(d)
+      if (fs.exists(dp))
+        fs.listStatus(dp).filter(_.isFile).map(_.getLen).sum
+      else 0L
+    }.sum
+    val limit = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(_.replace("b", "").replace("B", ""))
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
+      .filter(_ > 0L)
+      .getOrElse(64L * 1024 * 1024)
+    if (bytes <= limit) broadcast(df) else df
   }
 
   /** Publish a staged row delta. NO overlap abort, by design: a row

@@ -199,4 +199,30 @@ class LakeDvSpec extends AnyFunSuite {
     assert(v2 === scalaRead)
     assert(v2.contains((2L, 222.0, "2024-01-01")))
   }
+
+  test("DV staging is ONE PRUNED pass (r14, the p29 watch item): on a " +
+    "key-clustered layout the stats sidecar skips base files with no " +
+    "victim — never opened — and the fold stays exact") {
+    val dir = freshDir("staging_prune")
+    // 400 keys on one day, z-ordered on (event_id, value) into 8 files:
+    // each file covers a narrow event_id span (the sidecar records it)
+    LakeSnapshot.merge(spark, dir,
+      (1L to 400L).map(i => (i, ts(1), i * 0.5))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.optimizeZOrder(spark, dir,
+      col("event_id"), col("value"), files = 8)
+    val before = FileStats.skippedFiles.get()
+    // victims live in one tight key range → most files provably clean
+    LakeSnapshot.deleteKeysPositional(spark, dir,
+      (10L to 20L).map(i => (i, ts(1))).toDF("event_id", "ts"),
+      "event_id", "ts")
+    assert(FileStats.skippedFiles.get() > before,
+      "the sidecar prune must skip at least one base file at staging")
+    val got = LakeSnapshot.read(spark, dir)
+      .agg(count(lit(1)), round(sum("value"), 2))
+      .as[(Long, Double)].head()
+    // 400 rows minus the 11 victims; sum(1..400)*0.5 - sum(10..20)*0.5
+    assert(got === ((389L, (80200L - 165L) * 0.5)))
+  }
 }
