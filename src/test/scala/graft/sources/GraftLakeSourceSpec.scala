@@ -473,4 +473,41 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(feed === Set(
       (1L, "update_preimage"), (1L, "update_postimage")))
   }
+
+  test("the per-executor delta fold cache bounds delta-file opens at " +
+    "deltas-per-day, never baseFiles x deltas (r14, VERDICT missing #4)") {
+    import graft.etl.LakeSnapshot
+    val dir = freshDir("fold_cache")
+    // one day, MANY base files: z-order the seeded day into 6 files
+    LakeSnapshot.merge(spark, dir,
+      (1L to 300L).map(i => (i, ts(1), i * 1.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.optimizeZOrder(spark, dir,
+      col("event_id"), col("value"), files = 6)
+    // two delta commits layered on the day (one file each)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, ts(1), 1000.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.deleteKeysDelta(spark, dir,
+      Seq((2L, ts(1))).toDF("event_id", "ts"), "event_id", "ts")
+    LakeDeltaStateCache.clear()
+    val before = LakeGroupRead.deltaFileOpens.get()
+    val got = dsv2(dir).agg(count(lit(1)), round(sum("value"), 2))
+      .as[(Long, Double)].head()
+    val opens = LakeGroupRead.deltaFileOpens.get() - before
+    // 6 base partitions + 1 fold partition all need the 2-file state;
+    // the executor-wide memo folds it ONCE -> 2 opens, not 14
+    assert(opens == 2L, s"expected 2 delta-file opens, got $opens")
+    assert(got === ((299L, 300L * 301 / 2 - 1.0 - 2.0 + 1000.0)))
+    // a NEW delta commit changes the day state -> the stale memo can
+    // never serve it (different key), one more fold of the 3-file list
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((3L, ts(1), 3000.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val before2 = LakeGroupRead.deltaFileOpens.get()
+    val got2 = dsv2(dir).agg(round(sum("value"), 2)).as[Double].head()
+    assert(LakeGroupRead.deltaFileOpens.get() - before2 == 3L)
+    assert(got2 === got._2 - 3.0 + 3000.0)
+  }
 }
