@@ -47,4 +47,34 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     assert(spark.experimental.extraOptimizations
       .count(_.isInstanceOf[GlobalWindowGuard]) == 1)
   }
+
+  test("limit-bounded exemption (r14): a global window over a LIMITed " +
+    "unary chain is model-sized by construction and passes strict " +
+    "mode; a join below the limit voids the exemption") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "x")
+    withFailOn {
+      // the semanticDedupAuto seed shape: orderBy + limit + row_number
+      val seeds = df.orderBy("id").limit(5)
+        .select(row_number().over(Window.orderBy(col("id"))).as("list_id"),
+          col("x"))
+      assert(seeds.collect().map(_.getInt(0)).toSeq === (1 to 5))
+      // no limit below -> still caught
+      val e = intercept[Exception] {
+        df.select(row_number().over(Window.orderBy(col("id"))).as("rn"))
+          .collect()
+      }
+      assert(e.getMessage.contains("global-window guard"))
+      // a join ABOVE the limit re-inflates the input: exemption void
+      val e2 = intercept[Exception] {
+        df.limit(5).crossJoin(df.select(col("id").as("id2")))
+          .select(row_number().over(Window.orderBy(col("id"))).as("rn"))
+          .collect()
+      }
+      assert(e2.getMessage.contains("global-window guard"))
+    }
+  }
 }
