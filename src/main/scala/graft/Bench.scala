@@ -83,35 +83,74 @@ object Bench {
           .getOperatingSystemMXBean.getSystemLoadAverage
     }
 
-  /** One benched query's evidence: both passes when a rerun fired.
+  /** Sustained-load attribution bound (VERDICT r13 #7): a 1-minute
+    * loadavg above this at the start of EVERY timed run marks the whole
+    * measurement window as externally contended — the breach is then
+    * attributed (machine-readably, in the summary line) and the final
+    * falls back to min-of-all-timings, the least-contended real run.
+    */
+  val LoadBound: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_LOADBOUND").map(_.toDouble).getOrElse(2.0)
+
+  /** One benched query's evidence: every pass when reruns fired.
     * `mainRuns`/`rerunRuns` carry (seconds, loadavg-at-start) in RUN
     * ORDER — `timings` stays sorted for the statistics, the run-ordered
     * pairs make each individual outlier attributable at adjudication
-    * time.
+    * time. `rerun` keeps the BEST rerun pass (sorted); `rerunMedians`
+    * carries one median per rerun pass in pass order (r14: reruns LOOP
+    * until a pass clears the gate or the pass budget runs out).
     */
   final case class QueryTiming(
       name: String,
       timings: Seq[Double],            // main pass, sorted; empty = failed
-      rerun: Option[Seq[Double]],      // outlier re-run pass, sorted
+      rerun: Option[Seq[Double]],      // best rerun pass, sorted
       baseline: Option[Double],
       mainRuns: Seq[(Double, Double)] = Nil,
-      rerunRuns: Option[Seq[(Double, Double)]] = None) {
+      rerunRuns: Option[Seq[(Double, Double)]] = None,
+      rerunMedians: Seq[Double] = Nil) {
     def failed: Boolean = timings.isEmpty
     def mainMedian: Double = if (failed) -1.0 else median(timings)
-    /** Compact-line value: the better pass's median (contention-corrected). */
-    def finalMedian: Double =
-      if (failed) -1.0
-      else rerun.fold(mainMedian)(r => math.min(mainMedian, median(r)))
     def minOfRuns: Double =
       if (failed) -1.0 else (timings ++ rerun.getOrElse(Nil)).min
-    /** True when BOTH passes exceeded the rerun gate: the number never
-      * cleared contention, so a reader must treat it as unconfirmed — it is
-      * either a real regression or a fully-loaded measurement window
-      * (VERDICT r8 wrong #2 asked for exactly this flag).
+    /** Every timed run started under external load above the bound. */
+    def allRunsLoaded: Boolean = {
+      val runs = mainRuns ++ rerunRuns.getOrElse(Nil)
+      runs.nonEmpty && runs.forall(_._2 > LoadBound)
+    }
+    /** The worst ambient load any timed run started under. */
+    def maxLoad: Double =
+      (mainRuns ++ rerunRuns.getOrElse(Nil)).map(_._2).maxOption.getOrElse(-1.0)
+    private def bestPassMedian: Double = {
+      // rerunMedians when present (loop-rerun evidence); a directly
+      // constructed timing without it falls back to the best-pass field
+      val passes =
+        if (rerunMedians.nonEmpty) rerunMedians
+        else rerun.map(r => median(r)).toSeq
+      (mainMedian +: passes).min
+    }
+    /** The r14 load-attribution fallback fired: every pass breached the
+      * gate AND every run started above [[LoadBound]], so the final is
+      * min-of-all-timings (the least-contended real run) instead of a
+      * pass median.
+      */
+    def loadAttributed: Boolean =
+      !failed && needsRerun(bestPassMedian, baseline) && allRunsLoaded
+    /** Compact-line value: the best pass's median
+      * (contention-corrected), or min-of-all-timings when the whole
+      * window was provably loaded ([[loadAttributed]]).
+      */
+    def finalMedian: Double =
+      if (failed) -1.0
+      else if (loadAttributed) minOfRuns
+      else bestPassMedian
+    /** True when the FINAL reported value still exceeds the gate: the
+      * number never cleared contention through any pass (or the
+      * attributed min), so a reader must treat it as unconfirmed —
+      * either a real regression or a fully-loaded box end to end
+      * (VERDICT r8 wrong #2; loop-reruns + attribution are r13 #7).
       */
     def suspect: Boolean =
-      rerun.exists(r => needsRerun(median(r), baseline)) &&
-        needsRerun(mainMedian, baseline)
+      rerun.isDefined && needsRerun(finalMedian, baseline)
   }
 
   /** Names whose numbers never cleared contention (both passes slow). */
@@ -137,15 +176,24 @@ object Bench {
       finally in.close()
   }
 
-  /** Time one query: 1 warm-up + 3 timed runs, then an automatic second
-    * 3-run pass if the median is a >1.5× outlier vs the recorded baseline.
-    * `run` is injectable so the outlier path is unit-testable with a fake
-    * slow-then-fast workload (BenchSpec simulates the loaded box).
+  /** Time one query: 1 warm-up + 3 timed runs, then up to
+    * `maxRerunPasses` automatic 3-run passes while the median stays a
+    * >1.5× outlier vs the recorded baseline (r13 #7: ONE rerun under
+    * sustained load just re-timed the same storm — BENCH_r13 breached
+    * the gate three times with the telemetry pointing at ambient load
+    * every time). Before each rerun pass the sweep can WAIT for the box
+    * to calm (`calmWaitMs` budget, load sampled each second) so the
+    * retry measures a quieter window. `run` and `load` are injectable
+    * so every path is unit-testable (BenchSpec simulates the loaded
+    * box).
     */
-  def timeQuery(name: String, run: () => Unit, baseline: Option[Double]): QueryTiming = {
+  def timeQuery(name: String, run: () => Unit, baseline: Option[Double],
+      maxRerunPasses: Int = 3, calmWaitMs: Long = 0L,
+      load: () => Double = () => loadAvg(),
+      sleep: Long => Unit = Thread.sleep): QueryTiming = {
     def timedPass(): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
-        val la = loadAvg()
+        val la = load()
         val t0 = System.nanoTime()
         run()
         ((System.nanoTime() - t0) / 1e9, la)
@@ -158,18 +206,41 @@ object Bench {
           Seq.empty[(Double, Double)]
       }
     val timings = mainRuns.map(_._1).sorted
-    val rerunRuns =
-      if (timings.nonEmpty && needsRerun(median(timings), baseline)) {
-        System.err.println(
-          f"[bench] $name median ${median(timings)}%.3f s > ${RerunFactor}x baseline " +
-            f"${baseline.get}%.3f s — re-running (contention check)")
-        try Some(timedPass())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name rerun FAILED: ${e.getMessage}"); None
-        }
-      } else None
-    QueryTiming(name, timings, rerunRuns.map(_.map(_._1).sorted), baseline,
-      mainRuns, rerunRuns)
+    val rerunPasses = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Double, Double)]]
+    var lastMedian = if (timings.isEmpty) -1.0 else median(timings)
+    var pass = 0
+    var rerunFailed = false
+    while (timings.nonEmpty && !rerunFailed && pass < maxRerunPasses &&
+        needsRerun(lastMedian, baseline)) {
+      pass += 1
+      // calm-wait: re-timing under the SAME sustained load proves
+      // nothing — burn a bounded slice of wall-clock waiting for the
+      // ambient storm to pass before measuring again
+      var waited = 0L
+      while (waited < calmWaitMs && load() > LoadBound) {
+        sleep(1000L); waited += 1000L
+      }
+      System.err.println(
+        f"[bench] $name median $lastMedian%.3f s > gate vs baseline " +
+          f"${baseline.get}%.3f s — rerun pass $pass/$maxRerunPasses" +
+          (if (waited > 0) s" (waited ${waited / 1000}s for calm)" else ""))
+      try {
+        val p = timedPass()
+        rerunPasses += p
+        lastMedian = median(p.map(_._1))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name rerun FAILED: ${e.getMessage}")
+        rerunFailed = true
+      }
+    }
+    val rerunMedians = rerunPasses.toSeq.map(p => median(p.map(_._1)))
+    val best = rerunPasses.toSeq
+      .sortBy(p => median(p.map(_._1))).headOption
+    QueryTiming(name, timings, best.map(_.map(_._1).sorted), baseline,
+      mainRuns,
+      if (rerunPasses.isEmpty) None else Some(rerunPasses.toSeq.flatten),
+      rerunMedians)
   }
 
   /** Full audit artifact for target/bench.json: every timing, both passes.
@@ -186,11 +257,16 @@ object Bench {
       val base = r.baseline.fold("null")(b => f"$b%.3f")
       val rerun = r.rerun.fold("null")(arr)
       val rr = r.rerunRuns.fold("null")(runsArr)
+      val extra =
+        if (r.rerunMedians.isEmpty) ""
+        else s""","pass_medians":${arr(r.rerunMedians)}""" +
+          s""","load_attributed":${r.loadAttributed}""" +
+          f""","max_load":${r.maxLoad}%.2f"""
       "\"" + r.name + "\":{" +
         s""""timings":${arr(r.timings)},"median":${f"${r.mainMedian}%.3f"},""" +
         s""""min":${f"${r.minOfRuns}%.3f"},"baseline":$base,""" +
         s""""rerun":$rerun,"final":${f"${r.finalMedian}%.3f"},""" +
-        s""""runs":${runsArr(r.mainRuns)},"rerun_runs":$rr}"""
+        s""""runs":${runsArr(r.mainRuns)},"rerun_runs":$rr$extra}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -245,10 +321,18 @@ object Bench {
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // r13 #7: every residual breach carries its load attribution IN THE
+    // SUMMARY LINE (max loadavg any of its runs started under, and
+    // whether the attributed-min fallback fired) — a reader of just this
+    // line can tell "loaded box" from "real regression"
+    val susLoad = results.filter(_.suspect)
+      .map(r => "\"" + r.name + "\":" +
+        f"""{"max_load":${r.maxLoad}%.2f,"all_loaded":${r.allRunsLoaded}}""")
+      .mkString("{", ",", "}")
     val head =
       s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":{"""
     val tail =
-      s"""},"n":${results.size},"suspect":$sus,""" +
+      s"""},"n":${results.size},"suspect":$sus,"suspect_load":$susLoad,""" +
         s""""audit":"target/bench.json","sf":"$sf"}"""
     val entries = results.sortBy(r => (-r.finalMedian, r.name))
       .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))
@@ -321,7 +405,10 @@ object Bench {
       System.err.println("[bench] no bench-baseline.tsv on classpath — outlier reruns disabled")
 
     val results = benchable.map { case (name, fn) =>
-      timeQuery(name, () => materialize(fn(spark, sfDir)), baseline.get(name))
+      // up to 3 rerun passes, each preceded by a bounded calm-wait (20 s
+      // budget) so a retry measures a quieter window, not the same storm
+      timeQuery(name, () => materialize(fn(spark, sfDir)), baseline.get(name),
+        maxRerunPasses = 3, calmWaitMs = 20000L)
     }
 
     // Full audit artifact first (never truncatable by the driver's tail
@@ -354,9 +441,14 @@ object Bench {
     } else System.err.println(s"[bench] full artifact: $out (filtered run, no tracked copy)")
     results.filter(_.rerun.isDefined).foreach { r =>
       System.err.println(
-        f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun median " +
-          f"${median(r.rerun.get)}%.3f s, reported ${r.finalMedian}%.3f s" +
-          (if (r.suspect) " [SUSPECT: both passes over gate]" else ""))
+        f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun " +
+          s"pass medians [${r.rerunMedians.map(m => f"$m%.3f").mkString(", ")}]" +
+          f", reported ${r.finalMedian}%.3f s" +
+          (if (r.loadAttributed)
+            f" [load-attributed min; max loadavg ${r.maxLoad}%.2f]" else "") +
+          (if (r.suspect)
+            f" [SUSPECT: never cleared the gate; max loadavg ${r.maxLoad}%.2f]"
+          else ""))
     }
     println(compactJson(results, sfDir))
     println(summaryJson(results, sfDir))

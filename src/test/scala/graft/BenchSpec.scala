@@ -157,4 +157,58 @@ class BenchSpec extends AnyFunSuite {
       "the outlier run's load must be attributable in the audit")
     assert(json.contains("\"rerun_runs\":null"))
   }
+
+  test("r14 loop-rerun: passes repeat until one clears the gate; a " +
+    "third-pass rescue is NOT suspect and calls stay bounded") {
+    var calls = 0
+    // warm-up + pass1 (slow) + pass2 (slow) + pass3 (fast): 10 calls
+    val load = () => 0.5 // calm box: waits never trigger
+    val w = () => { calls += 1; if (calls <= 7) Thread.sleep(300) else Thread.sleep(5) }
+    val r = Bench.timeQuery("late_rescue", w, Some(0.01),
+      maxRerunPasses = 3, calmWaitMs = 5000, load = load)
+    assert(calls == 10, s"warm-up + 3 passes x 3 runs, got $calls")
+    assert(r.rerunMedians.length == 2 || r.rerunMedians.length == 3)
+    assert(!r.suspect, "the clearing pass rescues the entry")
+    assert(r.finalMedian < 0.05)
+  }
+
+  test("r14 calm-wait: reruns wait while load exceeds the bound, within " +
+    "budget, and waiting stops the moment the box calms") {
+    var slept = 0L
+    var loadCalls = 0
+    val load = () => { loadCalls += 1; if (slept >= 2000) 0.3 else 99.0 }
+    val r = Bench.timeQuery("stormy", () => Thread.sleep(300), Some(0.001),
+      maxRerunPasses = 1, calmWaitMs = 10000,
+      load = load, sleep = ms => { slept += ms })
+    assert(slept == 2000, s"must stop waiting once calm, slept $slept ms")
+    assert(r.rerunMedians.length == 1)
+  }
+
+  test("r14 load attribution: every pass breached under sustained load " +
+    "-> final is min-of-all-timings, attribution rides both JSON lines") {
+    var n = 0
+    val durations = Seq(0.0, 400, 380, 360, 300, 350, 370) // warm-up first
+    val w = () => { Thread.sleep(durations(math.min(n, 6)).toLong); n += 1 }
+    val loaded = Bench.timeQuery("storm", w, Some(0.02),
+      maxRerunPasses = 1, calmWaitMs = 0, load = () => 50.0)
+    assert(loaded.allRunsLoaded && loaded.loadAttributed)
+    assert(loaded.finalMedian == loaded.minOfRuns,
+      "attributed final must be the least-contended real run")
+    assert(loaded.maxLoad == 50.0)
+    // still over the gate even as a min -> suspect WITH attribution
+    assert(loaded.suspect)
+    val summary = Bench.summaryJson(Seq(loaded), "/x")
+    assert(summary.contains("\"suspect\":[\"storm\"]"))
+    assert(summary.contains(
+      "\"suspect_load\":{\"storm\":{\"max_load\":50.00,\"all_loaded\":true}}"),
+      s"machine-readable attribution must ride the summary line: $summary")
+    assert(Bench.fullJson(Seq(loaded), "/x").contains("\"load_attributed\":true"))
+    // the same breach on a CALM box: no attribution, plain suspect
+    var m = 0
+    val w2 = () => { Thread.sleep(durations(math.min(m, 6)).toLong); m += 1 }
+    val calm = Bench.timeQuery("calm_slow", w2, Some(0.02),
+      maxRerunPasses = 1, calmWaitMs = 0, load = () => 0.4)
+    assert(!calm.loadAttributed && calm.suspect)
+    assert(Bench.summaryJson(Seq(calm), "/x").contains("\"all_loaded\":false"))
+  }
 }
