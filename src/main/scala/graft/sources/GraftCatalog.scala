@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog {
     val f = fs(dir)
     f.mkdirs(new Path(s"$dir/manifest"))
     val out = f.create(propsPath(dir), false) // CREATE races fail loudly
-    try out.write(fields.map { case (k, v) => s"$k=$v" }
+    try out.write(fields.map { case (k, v) => s"$k=${GraftCatalog.esc(v)}" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -102,8 +102,20 @@ class GraftCatalog extends TableCatalog {
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLE: `SELECT * FROM graft.tbl.history`
+    // resolves here with name "history" under the table's namespace —
+    // the commit log as SQL (epoch, operation, gen, n_days, n_dropped,
+    // commit_time), no Scala call, no custom parser.
+    if (!exists(ident) && ident.name() == "history" &&
+        ident.namespace().nonEmpty) {
+      val parent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (exists(parent))
+        return new LakeHistoryTable(dirOf(parent))
+    }
     loadAt(ident, epoch = None)
+  }
 
   /** `SELECT ... FROM graft.tbl VERSION AS OF e` — the lake's time
     * travel through SQL; `e` is the manifest epoch [[LakeSnapshot
@@ -186,9 +198,17 @@ class GraftCatalog extends TableCatalog {
       s"event-time column '$ts' is not a column of " +
         s"${schema.fieldNames.toSeq} (set TBLPROPERTIES ts)")
     val dir = dirOf(ident)
+    // COMMENT 'x' arrives as the "comment" property; any other
+    // non-reserved TBLPROPERTIES persist alongside the declarations
+    val extra = props.view
+      .filterKeys(k => !GraftCatalog.ReservedProps(k) &&
+        !k.startsWith("option.") && k != "provider" && k != "owner" &&
+        k != "location" && k != "external")
+      .toSeq
     writeCreateProps(dir, Seq(
-      "key" -> key, "ts" -> ts, "schema" -> schema.toDDL))
-    new LakeTable(schema, Map("path" -> dir, "key" -> key, "ts" -> ts))
+      "key" -> key, "ts" -> ts, "schema" -> schema.toDDL) ++ extra)
+    new LakeTable(schema,
+      Map("path" -> dir, "key" -> key, "ts" -> ts) ++ extra)
   }
 
   /** RENAME/DROP COLUMN land as the lake's manifest-only column-mapping
@@ -208,12 +228,41 @@ class GraftCatalog extends TableCatalog {
         require(d.fieldNames().length == 1,
           "nested column drop is not supported")
         LakeSnapshot.dropColumn(spark, dir, d.fieldNames()(0))
+      // COMMENT ON TABLE / ALTER TABLE SET-UNSET TBLPROPERTIES: plain
+      // metadata on _table.properties; the table's structural
+      // declarations stay immutable (reserved keys fail loudly)
+      case s: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProps(s.property()),
+          s"'${s.property()}' is a structural table declaration — " +
+            "immutable after CREATE")
+        rewriteCreateProps(dir,
+          readCreateProps(dir) + (s.property() -> s.value()))
+      case rm: TableChange.RemoveProperty =>
+        require(!GraftCatalog.ReservedProps(rm.property()),
+          s"'${rm.property()}' is a structural table declaration — " +
+            "immutable after CREATE")
+        rewriteCreateProps(dir, readCreateProps(dir) - rm.property())
       case other => sys.error(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
-          " — renames/drops are manifest commits, anything else is a " +
-          "merge or OPTIMIZE")
+          " — renames/drops are manifest commits, properties/comments " +
+          "are metadata, anything else is a merge or OPTIMIZE")
     }
     loadTable(ident)
+  }
+
+  private def rewriteCreateProps(
+      dir: String, props: Map[String, String]): Unit = {
+    val f = fs(dir)
+    val tmp = new Path(s"$dir/manifest/" +
+      s".tmp-props-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${GraftCatalog.esc(v)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(propsPath(dir), false)
+    require(f.rename(tmp, propsPath(dir)),
+      s"property update rename failed at $dir")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -232,8 +281,34 @@ class GraftCatalog extends TableCatalog {
 }
 
 object GraftCatalog {
-  /** The CREATE-time declarations of `dir` (key/ts/schema), empty for a
-    * lake never created through the catalog.
+
+  /** Structural declarations: immutable after CREATE (SET/UNSET
+    * TBLPROPERTIES refuses them; everything else is plain metadata).
+    */
+  val ReservedProps: Set[String] = Set("key", "ts", "schema", "path")
+
+  /** One-line value encoding for the properties file (a COMMENT may
+    * carry newlines; the file is line-oriented).
+    */
+  private[sources] def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\n", "\\n")
+  private[sources] def unesc(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The CREATE-time declarations of `dir` (key/ts/schema + metadata
+    * like comment), empty for a lake never created through the catalog.
     */
   def readCreateProps(
       spark: SparkSession, dir: String): Map[String, String] = {
@@ -246,7 +321,7 @@ object GraftCatalog {
       finally in.close()
     text.linesIterator.filter(_.contains('=')).map { l =>
       val i = l.indexOf('=')
-      l.substring(0, i) -> l.substring(i + 1)
+      l.substring(0, i) -> unesc(l.substring(i + 1))
     }.toMap
   }
 }

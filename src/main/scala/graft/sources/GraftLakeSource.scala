@@ -196,11 +196,13 @@ private[sources] class LakeTable(
         new LakeRowLevelOperation(schema(), props, info.command())
     }
 
-  /** Surfaces the merge key / event-time declaration (and the path) to
-    * DESCRIBE TABLE EXTENDED and every other properties reader.
+  /** Surfaces the merge key / event-time declaration, the path, the
+    * COMMENT, and any user TBLPROPERTIES to DESCRIBE TABLE EXTENDED /
+    * SHOW CREATE TABLE and every other properties reader. The schema
+    * DDL snapshot and a pinned epoch stay internal.
     */
   override def properties(): util.Map[String, String] =
-    props.view.filterKeys(k => k == "key" || k == "ts" || k == "path")
+    props.view.filterKeys(k => k != "schema" && k != "epoch")
       .toMap.asJava
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =

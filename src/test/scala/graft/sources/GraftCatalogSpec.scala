@@ -191,6 +191,73 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.tt")
   }
 
+  test("SHOW CREATE TABLE round-trips the declaration; COMMENT ON TABLE " +
+    "and SET/UNSET TBLPROPERTIES persist as metadata; structural " +
+    "declarations stay immutable (r14 catalog polish)") {
+    spark.sql("CREATE TABLE graft.sc (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id') " +
+      "COMMENT 'events lake'")
+    try {
+      val ddl = spark.sql("SHOW CREATE TABLE graft.sc")
+        .head().getString(0)
+      assert(ddl.contains("CREATE TABLE") && ddl.contains("event_id BIGINT"))
+      assert(ddl.contains("'key' = 'event_id'") || ddl.contains("key"),
+        s"the merge-key declaration must round-trip:\n$ddl")
+      assert(ddl.contains("events lake"), s"comment must round-trip:\n$ddl")
+      // COMMENT ON TABLE rewrites the comment
+      spark.sql("COMMENT ON TABLE graft.sc IS 'the events lake, v2'")
+      val props = spark.sql("DESCRIBE TABLE EXTENDED graft.sc")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("Comment").contains("the events lake, v2") ||
+        props.values.exists(_.contains("the events lake, v2")),
+        s"DESCRIBE must surface the new comment: $props")
+      // user TBLPROPERTIES set/unset
+      spark.sql("ALTER TABLE graft.sc SET TBLPROPERTIES " +
+        "('pipeline.owner' = 'ingest-team')")
+      assert(spark.sql("SHOW TBLPROPERTIES graft.sc").collect()
+        .exists(r => r.getString(0) == "pipeline.owner" &&
+          r.getString(1) == "ingest-team"))
+      spark.sql("ALTER TABLE graft.sc UNSET TBLPROPERTIES ('pipeline.owner')")
+      assert(!spark.sql("SHOW TBLPROPERTIES graft.sc").collect()
+        .exists(_.getString(0) == "pipeline.owner"))
+      // structural declarations refuse mutation loudly
+      val ex = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.sc SET TBLPROPERTIES ('key' = 'value')")
+      }
+      assert(ex.getMessage.contains("immutable") ||
+        String.valueOf(ex.getCause).contains("immutable"))
+    } finally spark.sql("DROP TABLE graft.sc")
+  }
+
+  test("SELECT * FROM graft.tbl.history — the commit log as a metadata " +
+    "table (r14): one row per manifest epoch, SQL only") {
+    spark.sql("CREATE TABLE graft.ht (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      spark.sql("INSERT INTO graft.ht (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0)")
+      spark.sql("INSERT INTO graft.ht (event_id, ts, value) VALUES " +
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)")
+      spark.sql("DELETE FROM graft.ht WHERE day = DATE '2024-01-02'")
+      val hist = spark.sql("SELECT epoch, operation, n_days, n_dropped " +
+        "FROM graft.ht.history ORDER BY epoch").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      assert(hist.toSeq === Seq(
+        (0, "delta", 1, 0), (1, "delta", 1, 0), (2, "delete", 0, 1)))
+      // it matches the Scala-side describeHistory row for row
+      val scalaHist = LakeSnapshot.describeHistory(spark, s"$wh/ht")
+        .select("epoch", "operation", "n_days", "n_dropped")
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      assert(hist.toSeq === scalaHist.toSeq)
+      // commit_time is a real timestamp and non-decreasing
+      val times = spark.sql(
+        "SELECT commit_time FROM graft.ht.history ORDER BY epoch")
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(times.sorted.toSeq === times.toSeq && times.head > 0L)
+    } finally spark.sql("DROP TABLE graft.ht")
+  }
+
   test("namespaces map to directories; listTables sees only lakes") {
     spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
       "TBLPROPERTIES ('key' = 'id')")
