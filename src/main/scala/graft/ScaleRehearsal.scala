@@ -145,7 +145,15 @@ object ScaleRehearsal {
     "p27_lake_dsv2_read",
     "p29_dv_delete",
     "p32_lake_dsv2_write",
-    "p33_file_stat_pruning")
+    "p33_file_stat_pruning",
+    // r14: SQL MERGE INTO through the distributed DeltaWriter path (one
+    // MoR commit of the three-verb mix — must price like p23, not like a
+    // rewrite), and the storage-partitioned day aggregate (zero-exchange
+    // grouped plan; its ratio is the merge+delta build's, the probe adds
+    // one grouped pass). s25 shares p13's load shape through the native
+    // sink and is correctness-gated, not rehearsed (own checkpoints).
+    "p38_sql_merge",
+    "p39_kgp_aggregate")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")
