@@ -63,7 +63,11 @@ object StreamBench {
       // r13: the DSv2 CDC source loop — cdf-enabled snapshot merges
       // upstream plus the epoch-offset feed drain downstream; the
       // round-over-round ratio prices write-time CDF + the source
-      "s24_cdc_source")
+      "s24_cdc_source",
+      // r14: the NATIVE streaming sink (writeStream.format("graft-lake"))
+      // next to s19/s21's foreachBatch loops — prices the staging-area
+      // moves + tag-idempotent delta commit against the COW merge paths
+      "s25_stream_lake_sink")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
