@@ -86,6 +86,58 @@ class LakeDayPartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("STORAGE-PARTITIONED JOIN: two lakes joined on day run with zero " +
+    "shuffle under v2 bucketing + pushPartValues (mismatched day sets " +
+    "included), values exact") {
+    val a = freshLake("spj_a")
+    val b = freshLake("spj_b")
+    // desync the day sets: lake b loses day 3 and gains day 4
+    LakeSnapshot.dropDays(spark, b, Seq("2024-01-03"))
+    LakeSnapshot.merge(spark, b,
+      Seq((40L, ts(4), 40.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorPush = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try withConf("true") {
+      def lake(dir: String, pfx: String) =
+        spark.read.format("graft-lake").option("path", dir).load()
+          .select(col("day"), col("event_id").as(s"${pfx}_id"),
+            col("value").as(s"${pfx}_v"))
+      val joined = lake(a, "a").join(lake(b, "b"), Seq("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum(col("a_v") + col("b_v")), 2)
+          .as("s"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"day-equi join of two day-partitioned lakes must not shuffle:\n$plan")
+      // oracle: the same join through the Scala read path
+      val want = LakeSnapshot.read(spark, a)
+        .select(col("day"), col("value").as("a_v"))
+        .join(LakeSnapshot.read(spark, b)
+          .select(col("day"), col("value").as("b_v")), Seq("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum(col("a_v") + col("b_v")), 2)
+          .as("s"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getDouble(2))).toSet
+      val got = joined.collect().map(r => (r.getDate(0).toString,
+        r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      priorPush match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      }
+    }
+  }
+
   test("a day-pruned projection without `day` still plans (partitioning " +
     "reports unknown, never a resolution error)") {
     val dir = freshLake("no_day")
