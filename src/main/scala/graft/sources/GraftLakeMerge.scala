@@ -51,9 +51,15 @@ import graft.etl.LakeSnapshot.LakeState
   * Row identity: `rowId = (key, ts)` — key is the lake's merge key; ts
   * rides along so a DELETE (which only receives the row ID) can derive
   * the day its marker files under, the same (key, ts) → day contract as
-  * [[LakeSnapshot.deleteKeysDelta]]. The 100 TB shape: the target scan
-  * is the day-pruned DSv2 relation, the join is Catalyst's to plan, and
-  * the write moves only the merge output — no driver collect anywhere.
+  * [[LakeSnapshot.deleteKeysDelta]]. An UPDATE that MOVES the row's day
+  * (`SET ts` across a date boundary) also emits a delete marker in the
+  * old day — a move, never a duplication. `UPDATE SET * / INSERT *`
+  * star syntax expands over every target column including the derived
+  * `day`, so the source must carry a `day` column to use it; the writer
+  * re-derives day from ts regardless of the supplied value. The 100 TB
+  * shape: the target scan is the day-pruned DSv2 relation, the join is
+  * Catalyst's to plan, and the write moves only the merge output — no
+  * driver collect anywhere.
   */
 private[sources] class LakeRowLevelOperation(
     tableSchema: StructType, props: Map[String, String],
@@ -259,12 +265,22 @@ private[sources] class LakeDeltaTaskWriter(
     upsert(row)
 
   override def update(
-      meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+      meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     // the new image supersedes the old row by key at fold time — the
-    // same one-row semantics as mergeDelta's upsert
+    // same one-row semantics as mergeDelta's upsert. When the update
+    // MOVES the row's day (SET ts = ... across a date boundary), the
+    // fold is per-day and the new-day image alone cannot kill the
+    // old-day base row — emit a delete marker in the OLD day too, so a
+    // day-moving update is a move, never a duplication (the one place
+    // the DSv2 surface is STRICTER than mergeDelta, which documents
+    // day-stable upserts)
+    if (!id.isNullAt(tsIdxId) && !row.isNullAt(tsIdxData) &&
+        dayOf(id.getLong(tsIdxId)) != dayOf(row.getLong(tsIdxData)))
+      deleteMarker(id)
     upsert(row)
+  }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+  private def deleteMarker(id: InternalRow): Unit = {
     // id = (key, ts) of the EXISTING row: the marker lands in that
     // row's day, the deleteKeysDelta contract
     val g = groups.newGroup()
@@ -273,6 +289,9 @@ private[sources] class LakeDeltaTaskWriter(
     g.add("__op", "d")
     outFor(dayOf(id.getLong(tsIdxId))).writer.write(g)
   }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deleteMarker(id)
 
   override def write(row: InternalRow): Unit = upsert(row)
 

@@ -151,6 +151,90 @@ class LakeMergeSqlSpec extends AnyFunSuite {
       Set((1L, 1.0), (2L, 2.0), (3L, 103.0), (4L, 104.0)))
   }
 
+  test("a day-MOVING update (SET ts across a date boundary) is a move, " +
+    "never a duplication: the old day gets a delete marker, the new " +
+    "day the image — through UPDATE and MERGE both") {
+    seed("m6")
+    val dir = s"$wh/m6"
+    spark.sql(s"UPDATE graft.m6 SET ts = TIMESTAMP '${ts(5)}' " +
+      "WHERE event_id = 1")
+    val afterUpdate = spark.sql(
+      "SELECT event_id, CAST(day AS STRING) FROM graft.m6")
+      .as[(Long, String)].collect().toSeq
+    assert(afterUpdate.count(_._1 == 1L) === 1,
+      s"key 1 must exist exactly once after the day move: $afterUpdate")
+    assert(afterUpdate.find(_._1 == 1L).get._2 === "2024-01-05")
+    spark.sql(
+      s"""MERGE INTO graft.m6 t
+         |USING (SELECT 2L AS event_id, TIMESTAMP '${ts(6)}' AS ts,
+         |       222.0 AS value) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET ts = s.ts, value = s.value
+         |""".stripMargin)
+    val got = spark.sql("SELECT event_id, CAST(day AS STRING), value " +
+      "FROM graft.m6").as[(Long, String, Double)].collect().toSet
+    assert(got.count(_._1 == 2L) === 1)
+    assert(got.contains((2L, "2024-01-06", 222.0)))
+    assert(got.size === 4) // 1 moved, 2 moved, 3 and 4 untouched
+  }
+
+  test("UPDATE SET * / INSERT * star syntax resolves when the source " +
+    "carries every target column (incl. the derived day, which the " +
+    "writer re-derives from ts regardless of the supplied value)") {
+    seed("m7")
+    spark.sql(
+      s"""MERGE INTO graft.m7 t
+         |USING (SELECT DATE '2099-12-31' AS day, 3L AS event_id,
+         |       TIMESTAMP '${ts(2)}' AS ts, 333.0 AS value
+         |       UNION ALL
+         |       SELECT DATE '2099-12-31', 8L, TIMESTAMP '${ts(3)}', 8.0) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = spark.sql(
+      "SELECT event_id, value, CAST(day AS STRING) FROM graft.m7")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01"),
+      (3L, 333.0, "2024-01-02"), (4L, 4.0, "2024-01-02"),
+      (8L, 8.0, "2024-01-03")),
+      "day derives from ts — the bogus supplied 2099 value never lands")
+  }
+
+  test("CONCURRENT MERGEs on key-disjoint sources both commit " +
+    "(row-delta concurrency carries to the SQL verb)") {
+    seed("m8")
+    val dir = s"$wh/m8"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = Seq(100L, 200L).map { base =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            spark.sql(
+              s"""MERGE INTO graft.m8 t
+                 |USING (SELECT ${base}L AS event_id,
+                 |       TIMESTAMP '${ts(1)}' AS ts, $base.5 AS value) s
+                 |ON t.event_id = s.event_id
+                 |WHEN MATCHED THEN UPDATE SET value = s.value
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (event_id, ts, value) VALUES (s.event_id, s.ts, s.value)
+                 |""".stripMargin)
+            ()
+          }
+        })
+      }
+      start.countDown()
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val got = spark.sql("SELECT event_id, value FROM graft.m8 " +
+      "WHERE event_id >= 100").as[(Long, Double)].collect().toSet
+    assert(got === Set((100L, 100.5), (200L, 200.5)),
+      "both racing MERGEs must commit (never-abort delta path)")
+  }
+
   test("merge deltas fold with later Scala-path mutations and survive " +
     "OPTIMIZE (one protocol, one manifest)") {
     seed("m5")
