@@ -40,7 +40,8 @@ import graft.etl.LakeSnapshot
   * conf on every call, so tests and multi-warehouse sessions can repoint
   * it without a new catalog instance.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var initOptions: Map[String, String] = Map.empty
@@ -269,6 +270,33 @@ class GraftCatalog extends TableCatalog {
     if (!exists(ident)) return false
     fs(dirOf(ident)).delete(new Path(dirOf(ident)), true)
   }
+
+  // --- SQL CALL maintenance (Spark 4 ProcedureCatalog) ---------------------
+  // `CALL graft.system.optimize(table => 'ns.tbl')` and friends — thin
+  // SQL bindings over compactDays / optimizeZOrderN / vacuum /
+  // checkpointManifest ([[GraftProcedures]]). The `table` argument is a
+  // dot-separated identifier under THIS catalog.
+  private def tableDir(name: String): String = {
+    val parts = name.split('.').toSeq
+    val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    dirOf(ident)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"graft procedures live under the 'system' namespace, got $ident")
+    GraftProcedures.all(tableDir).getOrElse(ident.name(), sys.error(
+      s"unknown procedure '${ident.name()}' — available: " +
+        GraftProcedures.all(tableDir).keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.all(tableDir).keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)

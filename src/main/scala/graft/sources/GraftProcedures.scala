@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.LakeSnapshot
+
+/** SQL `CALL` MAINTENANCE for the lake (Spark 4 ProcedureCatalog —
+  * the last external-tool surface that still needed Scala):
+  *
+  * {{{
+  *   CALL graft.system.optimize(`table` => 'events')
+  *   CALL graft.system.zorder(`table` => 'events',
+  *                            columns => 'user_id,ts', files => 16)
+  *   CALL graft.system.vacuum(`table` => 'events', retain_ms => 86400000)
+  *   CALL graft.system.checkpoint(`table` => 'events')
+  * }}}
+  *
+  * Each procedure is a thin SQL binding over the one Scala
+  * implementation (`compactDays` / `optimizeZOrderN` / `vacuum` /
+  * `checkpointManifest`) — the OCC, fold, and retention semantics are
+  * exactly the library's, and the returned row reports what happened
+  * (days touched / committed epoch) so operators can script against
+  * the result.
+  */
+private[sources] object GraftProcedures {
+
+  /** One-row driver-side result (maintenance output is a summary row,
+    * never data-sized) — Spark's procedure exec requires the dedicated
+    * [[org.apache.spark.sql.connector.read.LocalScan]] shape.
+    */
+  private class ResultScan(schema: StructType, rowVals: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      rowVals.map(vs => new GenericInternalRow(vs.map {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }.toArray): InternalRow).toArray
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(
+      name: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  /** A procedure bound to a catalog whose `dirOf` resolves table names. */
+  abstract class LakeProcedure(
+      val name: String, dirOf: String => String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    override def description(): String = s"graft lake maintenance: $name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(
+        spark: SparkSession, dir: String, args: InternalRow): Seq[Seq[Any]]
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val rows = run(spark, dirOf(table), input)
+      (Iterator(new ResultScan(resultSchema, rows): Scan)).asJava
+    }
+  }
+
+  def all(dirOf: String => String): Map[String, UnboundProcedure] = Map(
+    "optimize" -> new LakeProcedure("optimize", dirOf,
+      Seq(in("table", StringType),
+        inDefault("days", StringType, "''")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("n_days_compacted", IntegerType),
+        StructField("days", StringType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val days =
+          if (args.isNullAt(1)) Nil
+          else args.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val touched = LakeSnapshot.compactDays(spark, dir, days)
+        Seq(Seq("optimize", touched.size, touched.mkString(",")))
+      }
+    },
+    "zorder" -> new LakeProcedure("zorder", dirOf,
+      Seq(in("table", StringType),
+        in("columns", StringType),
+        inDefault("files", IntegerType, "8"),
+        inDefault("days", StringType, "''")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("n_days_compacted", IntegerType),
+        StructField("days", StringType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        import org.apache.spark.sql.functions.col
+        val cols = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.size >= 2,
+          "zorder needs at least 2 columns (comma-separated)")
+        val files = if (args.isNullAt(2)) 8 else args.getInt(2)
+        val days =
+          if (args.isNullAt(3)) Nil
+          else args.getUTF8String(3).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val touched = LakeSnapshot.optimizeZOrderN(
+          spark, dir, cols.map(col), files, days)
+        Seq(Seq("zorder", touched.size, touched.mkString(",")))
+      }
+    },
+    "vacuum" -> new LakeProcedure("vacuum", dirOf,
+      Seq(in("table", StringType),
+        inDefault("retain_ms", LongType, "0"),
+        inDefault("force", BooleanType, "false")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("table", StringType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val retain = if (args.isNullAt(1)) 0L else args.getLong(1)
+        val force = !args.isNullAt(2) && args.getBoolean(2)
+        LakeSnapshot.vacuum(spark, dir, retain, force)
+        Seq(Seq("vacuum", dir))
+      }
+    },
+    "checkpoint" -> new LakeProcedure("checkpoint", dirOf,
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("epoch", IntegerType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val e = LakeSnapshot.checkpointManifest(spark, dir)
+        Seq(Seq("checkpoint", e))
+      }
+    })
+}

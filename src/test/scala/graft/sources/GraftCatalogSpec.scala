@@ -258,6 +258,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.ht")
   }
 
+  test("CALL graft.system.optimize/zorder/vacuum/checkpoint — SQL " +
+    "maintenance verbs over the one Scala implementation (r14)") {
+    spark.sql("CREATE TABLE graft.mt (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      val dir = s"$wh/mt"
+      spark.sql("INSERT INTO graft.mt (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)")
+      spark.sql("INSERT INTO graft.mt (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 100.0)")
+      // day 1 carries pending deltas; OPTIMIZE absorbs them
+      val opt = spark.sql("CALL graft.system.optimize(`table` => 'mt')")
+        .head()
+      assert(opt.getString(0) === "optimize" && opt.getInt(1) === 2)
+      val st = LakeSnapshot.tableState(spark, dir)
+      assert(st.days.values.forall(_.deltas.isEmpty),
+        "optimize must absorb every pending delta")
+      // zorder on (event_id, value); values invariant
+      val z = spark.sql("CALL graft.system.zorder(`table` => 'mt', " +
+        "columns => 'event_id,value', files => 2)").head()
+      assert(z.getString(0) === "zorder" && z.getInt(1) === 2)
+      assert(spark.sql("SELECT event_id, value FROM graft.mt")
+        .as[(Long, Double)].collect().toSet ===
+        Set((1L, 100.0), (2L, 2.0)))
+      // checkpoint returns the committed epoch; vacuum reclaims
+      val ck = spark.sql("CALL graft.system.checkpoint(`table` => 'mt')")
+        .head()
+      assert(ck.getString(0) === "checkpoint" && ck.getInt(1) >= 0)
+      spark.sql("CALL graft.system.vacuum(`table` => 'mt')")
+      assert(spark.sql("SELECT count(*) FROM graft.mt")
+        .as[Long].head() === 2L, "vacuum keeps the live view whole")
+      // unknown procedure and unknown table fail loudly
+      val e1 = intercept[Exception] {
+        spark.sql("CALL graft.system.explode(`table` => 'mt')").collect()
+      }
+      assert(e1.getMessage.contains("unknown procedure") ||
+        String.valueOf(e1.getCause).contains("unknown procedure"))
+      val e2 = intercept[Exception] {
+        spark.sql("CALL graft.system.optimize(`table` => 'nope')").collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("table") ||
+        e2.getMessage.contains("nope"))
+    } finally spark.sql("DROP TABLE graft.mt")
+  }
+
   test("namespaces map to directories; listTables sees only lakes") {
     spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
       "TBLPROPERTIES ('key' = 'id')")
