@@ -134,7 +134,17 @@ object LakeSnapshot {
     */
   final case class LakeState(
       days: Map[String, DayState], key: Option[String],
-      colmap: Map[String, Option[String]] = Map.empty) {
+      colmap: Map[String, Option[String]] = Map.empty,
+      // idempotence-tag high-waters (Delta's `txn` action shape): tag
+      // `app-N` folds to app → max N, a bare tag to tag → 0. Carried by
+      // checkpoint rows so the redelivery check stays O(since-checkpoint)
+      // instead of re-reading the full manifest per micro-batch
+      // (ADVICE/VERDICT r14 #7). `txnsComplete` is false only when the
+      // fold crossed a PRE-r15 checkpoint row (no `txns` key) — the tag
+      // check then falls back to the full-history scan, so an old
+      // checkpoint can still never erase protection.
+      txns: Map[String, Long] = Map.empty,
+      txnsComplete: Boolean = true) {
     def nonEmpty: Boolean = days.nonEmpty
 
     /** The logical name a stored physical column surfaces as — None when
@@ -215,6 +225,29 @@ object LakeSnapshot {
       e.take(i) -> (if (e.drop(i + 1) == "-") None else Some(e.drop(i + 1)))
     }.toMap
 
+  /** An idempotence tag as (app, version): `sw-<queryId>-7` → ("sw-
+    * <queryId>", 7), a bare non-numeric tag → (tag, 0). Per-app versions
+    * must be MONOTONE (they are: micro-batch epochIds) — the Delta `txn`
+    * appId/version contract, which is what lets a checkpoint fold a
+    * tag history into one high-water per app.
+    */
+  private val NumTag = "(.*)-(\\d+)".r
+  private def splitTag(tag: String): (String, Long) = tag match {
+    case NumTag(app, v) => (app, v.toLong)
+    case _ => (tag, 0L)
+  }
+  private def foldTag(txns: Map[String, Long], tag: String): Map[String, Long] = {
+    val (app, v) = splitTag(tag)
+    txns.updated(app, math.max(v, txns.getOrElse(app, Long.MinValue)))
+  }
+  private def renderTxns(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (a, v) => s"$a:$v" }.mkString(",")
+  private def parseTxns(s: String): Map[String, Long] =
+    uncsv(s).map { e =>
+      val i = e.lastIndexOf(':')
+      e.take(i) -> e.drop(i + 1).toLong
+    }.toMap
+
   private def applyRow(st: LakeState, kv: Map[String, String]): LakeState = {
     val withKey = kv.get("key").filter(_.nonEmpty) match {
       case Some(k) => st.copy(key = Some(k))
@@ -250,9 +283,20 @@ object LakeSnapshot {
         }
       case None => withRename
     }
-    val base0 = kv.get("snapshot") match {
-      case Some(s) => withDrops.copy(days = parseSnapshot(s))
+    val withTag = kv.get("tag").filter(_.nonEmpty) match {
+      case Some(t) => withDrops.copy(txns = foldTag(withDrops.txns, t))
       case None => withDrops
+    }
+    val base0 = kv.get("snapshot") match {
+      case Some(s) =>
+        val days = withTag.copy(days = parseSnapshot(s))
+        kv.get("txns") match {
+          // the checkpoint subsumes all prior rows: its txns REPLACE the
+          // fold (always present on r15+ checkpoints, even when empty)
+          case Some(t) => days.copy(txns = parseTxns(t))
+          case None => days.copy(txnsComplete = false) // pre-r15 checkpoint
+        }
+      case None => withTag
     }
     if (kv.contains("deltagen")) {
       val g = kv("deltagen").toInt
@@ -665,6 +709,11 @@ object LakeSnapshot {
       val e = rows.map(_._1).max + 1
       if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest, e,
         Seq("snapshot" -> renderSnapshot(live)) ++
+          // present (even empty) iff the fold is tag-complete — marks
+          // this checkpoint as trustworthy for the redelivery check; a
+          // fold across a pre-r15 checkpoint must NOT claim completeness
+          (if (live.txnsComplete)
+            Seq("txns" -> renderTxns(live.txns)) else Nil) ++
           live.key.map("key" -> _).toSeq ++
           (if (live.colmap.nonEmpty)
             Seq("snapshotcolmap" -> renderColmap(live.colmap)) else Nil))) {
@@ -1051,9 +1100,11 @@ object LakeSnapshot {
       .map(_.replace("b", "").replace("B", ""))
       .flatMap(s => scala.util.Try(
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
-      .filter(_ > 0L)
       .getOrElse(64L * 1024 * 1024)
-    if (bytes <= limit) broadcast(df) else df
+    // a user who EXPLICITLY disabled broadcasts (threshold <= 0) means
+    // it — never force the hint over their head (ADVICE r14); only the
+    // unset/unparsable case falls back to the 64 MB bound
+    if (limit > 0L && bytes <= limit) broadcast(df) else df
   }
 
   /** Publish a staged row delta. NO overlap abort, by design: a row
@@ -1178,21 +1229,49 @@ object LakeSnapshot {
     * (the streaming-sink contract, same idea as the incremental index's
     * append tags): if any committed epoch already carries it, this call
     * is a no-op returning that epoch — a restarted micro-batch replays
-    * harmlessly. Tags are read over the FULL manifest (never the
-    * checkpoint-collapsed view), so a manifest checkpoint cannot erase
-    * redelivery protection. Returns the committed epoch (or `baseEpoch`
-    * for an empty merge).
+    * harmlessly. The tag check is [[tagEpoch]]: O(rows since the last
+    * checkpoint), because checkpoints fold tag high-waters — a manifest
+    * checkpoint still cannot erase redelivery protection. Returns the
+    * committed epoch (or `baseEpoch` for an empty merge).
     */
   private[graft] def commitExternalDelta(
       spark: SparkSession, dir: String, gen: Int, baseEpoch: Int,
       days: Seq[String], keyCol: String, tag: String = ""): Int = {
     if (tag.nonEmpty) {
-      val prior = IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
-        .collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
+      val prior = tagEpoch(spark, dir, tag)
       if (prior.isDefined) return prior.get
     }
     commitDelta(spark, dir,
       Staged(gen, baseEpoch, days.distinct.sorted, Nil), keyCol, tag)
+  }
+
+  /** The epoch a redelivery tag already committed under, or None — the
+    * idempotence check, BOUNDED (VERDICT r14 #7): reads O(rows since the
+    * last checkpoint), because checkpoints fold per-app tag high-waters
+    * (`txns`). A tag ABSORBED by a checkpoint reports the checkpoint's
+    * own epoch (its exact row number is gone — callers only need
+    * "committed", never the number). Protection survives checkpointing
+    * BY CONSTRUCTION now, not by paying a full scan per micro-batch; a
+    * pre-r15 checkpoint (no `txns` key) still falls back to the full
+    * read, so no history can silently absorb a tag.
+    */
+  private[graft] def tagEpoch(
+      spark: SparkSession, dir: String, tag: String): Option[Int] = {
+    val p = LakePaths(dir)
+    val rows = committedRows(spark, dir)
+    rows.collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
+      .orElse {
+        val st = rows.foldLeft(EmptyState) {
+          case (m, (_, kv)) => applyRow(m, kv)
+        }
+        val (app, v) = splitTag(tag)
+        if (st.txnsComplete)
+          st.txns.get(app).filter(_ >= v)
+            .map(_ => checkpointEpoch(spark, dir))
+        else
+          IncrementalDedup.Manifest.read(spark, p.manifest)
+            .collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
+      }
   }
 
   /** Drop whole days (default: ALL → TRUNCATE) as a MANIFEST-ONLY
@@ -1872,7 +1951,13 @@ object LakeSnapshot {
     Seq(p.data, p.delta, p.dv).foreach { rootDir =>
       val dataRoot = new Path(rootDir)
       if (f.exists(dataRoot))
-        f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
+        // ONLY gen= directories are generations — the delta root also
+        // holds the streaming sink's dot-invisible `.sw` staging tree
+        // (handled below), which must not be parsed as a generation
+        // number (ADVICE r14 high: NumberFormatException on '.sw')
+        f.listStatus(dataRoot).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("gen=")
+        ).foreach { genDir =>
           val g = genDir.getPath.getName.stripPrefix("gen=").toInt
           f.listStatus(genDir.getPath).filter(_.isDirectory).foreach { dayDir =>
             val day = dayDir.getPath.getName.stripPrefix("day=")
@@ -1921,7 +2006,9 @@ object LakeSnapshot {
             (kv.contains("gen") || kv.contains("deltagen")) =>
           kv.getOrElse("gen", kv("deltagen")).toInt -> e
       }.toMap
-      f.listStatus(cdfRoot).filter(_.isDirectory).foreach { genDir =>
+      f.listStatus(cdfRoot).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("gen=")
+      ).foreach { genDir =>
         val g = genDir.getPath.getName.stripPrefix("gen=").toInt
         val item = cdfEpochByGen.get(g) match {
           case Some(e) =>
@@ -1937,6 +2024,28 @@ object LakeSnapshot {
         items += item
       }
     }
+    // streaming-sink staging: `delta/.sw/<queryId>/<epochId>` epoch dirs
+    // a crashed (or in-flight) micro-batch left behind. The sink deletes
+    // its own staging at commit/abort, so anything still here past the
+    // orphan retention is a crash leftover — same age rule as claimed
+    // orphan generations ("possibly live staging" until aged). Invisible
+    // to every reader (dot-prefixed), so reclaiming is always safe once
+    // the writing query is provably dead.
+    val swRoot = new Path(s"${p.delta}/.sw")
+    if (f.exists(swRoot))
+      f.listStatus(swRoot).filter(_.isDirectory).foreach { qDir =>
+        f.listStatus(qDir.getPath).filter(_.isDirectory).foreach { epDir =>
+          val (r, why) =
+            if (force) (true, "forced")
+            else if (policy.orphanMs <= 0L) (false, "no orphan retention set")
+            else {
+              val a = now - epDir.getModificationTime >= policy.orphanMs
+              (a, if (a) "staging expired" else "possibly live staging")
+            }
+          items += VacuumItem("staging", epDir.getPath, -1, r,
+            pinned = false, why)
+        }
+      }
     items.result()
   }
 
@@ -1960,19 +2069,40 @@ object LakeSnapshot {
     Seq(p.data, p.delta, p.dv).foreach { rootDir =>
       val dataRoot = new Path(rootDir)
       if (f.exists(dataRoot))
-        f.listStatus(dataRoot).filter(_.isDirectory).foreach { genDir =>
+        f.listStatus(dataRoot).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("gen=")
+        ).foreach { genDir =>
           if (!f.listStatus(genDir.getPath).exists(_.isDirectory))
             f.delete(genDir.getPath, true)
         }
+    }
+    // streaming staging parents: a `.sw/<queryId>` dir whose every epoch
+    // dir is gone (sink-cleaned or reclaimed above) is dead weight
+    val swRoot = new Path(s"${p.delta}/.sw")
+    if (f.exists(swRoot)) {
+      f.listStatus(swRoot).filter(_.isDirectory).foreach { qDir =>
+        if (f.listStatus(qDir.getPath).isEmpty) f.delete(qDir.getPath, true)
+      }
+      if (f.listStatus(swRoot).isEmpty) f.delete(swRoot, true)
     }
     // claim-file cleanup (bounded manifest): a claim whose generation has
     // no data left on disk AND whose number sits below the _next_gen
     // high-water mark can never matter again — the scan starts past it,
     // and no historical view can reach data that no longer exists.
+    // AGE-GATED like the orphan path (ADVICE r14 medium): a MERGE claims
+    // its generation BEFORE Spark runs the join, so a young claim is
+    // legitimately file-less for minutes-to-hours. Deleting it mid-flight
+    // would let the NEXT vacuum read the then-arriving gen dir as a
+    // "claimless stray" and reclaim an in-flight merge's staged files —
+    // so only a claim older than a POSITIVE orphan retention (or an
+    // explicit force, the "no writer is live" promise) may go.
     val hint = genHint(spark, dir)
+    val claimNow = System.currentTimeMillis()
     f.listStatus(new Path(p.manifest)).foreach { st =>
       st.getPath.getName match {
         case ClaimName(g) if g.toInt + 1 <= hint &&
+            (force || (policy.orphanMs > 0L &&
+              claimNow - st.getModificationTime >= policy.orphanMs)) &&
             !f.exists(new Path(s"${p.data}/gen=${g.toInt}")) &&
             !f.exists(new Path(s"${p.delta}/gen=${g.toInt}")) &&
             !f.exists(new Path(s"${p.dv}/gen=${g.toInt}")) &&
@@ -1998,16 +2128,27 @@ object LakeSnapshot {
     val plan = vacuumPlan(spark, dir, policy, pins, force = false,
       System.currentTimeMillis())
     val hint = genHint(spark, dir)
+    val claimNow = System.currentTimeMillis()
     val claims = f.listStatus(new Path(p.manifest)).toSeq
-      .map(_.getPath.getName).collect { case ClaimName(g) => g.toInt }
-    val claimsReclaimable = claims.count(g => g + 1 <= hint &&
+      .flatMap { st =>
+        st.getPath.getName match {
+          case ClaimName(g) => Some((g.toInt, st.getModificationTime))
+          case _ => None
+        }
+      }
+    // same age gate the vacuum applies (ADVICE r14): a young claim is a
+    // possibly-in-flight merge's — the audit must not report it takeable
+    val claimsReclaimable = claims.count { case (g, mtime) =>
+      g + 1 <= hint &&
+      policy.orphanMs > 0L && claimNow - mtime >= policy.orphanMs &&
       !f.exists(new Path(s"${p.data}/gen=$g")) &&
       !f.exists(new Path(s"${p.delta}/gen=$g")) &&
       !f.exists(new Path(s"${p.dv}/gen=$g")) &&
-      !f.exists(new Path(s"${p.cdf}/gen=$g")))
+      !f.exists(new Path(s"${p.cdf}/gen=$g"))
+    }
     val retain = Map("history" -> policy.historyMs, "cdf" -> policy.cdfMs,
-      "orphan" -> policy.orphanMs)
-    val out = Seq("cdf", "history", "orphan").map { s =>
+      "orphan" -> policy.orphanMs, "staging" -> policy.orphanMs)
+    val out = Seq("cdf", "history", "orphan", "staging").map { s =>
       val it = plan.filter(_.surface == s)
       (s, retain(s), it.size.toLong,
         it.count(_.reclaimable).toLong, it.count(_.pinned).toLong)

@@ -68,15 +68,17 @@ object GlobalWindowGuard {
   private[plans] val Warned = TreeNodeTag[Boolean]("graft.globalWindowGuard.warned")
 
   /** SOUND exemption (VERDICT r13 #8, the [list_id] audit firings): an
-    * unpartitioned window whose input flows through a LIMIT down an
-    * all-UNARY chain is bounded by construction — at most `limit` rows
-    * reach the single task, model-sized, the right plan. The walk stops
-    * at any multi-child node (a join below could re-inflate a limited
-    * side) and at leaves, so every genuinely full-input global window
-    * still warns.
+    * unpartitioned window whose input flows through a GLOBAL limit down
+    * an all-UNARY chain is bounded by construction — at most `limit`
+    * rows TOTAL reach the single task, model-sized, the right plan. A
+    * bare LocalLimit is NOT proof (ADVICE r14): it caps rows per
+    * partition only, so numPartitions×limit rows could still feed the
+    * window. The walk stops at any multi-child node (a join below could
+    * re-inflate a limited side) and at leaves, so every genuinely
+    * full-input global window still warns.
     */
   private[plans] def limitBounded(p: LogicalPlan): Boolean = p match {
-    case _: GlobalLimit | _: LocalLimit => true
+    case _: GlobalLimit => true
     case u: UnaryNode => limitBounded(u.child)
     case _ => false
   }

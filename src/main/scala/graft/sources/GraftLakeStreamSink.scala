@@ -101,10 +101,11 @@ private[sources] class LakeStreamingWrite(
       if (files.isEmpty) return
       // redelivery: the tag already committed → this replay is a no-op
       // (commitExternalDelta would catch it too; checking first skips
-      // the pointless claim + moves)
+      // the pointless claim + moves). The check is checkpoint-bounded
+      // (ADVICE r14): O(rows since _last_checkpoint), never the full
+      // manifest per micro-batch on a years-lived table.
       val p = LakeSnapshot.LakePaths(dir)
-      val already = graft.ops.IncrementalDedup.Manifest.read(spark, p.manifest)
-        .exists(_._2.get("tag").contains(tag))
+      val already = LakeSnapshot.tagEpoch(spark, dir, tag).isDefined
       if (already) return
       val (gen, base, _) = LakeSnapshot.stageExternalDelta(spark, dir, key)
       // move EXACTLY the files the committed attempts named — per-file
@@ -120,7 +121,7 @@ private[sources] class LakeStreamingWrite(
         spark, dir, gen, base, files.map(_._1).distinct, key, tag)
       ()
     } finally {
-      if (fs.exists(staging)) fs.delete(staging, true)
+      cleanStaging(fs, staging)
     }
   }
 
@@ -128,8 +129,20 @@ private[sources] class LakeStreamingWrite(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(stagingRoot(epochId))
+    cleanStaging(fs, new Path(stagingRoot(epochId)))
+  }
+
+  /** Delete the epoch staging dir AND its now-empty `.sw/<queryId>`
+    * parent (ADVICE r14: empty parents persisting after every commit
+    * were what vacuum tripped over) — the `.sw` root itself stays for
+    * concurrent queries; vacuum sweeps it when fully empty.
+    */
+  private def cleanStaging(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path): Unit = {
     if (fs.exists(staging)) fs.delete(staging, true)
+    val parent = staging.getParent // .sw/<queryId>
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, true)
     ()
   }
 }

@@ -120,16 +120,26 @@ private[sources] object GraftProcedures {
     },
     "vacuum" -> new LakeProcedure("vacuum", dirOf,
       Seq(in("table", StringType),
-        inDefault("retain_ms", LongType, "0"),
+        inDefault("retain_ms", LongType, "NULL"),
         inDefault("force", BooleanType, "false")),
       StructType(Seq(StructField("operation", StringType),
         StructField("table", StringType)))) {
       override protected def run(
           spark: SparkSession, dir: String,
           args: InternalRow): Seq[Seq[Any]] = {
-        val retain = if (args.isNullAt(1)) 0L else args.getLong(1)
         val force = !args.isNullAt(2) && args.getBoolean(2)
-        LakeSnapshot.vacuum(spark, dir, retain, force)
+        // VERDICT r14: the no-arg CALL must NOT mean "destroy time
+        // travel now" (retain 0) while the library's own default is 7
+        // days — an unset retain_ms takes the RetentionPolicy defaults
+        // (7 d history/CDF, 24 h orphans), the Delta "VACUUM refuses
+        // tiny retention unless told" posture. An EXPLICIT retain_ms
+        // (including 0, the caller promising no reader) still binds all
+        // three surfaces, exactly as before.
+        if (args.isNullAt(1))
+          LakeSnapshot.vacuumPolicy(spark, dir,
+            LakeSnapshot.RetentionPolicy(), force = force)
+        else
+          LakeSnapshot.vacuum(spark, dir, args.getLong(1), force)
         Seq(Seq("vacuum", dir))
       }
     },

@@ -42,6 +42,20 @@ private[sources] class LakeHistoryTable(dir: String)
         override def planInputPartitions(): Array[InputPartition] = {
           val spark = SparkSession.active
           val manifest = s"$dir/manifest"
+          // ONE listing for every commit mtime (the .properties rename
+          // instant IS the commit time) — not a getFileStatus per epoch,
+          // which made .history O(n²) filesystem calls (ADVICE r14)
+          val fs = new org.apache.hadoop.fs.Path(manifest)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val EpochName = "epoch-(\\d+)\\.properties".r
+          val mtimeByEpoch: Map[Int, Long] =
+            fs.listStatus(new org.apache.hadoop.fs.Path(manifest))
+              .flatMap { st =>
+                st.getPath.getName match {
+                  case EpochName(e) => Some(e.toInt -> st.getModificationTime)
+                  case _ => None
+                }
+              }.toMap
           val rows = IncrementalDedup.Manifest.read(spark, manifest)
             .map { case (e, kv) =>
               val op =
@@ -58,8 +72,7 @@ private[sources] class LakeHistoryTable(dir: String)
                 .map(_.split(",").count(_.nonEmpty)).getOrElse(0)
               val nDropped = kv.get("dropped")
                 .map(_.split(",").count(_.nonEmpty)).getOrElse(0)
-              val tMicros = IncrementalDedup.Manifest
-                .commitTimeMs(spark, manifest, e) * 1000L
+              val tMicros = mtimeByEpoch(e) * 1000L
               LakeHistoryRow(e, op, gen, nDays, nDropped, tMicros)
             }
           Array(LakeHistoryPartition(rows))

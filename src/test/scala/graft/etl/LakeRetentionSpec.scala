@@ -154,4 +154,71 @@ class LakeRetentionSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$dir/data/gen=$gOrphan")),
       "forced vacuum must reclaim orphaned generations")
   }
+
+  test("streaming-sink staging dirs under delta/.sw never crash the " +
+    "vacuum (ADVICE r14 high) and reclaim on the orphan retention, " +
+    "parents included") {
+    val dir = freshDir("sw_staging")
+    build(dir)
+    // a crashed micro-batch's leftover staging: delta/.sw/<query>/<epoch>
+    val ep = Paths.get(s"$dir/delta/.sw/q-123/7/day=2024-01-01")
+    Files.createDirectories(ep)
+    Files.write(ep.resolve("part-0.parquet"), Array[Byte](1))
+    Files.createDirectories(Paths.get(s"$dir/delta/.sw/q-456")) // empty parent
+    val keep = LakeSnapshot.RetentionPolicy(orphanMs = 0L)
+    // the r14 bug: these threw NumberFormatException on '.sw'
+    val a = audit(dir, keep)
+    assert(a("staging") === ((1L, 0L, 0L)),
+      "orphanMs=0 keeps the possibly-live staging epoch dir")
+    LakeSnapshot.vacuumPolicy(spark, dir, keep)
+    assert(Files.exists(ep), "unaged staging survives")
+    assert(!Files.exists(Paths.get(s"$dir/delta/.sw/q-456")),
+      "an EMPTY queryId parent is dead weight and goes on any pass")
+    // aged out (1ms): the epoch dir goes, then its parent, then .sw
+    val takeAll = LakeSnapshot.RetentionPolicy(orphanMs = 1L)
+    assert(audit(dir, takeAll)("staging")._2 === 1L,
+      "the audit must report the aged staging reclaimable")
+    LakeSnapshot.vacuumPolicy(spark, dir, takeAll)
+    assert(!Files.exists(Paths.get(s"$dir/delta/.sw")),
+      "aged staging, its queryId parent, and the empty .sw root all go")
+    assert(content(dir) === Set((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("claim-file cleanup is age-gated (ADVICE r14 medium): a young " +
+    "file-less claim is an in-flight merge's, not garbage — vacuum " +
+    "mid-stage keeps it and the merge commits intact") {
+    val dir = freshDir("claim_race")
+    build(dir)
+    // a MERGE claims its generation BEFORE Spark runs the join: the
+    // claim legitimately has zero files on disk right now
+    val (gen, base, _) = LakeSnapshot.stageExternalDelta(spark, dir, "event_id")
+    val claim = Paths.get(s"$dir/manifest/gen-$gen.claim")
+    assert(Files.exists(claim))
+    // vacuum DURING the in-flight window (default orphan retention 24h)
+    LakeSnapshot.vacuumPolicy(spark, dir, LakeSnapshot.RetentionPolicy())
+    assert(Files.exists(claim),
+      "a claim younger than the orphan retention must survive the vacuum")
+    // the merge now fills its generation and commits — had the claim
+    // died, a second vacuum would have read delta/gen=G as a 'claimless
+    // stray' and reclaimed the in-flight files (broken reads)
+    val day = "2024-01-02"
+    Seq((3L, ts(2), 33.0, "u"))
+      .toDF("event_id", "ts", "value", "__op")
+      .withColumn("day", lit(day))
+      .write.mode("append").partitionBy("day")
+      .parquet(s"$dir/delta/gen=$gen")
+    LakeSnapshot.vacuumPolicy(spark, dir, LakeSnapshot.RetentionPolicy())
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, gen, base, Seq(day), "event_id")
+    assert(content(dir) === Set((1L, 10.0), (2L, 2.0), (3L, 33.0)),
+      "the merge staged across two vacuums must commit intact")
+    // an AGED file-less claim is true garbage: 1ms retention takes it
+    val g2 = LakeSnapshot.stageExternalDelta(spark, dir, "event_id")._1
+    val c2 = Paths.get(s"$dir/manifest/gen-$g2.claim")
+    Thread.sleep(5)
+    LakeSnapshot.vacuumPolicy(spark, dir,
+      LakeSnapshot.RetentionPolicy(orphanMs = 1L))
+    assert(!Files.exists(c2),
+      "a claim past the orphan retention with no data is reclaimed")
+  }
 }

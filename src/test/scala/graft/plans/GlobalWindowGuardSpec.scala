@@ -77,4 +77,17 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("global-window guard"))
     }
   }
+
+  test("a bare LocalLimit is NOT proof of boundedness (ADVICE r14): it " +
+    "caps rows per partition only — exemption requires GlobalLimit") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (1L to 100L).toDF("id").queryExecution.analyzed
+    assert(!GlobalWindowGuard.limitBounded(LocalLimit(Literal(5), base)),
+      "LocalLimit alone admits numPartitions*limit rows — not bounded")
+    assert(GlobalWindowGuard.limitBounded(
+      GlobalLimit(Literal(5), LocalLimit(Literal(5), base))))
+  }
 }

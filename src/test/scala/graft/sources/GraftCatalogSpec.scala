@@ -287,9 +287,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       val ck = spark.sql("CALL graft.system.checkpoint(`table` => 'mt')")
         .head()
       assert(ck.getString(0) === "checkpoint" && ck.getInt(1) >= 0)
+      // the NO-ARG CALL must not destroy time travel (VERDICT r14: the
+      // old default was retain_ms=0 — immediate history reclaim — while
+      // the library's own RetentionPolicy default is 7 days)
+      val preVacuum = LakeSnapshot.currentEpoch(spark, dir) - 2 // pre-optimize
       spark.sql("CALL graft.system.vacuum(`table` => 'mt')")
       assert(spark.sql("SELECT count(*) FROM graft.mt")
         .as[Long].head() === 2L, "vacuum keeps the live view whole")
+      assert(spark.sql(s"SELECT count(*) FROM graft.mt VERSION AS OF " +
+        s"$preVacuum").as[Long].head() >= 2L,
+        "a no-arg CALL vacuum leaves time-travel reads alive " +
+          "(RetentionPolicy defaults, not retain 0)")
+      // an EXPLICIT retain_ms => 0 still reclaims immediately (the
+      // caller promising no reader), exactly the old aggressive path
+      spark.sql("CALL graft.system.vacuum(`table` => 'mt', retain_ms => 0)")
+      val ex0 = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM graft.mt VERSION AS OF " +
+          s"$preVacuum").as[Long].head()
+      }
+      assert(ex0.getMessage != null,
+        "explicit retain 0 reclaims superseded generations")
       // unknown procedure and unknown table fail loudly
       val e1 = intercept[Exception] {
         spark.sql("CALL graft.system.explode(`table` => 'mt')").collect()

@@ -113,6 +113,52 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(LakeSnapshot.read(spark, dir).count() === 2L)
   }
 
+  test("the redelivery check is checkpoint-bounded (VERDICT r14 #7): a " +
+    "manifest checkpoint folds tag high-waters, so the per-batch scan " +
+    "reads O(since-checkpoint) rows — proven by deleting every " +
+    "pre-checkpoint row and still refusing the replay") {
+    val dir = freshDir("bounded_tags")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    def taggedCommit(n: Int, v: Double): Int = {
+      val (gen, base, _) =
+        LakeSnapshot.stageExternalDelta(spark, dir, "event_id")
+      Seq((100L + n, ts(1), v)).toDF("event_id", "ts", "value")
+        .withColumn("day", lit("2024-01-01")).withColumn("__op", lit("u"))
+        .coalesce(1).write.mode("append").partitionBy("day")
+        .parquet(s"$dir/delta/gen=$gen")
+      LakeSnapshot.commitExternalDelta(
+        spark, dir, gen, base, Seq("2024-01-01"), "event_id", s"sw-qA-$n")
+    }
+    taggedCommit(0, 10.0)
+    taggedCommit(1, 11.0)
+    val ckptEpoch = LakeSnapshot.checkpointManifest(spark, dir)
+    // sever the history: without the txns fold, the tag check would HAVE
+    // to read these rows to know sw-qA-0/1 committed
+    (0 until ckptEpoch).foreach { e =>
+      Files.deleteIfExists(Paths.get(s"$dir/manifest/epoch-$e.properties"))
+    }
+    assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qA-0").isDefined,
+      "a tag absorbed by the checkpoint must still read as committed")
+    assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qA-1").isDefined)
+    assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qA-2").isEmpty,
+      "the NEXT epochId is not committed — high-waters must not over-claim")
+    assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qB-0").isEmpty,
+      "another query's tags are a different app — never absorbed")
+    // the replayed batch is still a no-op through the normal commit path
+    val (gen, base, _) = LakeSnapshot.stageExternalDelta(spark, dir, "event_id")
+    val before = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, gen, base, Seq("2024-01-01"), "event_id", "sw-qA-1")
+    assert(LakeSnapshot.currentEpoch(spark, dir) === before,
+      "a redelivered tag must not commit a new row after a checkpoint")
+    // post-checkpoint tags keep folding into the NEXT checkpoint
+    taggedCommit(2, 12.0)
+    LakeSnapshot.checkpointManifest(spark, dir)
+    assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qA-2").isDefined)
+  }
+
   test("the sink validates its inputs loudly: missing key on a fresh " +
     "lake, and a batch schema without the event-time column") {
     val root = freshDir("loud")
