@@ -200,7 +200,13 @@ object FileStats {
           _.getColumns.asScala.find(_.getPath.toDotString == name))
         val stats = chunks.map(_.getStatistics)
         val usable = stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)
-        if (!usable) name -> ColStat("x")
+        // decimal-annotated int32/int64 stats are UNSCALED integers —
+        // comparing them against a filter's scaled value would skip
+        // wrongly, so the family is unusable like INT96 (no decimal
+        // filter currently becomes a skip hint either; defense in depth)
+        val isDecimal = pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+        if (!usable || isDecimal) name -> ColStat("x")
         else if (stats.forall(!_.hasNonNullValue)) name -> ColStat("n")
         else {
           val nn = stats.filter(_.hasNonNullValue)

@@ -326,11 +326,30 @@ private[sources] class LakeDeltaTaskWriter(
 /** Spark type → parquet schema/value bridging for the merge delta
   * writer — the WRITE mirror of [[LakeGroupRead.internalValue]], same
   * type family (the lake's supported column types), MICROS timestamps.
+  *
+  * Round-15 widening (VERDICT r14 #1/#2): DECIMAL (int32/int64/
+  * fixed-len-bytes physical by precision — the standard parquet
+  * encoding Spark itself writes, so DSv2-written deltas and V1-written
+  * bases stay footer-compatible), BINARY (multimodal payloads), and
+  * ARRAY of any supported scalar as a standard 3-level LIST group
+  * (`name (LIST) { repeated group list { optional element } }` — the
+  * layout Spark writes with writeLegacyFormat=false, so embeddings
+  * columns round-trip between the SQL lake and the vector tiers).
   */
 private[sources] object LakeGroupWrite {
 
+  /** Smallest fixed-len-byte width whose two's-complement range covers
+    * `precision` decimal digits — parquet's DECIMAL(FIXED) sizing rule
+    * (the same table Spark's parquet writer uses).
+    */
+  private[sources] def minBytesForPrecision(precision: Int): Int = {
+    var n = 1
+    while (math.floor(math.log10(2) * (8 * n - 1)) < precision) n += 1
+    n
+  }
+
   def addField(
-      b: Types.GroupBuilder[MessageType], name: String,
+      b: Types.GroupBuilder[_], name: String,
       dt: DataType): Unit = {
     import PrimitiveType.PrimitiveTypeName._
     dt match {
@@ -346,6 +365,24 @@ private[sources] object LakeGroupWrite {
       case BooleanType => b.optional(BOOLEAN).named(name)
       case StringType => b.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => b.optional(BINARY).named(name)
+      case d: DecimalType =>
+        val ann = LogicalTypeAnnotation.decimalType(d.scale, d.precision)
+        if (d.precision <= 9) b.optional(INT32).as(ann).named(name)
+        else if (d.precision <= 18) b.optional(INT64).as(ann).named(name)
+        else b.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(minBytesForPrecision(d.precision)).as(ann).named(name)
+      case ArrayType(elem, _) =>
+        val lb = b.optionalGroup().as(LogicalTypeAnnotation.listType())
+          .repeatedGroup()
+        elem match {
+          case _: ArrayType | _: MapType | _: StructType =>
+            throw new UnsupportedOperationException(
+              s"graft-lake merge writer: nested element type $elem " +
+                s"for '$name' — lake arrays hold scalars")
+          case _ => addField(lb, "element", elem)
+        }
+        lb.named("list").named(name)
       case other => throw new UnsupportedOperationException(
         s"graft-lake merge writer: unsupported column type $other " +
           s"for '$name'")
@@ -362,7 +399,52 @@ private[sources] object LakeGroupWrite {
     case FloatType => g.add(name, row.getFloat(i))
     case BooleanType => g.add(name, row.getBoolean(i))
     case StringType => g.add(name, row.getUTF8String(i).toString)
+    case BinaryType => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+    case d: DecimalType =>
+      val dec = row.getDecimal(i, d.precision, d.scale)
+      if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
+      else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+      else {
+        // big-endian two's complement, sign-extended to the fixed width
+        val width = minBytesForPrecision(d.precision)
+        val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
+        require(raw.length <= width,
+          s"decimal overflow for '$name': needs ${raw.length}B > $width")
+        val out = new Array[Byte](width)
+        if (raw.head < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+        System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+        g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+      }
+    case ArrayType(elem, _) =>
+      val arr = row.getArray(i)
+      val listGroup = g.addGroup(name)
+      var j = 0
+      while (j < arr.numElements()) {
+        val e = listGroup.addGroup("list") // one entry per element
+        if (!arr.isNullAt(j)) addElement(e, elem, arr, j)
+        j += 1
+      }
     case other => throw new UnsupportedOperationException(
       s"graft-lake merge writer: unsupported column type $other for '$name'")
   }
+
+  /** One array element into its `list` entry group (element values live
+    * under the standard field name `element`).
+    */
+  private def addElement(
+      e: Group, elem: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit =
+    elem match {
+      case LongType | TimestampType => e.add("element", arr.getLong(j))
+      case IntegerType | DateType => e.add("element", arr.getInt(j))
+      case DoubleType => e.add("element", arr.getDouble(j))
+      case FloatType => e.add("element", arr.getFloat(j))
+      case BooleanType => e.add("element", arr.getBoolean(j))
+      case StringType => e.add("element", arr.getUTF8String(j).toString)
+      case BinaryType => e.add("element",
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake merge writer: unsupported array element type $other")
+    }
 }

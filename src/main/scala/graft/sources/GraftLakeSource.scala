@@ -794,6 +794,9 @@ private[sources] object LakeGroupRead {
           val st = cc.getStatistics
           if (st == null || st.isEmpty) false
           else if (!st.hasNonNullValue) true // every value null
+          else if (cc.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+            false // unscaled-integer stats: no claim (mirrors FileStats)
           else {
             val pt = cc.getPrimitiveType.getPrimitiveTypeName
             import PrimitiveType.PrimitiveTypeName._
@@ -864,7 +867,12 @@ private[sources] object LakeGroupRead {
 
   /** The Catalyst-internal value of `name` under the declared Spark type
     * — null when the column is absent from this file (schema evolution)
-    * or null in this row.
+    * or null in this row. Round-15 widening mirrors [[LakeGroupWrite]]:
+    * DECIMAL reads whatever physical width the writing engine chose
+    * (int32/int64/binary/fixed — Spark's V1 bases and the Group-API
+    * deltas agree on the standard encodings, and the FILE's annotation
+    * scale is authoritative, rescaled into the declared type), BINARY,
+    * and ARRAY as the standard 3-level LIST group.
     */
   def internalValue(
       g: Group, fs: MessageType, name: String, dt: DataType): Any =
@@ -879,9 +887,87 @@ private[sources] object LakeGroupRead {
       case FloatType => g.getFloat(name, 0)
       case BooleanType => g.getBoolean(name, 0)
       case StringType => UTF8String.fromString(g.getString(name, 0))
+      case BinaryType => g.getBinary(name, 0).getBytes
+      case d: DecimalType => decimalValue(g, fs, name, d)
+      case ArrayType(elem, _) => arrayValue(g, fs, name, elem)
       case other => throw new UnsupportedOperationException(
         s"graft-lake reader: unsupported column type $other for '$name'")
     }
+
+  private def decimalValue(
+      g: Group, fs: MessageType, name: String, d: DecimalType): Any = {
+    val pt = fs.getType(fs.getFieldIndex(name)).asPrimitiveType()
+    val fileScale = pt.getLogicalTypeAnnotation match {
+      case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a.getScale
+      case _ => d.scale // unannotated physical: trust the declared type
+    }
+    val unscaled: java.math.BigInteger =
+      pt.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          java.math.BigInteger.valueOf(g.getInteger(name, 0).toLong)
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          java.math.BigInteger.valueOf(g.getLong(name, 0))
+        case _ => // BINARY / FIXED_LEN_BYTE_ARRAY: big-endian two's complement
+          new java.math.BigInteger(g.getBinary(name, 0).getBytes)
+      }
+    val dec = org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(unscaled, fileScale))
+    require(dec.changePrecision(d.precision, d.scale),
+      s"graft-lake reader: decimal value of '$name' (scale $fileScale) " +
+        s"does not fit the declared ${d.simpleString}")
+    dec
+  }
+
+  /** A LIST column under the declared element type. Handles the
+    * standard 3-level layout (`repeated group list { element }` — any
+    * repeated-group/field naming, so Spark-written `list/element` and
+    * legacy `bag/array` files both read) and the 2-level legacy
+    * `repeated <primitive>` form.
+    */
+  private def arrayValue(
+      g: Group, fs: MessageType, name: String, elem: DataType): Any = {
+    val field = fs.getType(fs.getFieldIndex(name))
+    if (field.isPrimitive) // 2-level legacy: repeated primitive
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0 until g.getFieldRepetitionCount(name))
+          .map(j => elementValue(g, name, j, elem)).toArray)
+    val listGroup = g.getGroup(name, 0)
+    val inner = field.asGroupType().getType(0)
+    val n = listGroup.getFieldRepetitionCount(0)
+    val vals = new Array[Any](n)
+    var j = 0
+    if (inner.isPrimitive) {
+      // 2-level inside an annotated group: repeated primitive elements
+      while (j < n) {
+        vals(j) = elementValue(listGroup, inner.getName, j, elem)
+        j += 1
+      }
+    } else {
+      // standard 3-level: one entry group per element, null = no value
+      val elemName = inner.asGroupType().getType(0).getName
+      while (j < n) {
+        val entry = listGroup.getGroup(0, j)
+        vals(j) =
+          if (entry.getFieldRepetitionCount(0) == 0) null
+          else elementValue(entry, elemName, 0, elem)
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+
+  private def elementValue(
+      g: Group, name: String, j: Int, elem: DataType): Any = elem match {
+    case LongType | TimestampType => g.getLong(name, j)
+    case IntegerType | DateType => g.getInteger(name, j)
+    case DoubleType => g.getDouble(name, j)
+    case FloatType => g.getFloat(name, j)
+    case BooleanType => g.getBoolean(name, j)
+    case StringType => UTF8String.fromString(g.getString(name, j))
+    case BinaryType => g.getBinary(name, j).getBytes
+    case other => throw new UnsupportedOperationException(
+      s"graft-lake reader: unsupported array element type $other")
+  }
 
   /** The fold-map key of this record: numerics normalize (int → long,
     * float → double) so a key column whose physical width differs across

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import graft.TestSpark
+import graft.etl.{FileStats, LakeSnapshot}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 type widening of the DSv2 lake bridges (VERDICT r14 #1/#2):
+  * DECIMAL (all three physical encodings), BINARY, and ARRAY columns as
+  * first-class catalog-table columns — written by the Group-API delta
+  * writer (SQL MERGE), read by the Group-API fold reader, interoperating
+  * with Spark-written V1 bases. Plus the stats contract: decimal
+  * stats are UNSCALED integers, so neither the file-stats sidecar nor
+  * the row-group layer may ever claim a skip from them.
+  */
+class LakeTypedColumnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = {
+    val p = Paths.get("target/lake_typed_columns_spec/wh")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+  spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+  test("DECIMAL(25,4) fixed-len-bytes (negatives incl. sign extension), " +
+    "DECIMAL(8,2) int32, BINARY, ARRAY<STRING>/ARRAY<BIGINT> with nulls, " +
+    "null elements, and empty arrays all round-trip CREATE → INSERT (V1 " +
+    "base) → MERGE (Group-API delta) → folded SELECT") {
+    spark.sql("CREATE TABLE graft.typed (id BIGINT, ts TIMESTAMP, " +
+      "money DECIMAL(25,4), small DECIMAL(8,2), blob BINARY, " +
+      "tags ARRAY<STRING>, nums ARRAY<BIGINT>) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    try {
+      spark.sql("INSERT INTO graft.typed VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', CAST('123456789012345678901.2345' AS DECIMAL(25,4)), 1.25, X'DEADBEEF', array('a','b'), array(1L, 2L)), " +
+        "(2, TIMESTAMP '2024-01-01 11:00:00', CAST('-0.0001' AS DECIMAL(25,4)), -99.99, NULL, array(), array(7L)), " +
+        "(3, TIMESTAMP '2024-01-02 10:00:00', NULL, NULL, X'00', NULL, array(CAST(NULL AS BIGINT), 5L))")
+      // MERGE pushes every shape THROUGH THE GROUP WRITER: an update
+      // whose images carry the same nulls/negatives/empties, an insert
+      // with a > int64 decimal, a delete
+      spark.sql(
+        """MERGE INTO graft.typed t
+          |USING (
+          |  SELECT 1L AS id, TIMESTAMP '2024-01-01 10:00:00' AS ts,
+          |         CAST('-123456789012345678901.2345' AS DECIMAL(25,4)) AS money,
+          |         CAST(2.50 AS DECIMAL(8,2)) AS small, X'CAFE' AS blob,
+          |         array('x', NULL, 'z') AS tags,
+          |         CAST(array() AS ARRAY<BIGINT>) AS nums, 'u' AS op
+          |  UNION ALL
+          |  SELECT 3L, TIMESTAMP '2024-01-02 10:00:00',
+          |         NULL, NULL, NULL, NULL, NULL, 'd'
+          |  UNION ALL
+          |  SELECT 4L, TIMESTAMP '2024-01-03 10:00:00',
+          |         CAST('0.0001' AS DECIMAL(25,4)),
+          |         CAST(0.01 AS DECIMAL(8,2)), X'FF',
+          |         array(CAST(NULL AS STRING)), array(-1L), 'i'
+          |) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET money = s.money, small = s.small,
+          |  blob = s.blob, tags = s.tags, nums = s.nums
+          |WHEN NOT MATCHED THEN INSERT (id, ts, money, small, blob, tags,
+          |  nums) VALUES (s.id, s.ts, s.money, s.small, s.blob, s.tags,
+          |  s.nums)
+          |""".stripMargin)
+      val rows = spark.sql("SELECT id, CAST(money AS STRING) AS money, " +
+        "CAST(small AS STRING) AS small, hex(blob) AS blob, tags, nums " +
+        "FROM graft.typed ORDER BY id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+      val r1 = rows(0)
+      assert(r1.getString(1) === "-123456789012345678901.2345",
+        "updated FLBA decimal (negative, sign-extended) reads back exactly")
+      assert(r1.getString(2) === "2.50")
+      assert(r1.getString(3) === "CAFE")
+      assert(r1.getSeq[String](4) === Seq("x", null, "z"),
+        "array with a null element survives the Group round-trip")
+      assert(r1.getSeq[Long](5) === Seq.empty,
+        "empty array stays an empty array (never null)")
+      val r2 = rows(1)
+      assert(r2.getString(1) === "-0.0001",
+        "small negative FLBA decimal from the Spark-written base")
+      assert(r2.getString(2) === "-99.99", "negative int32-physical decimal")
+      assert(r2.getString(3) === null)
+      assert(r2.getSeq[String](4) === Seq.empty)
+      assert(r2.getSeq[Long](5) === Seq(7L))
+      val r4 = rows(2)
+      assert(r4.getString(1) === "0.0001")
+      assert(r4.getString(2) === "0.01")
+      assert(r4.getString(3) === "FF")
+      assert(r4.getSeq[String](4) === Seq(null))
+      assert(r4.getSeq[Any](5) === Seq(-1L))
+      // aggregation over the folded decimals (int64-physical via the
+      // catalog's DECIMAL(8,2)): exact
+      assert(spark.sql("SELECT CAST(sum(small) AS STRING) FROM graft.typed")
+        .head().getString(0) === "-97.48")
+    } finally spark.sql("DROP TABLE graft.typed")
+  }
+
+  test("decimal stats never claim a skip: pushed decimal comparisons " +
+    "produce no RowGroupFilter, the sidecar marks decimal columns " +
+    "unusable, and a decimal point-filter is residual-correct with " +
+    "zero files/groups skipped") {
+    val dir = s"$wh/decstats"
+    LakeSnapshot.merge(spark,
+      dir,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "1.25"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "2.50"),
+        (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "-3.75"))
+        .toDF("id", "ts", "m")
+        .withColumn("amount", col("m").cast("decimal(18,2)")).drop("m"),
+      "id", "ts")
+    // layer 0: the filter → skip-hint translation refuses decimals
+    assert(RowGroupFilter.of(
+      EqualTo("amount", new java.math.BigDecimal("1.25"))).isEmpty,
+      "a decimal comparison must never become a stats skip hint")
+    assert(RowGroupFilter.of(
+      EqualTo("amount", org.apache.spark.sql.types.Decimal("1.25"))).isEmpty)
+    // layer 1: the stats sidecar families the decimal column 'x'
+    // (unusable), never 'l' with unscaled min/max
+    val gen = s"$dir/data/gen=${LakeSnapshot.tableState(spark, dir)
+      .days.values.map(_.base).max}"
+    val stats = FileStats.read(spark, gen).get
+    stats.values.foreach { fstat =>
+      assert(fstat.cols("amount").family === "x",
+        s"decimal column must be stats-unusable, got ${fstat.cols("amount")}")
+    }
+    // layer 2: end-to-end — the point filter is answered by the residual
+    // (exactly one row), with no file or row-group skipped from decimal
+    // stats
+    val f0 = FileStats.skippedFiles.get()
+    val g0 = LakeGroupRead.skippedGroups.get()
+    val hit = spark.read.format("graft-lake").option("path", dir).load()
+      .filter(col("amount") === new java.math.BigDecimal("2.50"))
+      .select("id").as[Long].collect().toSeq
+    assert(hit === Seq(2L))
+    assert(FileStats.skippedFiles.get() === f0,
+      "no file skip may fire from unscaled decimal stats")
+    assert(LakeGroupRead.skippedGroups.get() === g0,
+      "no row-group skip may fire from unscaled decimal stats")
+  }
+}
