@@ -1452,6 +1452,44 @@ object LakeSnapshot {
         s"a live column named '$to' already exists")
     }
 
+  /** ADD a column: a MANIFEST-ONLY commit (r15, VERDICT r14 #3 — the
+    * SQL `ALTER TABLE ADD COLUMN` seam) that binds the logical name to
+    * a physical parquet column BEFORE any data carries it: the name
+    * itself when it is free (identity), or a FRESH `name__k` when a
+    * rename/drop retired it — exactly the allocation the implicit
+    * Scala evolution path (p18) performs when the first batch arrives,
+    * hoisted to an explicit declaration. Zero data files are touched;
+    * old rows read as null (a column absent from a file is null, the
+    * standard evolution rule) and time travel BEFORE this epoch does
+    * not see the column. Returns (committed epoch, physical name).
+    */
+  def addColumnBinding(
+      spark: SparkSession, dir: String, name: String): (Int, String) = {
+    require(!name.contains(">") && !name.contains(",") && name != "-" &&
+      name.nonEmpty, s"unsupported column name '$name'")
+    require(name != "day", "the partition column always exists")
+    val p = LakePaths(dir)
+    while (true) {
+      // the allocation re-derives per OCC attempt against the freshest
+      // fold, like every column commit (a lost race could have taken
+      // the physical name this attempt chose)
+      val (base, live) = stagingSnapshot(spark, dir)
+      val cols =
+        if (live.nonEmpty) readView(spark, dir, live).columns.toSet
+        else Set.empty[String]
+      require(!cols.contains(name), s"a live column named '$name' " +
+        "already exists")
+      val phys = live.physicalFor(name).getOrElse {
+        val taken = live.colmap.keySet + name
+        Iterator.from(2).map(k => s"${name}__$k").find(!taken(_)).get
+      }
+      if (IncrementalDedup.Manifest.writeIfAbsent(
+        spark, p.manifest, base + 1, Seq("addcol" -> s"$phys>$name")))
+        return (base + 1, phys)
+    }
+    (-1, null) // unreachable
+  }
+
   /** DROP a column: a MANIFEST-ONLY commit — the physical column stays
     * in the files (history still time-travels to it) but every current
     * read masks it out. Re-adding the same logical name later allocates

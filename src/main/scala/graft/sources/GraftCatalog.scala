@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.etl.LakeSnapshot
@@ -173,7 +173,19 @@ class GraftCatalog extends TableCatalog
           .getOrElse(new StructType())
       else epoch match {
         case Some(e) => LakeSnapshot.readAt(spark, dir, e).schema
-        case None => LakeSnapshot.read(spark, dir).schema
+        case None =>
+          // CURRENT view: union DECLARED-but-dataless columns (ALTER
+          // TABLE ADD COLUMN before any write carries them) so SQL sees
+          // the column immediately — its values read null until data
+          // arrives (absent-from-file = null). Time travel (epoch set)
+          // deliberately skips the union: pre-ADD views have no column.
+          val live = LakeSnapshot.read(spark, dir).schema
+          val declaredOnly = created.get("schema")
+            .map(StructType.fromDDL).map(_.fields.toSeq).getOrElse(Nil)
+            .filter(f => !live.fieldNames.contains(f.name) &&
+              f.name != "day")
+            .map(_.copy(nullable = true))
+          StructType(live.fields ++ declaredOnly)
       }
     new LakeTable(schema,
       created ++ keyProp ++
@@ -221,14 +233,44 @@ class GraftCatalog extends TableCatalog
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
     changes.foreach {
+      // ADD COLUMN (r15, VERDICT r14 #3): a manifest-only column-mapping
+      // commit binding the logical name to a physical parquet column
+      // (fresh `name__k` when a rename/drop retired the name — dropped
+      // values can never resurface), plus the declared-schema update so
+      // the catalog surfaces the column before any data carries it. Old
+      // rows null-fill (absent-from-file = null); time travel pre-ADD
+      // does not see the column.
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested column add is not supported")
+        require(a.isNullable,
+          "ADD COLUMN must be nullable — existing rows null-fill")
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported (columns append)")
+        val name = a.fieldNames()(0)
+        val declared = readCreateProps(dir)
+        val declaredSchema = declared.get("schema")
+          .map(StructType.fromDDL).getOrElse(new StructType())
+        require(!declaredSchema.fieldNames.contains(name),
+          s"column '$name' already declared")
+        // bind the physical name through the manifest when the lake has
+        // commits (so writers resolve it); a CREATEd-but-never-written
+        // table needs only the declaration (first write binds identity)
+        if (LakeSnapshot.currentEpoch(spark, dir) >= 0)
+          LakeSnapshot.addColumnBinding(spark, dir, name)
+        val withCol = StructType(declaredSchema.fields :+
+          StructField(name, a.dataType(), nullable = true))
+        rewriteCreateProps(dir, declared + ("schema" -> withCol.toDDL))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "nested column rename is not supported")
         LakeSnapshot.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+        renameDeclared(dir, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "nested column drop is not supported")
         LakeSnapshot.dropColumn(spark, dir, d.fieldNames()(0))
+        dropDeclared(dir, d.fieldNames()(0))
       // COMMENT ON TABLE / ALTER TABLE SET-UNSET TBLPROPERTIES: plain
       // metadata on _table.properties; the table's structural
       // declarations stay immutable (reserved keys fail loudly)
@@ -249,6 +291,29 @@ class GraftCatalog extends TableCatalog
           "are metadata, anything else is a merge or OPTIMIZE")
     }
     loadTable(ident)
+  }
+
+  /** Keep the CREATE declaration's schema DDL in sync with a column
+    * rename/drop — without this, a later ADD COLUMN (which unions the
+    * declaration into the surfaced schema) would resurrect stale names.
+    * No-ops when the table was attached (no declared schema).
+    */
+  private def renameDeclared(dir: String, from: String, to: String): Unit = {
+    val declared = readCreateProps(dir)
+    declared.get("schema").foreach { ddl =>
+      val s = StructType(StructType.fromDDL(ddl).fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      rewriteCreateProps(dir, declared + ("schema" -> s.toDDL))
+    }
+  }
+
+  private def dropDeclared(dir: String, name: String): Unit = {
+    val declared = readCreateProps(dir)
+    declared.get("schema").foreach { ddl =>
+      val s = StructType(
+        StructType.fromDDL(ddl).fields.filterNot(_.name == name))
+      rewriteCreateProps(dir, declared + ("schema" -> s.toDDL))
+    }
   }
 
   private def rewriteCreateProps(

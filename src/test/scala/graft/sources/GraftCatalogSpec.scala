@@ -321,6 +321,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.mt")
   }
 
+  test("ALTER TABLE ADD COLUMN (r15): immediate null-filled visibility, " +
+    "MERGE into it, a re-added dropped name gets a fresh physical " +
+    "column (old values never resurface), and the declaration stays " +
+    "in sync through rename/drop") {
+    spark.sql("CREATE TABLE graft.addc (id BIGINT, ts TIMESTAMP, " +
+      "note STRING) TBLPROPERTIES ('key' = 'id')")
+    try {
+      // ADD on a never-written table: declaration-only, first write binds
+      spark.sql("ALTER TABLE graft.addc ADD COLUMN early INT")
+      assert(spark.table("graft.addc").columns.toSeq ===
+        Seq("id", "ts", "note", "early"))
+      spark.sql("INSERT INTO graft.addc VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 'keep', 7), " +
+        "(2, TIMESTAMP '2024-01-01 11:00:00', 'secret', NULL)")
+      // drop `note`, then RE-ADD the same name: a fresh physical column
+      // — row 2's dropped 'secret' must NOT resurface
+      spark.sql("ALTER TABLE graft.addc DROP COLUMN note")
+      spark.sql("ALTER TABLE graft.addc ADD COLUMN note STRING")
+      assert(spark.sql("SELECT count(note) FROM graft.addc")
+        .head().getLong(0) === 0L,
+        "a re-added name reads all-null — dropped values never resurface")
+      spark.sql(
+        """MERGE INTO graft.addc t
+          |USING (SELECT 1L AS id, TIMESTAMP '2024-01-01 10:00:00' AS ts,
+          |       'fresh' AS note) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET note = s.note
+          |""".stripMargin)
+      assert(spark.sql("SELECT id, note, early FROM graft.addc ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "fresh"), (2L, null)))
+      // the validations are loud
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.addc ADD COLUMN early INT")
+      }
+      assert(e1.getMessage.contains("already") ||
+        String.valueOf(e1.getCause).contains("already"))
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.addc ADD COLUMN x INT FIRST")
+      }
+      assert(e2.getMessage.contains("FIRST") ||
+        String.valueOf(e2.getCause).contains("FIRST"))
+      // rename keeps the declaration in sync: re-ADDing the OLD name is
+      // a fresh column, not the renamed one's values
+      spark.sql("ALTER TABLE graft.addc RENAME COLUMN early TO late")
+      spark.sql("ALTER TABLE graft.addc ADD COLUMN early INT")
+      assert(spark.sql("SELECT sum(late), count(early) FROM graft.addc")
+        .head().toSeq === Seq(7L, 0L))
+    } finally spark.sql("DROP TABLE graft.addc")
+  }
+
   test("namespaces map to directories; listTables sees only lakes") {
     spark.sql("CREATE TABLE graft.raw.ev2 (id BIGINT, ts TIMESTAMP) " +
       "TBLPROPERTIES ('key' = 'id')")
