@@ -1855,10 +1855,14 @@ object LakeSnapshot {
           // cdf sidecar rides either kind under the same gen number
           Some(e -> kv.getOrElse("gen", kv("deltagen")).toInt)
         else if (kv.contains("maint")) None // OPTIMIZE/ZORDER: CDC-silent
-        // ALTER TABLE RENAME/DROP COLUMN: manifest-only, zero data rows
-        // change — exempt like checkpoints, or a column op inside a CDF
-        // window would permanently stall every feed at its epoch
-        else if (kv.contains("rename") || kv.contains("dropcol")) None
+        // ALTER TABLE RENAME/DROP/ADD COLUMN: manifest-only, zero data
+        // rows change — exempt like checkpoints, or a column op inside a
+        // CDF window would permanently stall every feed at its epoch.
+        // The ADD exemption applies only to a PURE binding row — an
+        // addcol riding a data commit still answers for its sidecar
+        else if (kv.contains("rename") || kv.contains("dropcol") ||
+          (kv.contains("addcol") && !kv.contains("gen") &&
+            !kv.contains("deltagen") && !kv.contains("dvgen"))) None
         else if (kv.contains("deltagen")) sys.error(
           s"epoch $e at $dir is a row-delta commit without a change " +
             "sidecar — re-run it with cdf=true or use readChanges " +

@@ -77,6 +77,10 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = GraftLakeSource.dirOf(options.asScala.toMap)
+    // `changes=true` (the Delta readChangeFeed precedent): the FULL-TABLE
+    // STREAM's schema — data columns + change stamps (r15, VERDICT #4)
+    if (Option(options.get("changes")).exists(_.toBoolean))
+      return LakeFullTableStream.streamSchema(spark, dir)
     // a FIRST write targets a lake with no committed snapshot yet — no
     // schema to infer; the table accepts any schema and the write path
     // records it (reads of an empty lake still fail loudly in the scan)
@@ -279,10 +283,14 @@ private[sources] class LakeTable(
     // writer surface just stops being the door for it.
     // STREAMING_WRITE: writeStream.format("graft-lake") — the native
     // streaming sink ([[LakeStreamingWrite]]), tag-idempotent MoR delta
-    // commits per micro-batch.
+    // commits per micro-batch. MICRO_BATCH_READ: the full-table stream
+    // ([[LakeFullTableStream]], r15) — readStream.format("graft-lake")
+    // .option("changes", "true"): pinned initial snapshot then the CDC
+    // tail.
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(tableSchema, props)
@@ -448,6 +456,20 @@ private[sources] class LakeScan(
     runtimeDayFilters = filters.toSeq.filter(GraftLakeSource.isDayFilter)
 
   override def toBatch: Batch = this
+
+  /** `readStream.format("graft-lake")` — the full-table stream (r15):
+    * pinned initial snapshot, then the CDC tail. Requires
+    * `option("changes", "true")` so the schema carries the change
+    * stamps (a stream that silently dropped deletes would be wrong).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(props.get("changes").exists(_.toBoolean),
+      "graft-lake streaming read needs .option(\"changes\", \"true\") — " +
+        "the stream emits change images (the pinned snapshot as inserts " +
+        "+ the write-time CDC tail); fold youngest-per-key downstream")
+    new LakeFullTableStream(prunedSchema, props)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

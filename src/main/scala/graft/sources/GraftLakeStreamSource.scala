@@ -1,0 +1,328 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.LakeSnapshot
+
+/** FULL-TABLE streaming source (VERDICT r14 #4 — "the table,
+  * continuously"): `spark.readStream.format("graft-lake")
+  * .option("path", dir).option("changes", "true")` emits
+  *
+  *   1. an INITIAL SNAPSHOT — the table's folded state pinned to the
+  *      epoch current at stream start, every row stamped
+  *      `_change_type = 'insert'`, `_commit_epoch = <pin>`, admitted
+  *      day-by-day (`maxDaysPerBatch`) so a 100 TB backfill drains in
+  *      bounded micro-batches instead of one giant batch; then
+  *   2. the CDC TAIL — the write-time change sidecars from the pinned
+  *      epoch onward, exactly the `graft-cdc` feed (same partitions,
+  *      same reader, same `maxEpochsPerBatch` admission and loud
+  *      sidecar-less-commit contract).
+  *
+  * This is the Delta "starting snapshot + changes" shape: a downstream
+  * that folds youngest-per-key (dropping deletes/preimages) holds the
+  * table's live image at every point — the s26 entry hash-equals the
+  * batch read at end of stream. The `changes` option is REQUIRED (the
+  * Delta `readChangeFeed` precedent): the stream's schema carries the
+  * change metadata columns, and a stream that silently dropped deletes
+  * would be wrong, not lenient.
+  *
+  * Offsets encode the phase: `s:<pinEpoch>:<daysEmitted>` during the
+  * snapshot (day list is the pinned view's sorted days — immutable, so
+  * a checkpoint restart mid-snapshot resumes deterministically), then
+  * `t:<epoch>` for the tail. Snapshot partitions are the batch scan's
+  * own (base files + per-day delta folds) wrapped with the change
+  * stamp, so the fold semantics are byte-identical to a batch read of
+  * the pinned epoch.
+  */
+private[sources] class LakeFullTableStream(
+    streamSchema: StructType, props: Map[String, String])
+  extends MicroBatchStream
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val dir = GraftLakeSource.dirOf(props)
+  private val maxDaysPerBatch =
+    props.get("maxDaysPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
+  private val maxEpochsPerBatch =
+    props.get("maxEpochsPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
+  require(maxDaysPerBatch > 0, "maxDaysPerBatch must be positive")
+  require(maxEpochsPerBatch > 0, "maxEpochsPerBatch must be positive")
+
+  private def spark = SparkSession.active
+
+  // the data columns (everything but the change stamps) — what the
+  // snapshot's inner readers produce before the wrapper appends the stamp
+  private val dataSchema = StructType(streamSchema.fields.filterNot(f =>
+    f.name == "_change_type" || f.name == "_commit_epoch"))
+
+  // one snapshot plan per pinned epoch, cached: the sorted day list and
+  // the column state the readers bind physical names against. viewAt is
+  // a pure manifest fold — identical on every restart.
+  @volatile private var snapCache: (Int, LakeSnapshot.LakeState) = _
+  private def snapState(e0: Int): LakeSnapshot.LakeState = {
+    val c = snapCache
+    if (c != null && c._1 == e0) c._2
+    else {
+      val st = LakeSnapshot.tableState(spark, dir, Some(e0))
+      snapCache = (e0, st)
+      st
+    }
+  }
+  private def snapDays(e0: Int): Seq[String] =
+    snapState(e0).days.keys.toSeq.sorted
+
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(LakeSnapshot.currentEpoch(spark, dir))
+
+  override def initialOffset(): Offset = {
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    if (e0 < 0) LakeStreamOffset.tail(e0) // empty lake: straight to tail
+    else LakeStreamOffset.snapshot(e0, 0)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LakeStreamOffset.parse(json)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeStreamOffset]
+    if (!s.tailPhase) {
+      val n = snapDays(s.epoch).size
+      if (s.dayIdx < n)
+        LakeStreamOffset.snapshot(s.epoch,
+          math.min(n.toLong, s.dayIdx.toLong + maxDaysPerBatch).toInt)
+      else tailTarget(s.epoch) // snapshot drained: hand over to the tail
+    } else tailTarget(s.epoch)
+  }
+
+  private def tailTarget(from: Int): LakeStreamOffset = {
+    val current = availableNowTarget
+      .getOrElse(LakeSnapshot.currentEpoch(spark, dir))
+    val capped = math.min(current.toLong, from.toLong + maxEpochsPerBatch)
+    LakeStreamOffset.tail(math.max(from.toLong, capped).toInt)
+  }
+
+  override def reportLatestOffset(): Offset =
+    LakeStreamOffset.tail(LakeSnapshot.currentEpoch(spark, dir))
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeStreamOffset]
+    val e = end.asInstanceOf[LakeStreamOffset]
+    if (!e.tailPhase) {
+      // a snapshot window: days [s.dayIdx, e.dayIdx) of the pinned view
+      if (e.dayIdx <= s.dayIdx) return Array.empty
+      snapshotPartitions(s.epoch, s.dayIdx, e.dayIdx)
+    } else if (!s.tailPhase) {
+      // the handover batch: any snapshot remainder + the first tail window
+      val rest = snapshotPartitions(s.epoch, s.dayIdx,
+        snapDays(s.epoch).size)
+      rest ++ tailPartitions(s.epoch, e.epoch)
+    } else tailPartitions(s.epoch, e.epoch)
+  }
+
+  /** The pinned view's partitions for days [i, j) — the batch scan's
+    * own shapes (base file + per-day delta fold), wrapped with the
+    * snapshot change stamp.
+    */
+  private def snapshotPartitions(
+      e0: Int, i: Int, j: Int): Array[InputPartition] = {
+    val state = snapState(e0)
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(d: String): Seq[String] = {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(dp)) sys.error(
+        s"graft-lake stream: pinned generation directory $d is missing " +
+          "— vacuumed past the stream's snapshot epoch? (raise the " +
+          "retention)")
+      fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
+    val days = snapDays(e0).slice(i, j)
+    val key = state.key.orNull
+    // physical parquet names bind against the PINNED state, resolved
+    // DRIVER-side once and shipped inside the partitions — executors
+    // never touch the manifest. A column added after the pin reads null
+    // from pinned files (identity fallback + absent-from-file = null).
+    val physical = dataSchema.fields.map { f =>
+      if (f.name == "day") null
+      else state.physicalFor(f.name).getOrElse(f.name)
+    }
+    days.flatMap { day =>
+      val ds = state.days(day)
+      if (ds.deltas.nonEmpty) require(key != null,
+        s"delta generations exist at $dir but no table key is recorded")
+      val deltas = ds.deltas.zipWithIndex.flatMap { case (g, k) =>
+        files(s"${p.delta}/gen=$g/day=$day").map(LakeDeltaFileRef(_, k + 1))
+      }
+      val dvFiles = ds.dvs.flatMap(g => files(s"${p.dv}/gen=$g/day=$day"))
+      val base =
+        if (ds.base < 0) Nil
+        else files(s"${p.data}/gen=${ds.base}/day=$day").map(f =>
+          LakeSnapshotChangePartition(
+            LakeBaseFilePartition(day, f, deltas, dvFiles, key),
+            e0, physical): InputPartition)
+      base ++ (if (deltas.nonEmpty)
+        Seq(LakeSnapshotChangePartition(
+          LakeDeltaFoldPartition(day, deltas, key), e0,
+          physical): InputPartition)
+      else Nil)
+    }.toArray
+  }
+
+  private def tailPartitions(from: Int, to: Int): Array[InputPartition] = {
+    if (to <= from) return Array.empty
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cdf")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LakeSnapshot.cdfGens(spark, dir, from, to).flatMap { case (e, g) =>
+      val genDir = new org.apache.hadoop.fs.Path(p, s"gen=$g")
+      if (!f.exists(genDir)) sys.error(
+        s"graft-lake stream: epoch $e's change sidecar $genDir is " +
+          "missing — vacuumed past the consumer's offset? (raise the " +
+          "retention)")
+      f.listStatus(genDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => CdcFilePartition(st.getPath.toString, e): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new LakeStreamReaderFactory(streamSchema, dataSchema, hadoopConf)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Phase-carrying offset: `s:<pinEpoch>:<daysEmitted>` mid-snapshot,
+  * `t:<epoch>` on the tail.
+  */
+final case class LakeStreamOffset(
+    tailPhase: Boolean, epoch: Int, dayIdx: Int) extends Offset {
+  override def json(): String =
+    if (tailPhase) s"t:$epoch" else s"s:$epoch:$dayIdx"
+}
+
+object LakeStreamOffset {
+  def snapshot(e0: Int, dayIdx: Int): LakeStreamOffset =
+    LakeStreamOffset(tailPhase = false, e0, dayIdx)
+  def tail(epoch: Int): LakeStreamOffset =
+    LakeStreamOffset(tailPhase = true, epoch, -1)
+  def parse(json: String): LakeStreamOffset = json.trim.split(':') match {
+    case Array("t", e) => tail(e.toInt)
+    case Array("s", e, i) => snapshot(e.toInt, i.toInt)
+    case _ => sys.error(s"graft-lake stream: unparseable offset '$json'")
+  }
+}
+
+/** A batch-scan snapshot partition (base file or delta fold) wrapped
+  * with the pinned epoch its rows are stamped with and the
+  * driver-resolved physical column bindings.
+  */
+final case class LakeSnapshotChangePartition(
+    inner: InputPartition, epoch: Int, physical: Array[String])
+  extends InputPartition
+
+private[sources] class LakeStreamReaderFactory(
+    streamSchema: StructType, dataSchema: StructType,
+    hadoopConf: Map[String, String])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case c: CdcFilePartition =>
+        // the tail IS the cdc feed — same reader, stream schema (it maps
+        // by name; `_commit_epoch` stamps from the partition)
+        new CdcPartitionReader(c, streamSchema, hadoopConf)
+      case s: LakeSnapshotChangePartition =>
+        val inner = s.inner match {
+          case b: LakeBaseFilePartition =>
+            new LakeBaseReader(b, dataSchema, s.physical, Nil, hadoopConf)
+          case d: LakeDeltaFoldPartition =>
+            new LakeDeltaFoldReader(d, dataSchema, s.physical, hadoopConf)
+          case other => sys.error(s"graft-lake stream: unexpected $other")
+        }
+        new SnapshotChangeReader(inner, dataSchema, s.epoch)
+      case other => sys.error(s"graft-lake stream: unexpected $other")
+    }
+}
+
+/** Wraps a batch snapshot reader's rows with the change stamp: every
+  * pinned-view row is an `insert` at the pin epoch.
+  */
+private[sources] class SnapshotChangeReader(
+    inner: PartitionReader[InternalRow], dataSchema: StructType,
+    epoch: Int)
+  extends PartitionReader[InternalRow] {
+
+  private val n = dataSchema.length
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val row = inner.get()
+    val vals = new Array[Any](n + 2)
+    var i = 0
+    while (i < n) {
+      vals(i) = row.get(i, dataSchema.fields(i).dataType)
+      i += 1
+    }
+    vals(n) = UTF8String.fromString("insert")
+    vals(n + 1) = epoch
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = inner.close()
+}
+
+private[sources] object LakeFullTableStream {
+  /** The stream's schema: the change-sidecar union when sidecars exist
+    * (so tail-side evolution surfaces) ∪ the current table's data
+    * columns (so a table with no sidecars yet still streams its
+    * snapshot), minus the derived `day`, plus the change stamps.
+    */
+  def streamSchema(spark: SparkSession, dir: String): StructType = {
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$dir/cdf")
+    val f = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar: Seq[StructField] =
+      if (f.exists(cdfRoot) && f.listStatus(cdfRoot).exists(_.isDirectory))
+        spark.read.option("mergeSchema", "true")
+          .parquet(cdfRoot.toString).schema.fields.toSeq
+      else Nil
+    val table: Seq[StructField] =
+      if (LakeSnapshot.currentEpoch(spark, dir) >= 0 &&
+          LakeSnapshot.tableState(spark, dir).days.nonEmpty)
+        LakeSnapshot.read(spark, dir).schema.fields.toSeq
+      else Nil
+    val dataCols = (table ++ sidecar)
+      .filterNot(f => f.name == "day" || f.name == "_change_type")
+      .foldLeft(Vector.empty[StructField])((acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f)
+    require(dataCols.nonEmpty,
+      s"graft-lake stream: nothing to stream at $dir — the lake has no " +
+        "committed data and no change sidecars")
+    StructType(dataCols :+
+      StructField("_change_type", StringType) :+
+      StructField("_commit_epoch", IntegerType))
+  }
+}

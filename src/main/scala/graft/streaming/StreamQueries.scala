@@ -1187,6 +1187,86 @@ object StreamQueries {
       .orderBy("day")
   }
 
+  /** s26: the FULL-TABLE streaming source (VERDICT r14 #4) —
+    * `readStream.format("graft-lake").option("changes", "true")`: a
+    * pinned initial snapshot (every current row as an `insert` at the
+    * pin epoch, admitted `maxDaysPerBatch` days per micro-batch), then
+    * the write-time CDC tail (`maxEpochsPerBatch`). The entry runs the
+    * stream, ingests the p13 correction batches with cdf=true, RESUMES
+    * the stream from its checkpoint (the tail picks up exactly the new
+    * epochs), and folds the accumulated change images youngest-per-key
+    * — the end-of-stream state must hash-equal the batch merge, so s26
+    * shares p13's oracle VERBATIM. Mid-snapshot/mid-tail restarts are
+    * LakeStreamSourceSpec's.
+    */
+  def s26(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.LakeSnapshot
+    val outDir = StreamInput.lakeDir("s26_lake_stream", sfDir)
+    LakeSnapshot.merge(spark, outDir,
+      graft.Tables.load(spark, sfDir, "events"), "event_id", "ts")
+    val e0 = LakeSnapshot.currentEpoch(spark, outDir)
+    val nRows = LakeSnapshot.read(spark, outDir).count()
+    val accDir = StreamInput.lakeDir("s26_acc", sfDir)
+    val ckpt = StreamInput.freshCheckpoint("s26", sfDir)
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft-lake")
+        .option("path", outDir)
+        .option("changes", "true")
+        .option("maxDaysPerBatch", "3")
+        .option("maxEpochsPerBatch", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(accDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      q
+    }
+    // phase 1: the pinned snapshot drains in bounded day batches
+    val q1 = drain()
+    require(q1.recentProgress.count(_.numInputRows > 0) > 1,
+      "the snapshot must drain across multiple day-bounded micro-batches")
+    val snap = spark.read.parquet(accDir)
+    require(snap.count() == nRows &&
+      snap.select("_commit_epoch").distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(e0),
+      s"the snapshot phase must emit exactly the pinned view at epoch $e0")
+    // the tail: ingest the p13 correction as cdf=true micro-batches...
+    val up = StreamInput.readEventsStream(
+      spark, StreamInput.mergeBatchDir(spark, sfDir))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        LakeSnapshot.merge(spark, outDir, b, "event_id", "ts", cdf = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", StreamInput.freshCheckpoint("s26up", sfDir))
+      .start()
+    up.awaitTermination()
+    // ...and RESUME the table stream from its checkpoint: only the new
+    // epochs' change images arrive (no snapshot re-emit)
+    drain()
+    recordReplay(up)
+    val acc = spark.read.parquet(accDir)
+    require(acc.filter(col("_commit_epoch") > e0).count() > 0,
+      "the resumed stream must deliver the post-snapshot change tail")
+    require(acc.filter(col("_commit_epoch") === e0).count() == nRows,
+      "a checkpoint resume must never re-emit the drained snapshot")
+    // fold youngest-per-key (preimages are audit rows; a youngest
+    // delete kills the key) — the downstream consumer's contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("_commit_epoch").desc)
+    acc.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("day")
+  }
+
   val declared: Seq[(String, QFn, Option[String])] = Seq(
     ("s1_ingest_replay", s1 _, Some(s1Sql)),
     ("s2_tumbling_window", s2 _, Some(s2Sql)),
@@ -1244,6 +1324,9 @@ object StreamQueries {
     ("s23_ivfpq_ingest", s23 _, Some(graft.ops.KQueries.k3iSql)),
     // s25 shares p13's oracle verbatim: the native DSv2 streaming sink's
     // folded end-state == the one-shot merge (see s25 doc)
-    ("s25_stream_lake_sink", s25 _, Some(graft.etl.PipelineQueries.p13Sql))
+    ("s25_stream_lake_sink", s25 _, Some(graft.etl.PipelineQueries.p13Sql)),
+    // s26 shares p13's oracle VERBATIM: the full-table stream's folded
+    // change images must equal the batch merge (see the s26 doc)
+    ("s26_lake_stream_source", s26 _, Some(graft.etl.PipelineQueries.p13Sql))
   )
 }
