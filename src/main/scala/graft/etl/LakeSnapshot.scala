@@ -185,6 +185,14 @@ object LakeSnapshot {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A COMPOSITE merge key declares as `'a,b'` (r15, VERDICT r14 #5):
+    * one string through every manifest row, catalog property, and API
+    * parameter — split into parts wherever columns bind. A single-key
+    * table is the one-part case, bit-identical to before.
+    */
+  private[graft] def keyParts(keyCol: String): Seq[String] =
+    keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def csv(days: Seq[String]): String = days.sorted.mkString(",")
   private def uncsv(s: String): Seq[String] =
     if (s == null || s.isEmpty) Nil else s.split(",").toSeq
@@ -612,7 +620,8 @@ object LakeSnapshot {
             .withColumn("__op", lit("u"))
             .unionByName(deltas, allowMissingColumns = true)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("day"), col(keyCol)).orderBy(col("__seq").desc)
+          .partitionBy(col("day") +: keyParts(keyCol).map(col): _*)
+          .orderBy(col("__seq").desc)
         Some(withBase
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1 && col("__op") =!= "d")
@@ -763,7 +772,8 @@ object LakeSnapshot {
     val merged = stored match {
       case None => b
       case Some(s) =>
-        s.join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+        s.join(b.select(keyParts(keyCol).map(col): _*),
+            keyParts(keyCol), "left_anti")
           // null-fill BOTH ways: the batch may carry brand-new columns
           // (schema evolution), the store may carry columns the batch
           // doesn't know about
@@ -791,28 +801,29 @@ object LakeSnapshot {
   private def stageCdfMerge(
       spark: SparkSession, p: LakePaths, gen: Int,
       stored: Option[DataFrame], b: DataFrame, keyCol: String): Unit = {
+    val parts = keyParts(keyCol)
     val changes = stored match {
       case None => b.withColumn("_change_type", lit("insert"))
       case Some(s) =>
         val cols = (s.columns ++ b.columns).distinct
-          .filterNot(_ == keyCol).toSeq
+          .filterNot(parts.contains).toSeq
         def norm(df: DataFrame): DataFrame = {
           val have = df.columns.toSet
-          df.select(col(keyCol) +: cols.map(c =>
+          df.select(parts.map(col) ++ cols.map(c =>
             if (have(c)) col(c) else lit(null).as(c)): _*)
         }
-        val old = norm(s).select(col(keyCol) +:
+        val old = norm(s).select(parts.map(col) ++
           cols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__o_in"): _*)
-        val joined = norm(b).join(old, Seq(keyCol), "left_outer")
+        val joined = norm(b).join(old, parts, "left_outer")
         val changed = cols.map(c => !(col(c) <=> col(s"__o_$c"))).reduce(_ || _)
         val upd = joined.filter(col("__o_in").isNotNull && changed)
         val pre = upd
-          .select(col(keyCol) +: cols.map(c => col(s"__o_$c").as(c)): _*)
+          .select(parts.map(col) ++ cols.map(c => col(s"__o_$c").as(c)): _*)
           .withColumn("_change_type", lit("update_preimage"))
-        val post = upd.select(col(keyCol) +: cols.map(col): _*)
+        val post = upd.select(parts.map(col) ++ cols.map(col): _*)
           .withColumn("_change_type", lit("update_postimage"))
         val ins = joined.filter(col("__o_in").isNull)
-          .select(col(keyCol) +: cols.map(col): _*)
+          .select(parts.map(col) ++ cols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
         pre.unionByName(post).unionByName(ins)
     }
@@ -846,7 +857,8 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
-    val b = keys.select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
+    val b = keys.select(keyParts(keyCol).map(col) :+
+      to_date(col(tsCol)).cast("string").as("day"): _*)
     val (base, live) = stagingSnapshot(spark, dir)
     val days = b.select("day").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -854,13 +866,13 @@ object LakeSnapshot {
     if (days.isEmpty) return Staged(-1, base, Nil, Nil)
     val gen = claimGen(spark, dir, base + 1, store)
     val stored = readDaysRaw(spark, dir, live, days.toSet)
-    val delKeys = b.select(col(keyCol)).distinct()
-    toPhysical(stored.join(delKeys, Seq(keyCol), "left_anti"), live)
+    val delKeys = b.select(keyParts(keyCol).map(col): _*).distinct()
+    toPhysical(stored.join(delKeys, keyParts(keyCol), "left_anti"), live)
       .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
     FileStats.stage(spark, s"${p.data}/gen=$gen")
     if (cdf)
       writeCdf(spark, p, gen,
-        stored.join(delKeys, Seq(keyCol), "left_semi")
+        stored.join(delKeys, keyParts(keyCol), "left_semi")
           .withColumn("_change_type", lit("delete")))
     // surviving-day census for FREE from the written layout: the
     // partitioned write creates a day directory iff that day kept ≥ 1
@@ -932,7 +944,8 @@ object LakeSnapshot {
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
     val b = keys
-      .select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
+      .select(keyParts(keyCol).map(col) :+
+        to_date(col(tsCol)).cast("string").as("day"): _*)
       .distinct()
       .withColumn("__op", lit("d"))
     val days = b.select("day").distinct()
@@ -950,7 +963,8 @@ object LakeSnapshot {
       if (storedDays.nonEmpty) {
         val stored = readDaysRaw(spark, dir, live, storedDays)
         writeCdf(spark, p, gen,
-          stored.join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          stored.join(b.select(keyParts(keyCol).map(col): _*).distinct(),
+              keyParts(keyCol), "left_semi")
             .withColumn("_change_type", lit("delete")))
       }
     }
@@ -980,7 +994,8 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore): Staged = {
     val p = LakePaths(dir)
     val b = keys
-      .select(col(keyCol), to_date(col(tsCol)).cast("string").as("day"))
+      .select(keyParts(keyCol).map(col) :+
+        to_date(col(tsCol)).cast("string").as("day"): _*)
       .distinct()
     val (base, live) = stagingSnapshot(spark, dir)
     require(live.key.forall(_ == keyCol),
@@ -1006,10 +1021,17 @@ object LakeSnapshot {
     // key column is projected, and the key's physical shape is stable
     // by the table contract). Positions are per-file (_metadata
     // .row_index), so skipping whole files cannot shift them.
-    val physKey = live.physicalFor(keyCol).getOrElse(keyCol)
+    // the stats-range file pruning below is a SINGLE-key optimization
+    // (one [min,max] per part says nothing about tuple membership) —
+    // composite keys skip it; the semi-join stays the correctness path
+    val soleKey = keyParts(keyCol) match {
+      case Seq(k) => Some(k)
+      case _ => None
+    }
+    val physKey = soleKey.map(k => live.physicalFor(k).getOrElse(k))
     // bounds in the key's own family — a long→double cast would round
     // above 2^53 and could skip a file holding the boundary victim
-    val integralKey = b.schema(keyCol).dataType match {
+    val integralKey = soleKey.map(k => b.schema(k).dataType).flatMap {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
@@ -1020,11 +1042,12 @@ object LakeSnapshot {
     }
     val keyBounds: Option[(Boolean, Long, Long, Double, Double)] =
       integralKey.flatMap { isInt =>
+        val k = soleKey.get // integralKey is only defined for one part
         val kb =
-          if (isInt) b.agg(min(col(keyCol)).cast("long"),
-            max(col(keyCol)).cast("long")).head()
-          else b.agg(min(col(keyCol)).cast("double"),
-            max(col(keyCol)).cast("double")).head()
+          if (isInt) b.agg(min(col(k)).cast("long"),
+            max(col(k)).cast("long")).head()
+          else b.agg(min(col(k)).cast("double"),
+            max(col(k)).cast("double")).head()
         if (kb.isNullAt(0) || kb.isNullAt(1)) None
         else if (isInt) Some((true, kb.getLong(0), kb.getLong(1), 0d, 0d))
         else Some((false, 0L, 0L, kb.getDouble(0), kb.getDouble(1)))
@@ -1036,7 +1059,7 @@ object LakeSnapshot {
         statsByGen.getOrElseUpdate(g,
           FileStats.read(spark, s"${p.data}/gen=$g"))
           .flatMap(_.get(s"day=$day/$file"))
-          .flatMap(_.cols.get(physKey)).exists { c =>
+          .flatMap(st => physKey.flatMap(st.cols.get)).exists { c =>
             val dead = (c.family, isInt) match {
               case ("l", true) => c.lmx < lmn || c.lmn > lmx
               case ("d", false) => c.dmx < dmn || c.dmn > dmx
@@ -1059,9 +1082,10 @@ object LakeSnapshot {
     val baseMeta = spark.read
       .option("basePath", p.data)
       .parquet(baseFiles: _*)
-      .select(col(keyCol), col("day").cast("string").as("day"),
+      .select(keyParts(keyCol).map(col) ++ Seq(
+        col("day").cast("string").as("day"),
         col("_metadata.file_path").as("__file"),
-        col("_metadata.row_index").as("__pos"))
+        col("_metadata.row_index").as("__pos")): _*)
     val priorPaths = states.flatMap { case (d, s) =>
       s.dvs.map(g => s"${p.dv}/gen=$g/day=$d") }
     val liveBase =
@@ -1073,7 +1097,8 @@ object LakeSnapshot {
           priorPaths),
         Seq("__file", "__pos"), "left_anti")
     liveBase
-      .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .join(b.select(keyParts(keyCol).map(col): _*).distinct(),
+        keyParts(keyCol), "left_semi")
       .select(col("day"), col("__file").as("file"), col("__pos").as("pos"))
       .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen")
     Staged(gen, base, days, Nil, dv = true, key = Some(keyCol))
@@ -1438,7 +1463,8 @@ object LakeSnapshot {
         require(!n.contains(">") && !n.contains(",") && n != "-" &&
           n.nonEmpty, s"unsupported column name '$n'")
       }
-      require(live.key.forall(k => k != from && k != to),
+      require(live.key.forall(k =>
+        !keyParts(k).contains(from) && !keyParts(k).contains(to)),
         "renaming the table key is unsupported (delta folding binds to it)")
       require(from != "day" && to != "day",
         "the partition column cannot be renamed")
@@ -1497,7 +1523,7 @@ object LakeSnapshot {
     */
   def dropColumn(spark: SparkSession, dir: String, name: String): Int =
     commitColumnOp(spark, dir, "dropcol", name) { live =>
-      require(live.key.forall(_ != name),
+      require(live.key.forall(k => !keyParts(k).contains(name)),
         "dropping the table key is unsupported")
       require(name != "day", "the partition column cannot be dropped")
       require(live.nonEmpty &&

@@ -54,11 +54,13 @@ object LakeUpsert {
     * foreachBatch path (s19) cannot usefully retry a poisoned batch.
     */
   private[etl] def dedupBatch(batch: DataFrame, keyCol: String): DataFrame = {
-    val others = batch.columns.filterNot(_ == keyCol)
+    val parts = LakeSnapshot.keyParts(keyCol)
+    val others = batch.columns.filterNot(parts.contains)
     if (others.isEmpty) batch.distinct()
-    else batch.groupBy(col(keyCol))
+    else batch.groupBy(parts.map(col): _*)
       .agg(max(struct(others.map(c => batch.col(c)): _*)).as("__s"))
-      .select(col(keyCol) +: others.map(c => col("__s").getField(c).as(c)): _*)
+      .select(parts.map(col) ++
+        others.map(c => col("__s").getField(c).as(c)): _*)
   }
 
   /** Merge `batch` (same schema as the lake rows, un-partitioned) into
@@ -79,7 +81,8 @@ object LakeUpsert {
   def deleteKeys(
       spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, tsCol: String): Seq[java.sql.Date] = {
-    val b = keys.select(col(keyCol), to_date(col(tsCol)).as("day"))
+    val b = keys.select(LakeSnapshot.keyParts(keyCol).map(col) :+
+      to_date(col(tsCol)).as("day"): _*)
     val days = b.select("day").distinct()
       .collect().map(_.getDate(0)).toSeq.sortBy(_.toString)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -89,7 +92,8 @@ object LakeUpsert {
     if (paths.isEmpty) return days
     val stored = spark.read.option("basePath", dir).parquet(paths: _*)
     val remaining = stored
-      .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(b.select(LakeSnapshot.keyParts(keyCol).map(col): _*),
+        LakeSnapshot.keyParts(keyCol), "left_anti")
     // dynamic overwrite only replaces partitions PRESENT in the output: a
     // day whose every row was deleted would silently survive. Find the
     // survivors first (metadata-sized result), drop emptied days' dirs
@@ -130,7 +134,8 @@ object LakeUpsert {
       else {
         val stored = spark.read.option("basePath", dir).parquet(paths: _*)
         stored
-          .join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .join(b.select(LakeSnapshot.keyParts(keyCol).map(col): _*),
+            LakeSnapshot.keyParts(keyCol), "left_anti")
           .unionByName(b.select(stored.columns.map(col): _*))
       }
     val key = "spark.sql.sources.partitionOverwriteMode"

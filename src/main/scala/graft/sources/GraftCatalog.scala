@@ -204,8 +204,10 @@ class GraftCatalog extends TableCatalog
     val key = props.getOrElse("key", sys.error(
       "CREATE TABLE needs TBLPROPERTIES ('key' = '<merge key column>')" +
         " — INSERT INTO is upsert-by-key"))
-    require(schema.fieldNames.contains(key),
-      s"declared key '$key' is not a column of ${schema.fieldNames.toSeq}")
+    require(LakeSnapshot.keyParts(key).nonEmpty &&
+      LakeSnapshot.keyParts(key).forall(schema.fieldNames.contains),
+      s"declared key '$key' is not a column (list) of " +
+        s"${schema.fieldNames.toSeq}")
     val ts = props.getOrElse("ts", "ts")
     require(schema.fieldNames.contains(ts),
       s"event-time column '$ts' is not a column of " +

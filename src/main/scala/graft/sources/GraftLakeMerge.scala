@@ -89,11 +89,13 @@ private[sources] class LakeRowLevelOperation(
       override def build(): DeltaWrite = new LakeDeltaWrite(props, key, ts, info)
     }
 
-  /** (key, ts): key IS row identity in an upsert lake; ts rides along so
-    * deletes can place their day marker (see class doc).
+  /** (key…, ts): the key — every part of a composite `'a,b'` key — IS
+    * row identity in an upsert lake; ts rides along so deletes can
+    * place their day marker (see class doc).
     */
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(key), Expressions.column(ts))
+    (LakeSnapshot.keyParts(key).map(Expressions.column) :+
+      Expressions.column(ts)).toArray
 }
 
 /** Task-level commit: the (day, published file) pairs this task wrote —
@@ -142,11 +144,13 @@ private[sources] class LakeDeltaWrite(
     require(dataSchema.fieldNames.contains(ts),
       s"graft-lake: merge row schema ${dataSchema.fieldNames.toSeq} is " +
         s"missing the event-time column '$ts'")
+    val parts = LakeSnapshot.keyParts(key)
     new LakeDeltaWriterFactory(
       dir, s"${LakeSnapshot.LakePaths(dir).delta}/gen=$gen",
       dataSchema, physical, dataSchema.fieldIndex(ts),
-      rowIdSchema, rowIdSchema.fieldIndex(key), rowIdSchema.fieldIndex(ts),
-      state.physicalFor(key).getOrElse(key),
+      rowIdSchema, parts.map(rowIdSchema.fieldIndex).toArray,
+      rowIdSchema.fieldIndex(ts),
+      parts.map(k => state.physicalFor(k).getOrElse(k)).toArray,
       spark.sparkContext.hadoopConfiguration.asScala
         .map(e => e.getKey -> e.getValue).toMap)
   }
@@ -176,8 +180,8 @@ private[sources] class LakeDeltaWrite(
 private[sources] class LakeDeltaWriterFactory(
     dir: String, root: String,
     dataSchema: StructType, physical: Array[String], tsIdxData: Int,
-    rowIdSchema: StructType, keyIdxId: Int, tsIdxId: Int,
-    keyPhysical: String, hadoopConf: Map[String, String])
+    rowIdSchema: StructType, keyIdxId: Array[Int], tsIdxId: Int,
+    keyPhysical: Array[String], hadoopConf: Map[String, String])
   extends DeltaWriterFactory {
 
   override def createWriter(
@@ -198,8 +202,8 @@ private[sources] class LakeDeltaWriterFactory(
 private[sources] class LakeDeltaTaskWriter(
     dir: String, root: String,
     dataSchema: StructType, physical: Array[String], tsIdxData: Int,
-    rowIdSchema: StructType, keyIdxId: Int, tsIdxId: Int,
-    keyPhysical: String, hadoopConf: Map[String, String],
+    rowIdSchema: StructType, keyIdxId: Array[Int], tsIdxId: Int,
+    keyPhysical: Array[String], hadoopConf: Map[String, String],
     partitionId: Int, taskId: Long)
   extends DeltaWriter[InternalRow] {
 
@@ -281,11 +285,16 @@ private[sources] class LakeDeltaTaskWriter(
   }
 
   private def deleteMarker(id: InternalRow): Unit = {
-    // id = (key, ts) of the EXISTING row: the marker lands in that
-    // row's day, the deleteKeysDelta contract
+    // id = (key…, ts) of the EXISTING row: the marker lands in that
+    // row's day, the deleteKeysDelta contract — every part of a
+    // composite key writes, so the fold's tuple key collides exactly
     val g = groups.newGroup()
-    LakeGroupWrite.addValue(
-      g, keyPhysical, rowIdSchema.fields(keyIdxId).dataType, id, keyIdxId)
+    var k = 0
+    while (k < keyIdxId.length) {
+      LakeGroupWrite.addValue(g, keyPhysical(k),
+        rowIdSchema.fields(keyIdxId(k)).dataType, id, keyIdxId(k))
+      k += 1
+    }
     g.add("__op", "d")
     outFor(dayOf(id.getLong(tsIdxId))).writer.write(g)
   }

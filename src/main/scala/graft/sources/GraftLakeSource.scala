@@ -180,7 +180,9 @@ private[sources] class LakeTable(
     * without this MERGE INTO could never plan.
     */
   override def schema(): StructType = {
-    val id: Set[String] = props.get("key").toSet ++ props.get("ts").toSet
+    val id: Set[String] = props.get("key")
+      .map(LakeSnapshot.keyParts).getOrElse(Nil).toSet ++
+      props.get("ts").toSet
     if (id.isEmpty) tableSchema
     else StructType(tableSchema.map(f =>
       if (id.contains(f.name)) f.copy(nullable = false) else f))
@@ -286,11 +288,19 @@ private[sources] class LakeTable(
     // commits per micro-batch. MICRO_BATCH_READ: the full-table stream
     // ([[LakeFullTableStream]], r15) — readStream.format("graft-lake")
     // .option("changes", "true"): pinned initial snapshot then the CDC
-    // tail.
+    // tail. AUTOMATIC_SCHEMA_EVOLUTION (r15, VERDICT r14 #8): `MERGE
+    // WITH SCHEMA EVOLUTION INTO` — Spark's own
+    // ResolveMergeIntoSchemaEvolution computes the missing source
+    // columns and routes them through GraftCatalog.alterTable's
+    // AddColumn (the same manifest binding as explicit ALTER), then the
+    // merge proceeds against the widened table. Syntax-gated by Spark
+    // (the native analog of Delta's autoMerge conf): a plain MERGE with
+    // an unknown column stays today's loud analysis error.
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(tableSchema, props)
@@ -994,8 +1004,16 @@ private[sources] object LakeGroupRead {
   /** The fold-map key of this record: numerics normalize (int → long,
     * float → double) so a key column whose physical width differs across
     * generations still collides correctly; strings compare as String.
+    * A COMPOSITE key (`'a,b'`, r15) folds as the List of its parts'
+    * normalized values — List equality makes tuple keys collide exactly.
     */
   def keyValue(g: Group, fs: MessageType, name: String): Any = {
+    if (name.indexOf(',') >= 0)
+      return LakeSnapshot.keyParts(name).map(partValue(g, fs, _)).toList
+    partValue(g, fs, name)
+  }
+
+  private def partValue(g: Group, fs: MessageType, name: String): Any = {
     if (!fs.containsField(name) || g.getFieldRepetitionCount(name) == 0)
       return null
     val pt =

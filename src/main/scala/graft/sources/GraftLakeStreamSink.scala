@@ -66,7 +66,8 @@ private[sources] class LakeStreamingWrite(
       pi: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val schema = info.schema()
-    require(schema.fieldNames.contains(key) &&
+    val parts = LakeSnapshot.keyParts(key)
+    require(parts.forall(schema.fieldNames.contains) &&
       schema.fieldNames.contains(ts),
       s"graft-lake streaming sink: the batch schema " +
         s"${schema.fieldNames.toSeq} must carry the merge key '$key' " +
@@ -166,6 +167,9 @@ private[sources] class LakeStreamingWriterFactory(
       // rowId projection is unused on the streaming path (no deletes
       // arrive through a sink); the key binds identity for the marker
       // schema anyway
-      schema, schema.fieldIndex(key), tsIdx, physical(schema.fieldIndex(key)),
+      schema, LakeSnapshot.keyParts(key).map(schema.fieldIndex).toArray,
+      tsIdx,
+      LakeSnapshot.keyParts(key)
+        .map(k => physical(schema.fieldIndex(k))).toArray,
       hadoopConf, partitionId, taskId)
 }

@@ -257,4 +257,49 @@ class LakeMergeSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT event_id, value FROM graft.m5")
       .as[(Long, Double)].collect().toSet === want)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION (r15, VERDICT r14 #8): a source " +
+    "carrying an unknown column widens the table through the same " +
+    "AddColumn binding as explicit ALTER, old rows null-fill; a plain " +
+    "MERGE with the same source stays a loud analysis error") {
+    seed("m9")
+    val dir = s"$wh/m9"
+    // without the clause: the unknown column is an analysis error
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.m9 t
+           |USING (SELECT 1L AS event_id, TIMESTAMP '${ts(1)}' AS ts,
+           |       10.0D AS value, 'fix' AS src) s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value, src = s.src
+           |""".stripMargin)
+    }
+    assert(e.getMessage != null)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.m9 t
+         |USING (SELECT 1L AS event_id, TIMESTAMP '${ts(1)}' AS ts,
+         |       10.0D AS value, 'fix' AS src
+         |       UNION ALL
+         |       SELECT 9L, TIMESTAMP '${ts(3)}', 9.0D, 'new') s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    assert(spark.sql("SELECT event_id, value, src FROM graft.m9 ORDER BY " +
+      "event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ===
+      Seq((1L, 10.0, "fix"), (2L, 2.0, null), (3L, 3.0, null),
+        (4L, 4.0, null), (9L, 9.0, "new")),
+      "evolved column: merged rows carry it, untouched rows null-fill")
+    // the widening is the SAME declaration ALTER writes: a follow-up
+    // plain MERGE against the evolved column now resolves
+    spark.sql(
+      s"""MERGE INTO graft.m9 t
+         |USING (SELECT 2L AS event_id, 'late' AS src) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET src = s.src
+         |""".stripMargin)
+    assert(spark.sql("SELECT src FROM graft.m9 WHERE event_id = 2")
+      .head().getString(0) === "late")
+  }
 }
