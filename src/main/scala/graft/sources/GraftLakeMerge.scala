@@ -385,13 +385,19 @@ private[sources] object LakeGroupWrite {
         val lb = b.optionalGroup().as(LogicalTypeAnnotation.listType())
           .repeatedGroup()
         elem match {
-          case _: ArrayType | _: MapType | _: StructType =>
+          case _: ArrayType | _: MapType =>
             throw new UnsupportedOperationException(
               s"graft-lake merge writer: nested element type $elem " +
-                s"for '$name' — lake arrays hold scalars")
+                s"for '$name' — lake arrays hold scalars or structs")
           case _ => addField(lb, "element", elem)
         }
         lb.named("list").named(name)
+      case st: StructType =>
+        // a (possibly nested) struct column — the multimodal media
+        // shape: typed metadata + binary payload as ONE parquet group
+        val gb = b.optionalGroup()
+        st.fields.foreach(f => addField(gb, f.name, f.dataType))
+        gb.named(name)
       case other => throw new UnsupportedOperationException(
         s"graft-lake merge writer: unsupported column type $other " +
           s"for '$name'")
@@ -434,6 +440,8 @@ private[sources] object LakeGroupWrite {
         if (!arr.isNullAt(j)) addElement(e, elem, arr, j)
         j += 1
       }
+    case st: StructType =>
+      addStruct(g.addGroup(name), st, row.getStruct(i, st.length))
     case other => throw new UnsupportedOperationException(
       s"graft-lake merge writer: unsupported column type $other for '$name'")
   }
@@ -453,7 +461,23 @@ private[sources] object LakeGroupWrite {
       case StringType => e.add("element", arr.getUTF8String(j).toString)
       case BinaryType => e.add("element",
         org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
+      case st: StructType =>
+        addStruct(e.addGroup("element"), st, arr.getStruct(j, st.length))
       case other => throw new UnsupportedOperationException(
         s"graft-lake merge writer: unsupported array element type $other")
     }
+
+  /** A struct value into its group — fields recurse through
+    * [[addValue]], so nested structs/arrays/decimals all land in the
+    * standard encodings.
+    */
+  private def addStruct(
+      sub: Group, st: StructType, row: InternalRow): Unit = {
+    var j = 0
+    while (j < st.length) {
+      if (!row.isNullAt(j)) addValue(sub, st.fields(j).name,
+        st.fields(j).dataType, row, j)
+      j += 1
+    }
+  }
 }

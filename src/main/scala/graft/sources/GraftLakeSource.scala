@@ -11,7 +11,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -670,7 +670,12 @@ final case class RowGroupFilter(
 
 object RowGroupFilter {
   private def norm(col: String, op: String, v: Any): Option[RowGroupFilter] =
-    v match {
+    // a NESTED-field predicate (struct columns, r15) arrives as a dotted
+    // name — the stats layers key on TOP-LEVEL columns, and the
+    // absent-column=all-null=skippable rule would mis-fire on
+    // "media.width"; nested filters stay residual-only, no claim
+    if (col.contains(".")) None
+    else v match {
       case l: Long => Some(RowGroupFilter(col, op, isFloat = false, l, 0d))
       case i: Int => Some(RowGroupFilter(col, op, isFloat = false, i.toLong, 0d))
       case s: Short => Some(RowGroupFilter(col, op, isFloat = false, s.toLong, 0d))
@@ -881,7 +886,7 @@ private[sources] object LakeGroupRead {
   }
 
   private def timestampMicros(
-      g: Group, fs: MessageType, name: String): Long = {
+      g: Group, fs: GroupType, name: String): Long = {
     val pt = fs.getType(fs.getFieldIndex(name)).asPrimitiveType()
     if (pt.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96)
       return int96Micros(g.getInt96(name, 0))
@@ -907,7 +912,7 @@ private[sources] object LakeGroupRead {
     * and ARRAY as the standard 3-level LIST group.
     */
   def internalValue(
-      g: Group, fs: MessageType, name: String, dt: DataType): Any =
+      g: Group, fs: GroupType, name: String, dt: DataType): Any =
     if (!fs.containsField(name)) null
     else if (g.getFieldRepetitionCount(name) == 0) null
     else dt match {
@@ -922,12 +927,24 @@ private[sources] object LakeGroupRead {
       case BinaryType => g.getBinary(name, 0).getBytes
       case d: DecimalType => decimalValue(g, fs, name, d)
       case ArrayType(elem, _) => arrayValue(g, fs, name, elem)
+      case st: StructType =>
+        structValue(g.getGroup(name, 0),
+          fs.getType(fs.getFieldIndex(name)).asGroupType(), st)
       case other => throw new UnsupportedOperationException(
         s"graft-lake reader: unsupported column type $other for '$name'")
     }
 
+  /** A struct group under the declared struct type — fields recurse
+    * through [[internalValue]] (nested structs/arrays/decimals), absent
+    * fields null-fill like any evolved column.
+    */
+  private def structValue(
+      sub: Group, gt: GroupType, st: StructType): Any =
+    new GenericInternalRow(st.fields.map(f =>
+      internalValue(sub, gt, f.name, f.dataType)))
+
   private def decimalValue(
-      g: Group, fs: MessageType, name: String, d: DecimalType): Any = {
+      g: Group, fs: GroupType, name: String, d: DecimalType): Any = {
     val pt = fs.getType(fs.getFieldIndex(name)).asPrimitiveType()
     val fileScale = pt.getLogicalTypeAnnotation match {
       case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a.getScale
@@ -957,7 +974,7 @@ private[sources] object LakeGroupRead {
     * `repeated <primitive>` form.
     */
   private def arrayValue(
-      g: Group, fs: MessageType, name: String, elem: DataType): Any = {
+      g: Group, fs: GroupType, name: String, elem: DataType): Any = {
     val field = fs.getType(fs.getFieldIndex(name))
     if (field.isPrimitive) // 2-level legacy: repeated primitive
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -976,12 +993,17 @@ private[sources] object LakeGroupRead {
       }
     } else {
       // standard 3-level: one entry group per element, null = no value
-      val elemName = inner.asGroupType().getType(0).getName
+      val elemType = inner.asGroupType().getType(0)
+      val elemName = elemType.getName
       while (j < n) {
         val entry = listGroup.getGroup(0, j)
         vals(j) =
           if (entry.getFieldRepetitionCount(0) == 0) null
-          else elementValue(entry, elemName, 0, elem)
+          else elem match {
+            case st: StructType =>
+              structValue(entry.getGroup(0, 0), elemType.asGroupType(), st)
+            case _ => elementValue(entry, elemName, 0, elem)
+          }
         j += 1
       }
     }
@@ -1007,13 +1029,13 @@ private[sources] object LakeGroupRead {
     * A COMPOSITE key (`'a,b'`, r15) folds as the List of its parts'
     * normalized values — List equality makes tuple keys collide exactly.
     */
-  def keyValue(g: Group, fs: MessageType, name: String): Any = {
+  def keyValue(g: Group, fs: GroupType, name: String): Any = {
     if (name.indexOf(',') >= 0)
       return LakeSnapshot.keyParts(name).map(partValue(g, fs, _)).toList
     partValue(g, fs, name)
   }
 
-  private def partValue(g: Group, fs: MessageType, name: String): Any = {
+  private def partValue(g: Group, fs: GroupType, name: String): Any = {
     if (!fs.containsField(name) || g.getFieldRepetitionCount(name) == 0)
       return null
     val pt =

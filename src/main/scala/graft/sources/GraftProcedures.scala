@@ -153,5 +153,32 @@ private[sources] object GraftProcedures {
         val e = LakeSnapshot.checkpointManifest(spark, dir)
         Seq(Seq("checkpoint", e))
       }
+    },
+    // DESCRIBE RETENTION as a CALL (r15): what the NEXT vacuum with this
+    // retention would keep and take, per surface — the identical plan
+    // the vacuum itself applies, so an operator can audit BEFORE typing
+    // the destructive verb. Defaults mirror the vacuum procedure's
+    // (RetentionPolicy when retain_ms is unset).
+    "retention" -> new LakeProcedure("retention", dirOf,
+      Seq(in("table", StringType),
+        inDefault("retain_ms", LongType, "NULL")),
+      StructType(Seq(StructField("surface", StringType),
+        StructField("retain_ms", LongType),
+        StructField("objects", LongType),
+        StructField("reclaimable", LongType),
+        StructField("pin_protected", LongType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val policy =
+          if (args.isNullAt(1)) LakeSnapshot.RetentionPolicy()
+          else LakeSnapshot.RetentionPolicy(
+            historyMs = args.getLong(1), cdfMs = args.getLong(1),
+            orphanMs = args.getLong(1))
+        LakeSnapshot.describeRetention(spark, dir, policy)
+          .collect().toSeq.map(r =>
+            Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4)))
+      }
     })
 }

@@ -298,6 +298,20 @@ class GraftCatalogSpec extends AnyFunSuite {
         s"$preVacuum").as[Long].head() >= 2L,
         "a no-arg CALL vacuum leaves time-travel reads alive " +
           "(RetentionPolicy defaults, not retain 0)")
+      // CALL retention: the audit rows BEFORE the destructive verb —
+      // under the default policy nothing is reclaimable yet; under
+      // retain 0 the superseded history shows as takeable
+      val aud = spark.sql("CALL graft.system.retention(`table` => 'mt')")
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(aud.keySet === Set("cdf", "history", "orphan", "staging",
+        "claims"))
+      assert(aud("history") === 0L,
+        "default retention reports nothing reclaimable on a fresh table")
+      val aud0 = spark.sql("CALL graft.system.retention(`table` => 'mt', " +
+        "retain_ms => 0)").collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(aud0("history") > 0L,
+        "retain 0 must report the superseded generations takeable")
       // an EXPLICIT retain_ms => 0 still reclaims immediately (the
       // caller promising no reader), exactly the old aggressive path
       spark.sql("CALL graft.system.vacuum(`table` => 'mt', retain_ms => 0)")

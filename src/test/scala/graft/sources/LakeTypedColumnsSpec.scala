@@ -105,6 +105,75 @@ class LakeTypedColumnsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.typed")
   }
 
+  test("STRUCT columns (the multimodal media shape, r15): null structs, " +
+    "null fields inside, NESTED struct + array-of-struct, binary " +
+    "payloads — through INSERT (V1 base) and MERGE (Group-API delta)") {
+    spark.sql("CREATE TABLE graft.med (id BIGINT, ts TIMESTAMP, " +
+      "media STRUCT<kind: STRING, width: INT, payload: BINARY, " +
+      "geo: STRUCT<lat: DOUBLE, lon: DOUBLE>>, " +
+      "frames ARRAY<STRUCT<t: INT, blob: BINARY>>) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    try {
+      spark.sql("INSERT INTO graft.med VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', " +
+        "named_struct('kind', 'img', 'width', 640, 'payload', X'AB', " +
+        "'geo', named_struct('lat', 1.5D, 'lon', 2.5D)), " +
+        "array(named_struct('t', 0, 'blob', X'01'), " +
+        "named_struct('t', 5, 'blob', X'02'))), " +
+        "(2, TIMESTAMP '2024-01-01 11:00:00', NULL, array()), " +
+        "(3, TIMESTAMP '2024-01-02 10:00:00', " +
+        "named_struct('kind', CAST(NULL AS STRING), 'width', 3, " +
+        "'payload', CAST(NULL AS BINARY), " +
+        "'geo', CAST(NULL AS STRUCT<lat: DOUBLE, lon: DOUBLE>)), NULL)")
+      // MERGE pushes struct shapes through the Group writer
+      spark.sql(
+        """MERGE INTO graft.med t
+          |USING (SELECT 1L AS id, TIMESTAMP '2024-01-01 10:00:00' AS ts,
+          |  named_struct('kind', 'vid', 'width', 1280,
+          |    'payload', X'CD',
+          |    'geo', named_struct('lat', 9.5D, 'lon', CAST(NULL AS DOUBLE)))
+          |    AS media,
+          |  array(named_struct('t', 1, 'blob', CAST(NULL AS BINARY)))
+          |    AS frames
+          |  UNION ALL
+          |  SELECT 4L, TIMESTAMP '2024-01-03 10:00:00',
+          |    CAST(NULL AS STRUCT<kind: STRING, width: INT,
+          |      payload: BINARY, geo: STRUCT<lat: DOUBLE, lon: DOUBLE>>),
+          |    CAST(array() AS ARRAY<STRUCT<t: INT, blob: BINARY>>)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET media = s.media, frames = s.frames
+          |WHEN NOT MATCHED THEN INSERT (id, ts, media, frames)
+          |  VALUES (s.id, s.ts, s.media, s.frames)
+          |""".stripMargin)
+      val rows = spark.sql("SELECT id, media.kind, media.width, " +
+        "hex(media.payload), media.geo.lat, media.geo.lon, " +
+        "size(frames), get(frames, 0).t, hex(get(frames, 0).blob) " +
+        "FROM graft.med ORDER BY id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      val r1 = rows(0)
+      assert((r1.getString(1), r1.getInt(2), r1.getString(3)) ===
+        (("vid", 1280, "CD")), "Group-written struct reads back exactly")
+      assert(r1.getDouble(4) === 9.5 && r1.isNullAt(5),
+        "nested struct with a null leaf survives the delta round-trip")
+      assert(r1.getInt(6) === 1 && r1.getInt(7) === 1 && r1.isNullAt(8),
+        "array-of-struct with a null blob survives")
+      assert(rows(1).isNullAt(1) && rows(1).getInt(6) === 0,
+        "null struct + empty array from the Spark-written base")
+      val r3 = rows(2)
+      assert(r3.isNullAt(1) && r3.getInt(2) === 3 && r3.isNullAt(3) &&
+        r3.isNullAt(4) && r3.isNullAt(6),
+        "struct with null fields and a null nested struct; null array")
+      assert(rows(3).isNullAt(1) && rows(3).getInt(6) === 0,
+        "Group-written null struct + empty array-of-struct")
+      // a nested-field predicate stays residual-correct (no stats claim)
+      val g0 = LakeGroupRead.skippedGroups.get()
+      assert(spark.sql("SELECT id FROM graft.med WHERE media.width = 1280")
+        .as[Long].collect().toSeq === Seq(1L))
+      assert(LakeGroupRead.skippedGroups.get() === g0,
+        "nested predicates must never become stats skip hints")
+    } finally spark.sql("DROP TABLE graft.med")
+  }
+
   test("decimal stats never claim a skip: pushed decimal comparisons " +
     "produce no RowGroupFilter, the sidecar marks decimal columns " +
     "unusable, and a decimal point-filter is residual-correct with " +
