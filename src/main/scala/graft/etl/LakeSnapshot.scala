@@ -815,7 +815,17 @@ object LakeSnapshot {
         val old = norm(s).select(parts.map(col) ++
           cols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__o_in"): _*)
         val joined = norm(b).join(old, parts, "left_outer")
-        val changed = cols.map(c => !(col(c) <=> col(s"__o_$c"))).reduce(_ || _)
+        // maps (r15) are not equality-comparable in Spark — compare the
+        // canonical JSON rendering instead (same change-detection rule,
+        // rendered form)
+        def cmp(c: org.apache.spark.sql.Column,
+            dt: org.apache.spark.sql.types.DataType) =
+          if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(dt)) c else to_json(c)
+        val types = (s.schema ++ b.schema).map(f => f.name -> f.dataType).toMap
+        val changed = cols.map(c =>
+          !(cmp(col(c), types(c)) <=> cmp(col(s"__o_$c"), types(c))))
+          .reduce(_ || _)
         val upd = joined.filter(col("__o_in").isNotNull && changed)
         val pre = upd
           .select(parts.map(col) ++ cols.map(c => col(s"__o_$c").as(c)): _*)

@@ -57,10 +57,28 @@ object LakeUpsert {
     val parts = LakeSnapshot.keyParts(keyCol)
     val others = batch.columns.filterNot(parts.contains)
     if (others.isEmpty) batch.distinct()
-    else batch.groupBy(parts.map(col): _*)
-      .agg(max(struct(others.map(c => batch.col(c)): _*)).as("__s"))
-      .select(parts.map(col) ++
-        others.map(c => col("__s").getField(c).as(c)): _*)
+    else if (others.forall(c => org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(batch.schema(c).dataType)))
+      batch.groupBy(parts.map(col): _*)
+        .agg(max(struct(others.map(c => batch.col(c)): _*)).as("__s"))
+        .select(parts.map(col) ++
+          others.map(c => col("__s").getField(c).as(c)): _*)
+    else {
+      // UNORDERABLE columns (maps, r15): `max(struct(...))` cannot rank
+      // them — rank by the orderable columns plus a canonical JSON
+      // rendering of the unorderable ones (same batch-order-independent
+      // determinism, the documented greatest-tuple rule extended to the
+      // rendered form), then keep the winning ROW intact
+      val ord = struct(others.map { c =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(batch.schema(c).dataType)) col(c)
+        else to_json(col(c)).as(c)
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts.map(col): _*).orderBy(ord.desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Merge `batch` (same schema as the lake rows, un-partitioned) into

@@ -392,6 +392,31 @@ private[sources] object LakeGroupWrite {
           case _ => addField(lb, "element", elem)
         }
         lb.named("list").named(name)
+      case MapType(kt, vt, _) =>
+        // the standard parquet MAP shape: `name (MAP) { repeated group
+        // key_value { required key; optional value } }` — what Spark
+        // writes, so V1 bases and Group-API deltas stay footer-compatible
+        val kv = b.optionalGroup().as(LogicalTypeAnnotation.mapType())
+          .repeatedGroup()
+        kt match {
+          case StringType => kv.required(PrimitiveType.PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named("key")
+          case LongType =>
+            kv.required(PrimitiveType.PrimitiveTypeName.INT64).named("key")
+          case IntegerType =>
+            kv.required(PrimitiveType.PrimitiveTypeName.INT32).named("key")
+          case other => throw new UnsupportedOperationException(
+            s"graft-lake merge writer: unsupported map key type $other " +
+              s"for '$name' (string/long/int keys)")
+        }
+        vt match {
+          case _: ArrayType | _: MapType =>
+            throw new UnsupportedOperationException(
+              s"graft-lake merge writer: nested map value type $vt " +
+                s"for '$name' — lake map values hold scalars or structs")
+          case _ => addField(kv, "value", vt)
+        }
+        kv.named("key_value").named(name)
       case st: StructType =>
         // a (possibly nested) struct column — the multimodal media
         // shape: typed metadata + binary payload as ONE parquet group
@@ -437,34 +462,46 @@ private[sources] object LakeGroupWrite {
       var j = 0
       while (j < arr.numElements()) {
         val e = listGroup.addGroup("list") // one entry per element
-        if (!arr.isNullAt(j)) addElement(e, elem, arr, j)
+        if (!arr.isNullAt(j)) addElement(e, "element", elem, arr, j)
         j += 1
       }
     case st: StructType =>
       addStruct(g.addGroup(name), st, row.getStruct(i, st.length))
+    case MapType(kt, vt, _) =>
+      val m = row.getMap(i)
+      val mg = g.addGroup(name)
+      val keys = m.keyArray()
+      val values = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val e = mg.addGroup("key_value")
+        addElement(e, "key", kt, keys, j) // map keys are never null
+        if (!values.isNullAt(j)) addElement(e, "value", vt, values, j)
+        j += 1
+      }
     case other => throw new UnsupportedOperationException(
       s"graft-lake merge writer: unsupported column type $other for '$name'")
   }
 
-  /** One array element into its `list` entry group (element values live
-    * under the standard field name `element`).
+  /** One array/map element into its entry group under `into` (the
+    * standard field names: `element` for lists, `key`/`value` for maps).
     */
   private def addElement(
-      e: Group, elem: DataType,
+      e: Group, into: String, elem: DataType,
       arr: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit =
     elem match {
-      case LongType | TimestampType => e.add("element", arr.getLong(j))
-      case IntegerType | DateType => e.add("element", arr.getInt(j))
-      case DoubleType => e.add("element", arr.getDouble(j))
-      case FloatType => e.add("element", arr.getFloat(j))
-      case BooleanType => e.add("element", arr.getBoolean(j))
-      case StringType => e.add("element", arr.getUTF8String(j).toString)
-      case BinaryType => e.add("element",
+      case LongType | TimestampType => e.add(into, arr.getLong(j))
+      case IntegerType | DateType => e.add(into, arr.getInt(j))
+      case DoubleType => e.add(into, arr.getDouble(j))
+      case FloatType => e.add(into, arr.getFloat(j))
+      case BooleanType => e.add(into, arr.getBoolean(j))
+      case StringType => e.add(into, arr.getUTF8String(j).toString)
+      case BinaryType => e.add(into,
         org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
       case st: StructType =>
-        addStruct(e.addGroup("element"), st, arr.getStruct(j, st.length))
+        addStruct(e.addGroup(into), st, arr.getStruct(j, st.length))
       case other => throw new UnsupportedOperationException(
-        s"graft-lake merge writer: unsupported array element type $other")
+        s"graft-lake merge writer: unsupported element type $other")
     }
 
   /** A struct value into its group — fields recurse through

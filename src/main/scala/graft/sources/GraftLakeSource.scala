@@ -930,9 +930,46 @@ private[sources] object LakeGroupRead {
       case st: StructType =>
         structValue(g.getGroup(name, 0),
           fs.getType(fs.getFieldIndex(name)).asGroupType(), st)
+      case MapType(kt, vt, _) => mapValue(g, fs, name, kt, vt)
       case other => throw new UnsupportedOperationException(
         s"graft-lake reader: unsupported column type $other for '$name'")
     }
+
+  /** A MAP column under the declared key/value types — the standard
+    * `repeated group key_value { key; value }` shape (Spark's `key_value
+    * /key/value` and the legacy `map/key/value` naming both read: access
+    * is positional on the entry group). Null values are entries with no
+    * `value`; map keys are required by the format.
+    */
+  private def mapValue(
+      g: Group, fs: GroupType, name: String,
+      kt: DataType, vt: DataType): Any = {
+    val mapGroup = g.getGroup(name, 0)
+    val entryType = fs.getType(fs.getFieldIndex(name)).asGroupType()
+      .getType(0).asGroupType()
+    val n = mapGroup.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val values = new Array[Any](n)
+    val keyName = entryType.getType(0).getName
+    val valName = entryType.getType(1).getName
+    var j = 0
+    while (j < n) {
+      val entry = mapGroup.getGroup(0, j)
+      keys(j) = elementValue(entry, keyName, 0, kt)
+      values(j) =
+        if (entry.getFieldRepetitionCount(1) == 0) null
+        else vt match {
+          case st: StructType =>
+            structValue(entry.getGroup(1, 0),
+              entryType.getType(1).asGroupType(), st)
+          case _ => elementValue(entry, valName, 0, vt)
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
+  }
 
   /** A struct group under the declared struct type — fields recurse
     * through [[internalValue]] (nested structs/arrays/decimals), absent

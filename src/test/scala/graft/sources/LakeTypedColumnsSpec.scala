@@ -174,6 +174,65 @@ class LakeTypedColumnsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.med")
   }
 
+  test("MAP columns (r15): null/empty maps, null values, long keys, " +
+    "struct values — through INSERT (V1 base) and MERGE (Group-API " +
+    "delta); the unorderable-column dedup rule stays deterministic") {
+    spark.sql("CREATE TABLE graft.bag (id BIGINT, ts TIMESTAMP, " +
+      "attrs MAP<STRING, BIGINT>, " +
+      "stats MAP<BIGINT, STRUCT<n: INT, s: DOUBLE>>) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    try {
+      spark.sql("INSERT INTO graft.bag VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', map('a', 1L, 'b', 2L), " +
+        "map(7L, named_struct('n', 3, 's', 1.5D))), " +
+        "(2, TIMESTAMP '2024-01-01 11:00:00', map(), NULL), " +
+        "(3, TIMESTAMP '2024-01-02 10:00:00', " +
+        "map('x', CAST(NULL AS BIGINT)), map())")
+      spark.sql(
+        """MERGE INTO graft.bag t
+          |USING (SELECT 1L AS id, TIMESTAMP '2024-01-01 10:00:00' AS ts,
+          |  map('a', 10L, 'c', CAST(NULL AS BIGINT)) AS attrs,
+          |  map(9L, named_struct('n', 4, 's', 2.5D)) AS stats
+          |  UNION ALL
+          |  SELECT 4L, TIMESTAMP '2024-01-03 10:00:00',
+          |    CAST(NULL AS MAP<STRING, BIGINT>),
+          |    CAST(map() AS MAP<BIGINT, STRUCT<n: INT, s: DOUBLE>>)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET attrs = s.attrs, stats = s.stats
+          |WHEN NOT MATCHED THEN INSERT (id, ts, attrs, stats)
+          |  VALUES (s.id, s.ts, s.attrs, s.stats)
+          |""".stripMargin)
+      val rows = spark.sql("SELECT id, attrs['a'], attrs['c'], " +
+        "size(attrs), stats[9L].n, stats[9L].s, size(stats) " +
+        "FROM graft.bag ORDER BY id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      val r1 = rows(0)
+      assert(r1.getLong(1) === 10L && r1.isNullAt(2) && r1.getInt(3) === 2,
+        "Group-written map with a null value reads back exactly")
+      assert(r1.getInt(4) === 4 && r1.getDouble(5) === 2.5,
+        "long-keyed map of structs survives the delta round-trip")
+      assert(rows(1).getInt(3) === 0 && rows(1).isNullAt(6),
+        "empty map and null map from the Spark-written base")
+      assert(rows(2).isNullAt(1) && rows(2).getInt(3) === 1,
+        "map('x', null) keeps its entry")
+      assert(rows(3).isNullAt(1) && rows(3).getInt(6) === 0,
+        "Group-written null map + empty map")
+      // the dedup rule over unorderable columns: duplicate keys in one
+      // batch collapse deterministically (rendered-form greatest wins)
+      val dir = s"$wh/bagdedup"
+      LakeSnapshot.merge(spark,
+        dir,
+        spark.sql("SELECT * FROM VALUES " +
+          "(1L, TIMESTAMP '2024-01-01 10:00:00', map('v', 1L)), " +
+          "(1L, TIMESTAMP '2024-01-01 10:00:00', map('v', 9L)) " +
+          "AS t(id, ts, attrs)"),
+        "id", "ts")
+      assert(LakeSnapshot.read(spark, dir)
+        .selectExpr("attrs['v']").as[Long].collect().toSeq === Seq(9L),
+        "greatest rendered tuple wins, batch-order independent")
+    } finally spark.sql("DROP TABLE graft.bag")
+  }
+
   test("decimal stats never claim a skip: pushed decimal comparisons " +
     "produce no RowGroupFilter, the sidecar marks decimal columns " +
     "unusable, and a decimal point-filter is residual-correct with " +
