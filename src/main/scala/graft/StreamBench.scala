@@ -67,7 +67,8 @@ object StreamBench {
       // r14: the NATIVE streaming sink (writeStream.format("graft-lake"))
       // next to s19/s21's foreachBatch loops — prices the staging-area
       // moves + tag-idempotent delta commit against the COW merge paths
-      "s25_stream_lake_sink")
+      "s25_stream_lake_sink",
+      "s26_lake_stream_source")
     val results = targets.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>

@@ -1249,7 +1249,9 @@ object StreamQueries {
     // ...and RESUME the table stream from its checkpoint: only the new
     // epochs' change images arrive (no snapshot re-emit)
     drain()
-    recordReplay(up)
+    // throughput accounting (StreamBench): the SNAPSHOT drain is the
+    // dominant phase at scale — its batches/rows are the replay record
+    recordReplay(q1)
     val acc = spark.read.parquet(accDir)
     require(acc.filter(col("_commit_epoch") > e0).count() > 0,
       "the resumed stream must deliver the post-snapshot change tail")
