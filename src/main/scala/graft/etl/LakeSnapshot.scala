@@ -1273,6 +1273,11 @@ object LakeSnapshot {
       spark: SparkSession, dir: String, gen: Int, baseEpoch: Int,
       days: Seq[String], keyCol: String, tag: String = ""): Int = {
     if (tag.nonEmpty) {
+      // tags ride manifest rows (properties lines) and checkpoint txn
+      // CSV — a separator inside one would corrupt both folds
+      require(!tag.contains(",") && !tag.contains("\n") &&
+        !tag.contains("="),
+        s"idempotence tag '$tag' must not contain ',', '=' or newlines")
       val prior = tagEpoch(spark, dir, tag)
       if (prior.isDefined) return prior.get
     }

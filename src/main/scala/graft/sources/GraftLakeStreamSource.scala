@@ -159,11 +159,14 @@ private[sources] class LakeFullTableStream(
     val key = state.key.orNull
     // physical parquet names bind against the PINNED state, resolved
     // DRIVER-side once and shipped inside the partitions — executors
-    // never touch the manifest. A column added after the pin reads null
-    // from pinned files (identity fallback + absent-from-file = null).
+    // never touch the manifest. A column with NO physical binding at
+    // the pin (added after it — including a re-add of a name the pin
+    // knew as DROPPED) reads null via a sentinel that exists in no
+    // file; an identity fallback here would RESURRECT the dropped
+    // column's pre-drop values from pinned files.
     val physical = dataSchema.fields.map { f =>
       if (f.name == "day") null
-      else state.physicalFor(f.name).getOrElse(f.name)
+      else state.physicalFor(f.name).getOrElse("\u0000absent")
     }
     days.flatMap { day =>
       val ds = state.days(day)
