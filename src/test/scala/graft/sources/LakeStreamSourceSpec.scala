@@ -152,6 +152,30 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "end-of-stream folded state must equal the batch read")
   }
 
+  test("a DROPPED column surfaced by retained change sidecars reads " +
+    "NULL in the snapshot — never the pre-drop values (the sentinel " +
+    "binding; an identity fallback would resurrect them)") {
+    val root = freshDir("dropped_col")
+    val (dir, accDir, ckpt) = (s"$root/lake", s"$root/acc", s"$root/ckpt")
+    // a cdf merge records sidecars CARRYING `note`; then the column drops
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0, "secret"), (2L, ts(1), 2.0, "hidden"))
+        .toDF("event_id", "ts", "value", "note"),
+      "event_id", "ts", cdf = true)
+    LakeSnapshot.dropColumn(spark, dir, "note")
+    // the stream schema unions table columns with SIDECAR columns, so
+    // `note` is in the stream — but the pinned state knows it as dropped
+    assert(run(dir, accDir, ckpt, maxDays = 10, maxEpochs = 10, None))
+    val acc = spark.read.parquet(accDir)
+    assert(acc.columns.contains("note"),
+      "retained sidecars surface the dropped column in the stream schema")
+    assert(acc.filter(col("note").isNotNull).count() === 0L,
+      "snapshot rows must NULL-fill a dropped column — pre-drop values " +
+        "in pinned files must never resurface")
+    assert(acc.select("event_id", "value").as[(Long, Double)]
+      .collect().toSet === Set((1L, 1.0), (2L, 2.0)))
+  }
+
   test("loud contracts: streaming read without changes=true refuses " +
     "with the fix in the message; offsets round-trip their json") {
     val root = freshDir("loud")
