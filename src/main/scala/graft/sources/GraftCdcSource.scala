@@ -242,6 +242,21 @@ private[sources] class CdcPartitionReader(
       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96),
     s"graft-cdc reader: ${part.path} carries INT96 timestamps — change " +
       "sidecars must be written through LakeSnapshot (TIMESTAMP_MICROS)")
+  // LOUD on mid-stream schema evolution (r15): a sidecar column the
+  // stream's (start-time) schema doesn't know would otherwise be
+  // SILENTLY DROPPED from every change image — a consumer folding the
+  // feed would hold a wrong table. `day` rides sidecars but is derived,
+  // not part of the feed schema on every surface.
+  locally {
+    val known = schema.fieldNames.toSet + "day"
+    val unknown = fileSchema.getFields.asScala.map(_.getName)
+      .filterNot(known)
+    require(unknown.isEmpty,
+      s"graft-cdc reader: ${part.path} carries column(s) " +
+        s"${unknown.mkString(", ")} the stream's schema does not — the " +
+        "table evolved after the stream started; restart the stream to " +
+        "pick up the new columns")
+  }
   private val io = new ColumnIOFactory().getColumnIO(fileSchema)
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L

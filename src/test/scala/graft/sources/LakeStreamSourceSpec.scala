@@ -176,6 +176,48 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       .collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("mid-stream schema EVOLUTION is loud, never silent: a tail " +
+    "sidecar carrying a column the stream's schema doesn't know fails " +
+    "the batch with the restart instruction") {
+    val root = freshDir("evolve_mid")
+    val (dir, accDir, ckpt) = (s"$root/lake", s"$root/acc", s"$root/ckpt")
+    seed(dir)
+    assert(run(dir, accDir, ckpt, maxDays = 10, maxEpochs = 10, None))
+    val preEvolveSchema = spark.readStream.format("graft-lake")
+      .option("path", dir).option("changes", "true").load().schema
+    // the table evolves AFTER the stream's schema pinned: a cdf merge
+    // carrying a brand-new column
+    LakeSnapshot.merge(spark, dir,
+      Seq((10L, ts(1), 1.0, "fix")).toDF("event_id", "ts", "value", "src"),
+      "event_id", "ts", cdf = true)
+    // a LONG-RUNNING stream holds the schema it started with — pin it
+    // explicitly (a restart re-infers and self-heals; mid-run there is
+    // no re-infer, only this loud failure between it and silent loss)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-lake")
+        .schema(preEvolveSchema)
+        .option("path", dir).option("changes", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(accDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("restart the stream"),
+      s"dropping the new column silently would corrupt the fold: ${msgs(e)}")
+    // a RESTART (schema re-inferred) picks the evolved column up whole
+    val acc2 = s"$root/acc2"
+    assert(run(dir, acc2, s"$root/ckpt2", 10, 10, None))
+    val snap = spark.read.parquet(acc2)
+    assert(snap.columns.contains("src"))
+    assert(snap.filter(col("src") === "fix").count() === 1L)
+  }
+
   test("loud contracts: streaming read without changes=true refuses " +
     "with the fix in the message; offsets round-trip their json") {
     val root = freshDir("loud")
