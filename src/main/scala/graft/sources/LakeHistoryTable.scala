@@ -42,9 +42,13 @@ private[sources] class LakeHistoryTable(dir: String)
         override def planInputPartitions(): Array[InputPartition] = {
           val spark = SparkSession.active
           val manifest = s"$dir/manifest"
-          // ONE listing for every commit mtime (the .properties rename
-          // instant IS the commit time) — not a getFileStatus per epoch,
-          // which made .history O(n²) filesystem calls (ADVICE r14)
+          // the rows FIRST, then ONE listing for every commit mtime (the
+          // .properties rename instant IS the commit time) — not a
+          // getFileStatus per epoch, which made .history O(n²)
+          // filesystem calls (ADVICE r14). Order matters: rows derive
+          // from the same files, so a commit racing this scan can only
+          // add mtimes the row set doesn't ask for — never the reverse.
+          val rowKvs = IncrementalDedup.Manifest.read(spark, manifest)
           val fs = new org.apache.hadoop.fs.Path(manifest)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val EpochName = "epoch-(\\d+)\\.properties".r
@@ -56,7 +60,7 @@ private[sources] class LakeHistoryTable(dir: String)
                   case _ => None
                 }
               }.toMap
-          val rows = IncrementalDedup.Manifest.read(spark, manifest)
+          val rows = rowKvs
             .map { case (e, kv) =>
               val op =
                 if (kv.contains("snapshot")) "checkpoint"
