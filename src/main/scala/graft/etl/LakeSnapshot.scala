@@ -193,6 +193,26 @@ object LakeSnapshot {
   private[graft] def keyParts(keyCol: String): Seq[String] =
     keyCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Canonical rendering for UNORDERABLE columns (maps): to_json is
+    * entry-order-sensitive, so two semantically equal maps built in
+    * different orders rendered unequal — spurious CDC update rows and
+    * nondeterministic dedup winners (ADVICE r15). Sort the entries
+    * before rendering whenever the entry struct is orderable; a map
+    * whose value type is itself unorderable (map-in-struct nests) keeps
+    * the raw rendering — those types can't promise a canonical order.
+    */
+  private[etl] def canonicalRender(
+      c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    dt match {
+      case org.apache.spark.sql.types.MapType(kt, vt, _)
+          if RowOrdering.isOrderable(kt) && RowOrdering.isOrderable(vt) =>
+        to_json(map_from_entries(array_sort(map_entries(c))))
+      case _ => to_json(c)
+    }
+  }
+
   private def csv(days: Seq[String]): String = days.sorted.mkString(",")
   private def uncsv(s: String): Seq[String] =
     if (s == null || s.isEmpty) Nil else s.split(",").toSeq
@@ -292,6 +312,14 @@ object LakeSnapshot {
       case None => withRename
     }
     val withTag = kv.get("tag").filter(_.nonEmpty) match {
+      // A pre-r15 tag was never validated against the fold separators: a
+      // ','/'=' inside one would render a txns CSV that parseTxns
+      // mis-splits, silently corrupting high-waters (ADVICE r15). Such a
+      // legacy tag poisons txnsComplete instead — the checkpoint then
+      // omits `txns` and readers keep the full-scan fallback (correct,
+      // just unfolded). New commits reject these characters up front.
+      case Some(t) if t.contains(",") || t.contains("=") || t.contains("\n") =>
+        withDrops.copy(txnsComplete = false)
       case Some(t) => withDrops.copy(txns = foldTag(withDrops.txns, t))
       case None => withDrops
     }
@@ -817,11 +845,11 @@ object LakeSnapshot {
         val joined = norm(b).join(old, parts, "left_outer")
         // maps (r15) are not equality-comparable in Spark — compare the
         // canonical JSON rendering instead (same change-detection rule,
-        // rendered form)
+        // rendered form; entry-order-normalized, ADVICE r15)
         def cmp(c: org.apache.spark.sql.Column,
             dt: org.apache.spark.sql.types.DataType) =
           if (org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(dt)) c else to_json(c)
+            .isOrderable(dt)) c else canonicalRender(c, dt)
         val types = (s.schema ++ b.schema).map(f => f.name -> f.dataType).toMap
         val changed = cols.map(c =>
           !(cmp(col(c), types(c)) <=> cmp(col(s"__o_$c"), types(c))))
@@ -1280,6 +1308,26 @@ object LakeSnapshot {
         s"idempotence tag '$tag' must not contain ',', '=' or newlines")
       val prior = tagEpoch(spark, dir, tag)
       if (prior.isDefined) return prior.get
+      // Monotone-version contract, enforced at COMMIT time (ADVICE r15):
+      // checkpoint folding makes "hw >= v" mean "already delivered", which
+      // is only sound if per-app versions strictly increase. A NEW tag at
+      // or below the app's committed high-water — reachable only while
+      // exact rows can still prove no such tag was committed — is a
+      // producer bug, not a redelivery: reject it loudly instead of
+      // silently skipping the data. Also traps the bare-`foo` vs `foo-0`
+      // alias (both split to version 0).
+      val (app, v) = splitTag(tag)
+      val st = committedRows(spark, dir).foldLeft(EmptyState) {
+        case (m, (_, kv)) => applyRow(m, kv)
+      }
+      st.txns.get(app).filter(_ >= v).foreach { hw =>
+        sys.error(
+          s"idempotence tag '$tag' violates the monotone-version " +
+            s"contract at $dir: app '$app' already committed high-water " +
+            s"$hw >= $v and no exact '$tag' row exists — per-app tag " +
+            "versions must strictly increase (note: bare 'foo' and " +
+            "'foo-0' alias to version 0)")
+      }
     }
     commitDelta(spark, dir,
       Staged(gen, baseEpoch, days.distinct.sorted, Nil), keyCol, tag)
@@ -1306,7 +1354,18 @@ object LakeSnapshot {
         }
         val (app, v) = splitTag(tag)
         if (st.txnsComplete)
-          st.txns.get(app).filter(_ >= v)
+          // ONLY the checkpoint row's own folded txns may answer "v ≤
+          // high-water ⟹ committed": its exact rows are genuinely gone.
+          // A tag committed AFTER the checkpoint is still visible above,
+          // so answering from the live fold would alias a NEW
+          // out-of-order tag to "already committed" — the data-losing
+          // silent skip ADVICE r15 flags; commitExternalDelta now
+          // rejects that case loudly instead.
+          rows.collectFirst {
+            case (_, kv) if kv.contains("snapshot") && kv.contains("txns") =>
+              parseTxns(kv("txns"))
+          }.getOrElse(Map.empty[String, Long])
+            .get(app).filter(_ >= v)
             .map(_ => checkpointEpoch(spark, dir))
         else
           IncrementalDedup.Manifest.read(spark, p.manifest)

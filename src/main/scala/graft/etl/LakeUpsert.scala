@@ -72,7 +72,10 @@ object LakeUpsert {
       val ord = struct(others.map { c =>
         if (org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(batch.schema(c).dataType)) col(c)
-        else to_json(col(c)).as(c)
+        // entry-order-normalized rendering: equal maps rank equal, so
+        // the winner never depends on map build order (ADVICE r15)
+        else LakeSnapshot.canonicalRender(
+          col(c), batch.schema(c).dataType).as(c)
       }: _*)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(parts.map(col): _*).orderBy(ord.desc)

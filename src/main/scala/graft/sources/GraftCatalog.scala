@@ -212,6 +212,12 @@ class GraftCatalog extends TableCatalog
     require(schema.fieldNames.contains(ts),
       s"event-time column '$ts' is not a column of " +
         s"${schema.fieldNames.toSeq} (set TBLPROPERTIES ts)")
+    // Reject column types the lake bridges can't round-trip AT CREATE
+    // time: an insert-only MERGE plans as an append (never reaching the
+    // Group writer's own checks), so without this gate an unreadable
+    // array-of-maps could COMMIT and only fail at first read (r16).
+    schema.fields.foreach(f =>
+      GraftCatalog.validateLakeType(f.name, f.dataType))
     val dir = dirOf(ident)
     // COMMENT 'x' arrives as the "comment" property; any other
     // non-reserved TBLPROPERTIES persist alongside the declarations
@@ -250,6 +256,7 @@ class GraftCatalog extends TableCatalog
         require(a.position() == null,
           "ADD COLUMN ... FIRST/AFTER is not supported (columns append)")
         val name = a.fieldNames()(0)
+        GraftCatalog.validateLakeType(name, a.dataType())
         val declared = readCreateProps(dir)
         val declaredSchema = declared.get("schema")
           .map(StructType.fromDDL).getOrElse(new StructType())
@@ -381,6 +388,47 @@ object GraftCatalog {
     * TBLPROPERTIES refuses them; everything else is plain metadata).
     */
   val ReservedProps: Set[String] = Set("key", "ts", "schema", "path")
+
+  /** The lake's type contract, enforced where a table is born, exactly
+    * mirroring what the Group bridges round-trip: scalars/decimal/binary
+    * anywhere; structs anywhere (fields recurse); arrays of anything
+    * except maps (nested lists recurse, r16); maps with scalar keys
+    * whose values are scalars or structs — never a map as an array
+    * element or map value, never an array as a map value. Checked at
+    * CREATE because an insert-only MERGE plans as an append (never
+    * reaching the Group writer's own checks), so an unreadable shape
+    * could otherwise COMMIT and only fail at first read (r16).
+    */
+  private[sources] def validateLakeType(
+      name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case MapType(kt, vt, _) =>
+        require(kt == StringType || kt == LongType || kt == IntegerType,
+          s"graft-lake: column '$name' has map key type $kt — " +
+            "string/long/int keys only")
+        vt match {
+          case _: MapType | _: ArrayType =>
+            throw new UnsupportedOperationException(
+              s"graft-lake: column '$name' has map value type $vt — " +
+                "lake map values hold scalars or structs " +
+                "(maps-in-maps / arrays-in-maps stay out)")
+          case other => validateLakeType(s"$name[value]", other)
+        }
+      case ArrayType(elem, _) => elem match {
+        case _: MapType =>
+          throw new UnsupportedOperationException(
+            s"graft-lake: column '$name' has array element type $elem — " +
+              "lake arrays hold scalars, structs, or arrays " +
+              "(maps-in-arrays stay out)")
+        case other => validateLakeType(s"$name[]", other)
+      }
+      case st: StructType =>
+        st.fields.foreach(f =>
+          validateLakeType(s"$name.${f.name}", f.dataType))
+      case _ => () // scalars/decimal/binary: always bridged
+    }
+  }
 
   /** One-line value encoding for the properties file (a COMMENT may
     * carry newlines; the file is line-oriented).

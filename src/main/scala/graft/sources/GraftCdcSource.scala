@@ -81,14 +81,32 @@ object GraftCdcSource {
     * the commit-epoch stamp.
     */
   def feedSchema(spark: SparkSession, dir: String): StructType = {
-    val cdfRoot = s"$dir/cdf"
+    val fields = sidecarFields(spark, s"$dir/cdf")
+    require(fields.nonEmpty,
+      s"graft-cdc: no change sidecars at $dir/cdf — create the lake and " +
+        "commit at least one cdf=true mutation before starting the stream")
+    StructType(fields :+ StructField("_commit_epoch", IntegerType))
+  }
+
+  /** Sidecar schema inference that never routes through partition
+    * discovery: reads the `gen=G` leaf directories as explicit input
+    * paths, so the `gen` directory key can't leak into the feed schema
+    * as a spurious always-null data column, and a real table column
+    * named `gen` can't collide with it (ADVICE r15). mergeSchema still
+    * unions evolved footers across generations.
+    */
+  private[sources] def sidecarFields(
+      spark: SparkSession, cdfRoot: String): Seq[StructField] = {
     val p = new Path(cdfRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(f.exists(p) && f.listStatus(p).exists(_.isDirectory),
-      s"graft-cdc: no change sidecars at $cdfRoot — create the lake and " +
-        "commit at least one cdf=true mutation before starting the stream")
-    val base = spark.read.option("mergeSchema", "true").parquet(cdfRoot)
-    StructType(base.schema.fields :+ StructField("_commit_epoch", IntegerType))
+    if (!f.exists(p)) return Nil
+    val genDirs = f.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .sortBy(_.getPath.getName.stripPrefix("gen=").toInt)
+      .map(_.getPath.toString).toSeq
+    if (genDirs.isEmpty) Nil
+    else spark.read.option("mergeSchema", "true")
+      .parquet(genDirs: _*).schema.fields.toSeq
   }
 }
 

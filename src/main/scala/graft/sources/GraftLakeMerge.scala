@@ -385,10 +385,12 @@ private[sources] object LakeGroupWrite {
         val lb = b.optionalGroup().as(LogicalTypeAnnotation.listType())
           .repeatedGroup()
         elem match {
-          case _: ArrayType | _: MapType =>
+          case _: MapType =>
             throw new UnsupportedOperationException(
               s"graft-lake merge writer: nested element type $elem " +
-                s"for '$name' — lake arrays hold scalars or structs")
+                s"for '$name' — lake arrays hold scalars, structs, or " +
+                "arrays (maps-in-arrays stay out)")
+          // ArrayType recurses: nested LIST groups to any depth (r16)
           case _ => addField(lb, "element", elem)
         }
         lb.named("list").named(name)
@@ -442,29 +444,9 @@ private[sources] object LakeGroupWrite {
     case BinaryType => g.add(name,
       org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
     case d: DecimalType =>
-      val dec = row.getDecimal(i, d.precision, d.scale)
-      if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
-      else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
-      else {
-        // big-endian two's complement, sign-extended to the fixed width
-        val width = minBytesForPrecision(d.precision)
-        val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
-        require(raw.length <= width,
-          s"decimal overflow for '$name': needs ${raw.length}B > $width")
-        val out = new Array[Byte](width)
-        if (raw.head < 0) java.util.Arrays.fill(out, 0xFF.toByte)
-        System.arraycopy(raw, 0, out, width - raw.length, raw.length)
-        g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
-      }
+      addDecimal(g, name, d, row.getDecimal(i, d.precision, d.scale))
     case ArrayType(elem, _) =>
-      val arr = row.getArray(i)
-      val listGroup = g.addGroup(name)
-      var j = 0
-      while (j < arr.numElements()) {
-        val e = listGroup.addGroup("list") // one entry per element
-        if (!arr.isNullAt(j)) addElement(e, "element", elem, arr, j)
-        j += 1
-      }
+      addArray(g, name, elem, row.getArray(i))
     case st: StructType =>
       addStruct(g.addGroup(name), st, row.getStruct(i, st.length))
     case MapType(kt, vt, _) =>
@@ -483,6 +465,44 @@ private[sources] object LakeGroupWrite {
       s"graft-lake merge writer: unsupported column type $other for '$name'")
   }
 
+  /** A decimal value under the writer's physical sizing rule —
+    * int32/int64 for ≤9/≤18 digits, fixed-len big-endian two's
+    * complement above — shared by top-level columns and array/map
+    * elements so the encodings never diverge (ADVICE r15).
+    */
+  private def addDecimal(
+      g: Group, name: String, d: DecimalType,
+      dec: org.apache.spark.sql.types.Decimal): Unit =
+    if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
+    else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+    else {
+      // big-endian two's complement, sign-extended to the fixed width
+      val width = minBytesForPrecision(d.precision)
+      val raw = dec.toJavaBigDecimal.unscaledValue().toByteArray
+      require(raw.length <= width,
+        s"decimal overflow for '$name': needs ${raw.length}B > $width")
+      val out = new Array[Byte](width)
+      if (raw.head < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+      System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+      g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+    }
+
+  /** A LIST value as the standard 3-level group — one `list` entry per
+    * element, null = entry with no `element`. Shared by top-level array
+    * columns and nested array elements (arrays-of-arrays recurse, r16).
+    */
+  private def addArray(
+      g: Group, name: String, elem: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val listGroup = g.addGroup(name)
+    var j = 0
+    while (j < arr.numElements()) {
+      val e = listGroup.addGroup("list") // one entry per element
+      if (!arr.isNullAt(j)) addElement(e, "element", elem, arr, j)
+      j += 1
+    }
+  }
+
   /** One array/map element into its entry group under `into` (the
     * standard field names: `element` for lists, `key`/`value` for maps).
     */
@@ -498,6 +518,10 @@ private[sources] object LakeGroupWrite {
       case StringType => e.add(into, arr.getUTF8String(j).toString)
       case BinaryType => e.add(into,
         org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
+      case d: DecimalType =>
+        addDecimal(e, into, d, arr.getDecimal(j, d.precision, d.scale))
+      case ArrayType(inner, _) =>
+        addArray(e, into, inner, arr.getArray(j))
       case st: StructType =>
         addStruct(e.addGroup(into), st, arr.getStruct(j, st.length))
       case other => throw new UnsupportedOperationException(

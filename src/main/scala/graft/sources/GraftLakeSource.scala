@@ -962,6 +962,9 @@ private[sources] object LakeGroupRead {
           case st: StructType =>
             structValue(entry.getGroup(1, 0),
               entryType.getType(1).asGroupType(), st)
+          case dd: DecimalType =>
+            decimalAt(entry, valName, 0,
+              entryType.getType(1).asPrimitiveType(), dd)
           case _ => elementValue(entry, valName, 0, vt)
         }
       j += 1
@@ -981,8 +984,18 @@ private[sources] object LakeGroupRead {
       internalValue(sub, gt, f.name, f.dataType)))
 
   private def decimalValue(
-      g: Group, fs: GroupType, name: String, d: DecimalType): Any = {
-    val pt = fs.getType(fs.getFieldIndex(name)).asPrimitiveType()
+      g: Group, fs: GroupType, name: String, d: DecimalType): Any =
+    decimalAt(g, name, 0,
+      fs.getType(fs.getFieldIndex(name)).asPrimitiveType(), d)
+
+  /** One decimal under any of the writer's physical widths, at a field
+    * repetition index — shared by top-level columns (index 0) and
+    * array/map elements, mirroring [[LakeGroupWrite.addDecimal]]
+    * (ADVICE r15: elements and columns must read symmetrically).
+    */
+  private def decimalAt(
+      g: Group, name: String, j: Int,
+      pt: PrimitiveType, d: DecimalType): Any = {
     val fileScale = pt.getLogicalTypeAnnotation match {
       case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a.getScale
       case _ => d.scale // unannotated physical: trust the declared type
@@ -990,11 +1003,11 @@ private[sources] object LakeGroupRead {
     val unscaled: java.math.BigInteger =
       pt.getPrimitiveTypeName match {
         case PrimitiveType.PrimitiveTypeName.INT32 =>
-          java.math.BigInteger.valueOf(g.getInteger(name, 0).toLong)
+          java.math.BigInteger.valueOf(g.getInteger(name, j).toLong)
         case PrimitiveType.PrimitiveTypeName.INT64 =>
-          java.math.BigInteger.valueOf(g.getLong(name, 0))
+          java.math.BigInteger.valueOf(g.getLong(name, j))
         case _ => // BINARY / FIXED_LEN_BYTE_ARRAY: big-endian two's complement
-          new java.math.BigInteger(g.getBinary(name, 0).getBytes)
+          new java.math.BigInteger(g.getBinary(name, j).getBytes)
       }
     val dec = org.apache.spark.sql.types.Decimal(
       new java.math.BigDecimal(unscaled, fileScale))
@@ -1039,6 +1052,11 @@ private[sources] object LakeGroupRead {
           else elem match {
             case st: StructType =>
               structValue(entry.getGroup(0, 0), elemType.asGroupType(), st)
+            // arrays-of-arrays: the element is itself a LIST group (r16)
+            case at: ArrayType =>
+              arrayValue(entry, inner.asGroupType(), elemName, at.elementType)
+            case dd: DecimalType =>
+              decimalAt(entry, elemName, 0, elemType.asPrimitiveType(), dd)
             case _ => elementValue(entry, elemName, 0, elem)
           }
         j += 1

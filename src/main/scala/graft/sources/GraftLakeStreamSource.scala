@@ -52,8 +52,16 @@ private[sources] class LakeFullTableStream(
     props.get("maxDaysPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
   private val maxEpochsPerBatch =
     props.get("maxEpochsPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
+  // byte-based admission (VERDICT r15 #5, the Delta maxBytesPerTrigger
+  // shape): a skewed hot day no longer makes one micro-batch arbitrarily
+  // large — the snapshot admits file-at-a-time within a day, splitting
+  // at file boundaries (a day's delta FOLD is one atomic unit: its files
+  // fold together). At least one unit is always admitted (progress).
+  private val maxBytesPerBatch =
+    props.get("maxBytesPerBatch").map(_.toLong).getOrElse(Long.MaxValue)
   require(maxDaysPerBatch > 0, "maxDaysPerBatch must be positive")
   require(maxEpochsPerBatch > 0, "maxEpochsPerBatch must be positive")
+  require(maxBytesPerBatch > 0, "maxBytesPerBatch must be positive")
 
   private def spark = SparkSession.active
 
@@ -78,6 +86,71 @@ private[sources] class LakeFullTableStream(
   private def snapDays(e0: Int): Seq[String] =
     snapState(e0).days.keys.toSeq.sorted
 
+  /** One pinned day's admission plan: its base files (with sizes — each
+    * is one admission unit) and the delta fold (one atomic unit sized as
+    * the sum of its files). Built driver-side once per pin from one
+    * listing per generation directory — metadata-sized, cached: the
+    * pinned view is immutable, so the plan is identical on every restart.
+    */
+  private final case class DayPlan(
+      day: String, baseFiles: Seq[(String, Long)],
+      deltas: Seq[LakeDeltaFileRef], dvFiles: Seq[String],
+      foldBytes: Long) {
+    def unitCount: Int = baseFiles.size + (if (deltas.nonEmpty) 1 else 0)
+    def unitBytes(u: Int): Long =
+      if (u < baseFiles.size) baseFiles(u)._2 else foldBytes
+  }
+
+  @volatile private var planCache: (Int, Vector[DayPlan]) = _
+  private def snapPlan(e0: Int): Vector[DayPlan] = {
+    val c = planCache
+    if (c != null && c._1 == e0) return c._2
+    val state = snapState(e0)
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(d: String): Seq[(String, Long)] = {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(dp)) sys.error(
+        s"graft-lake stream: pinned generation directory $d is missing " +
+          "— vacuumed past the stream's snapshot epoch? (raise the " +
+          "retention)")
+      fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.toString -> st.getLen)
+    }
+    val key = state.key.orNull
+    val plan = snapDays(e0).map { day =>
+      val ds = state.days(day)
+      if (ds.deltas.nonEmpty) require(key != null,
+        s"delta generations exist at $dir but no table key is recorded")
+      val deltaFiles = ds.deltas.zipWithIndex.flatMap { case (g, k) =>
+        files(s"${p.delta}/gen=$g/day=$day")
+          .map { case (f, len) => (LakeDeltaFileRef(f, k + 1), len) }
+      }
+      val dvFiles = ds.dvs.flatMap(g =>
+        files(s"${p.dv}/gen=$g/day=$day").map(_._1))
+      val base =
+        if (ds.base < 0) Nil
+        else files(s"${p.data}/gen=${ds.base}/day=$day")
+      DayPlan(day, base, deltaFiles.map(_._1), dvFiles,
+        deltaFiles.map(_._2).sum)
+    }.toVector
+    planCache = (e0, plan)
+    plan
+  }
+
+  /** (dayIdx, unitIdx) normalized so a position at a day's end carries
+    * over to (day + 1, 0) — one canonical encoding per position.
+    */
+  private def normalized(e0: Int, d0: Int, u0: Int): (Int, Int) = {
+    val plan = snapPlan(e0)
+    var d = d0
+    var u = u0
+    while (d < plan.size && u >= plan(d).unitCount) { u -= plan(d).unitCount; d += 1 }
+    (d, if (d < plan.size) u else 0)
+  }
+
   @volatile private var availableNowTarget: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -101,11 +174,29 @@ private[sources] class LakeFullTableStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeStreamOffset]
     if (!s.tailPhase) {
-      val n = snapDays(s.epoch).size
-      if (s.dayIdx < n)
-        LakeStreamOffset.snapshot(s.epoch,
-          math.min(n.toLong, s.dayIdx.toLong + maxDaysPerBatch).toInt)
-      else tailTarget(s.epoch) // snapshot drained: hand over to the tail
+      val plan = snapPlan(s.epoch)
+      val (d0, u0) = normalized(s.epoch, s.dayIdx, s.unitIdx)
+      if (d0 >= plan.size) return tailTarget(s.epoch) // drained: hand over
+      // admit units (base file / whole delta fold) until the byte budget
+      // or the day cap closes the batch; always at least one unit
+      var d = d0
+      var u = u0
+      var bytes = 0L
+      var admitted = 0
+      var open = true
+      while (open && d < plan.size && (d - d0) < maxDaysPerBatch) {
+        val dp = plan(d)
+        if (u >= dp.unitCount) { d += 1; u = 0 }
+        else {
+          val b = dp.unitBytes(u)
+          if (admitted > 0 && bytes + b > maxBytesPerBatch) open = false
+          else {
+            bytes += b; admitted += 1; u += 1
+            if (u >= dp.unitCount) { d += 1; u = 0 }
+          }
+        }
+      }
+      LakeStreamOffset.snapshot(s.epoch, d, u)
     } else tailTarget(s.epoch)
   }
 
@@ -124,38 +215,25 @@ private[sources] class LakeFullTableStream(
     val s = start.asInstanceOf[LakeStreamOffset]
     val e = end.asInstanceOf[LakeStreamOffset]
     if (!e.tailPhase) {
-      // a snapshot window: days [s.dayIdx, e.dayIdx) of the pinned view
-      if (e.dayIdx <= s.dayIdx) return Array.empty
-      snapshotPartitions(s.epoch, s.dayIdx, e.dayIdx)
+      // a snapshot window: admission units [s, e) of the pinned view
+      snapshotPartitions(s.epoch, (s.dayIdx, s.unitIdx),
+        (e.dayIdx, e.unitIdx))
     } else if (!s.tailPhase) {
       // the handover batch: any snapshot remainder + the first tail window
-      val rest = snapshotPartitions(s.epoch, s.dayIdx,
-        snapDays(s.epoch).size)
+      val rest = snapshotPartitions(s.epoch, (s.dayIdx, s.unitIdx),
+        (snapPlan(s.epoch).size, 0))
       rest ++ tailPartitions(s.epoch, e.epoch)
     } else tailPartitions(s.epoch, e.epoch)
   }
 
-  /** The pinned view's partitions for days [i, j) — the batch scan's
-    * own shapes (base file + per-day delta fold), wrapped with the
-    * snapshot change stamp.
+  /** The pinned view's partitions for admission units [from, to) — the
+    * batch scan's own shapes (base file + per-day delta fold), wrapped
+    * with the snapshot change stamp.
     */
   private def snapshotPartitions(
-      e0: Int, i: Int, j: Int): Array[InputPartition] = {
+      e0: Int, from: (Int, Int), to: (Int, Int)): Array[InputPartition] = {
+    val plan = snapPlan(e0)
     val state = snapState(e0)
-    val p = LakeSnapshot.LakePaths(dir)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def files(d: String): Seq[String] = {
-      val dp = new org.apache.hadoop.fs.Path(d)
-      if (!fs.exists(dp)) sys.error(
-        s"graft-lake stream: pinned generation directory $d is missing " +
-          "— vacuumed past the stream's snapshot epoch? (raise the " +
-          "retention)")
-      fs.listStatus(dp).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
-    }
-    val days = snapDays(e0).slice(i, j)
     val key = state.key.orNull
     // physical parquet names bind against the PINNED state, resolved
     // DRIVER-side once and shipped inside the partitions — executors
@@ -168,26 +246,28 @@ private[sources] class LakeFullTableStream(
       if (f.name == "day") null
       else state.physicalFor(f.name).getOrElse("\u0000absent")
     }
-    days.flatMap { day =>
-      val ds = state.days(day)
-      if (ds.deltas.nonEmpty) require(key != null,
-        s"delta generations exist at $dir but no table key is recorded")
-      val deltas = ds.deltas.zipWithIndex.flatMap { case (g, k) =>
-        files(s"${p.delta}/gen=$g/day=$day").map(LakeDeltaFileRef(_, k + 1))
-      }
-      val dvFiles = ds.dvs.flatMap(g => files(s"${p.dv}/gen=$g/day=$day"))
-      val base =
-        if (ds.base < 0) Nil
-        else files(s"${p.data}/gen=${ds.base}/day=$day").map(f =>
+    val (d0, u0) = normalized(e0, from._1, from._2)
+    val (d1, u1) = normalized(e0, to._1, to._2)
+    val out = Vector.newBuilder[InputPartition]
+    var d = d0
+    while (d < plan.size && (d < d1 || (d == d1 && u1 > 0))) {
+      val dp = plan(d)
+      val lo = if (d == d0) u0 else 0
+      val hi = if (d == d1) u1 else dp.unitCount
+      var u = lo
+      while (u < hi) {
+        out += (if (u < dp.baseFiles.size)
           LakeSnapshotChangePartition(
-            LakeBaseFilePartition(day, f, deltas, dvFiles, key),
-            e0, physical): InputPartition)
-      base ++ (if (deltas.nonEmpty)
-        Seq(LakeSnapshotChangePartition(
-          LakeDeltaFoldPartition(day, deltas, key), e0,
-          physical): InputPartition)
-      else Nil)
-    }.toArray
+            LakeBaseFilePartition(dp.day, dp.baseFiles(u)._1, dp.deltas,
+              dp.dvFiles, key), e0, physical)
+        else
+          LakeSnapshotChangePartition(
+            LakeDeltaFoldPartition(dp.day, dp.deltas, key), e0, physical))
+        u += 1
+      }
+      d += 1
+    }
+    out.result().toArray
   }
 
   private def tailPartitions(from: Int, to: Int): Array[InputPartition] = {
@@ -217,23 +297,29 @@ private[sources] class LakeFullTableStream(
   override def stop(): Unit = ()
 }
 
-/** Phase-carrying offset: `s:<pinEpoch>:<daysEmitted>` mid-snapshot,
+/** Phase-carrying offset: `s:<pinEpoch>:<daysEmitted>[:<unitsInDay>]`
+  * mid-snapshot (the unit index is omitted at a day boundary, so
+  * pre-r16 checkpoints — day granularity only — parse unchanged),
   * `t:<epoch>` on the tail.
   */
 final case class LakeStreamOffset(
-    tailPhase: Boolean, epoch: Int, dayIdx: Int) extends Offset {
+    tailPhase: Boolean, epoch: Int, dayIdx: Int, unitIdx: Int = 0)
+  extends Offset {
   override def json(): String =
-    if (tailPhase) s"t:$epoch" else s"s:$epoch:$dayIdx"
+    if (tailPhase) s"t:$epoch"
+    else if (unitIdx == 0) s"s:$epoch:$dayIdx"
+    else s"s:$epoch:$dayIdx:$unitIdx"
 }
 
 object LakeStreamOffset {
-  def snapshot(e0: Int, dayIdx: Int): LakeStreamOffset =
-    LakeStreamOffset(tailPhase = false, e0, dayIdx)
+  def snapshot(e0: Int, dayIdx: Int, unitIdx: Int = 0): LakeStreamOffset =
+    LakeStreamOffset(tailPhase = false, e0, dayIdx, unitIdx)
   def tail(epoch: Int): LakeStreamOffset =
     LakeStreamOffset(tailPhase = true, epoch, -1)
   def parse(json: String): LakeStreamOffset = json.trim.split(':') match {
     case Array("t", e) => tail(e.toInt)
     case Array("s", e, i) => snapshot(e.toInt, i.toInt)
+    case Array("s", e, i, u) => snapshot(e.toInt, i.toInt, u.toInt)
     case _ => sys.error(s"graft-lake stream: unparseable offset '$json'")
   }
 }
@@ -305,13 +391,10 @@ private[sources] object LakeFullTableStream {
     * snapshot), minus the derived `day`, plus the change stamps.
     */
   def streamSchema(spark: SparkSession, dir: String): StructType = {
-    val cdfRoot = new org.apache.hadoop.fs.Path(s"$dir/cdf")
-    val f = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-gen-dir footers, never partition discovery: the gen= key must
+    // not surface as a data column (ADVICE r15; shared with graft-cdc)
     val sidecar: Seq[StructField] =
-      if (f.exists(cdfRoot) && f.listStatus(cdfRoot).exists(_.isDirectory))
-        spark.read.option("mergeSchema", "true")
-          .parquet(cdfRoot.toString).schema.fields.toSeq
-      else Nil
+      GraftCdcSource.sidecarFields(spark, s"$dir/cdf")
     val table: Seq[StructField] =
       if (LakeSnapshot.currentEpoch(spark, dir) >= 0 &&
           LakeSnapshot.tableState(spark, dir).days.nonEmpty)

@@ -150,6 +150,41 @@ class LakeUpsertSpec extends AnyFunSuite {
       (1L, 9.0, "2024-01-01"), (5L, 5.0, "2024-01-01")))
   }
 
+  test("semantically equal MAPS compare equal regardless of entry order " +
+    "(ADVICE r15): no spurious CDC update rows, and the duplicate-key " +
+    "winner is decided by the ORDERABLE columns, not map build order") {
+    val dir = freshDir("map_order")
+    def row(m: Seq[(String, Long)], v: Double) =
+      spark.sql(s"SELECT 1L AS event_id, " +
+        s"TIMESTAMP '2024-01-01 10:00:00' AS ts, map(" +
+        m.map { case (k, x) => s"'$k', ${x}L" }.mkString(", ") +
+        s") AS attrs, ${v}D AS value")
+    val e0 = LakeSnapshot.mergeDelta(spark, dir,
+      row(Seq("a" -> 1L, "b" -> 2L), 1.0), "event_id", "ts", cdf = true)
+    // the SAME map built in the opposite entry order, same value: the
+    // old to_json comparison rendered them unequal → phantom
+    // update_preimage/postimage pairs in the feed
+    val e1 = LakeSnapshot.mergeDelta(spark, dir,
+      row(Seq("b" -> 2L, "a" -> 1L), 1.0), "event_id", "ts", cdf = true)
+    val feed = LakeSnapshot.readChangesCdf(spark, dir, e0, e1)
+    assert(feed.filter(col("_change_type").startsWith("update")).count() === 0,
+      "equal maps in different entry order must not produce update rows")
+    // a REAL change still feeds
+    val e2 = LakeSnapshot.mergeDelta(spark, dir,
+      row(Seq("b" -> 9L, "a" -> 1L), 1.0), "event_id", "ts", cdf = true)
+    assert(LakeSnapshot.readChangesCdf(spark, dir, e1, e2)
+      .filter(col("_change_type") === "update_postimage").count() === 1)
+    // duplicate-key collapse: both rows carry EQUAL maps (reordered), so
+    // the orderable 'value' column alone decides the winner
+    val dir2 = freshDir("map_order_dedup")
+    val batch = row(Seq("a" -> 1L, "b" -> 2L), 3.0)
+      .unionByName(row(Seq("b" -> 2L, "a" -> 1L), 8.0))
+    LakeUpsert.merge(spark, dir2, batch, "event_id", "ts")
+    assert(spark.read.parquet(dir2).select("value")
+      .as[Double].collect().toSeq === Seq(8.0),
+      "the greatest orderable tuple wins when the maps are equal")
+  }
+
   test("merge into an empty lake is a pure insert") {
     val dir = freshDir("insert_only")
     Files.createDirectories(Paths.get(dir))

@@ -159,6 +159,88 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(LakeSnapshot.tagEpoch(spark, dir, "sw-qA-2").isDefined)
   }
 
+  test("the monotone-version contract is ENFORCED at commit time " +
+    "(ADVICE r15): a NEW out-of-order tag at/below the app's high-water " +
+    "is rejected loudly (never silently skipped), incl. the bare-'foo' " +
+    "vs 'foo-0' alias; true redeliveries still no-op") {
+    val dir = freshDir("monotone_tags")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    def staged(): (Int, Int) = {
+      val (gen, base, _) =
+        LakeSnapshot.stageExternalDelta(spark, dir, "event_id")
+      Seq((200L, ts(1), 9.0)).toDF("event_id", "ts", "value")
+        .withColumn("day", lit("2024-01-01")).withColumn("__op", lit("u"))
+        .coalesce(1).write.mode("append").partitionBy("day")
+        .parquet(s"$dir/delta/gen=$gen")
+      (gen, base)
+    }
+    val (g1, b1) = staged()
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, g1, b1, Seq("2024-01-01"), "event_id", "sw-m-5")
+    // a NEW tag below the high-water: the old code silently skipped the
+    // batch (data loss); now it is a loud producer-bug error
+    val (g2, b2) = staged()
+    val e = intercept[RuntimeException] {
+      LakeSnapshot.commitExternalDelta(
+        spark, dir, g2, b2, Seq("2024-01-01"), "event_id", "sw-m-3")
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    // the bare-name alias: 'foo' commits as version 0, so a DIFFERENT
+    // tag 'foo-0' must be rejected, not treated as already-committed
+    val (g3, b3) = staged()
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, g3, b3, Seq("2024-01-01"), "event_id", "foo")
+    val (g4, b4) = staged()
+    val e2 = intercept[RuntimeException] {
+      LakeSnapshot.commitExternalDelta(
+        spark, dir, g4, b4, Seq("2024-01-01"), "event_id", "foo-0")
+    }
+    assert(e2.getMessage.contains("monotone"), e2.getMessage)
+    // true redelivery (exact tag) still no-ops, and the next version
+    // commits normally
+    val before = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, g4, b4, Seq("2024-01-01"), "event_id", "sw-m-5")
+    assert(LakeSnapshot.currentEpoch(spark, dir) === before)
+    val (g5, b5) = staged()
+    LakeSnapshot.commitExternalDelta(
+      spark, dir, g5, b5, Seq("2024-01-01"), "event_id", "sw-m-6")
+    assert(LakeSnapshot.currentEpoch(spark, dir) === before + 1)
+  }
+
+  test("a LEGACY tag carrying fold separators poisons txnsComplete " +
+    "instead of corrupting high-waters (ADVICE r15): the checkpoint " +
+    "omits txns, tagEpoch full-scans, redelivery still refused") {
+    val dir = freshDir("legacy_tags")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val (gen, base, _) =
+      LakeSnapshot.stageExternalDelta(spark, dir, "event_id")
+    Seq((2L, ts(1), 2.0)).toDF("event_id", "ts", "value")
+      .withColumn("day", lit("2024-01-01")).withColumn("__op", lit("u"))
+      .coalesce(1).write.mode("append").partitionBy("day")
+      .parquet(s"$dir/delta/gen=$gen")
+    val e = LakeSnapshot.commitExternalDelta(
+      spark, dir, gen, base, Seq("2024-01-01"), "event_id", "goodtag-1")
+    // rewrite the committed row's tag into the pre-r15 unsanitized shape
+    val rowPath = Paths.get(s"$dir/manifest/epoch-$e.properties")
+    val rewritten = new String(Files.readAllBytes(rowPath), "UTF-8")
+      .replace("tag=goodtag-1", "tag=legacy,bad")
+    Files.write(rowPath, rewritten.getBytes("UTF-8"))
+    val ckptEpoch = LakeSnapshot.checkpointManifest(spark, dir)
+    val ckptRow = new String(Files.readAllBytes(
+      Paths.get(s"$dir/manifest/epoch-$ckptEpoch.properties")), "UTF-8")
+    assert(!ckptRow.contains("txns="),
+      s"a separator-bearing legacy tag must suppress the txns fold, got:\n$ckptRow")
+    // the exact legacy tag still reads as committed via the full scan
+    assert(LakeSnapshot.tagEpoch(spark, dir, "legacy,bad").isDefined,
+      "full-scan fallback must still find the legacy tag")
+    assert(LakeSnapshot.tagEpoch(spark, dir, "legacy").isEmpty)
+  }
+
   test("the sink validates its inputs loudly: missing key on a fresh " +
     "lake, and a batch schema without the event-time column") {
     val root = freshDir("loud")

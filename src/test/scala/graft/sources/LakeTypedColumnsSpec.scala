@@ -233,6 +233,103 @@ class LakeTypedColumnsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.bag")
   }
 
+  test("decimal ARRAY elements + MAP values (ADVICE r15) and " +
+    "arrays-of-arrays (r16): ARRAY<DECIMAL>, MAP<STRING,DECIMAL>, " +
+    "ARRAY<ARRAY<FLOAT>> round-trip INSERT (V1 base) → MERGE (Group-API " +
+    "delta) → folded SELECT; maps nested in arrays stay loud") {
+    spark.sql("CREATE TABLE graft.nest (id BIGINT, ts TIMESTAMP, " +
+      "prices ARRAY<DECIMAL(18,2)>, big ARRAY<DECIMAL(25,4)>, " +
+      "fees MAP<STRING, DECIMAL(8,2)>, emb ARRAY<ARRAY<FLOAT>>) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    try {
+      spark.sql("INSERT INTO graft.nest VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', " +
+        "array(CAST('1.10' AS DECIMAL(18,2)), CAST('2.20' AS DECIMAL(18,2))), " +
+        "array(CAST('-123456789012345678901.2345' AS DECIMAL(25,4))), " +
+        "map('tx', CAST(0.25 AS DECIMAL(8,2))), " +
+        "array(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)), array())), " +
+        "(2, TIMESTAMP '2024-01-01 11:00:00', array(), NULL, map(), " +
+        "array(CAST(NULL AS ARRAY<FLOAT>), array(CAST(-0.5 AS FLOAT))))")
+      // MERGE pushes every nested shape THROUGH THE GROUP WRITER: decimal
+      // elements (int64 + FLBA physical), decimal map values, and nested
+      // LIST groups — the ADVICE r15 asymmetry (addField accepted what
+      // addElement threw on) is closed by writing them for real
+      spark.sql(
+        """MERGE INTO graft.nest t
+          |USING (
+          |  SELECT 1L AS id, TIMESTAMP '2024-01-01 10:00:00' AS ts,
+          |    array(CAST('9.99' AS DECIMAL(18,2)),
+          |          CAST(NULL AS DECIMAL(18,2))) AS prices,
+          |    array(CAST('0.0001' AS DECIMAL(25,4)),
+          |          CAST('-0.0001' AS DECIMAL(25,4))) AS big,
+          |    map('tx', CAST(-1.50 AS DECIMAL(8,2)),
+          |        'fee', CAST(NULL AS DECIMAL(8,2))) AS fees,
+          |    array(array(CAST(7.5 AS FLOAT)),
+          |          CAST(NULL AS ARRAY<FLOAT>), array()) AS emb
+          |  UNION ALL
+          |  SELECT 3L, TIMESTAMP '2024-01-02 10:00:00',
+          |    CAST(array() AS ARRAY<DECIMAL(18,2)>),
+          |    CAST(NULL AS ARRAY<DECIMAL(25,4)>),
+          |    CAST(NULL AS MAP<STRING, DECIMAL(8,2)>),
+          |    CAST(array() AS ARRAY<ARRAY<FLOAT>>)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET prices = s.prices, big = s.big,
+          |  fees = s.fees, emb = s.emb
+          |WHEN NOT MATCHED THEN INSERT (id, ts, prices, big, fees, emb)
+          |  VALUES (s.id, s.ts, s.prices, s.big, s.fees, s.emb)
+          |""".stripMargin)
+      val rows = spark.sql("SELECT id, " +
+        "CAST(get(prices, 0) AS STRING), CAST(get(prices, 1) AS STRING), " +
+        "CAST(get(big, 0) AS STRING), CAST(get(big, 1) AS STRING), " +
+        "CAST(fees['tx'] AS STRING), CAST(fees['fee'] AS STRING), " +
+        "get(get(emb, 0), 0), size(get(emb, 0)), get(emb, 1), size(emb) " +
+        "FROM graft.nest ORDER BY id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      val r1 = rows(0)
+      assert(r1.getString(1) === "9.99" && r1.isNullAt(2),
+        "int64-physical decimal elements (incl. a null element) " +
+          "survive the Group round-trip")
+      assert(r1.getString(3) === "0.0001" && r1.getString(4) === "-0.0001",
+        "FLBA decimal elements (sign extension) survive")
+      assert(r1.getString(5) === "-1.50" && r1.isNullAt(6),
+        "decimal map values (incl. a null value) survive")
+      assert(r1.getFloat(7) === 7.5f && r1.getInt(8) === 1 &&
+        r1.isNullAt(9) && r1.getInt(10) === 3,
+        "Group-written array-of-arrays: inner values, null inner, empty " +
+          "inner all survive")
+      val r2 = rows(1)
+      assert(r2.isNullAt(3) && r2.getInt(10) === 2 && r2.isNullAt(7),
+        "V1-base array-of-arrays with a null inner array reads back")
+      assert(spark.sql("SELECT get(get(emb, 1), 0) FROM graft.nest " +
+        "WHERE id = 2").head().getFloat(0) === -0.5f)
+      val r3 = rows(2)
+      assert(!r3.isNullAt(10) && r3.getInt(10) === 0 && r3.isNullAt(5),
+        "Group-written empty outer array and null map")
+      // maps nested in arrays/maps stay OUT, loudly AT CREATE: an
+      // insert-only MERGE plans as an append that bypasses the Group
+      // writer's checks, so the type gate must fire before any data can
+      // commit (r16 — found by exactly that silent-commit path)
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("CREATE TABLE graft.badnest (id BIGINT, ts TIMESTAMP, " +
+          "m ARRAY<MAP<STRING, BIGINT>>) TBLPROPERTIES ('key' = 'id')")
+      }
+      assert(e.getMessage.contains("maps-in-arrays"))
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql("CREATE TABLE graft.badnest2 (id BIGINT, ts TIMESTAMP, " +
+          "m MAP<STRING, MAP<STRING, BIGINT>>) TBLPROPERTIES ('key' = 'id')")
+      }
+      assert(e2.getMessage.contains("maps-in-maps"))
+      val e3 = intercept[UnsupportedOperationException] {
+        spark.sql("ALTER TABLE graft.nest ADD COLUMN bad ARRAY<MAP<STRING, BIGINT>>")
+      }
+      assert(e3.getMessage.contains("maps-in-arrays"))
+    } finally {
+      spark.sql("DROP TABLE graft.nest")
+      spark.sql("DROP TABLE IF EXISTS graft.badnest")
+      spark.sql("DROP TABLE IF EXISTS graft.badnest2")
+    }
+  }
+
   test("decimal stats never claim a skip: pushed decimal comparisons " +
     "produce no RowGroupFilter, the sidecar marks decimal columns " +
     "unusable, and a decimal point-filter is residual-correct with " +

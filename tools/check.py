@@ -9,8 +9,10 @@ hashing), and compares row-by-row rendered values.
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, os, json, glob
+import datetime as dt
 import duckdb
 import numpy as np
+import pyarrow.parquet as pq
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -29,6 +31,16 @@ def render(v, f32=False):
         return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
+    # DATE canonicalization: duckdb.fetchdf widens DATE to a midnight
+    # datetime64 while pyarrow keeps datetime.date. The gate never
+    # distinguished date-vs-midnight-timestamp (both sides used to route
+    # through duckdb), so keep that equivalence explicitly.
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None and v.time() == dt.time(0):
+            return v.date().isoformat()
+        return str(v)
+    if isinstance(v, dt.date):
+        return v.isoformat()
     return str(v)
 
 def rows_of(df, cols):
@@ -73,8 +85,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        flist = "[" + ",".join(f"'{f}'" for f in sorted(spark_files)) + "]"
-        spark = con.execute(f"SELECT * FROM read_parquet({flist})").fetchdf()
+        # Read the Spark parquet via pyarrow, NOT DuckDB: the driver's gate
+        # renders the Spark side Decimal-preservingly ("834392.70"), while a
+        # DuckDB route put both sides on one rendering path and masked the
+        # p42_sql_decimal trailing-zero divergence (VERDICT r15 #2).
+        spark = pq.ParquetDataset(sorted(spark_files)).read().to_pandas()
         dc, sc = sorted(duck.columns), sorted(spark.columns)
         if dc != sc:
             print(f"FAIL {name}: columns duck={dc} spark={sc}")
