@@ -151,11 +151,26 @@ object Bench {
       */
     def suspect: Boolean =
       rerun.isDefined && needsRerun(finalMedian, baseline)
+    /** Over the judge's 2× bar yet UNDER the rerun floor, so no rerun
+      * ever fired (VERDICT r16 #10 — q47_pivot read 2.23× its 0.19 s
+      * baseline while squeaking 16 ms under baseline+250 ms and the
+      * sweep stayed silent): a sub-floor entry can drift past 2×
+      * indefinitely unless the summary names it. Not a suspect (the
+      * machinery behaved as designed); a watch item a reader must
+      * adjudicate — three clean solo sweeps → re-baseline or root-cause.
+      */
+    def watch: Boolean =
+      !failed && !suspect && baseline.exists(b =>
+        finalMedian > 2.0 * b && !needsRerun(finalMedian, baseline))
   }
 
   /** Names whose numbers never cleared contention (both passes slow). */
   def suspects(results: Seq[QueryTiming]): Seq[String] =
     results.filter(_.suspect).map(_.name).sorted
+
+  /** Names over 2× baseline that the rerun floor shielded ([[QueryTiming.watch]]). */
+  def watchList(results: Seq[QueryTiming]): Seq[String] =
+    results.filter(_.watch).map(_.name).sorted
 
   /** Parse `name\tseconds` lines; '#' comments and blanks ignored. */
   def parseBaseline(lines: Iterator[String]): Map[String, Double] =
@@ -270,9 +285,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val watch = watchList(results).map("\"" + _ + "\"").mkString("[", ",", "]")
     val seed = orderSeed.fold("")(s => s""","order_seed":$s""")
     s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":$qs,"suspect":$sus$seed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"suspect":$sus,"watch":$watch$seed,"sf":"$sfDir"}"""
   }
 
   /** Minimal JSON number: 2 decimals, trailing zeros (and a bare dot)
@@ -331,9 +347,10 @@ object Bench {
       .mkString("{", ",", "}")
     val head =
       s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":{"""
+    val watch = watchList(results).map("\"" + _ + "\"").mkString("[", ",", "]")
     val tail =
-      s"""},"n":${results.size},"suspect":$sus,"suspect_load":$susLoad,""" +
-        s""""audit":"target/bench.json","sf":"$sf"}"""
+      s"""},"n":${results.size},"suspect":$sus,"watch":$watch,""" +
+        s""""suspect_load":$susLoad,"audit":"target/bench.json","sf":"$sf"}"""
     val entries = results.sortBy(r => (-r.finalMedian, r.name))
       .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))
     val body = new StringBuilder
@@ -449,6 +466,12 @@ object Bench {
           (if (r.suspect)
             f" [SUSPECT: never cleared the gate; max loadavg ${r.maxLoad}%.2f]"
           else ""))
+    }
+    results.filter(_.watch).foreach { r =>
+      System.err.println(
+        f"[bench] ${r.name}: WATCH — final ${r.finalMedian}%.3f s is over " +
+          f"2x baseline ${r.baseline.get}%.3f s but under the rerun floor; " +
+          "adjudicate via three clean solo sweeps (BASELINE.md rule)")
     }
     println(compactJson(results, sfDir))
     println(summaryJson(results, sfDir))

@@ -1306,7 +1306,14 @@ object LakeSnapshot {
       require(!tag.contains(",") && !tag.contains("\n") &&
         !tag.contains("="),
         s"idempotence tag '$tag' must not contain ',', '=' or newlines")
-      val prior = tagEpoch(spark, dir, tag)
+      // ONE committedRows read + fold per tagged commit, shared between
+      // the redelivery check and the monotone check (VERDICT r16 #8 —
+      // this is the streaming sink's per-micro-batch path)
+      val rows = committedRows(spark, dir)
+      lazy val st = rows.foldLeft(EmptyState) {
+        case (m, (_, kv)) => applyRow(m, kv)
+      }
+      val prior = tagEpochIn(spark, dir, rows, () => st, tag)
       if (prior.isDefined) return prior.get
       // Monotone-version contract, enforced at COMMIT time (ADVICE r15):
       // checkpoint folding makes "hw >= v" mean "already delivered", which
@@ -1317,9 +1324,6 @@ object LakeSnapshot {
       // silently skipping the data. Also traps the bare-`foo` vs `foo-0`
       // alias (both split to version 0).
       val (app, v) = splitTag(tag)
-      val st = committedRows(spark, dir).foldLeft(EmptyState) {
-        case (m, (_, kv)) => applyRow(m, kv)
-      }
       st.txns.get(app).filter(_ >= v).foreach { hw =>
         sys.error(
           s"idempotence tag '$tag' violates the monotone-version " +
@@ -1345,15 +1349,26 @@ object LakeSnapshot {
     */
   private[graft] def tagEpoch(
       spark: SparkSession, dir: String, tag: String): Option[Int] = {
-    val p = LakePaths(dir)
     val rows = committedRows(spark, dir)
+    lazy val st = rows.foldLeft(EmptyState) {
+      case (m, (_, kv)) => applyRow(m, kv)
+    }
+    tagEpochIn(spark, dir, rows, () => st, tag)
+  }
+
+  /** [[tagEpoch]] against an already-read row window (and lazily-folded
+    * state), so [[commitExternalDelta]] pays ONE `committedRows` fold per
+    * tagged commit instead of two (VERDICT r16 #8).
+    */
+  private def tagEpochIn(
+      spark: SparkSession, dir: String,
+      rows: Seq[(Int, Map[String, String])], st: () => LakeState,
+      tag: String): Option[Int] = {
+    val p = LakePaths(dir)
     rows.collectFirst { case (e, kv) if kv.get("tag").contains(tag) => e }
       .orElse {
-        val st = rows.foldLeft(EmptyState) {
-          case (m, (_, kv)) => applyRow(m, kv)
-        }
         val (app, v) = splitTag(tag)
-        if (st.txnsComplete)
+        if (st().txnsComplete)
           // ONLY the checkpoint row's own folded txns may answer "v ≤
           // high-water ⟹ committed": its exact rows are genuinely gone.
           // A tag committed AFTER the checkpoint is still visible above,

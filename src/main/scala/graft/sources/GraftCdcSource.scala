@@ -100,8 +100,11 @@ object GraftCdcSource {
     val p = new Path(cdfRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return Nil
+    // numeric suffixes only: a stray `gen=3.tmp` (crashed-writer
+    // artifact) must not throw NumberFormatException and kill schema
+    // inference (ADVICE r16)
     val genDirs = f.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("gen=\\d+"))
       .sortBy(_.getPath.getName.stripPrefix("gen=").toInt)
       .map(_.getPath.toString).toSeq
     if (genDirs.isEmpty) Nil

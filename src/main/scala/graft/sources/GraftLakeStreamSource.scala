@@ -115,9 +115,14 @@ private[sources] class LakeFullTableStream(
         s"graft-lake stream: pinned generation directory $d is missing " +
           "— vacuumed past the stream's snapshot epoch? (raise the " +
           "retention)")
+      // listStatus order is NOT specified across filesystems/processes;
+      // the checkpointed (dayIdx, unitIdx) offset is reinterpreted against
+      // a plan rebuilt after restart, so unit indices must bind to a
+      // canonical file order (ADVICE r16) — sort by path.
       fs.listStatus(dp).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         .map(st => st.getPath.toString -> st.getLen)
+        .sortBy(_._1)
     }
     val key = state.key.orNull
     val plan = snapDays(e0).map { day =>

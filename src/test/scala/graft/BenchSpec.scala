@@ -211,4 +211,27 @@ class BenchSpec extends AnyFunSuite {
     assert(!calm.loadAttributed && calm.suspect)
     assert(Bench.summaryJson(Seq(calm), "/x").contains("\"all_loaded\":false"))
   }
+
+  test("r17 watch (VERDICT r16 #10): over 2x baseline but under the rerun " +
+    "floor -> named machine-readably in both JSON lines, never a suspect") {
+    // q47's exact shape: baseline 0.19, median 0.424 — over 2x (0.38),
+    // under max(1.5x, +250ms)=0.44, so no rerun ever fires
+    val t = Bench.QueryTiming("q47ish", Seq(0.41, 0.424, 0.43), None,
+      Some(0.19), mainRuns = Seq((0.424, 0.5), (0.41, 0.5), (0.43, 0.5)))
+    assert(t.watch && !t.suspect)
+    assert(Bench.watchList(Seq(t)) == Seq("q47ish"))
+    assert(Bench.summaryJson(Seq(t), "/x").contains("\"watch\":[\"q47ish\"]"))
+    assert(Bench.fullJson(Seq(t), "/x").contains("\"watch\":[\"q47ish\"]"))
+    // in-band entry: not watched
+    val ok = Bench.QueryTiming("fine", Seq(0.20, 0.21, 0.22), None, Some(0.19))
+    assert(!ok.watch)
+    assert(Bench.summaryJson(Seq(ok), "/x").contains("\"watch\":[]"))
+    // a genuine suspect (rerun fired, never cleared) is NOT double-listed
+    val durations = Seq(0.0, 400, 380, 360, 300, 350, 370)
+    var n = 0
+    val w = () => { Thread.sleep(durations(math.min(n, 6)).toLong); n += 1 }
+    val sus = Bench.timeQuery("slow", w, Some(0.02),
+      maxRerunPasses = 1, calmWaitMs = 0, load = () => 0.4)
+    assert(sus.suspect && !sus.watch)
+  }
 }

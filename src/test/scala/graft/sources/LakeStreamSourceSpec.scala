@@ -248,12 +248,28 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     "mid-day crash-restart") {
     val root = freshDir("hot_day")
     val dir = s"$root/lake"
-    // one day, many base files (explicit repartition → 8 part files),
-    // plus a delta fold so the atomic-fold unit is also exercised
-    LakeSnapshot.merge(spark, dir,
-      (1 to 400).map(i => (i.toLong, ts(1), i.toDouble))
-        .toDF("event_id", "ts", "value").repartition(8),
-      "event_id", "ts")
+    // one day, many base files, plus a delta fold so the atomic-fold
+    // unit is also exercised. stageMerge's dedup window forces a keyed
+    // shuffle (4 partitions here), and AQE partition-coalescing would
+    // collapse this tiny staged write to ~1 file (VERDICT r16 — the r16
+    // fixture assumed repartition(8) survived; it doesn't). Disable
+    // coalescing around the seeding merge so the day genuinely has 4
+    // base files, and assert the count so a regression fails loudly.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      LakeSnapshot.merge(spark, dir,
+        (1 to 400).map(i => (i.toLong, ts(1), i.toDouble))
+          .toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+    } finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val baseFiles = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(baseFiles >= 3,
+      s"fixture must seed a genuinely multi-file day, got $baseFiles " +
+        "base files — did AQE coalescing collapse the staged write again?")
     LakeSnapshot.mergeDelta(spark, dir,
       Seq((1L, ts(1), 111.0), (500L, ts(1), 555.0))
         .toDF("event_id", "ts", "value"),

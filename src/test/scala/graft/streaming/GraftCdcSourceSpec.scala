@@ -137,4 +137,17 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     assert(census(spark.table(table)) ===
       census(LakeSnapshot.readChangesCdf(spark, dir, e0, e1)))
   }
+
+  test("a stray non-numeric gen directory (crashed-writer artifact like " +
+    "gen=3.tmp) does not kill sidecar schema inference (ADVICE r16)") {
+    val dir = freshDir("straygen")
+    mergeCdf(dir, Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0)))
+    // simulate a crashed writer's temp dir next to the real sidecars
+    Files.createDirectories(Paths.get(s"$dir/cdf/gen=3.tmp"))
+    Files.createDirectories(Paths.get(s"$dir/cdf/gen=junk"))
+    val feed = graft.sources.GraftCdcSource.feedSchema(spark, dir)
+    assert(feed.fieldNames.contains("event_id") &&
+      feed.fieldNames.contains("_change_type"),
+      s"schema inference must survive stray dirs, got ${feed.fieldNames.toSeq}")
+  }
 }
