@@ -144,7 +144,14 @@ object LakeSnapshot {
       // check then falls back to the full-history scan, so an old
       // checkpoint can still never erase protection.
       txns: Map[String, Long] = Map.empty,
-      txnsComplete: Boolean = true) {
+      txnsComplete: Boolean = true,
+      // TYPE WIDENING (r17, VERDICT r16 #3): physical parquet name →
+      // widened type DDL. A widen is a MANIFEST-ONLY commit — files
+      // written before it keep their narrow physical type and readers
+      // upcast (int32→long, float→double, decimal precision growth);
+      // files written after carry the widened type natively. Keyed by
+      // PHYSICAL name so renames after a widen keep the binding.
+      widened: Map[String, String] = Map.empty) {
     def nonEmpty: Boolean = days.nonEmpty
 
     /** The logical name a stored physical column surfaces as — None when
@@ -243,6 +250,18 @@ object LakeSnapshot {
     * deltas — the rewrite read them); a DELTA row (`deltagen`/`days`)
     * layers a row-delta generation onto its days.
     */
+  // widen rendering: `p>ddl` entries ';'-joined (the DDL itself may
+  // contain commas — decimal(12,2) — so the colmap CSV shape can't carry
+  // it; ';' and '>' are both rejected in column names by the catalog)
+  private def renderWiden(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (p, t) => s"$p>$t" }.mkString(";")
+  private[etl] def parseWiden(s: String): Map[String, String] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(';').map { e =>
+      val i = e.indexOf('>')
+      e.take(i) -> e.drop(i + 1)
+    }.toMap
+
   // colmap rendering: `p>l` renamed, `p>-` dropped
   private def renderColmap(m: Map[String, Option[String]]): String =
     m.toSeq.sortBy(_._1)
@@ -311,6 +330,12 @@ object LakeSnapshot {
         }
       case None => withRename
     }
+    // widen: a later widen of the same physical column replaces (decimal
+    // precision can grow repeatedly); entries merge across commits
+    val withWiden = kv.get("widen") match {
+      case Some(w) => withDrops.copy(widened = withDrops.widened ++ parseWiden(w))
+      case None => withDrops
+    }
     val withTag = kv.get("tag").filter(_.nonEmpty) match {
       // A pre-r15 tag was never validated against the fold separators: a
       // ','/'=' inside one would render a txns CSV that parseTxns
@@ -319,13 +344,17 @@ object LakeSnapshot {
       // omits `txns` and readers keep the full-scan fallback (correct,
       // just unfolded). New commits reject these characters up front.
       case Some(t) if t.contains(",") || t.contains("=") || t.contains("\n") =>
-        withDrops.copy(txnsComplete = false)
-      case Some(t) => withDrops.copy(txns = foldTag(withDrops.txns, t))
-      case None => withDrops
+        withWiden.copy(txnsComplete = false)
+      case Some(t) => withWiden.copy(txns = foldTag(withWiden.txns, t))
+      case None => withWiden
     }
     val base0 = kv.get("snapshot") match {
       case Some(s) =>
-        val days = withTag.copy(days = parseSnapshot(s))
+        val days = withTag.copy(days = parseSnapshot(s),
+          // the checkpoint subsumes widen history like colmap: its own
+          // snapshotwiden is authoritative (absent = none at checkpoint)
+          widened = kv.get("snapshotwiden").map(parseWiden)
+            .getOrElse(Map.empty))
         kv.get("txns") match {
           // the checkpoint subsumes all prior rows: its txns REPLACE the
           // fold (always present on r15+ checkpoints, even when empty)
@@ -555,6 +584,67 @@ object LakeSnapshot {
       .withColumn("day", col("day").cast("date"))
   }
 
+  /** The union file schema of `paths` (generation leaf dirs) with every
+    * widened physical column surfaced at its WIDENED type, plus the
+    * partition columns — the explicit read schema a widened table needs:
+    * `mergeSchema` refuses int32-vs-int64 footers for the same column,
+    * while an explicit schema makes the parquet reader upcast natively
+    * (int32→long, float→double, decimal rescale — probed on Spark 4.1).
+    * One footer read per leaf dir, driver-side, ONLY when a widen
+    * binding exists — unwidened tables keep the exact pre-r17 plan.
+    */
+  private def widenedUnionSchema(
+      spark: SparkSession, paths: Seq[String],
+      widened: Map[String, String],
+      partCols: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    paths.foreach { leaf =>
+      spark.read.parquet(leaf).schema.fields.foreach { f =>
+        types(f.name) = types.get(f.name)
+          .map(t => widerType(f.name, t, f.dataType)).getOrElse(f.dataType)
+      }
+    }
+    widened.foreach { case (phys, ddl) =>
+      if (types.contains(phys)) types(phys) = DataType.fromDDL(ddl)
+    }
+    StructType(types.toSeq.map { case (n, t) =>
+      StructField(n, t, nullable = true) } ++ partCols)
+  }
+
+  /** Resolve two file types observed for the SAME column to the wider
+    * one — the only way footers legitimately disagree is a widening
+    * commit (narrow files predate it), so the wide type always reads
+    * both. Evolved struct columns union by field name (mergeSchema's
+    * rule). Anything else is a genuine conflict and fails loudly.
+    */
+  private[graft] def widerType(
+      name: String,
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case _ if a == b => a
+      case (x: StructType, y: StructType) =>
+        val extra = y.fields.filterNot(f => x.fieldNames.contains(f.name))
+        StructType(x.fields.map(f =>
+          y.fields.find(_.name == f.name)
+            .map(g => f.copy(dataType = widerType(s"$name.${f.name}",
+              f.dataType, g.dataType)))
+            .getOrElse(f)) ++ extra)
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (f: DecimalType, t: DecimalType) if f.scale == t.scale =>
+        DecimalType(math.max(f.precision, t.precision), f.scale)
+      case _ => sys.error(
+        s"graft-lake: column '$name' has conflicting file types " +
+          s"${a.simpleString} vs ${b.simpleString} that no widening " +
+          "resolves")
+    }
+  }
+
   /** The folded image of `days` under `view`, `day` typed STRING — the
     * ONE read path every consumer (current read, time travel, CDC
     * endpoints, COW staging, OPTIMIZE) shares. Days without deltas stream
@@ -562,7 +652,9 @@ object LakeSnapshot {
     * unchanged; days with deltas fold base + deltas with a single window
     * over (day, key): youngest commit wins per key, delete markers drop
     * rows. Plan cost is O(requested days) on either path — only listed
-    * generation directories are ever opened.
+    * generation directories are ever opened. Widened tables read with an
+    * explicit union schema ([[widenedUnionSchema]]) instead of
+    * mergeSchema so mixed physical widths upcast instead of refusing.
     */
   private[etl] def readDaysRaw(
       spark: SparkSession, dir: String, view: LakeState,
@@ -572,9 +664,22 @@ object LakeSnapshot {
     require(sel.nonEmpty, s"no requested day is present at $dir")
     val fast = sel.filter(_._2.deltas.isEmpty).toSeq.sortBy(_._1)
     val fold = sel.filter(_._2.deltas.nonEmpty).toSeq.sortBy(_._1)
+    // widened tables read under an explicit union schema (mixed physical
+    // widths upcast); everything else keeps the exact mergeSchema plan
+    def genRead(basePath: String, paths: Seq[String]): DataFrame = {
+      val rd = spark.read.option("basePath", basePath)
+      if (view.widened.isEmpty)
+        rd.option("mergeSchema", "true").parquet(paths: _*)
+      else rd.schema(widenedUnionSchema(spark, paths, view.widened, Seq(
+        org.apache.spark.sql.types.StructField("gen",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType))))
+        .parquet(paths: _*)
+    }
     def readBase(pairs: Seq[(String, Int)]): DataFrame =
-      spark.read.option("basePath", p.data).option("mergeSchema", "true")
-        .parquet(pairs.map { case (d, g) => s"${p.data}/gen=$g/day=$d" }: _*)
+      genRead(p.data,
+        pairs.map { case (d, g) => s"${p.data}/gen=$g/day=$d" })
         .drop("gen")
         .withColumn("day", col("day").cast("string"))
     // base image of `states`' days with DELETION VECTORS folded: days
@@ -590,10 +695,8 @@ object LakeSnapshot {
       val dvd =
         if (dvPairs.isEmpty) None
         else {
-          val base = spark.read
-            .option("basePath", p.data).option("mergeSchema", "true")
-            .parquet(dvPairs.map { case (d, s) =>
-              s"${p.data}/gen=${s.base}/day=$d" }: _*)
+          val base = genRead(p.data, dvPairs.map { case (d, s) =>
+              s"${p.data}/gen=${s.base}/day=$d" })
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
             .drop("gen")
@@ -634,9 +737,7 @@ object LakeSnapshot {
         val seqDf = seqRows.toDF("day", "gen", "__seq")
         val deltaPaths = fold.flatMap { case (d, s) =>
           s.deltas.map(g => s"${p.delta}/gen=$g/day=$d") }.distinct
-        val deltas = spark.read
-          .option("basePath", p.delta).option("mergeSchema", "true")
-          .parquet(deltaPaths: _*)
+        val deltas = genRead(p.delta, deltaPaths)
           .withColumn("day", col("day").cast("string"))
           .join(broadcast(seqDf), Seq("day", "gen"))
           .drop("gen")
@@ -753,7 +854,9 @@ object LakeSnapshot {
             Seq("txns" -> renderTxns(live.txns)) else Nil) ++
           live.key.map("key" -> _).toSeq ++
           (if (live.colmap.nonEmpty)
-            Seq("snapshotcolmap" -> renderColmap(live.colmap)) else Nil))) {
+            Seq("snapshotcolmap" -> renderColmap(live.colmap)) else Nil) ++
+          (if (live.widened.nonEmpty)
+            Seq("snapshotwiden" -> renderWiden(live.widened)) else Nil))) {
         // advance the pointer: temp + rename, overwrite-safe; a crash
         // here leaves a stale (still-correct) pointer
         val tmp = new Path(p.manifest, s".tmp-last-checkpoint-$e")
@@ -1620,6 +1723,57 @@ object LakeSnapshot {
         s"no live column '$name' to drop")
     }
 
+  /** WIDEN a column's type: a MANIFEST-ONLY commit (no data file is read
+    * or written). Supported widenings — the order-embedding upcasts the
+    * parquet reader performs natively with an explicit read schema:
+    * int→bigint, float→double, decimal(p,s)→decimal(p+k,s). Files
+    * written before the widen keep their narrow physical type and every
+    * reader upcasts; files written after carry the widened type. Time
+    * travel to a pre-widen epoch folds no widen row and reads the OLD
+    * type (the same contract as rename/drop: column metadata is part of
+    * the pinned view). Key/ts/partition columns refuse — their types
+    * thread through rowId contracts and day derivation.
+    */
+  def widenColumn(
+      spark: SparkSession, dir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Int = {
+    val p = LakePaths(dir)
+    while (true) {
+      val (base, live) = stagingSnapshot(spark, dir)
+      require(live.nonEmpty, s"no committed snapshot at $dir")
+      require(live.key.forall(k => !keyParts(k).contains(name)),
+        "widening the table key is unsupported")
+      require(name != "day", "the partition column cannot be widened")
+      val phys = live.physicalFor(name).getOrElse(sys.error(
+        s"no live column '$name' to widen"))
+      val cur = readView(spark, dir, live).schema.fields
+        .find(_.name == name).getOrElse(sys.error(
+          s"no live column '$name' to widen")).dataType
+      require(isWidening(cur, newType),
+        s"ALTER COLUMN '$name' TYPE only WIDENS: ${cur.simpleString} -> " +
+          s"${newType.simpleString} is not a supported widening " +
+          "(int->bigint, float->double, decimal(p,s)->decimal(p+k,s))")
+      if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest,
+        base + 1, Seq("widen" -> s"$phys>${newType.simpleString}")))
+        return base + 1
+    }
+    -1 // unreachable
+  }
+
+  /** The lossless order-preserving upcasts the widening commit accepts. */
+  private[graft] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType) => true
+    case (f: org.apache.spark.sql.types.DecimalType,
+          t: org.apache.spark.sql.types.DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision
+    case _ => false
+  }
+
   /** Shared OCC loop for metadata-only column commits: validate against
     * the freshest fold, attempt the next epoch, re-validate on a lost
     * race. Day-wise these rows conflict with nothing.
@@ -1976,6 +2130,7 @@ object LakeSnapshot {
         // The ADD exemption applies only to a PURE binding row — an
         // addcol riding a data commit still answers for its sidecar
         else if (kv.contains("rename") || kv.contains("dropcol") ||
+          kv.contains("widen") ||
           (kv.contains("addcol") && !kv.contains("gen") &&
             !kv.contains("deltagen") && !kv.contains("dvgen"))) None
         else if (kv.contains("deltagen")) sys.error(

@@ -294,6 +294,40 @@ class GraftCatalog extends TableCatalog
           s"'${rm.property()}' is a structural table declaration — " +
             "immutable after CREATE")
         rewriteCreateProps(dir, readCreateProps(dir) - rm.property())
+      // ALTER COLUMN ... TYPE (r17, VERDICT r16 #3): WIDENING only —
+      // int→bigint, float→double, decimal(p,s)→decimal(p+k,s) — as a
+      // manifest-only `widen` binding commit: zero data rewrite, old
+      // files upcast at read, new files carry the wide type, time travel
+      // pre-widen reads the old type. Anything else still refuses.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "nested column type change is not supported")
+        val name = u.fieldNames()(0)
+        val nt = u.newDataType()
+        GraftCatalog.validateLakeType(name, nt)
+        val declared = readCreateProps(dir)
+        val declaredSchema = declared.get("schema").map(StructType.fromDDL)
+        if (LakeSnapshot.currentEpoch(spark, dir) >= 0 &&
+            LakeSnapshot.tableState(spark, dir).days.nonEmpty)
+          LakeSnapshot.widenColumn(spark, dir, name, nt) // validates
+        else {
+          // CREATEd-but-never-written (or truncated-empty): the
+          // declaration is the only record — validate against it; the
+          // first write then simply carries the wide type
+          val cur = declaredSchema
+            .flatMap(_.fields.find(_.name == name))
+            .getOrElse(sys.error(s"no declared column '$name' to alter"))
+            .dataType
+          require(LakeSnapshot.isWidening(cur, nt),
+            s"ALTER COLUMN '$name' TYPE only WIDENS: ${cur.simpleString}" +
+              s" -> ${nt.simpleString} is not a supported widening " +
+              "(int->bigint, float->double, decimal(p,s)->decimal(p+k,s))")
+        }
+        declaredSchema.foreach { ds =>
+          val s2 = StructType(ds.fields.map(f =>
+            if (f.name == name) f.copy(dataType = nt) else f))
+          rewriteCreateProps(dir, declared + ("schema" -> s2.toDDL))
+        }
       case other => sys.error(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}" +
           " — renames/drops are manifest commits, properties/comments " +

@@ -11,6 +11,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.PrimitiveType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -108,8 +109,25 @@ object GraftCdcSource {
       .sortBy(_.getPath.getName.stripPrefix("gen=").toInt)
       .map(_.getPath.toString).toSeq
     if (genDirs.isEmpty) Nil
-    else spark.read.option("mergeSchema", "true")
-      .parquet(genDirs: _*).schema.fields.toSeq
+    else {
+      // width-tolerant union (r17): sidecars written before and after a
+      // TYPE WIDENING commit carry different physical widths for the
+      // same column — plain mergeSchema refuses int32-vs-int64; resolve
+      // to the wider type (one footer-read per generation dir,
+      // driver-side, same cost shape as mergeSchema's own inference)
+      val merged =
+        scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      genDirs.foreach { d =>
+        spark.read.parquet(d).schema.fields.foreach { f =>
+          merged(f.name) = merged.get(f.name) match {
+            case None => f
+            case Some(prev) => prev.copy(dataType =
+              LakeSnapshot.widerType(f.name, prev.dataType, f.dataType))
+          }
+        }
+      }
+      merged.values.toSeq
+    }
   }
 }
 
@@ -279,6 +297,13 @@ private[sources] class CdcPartitionReader(
         "pick up the new columns")
   }
   private val io = new ColumnIOFactory().getColumnIO(fileSchema)
+  // per-field physical primitive names, computed once per file (the
+  // widening upcast below checks them per value)
+  private val physNames: Map[String, PrimitiveType.PrimitiveTypeName] =
+    fileSchema.getFields.asScala.filter(_.isPrimitive)
+      .map(f => f.getName -> f.asPrimitiveType().getPrimitiveTypeName).toMap
+  private def phys(name: String): PrimitiveType.PrimitiveTypeName =
+    physNames.getOrElse(name, null)
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
   private var current: InternalRow = _
@@ -310,10 +335,31 @@ private[sources] class CdcPartitionReader(
         else if (!fileSchema.containsField(f.name)) null
         else if (g.getFieldRepetitionCount(f.name) == 0) null
         else f.dataType match {
-          case LongType | TimestampType => g.getLong(f.name, 0)
-          case IntegerType | DateType => g.getInteger(f.name, 0)
-          case DoubleType => g.getDouble(f.name, 0)
-          case FloatType => g.getFloat(f.name, 0)
+          // TYPE WIDENING (r17): sidecars written before a widen commit
+          // carry the narrow physical type — upcast; the narrowing
+          // direction means the table widened after the stream bound its
+          // schema: fail with the real story (restart picks up the type)
+          case LongType =>
+            if (phys(f.name) == PrimitiveType.PrimitiveTypeName.INT32)
+              g.getInteger(f.name, 0).toLong
+            else g.getLong(f.name, 0)
+          case TimestampType => g.getLong(f.name, 0)
+          case IntegerType | DateType =>
+            require(phys(f.name) != PrimitiveType.PrimitiveTypeName.INT64,
+              s"graft-cdc reader: column '${f.name}' in ${part.path} was " +
+                "WIDENED to BIGINT after the stream started — restart " +
+                "the stream to pick up the widened type")
+            g.getInteger(f.name, 0)
+          case DoubleType =>
+            if (phys(f.name) == PrimitiveType.PrimitiveTypeName.FLOAT)
+              g.getFloat(f.name, 0).toDouble
+            else g.getDouble(f.name, 0)
+          case FloatType =>
+            require(phys(f.name) != PrimitiveType.PrimitiveTypeName.DOUBLE,
+              s"graft-cdc reader: column '${f.name}' in ${part.path} was " +
+                "WIDENED to DOUBLE after the stream started — restart " +
+                "the stream to pick up the widened type")
+            g.getFloat(f.name, 0)
           case BooleanType => g.getBoolean(f.name, 0)
           case StringType => UTF8String.fromString(g.getString(f.name, 0))
           case other => throw new UnsupportedOperationException(

@@ -917,11 +917,36 @@ private[sources] object LakeGroupRead {
     else if (g.getFieldRepetitionCount(name) == 0) null
     else dt match {
       case TimestampType => timestampMicros(g, fs, name)
-      case LongType => g.getLong(name, 0)
-      case IntegerType => g.getInteger(name, 0)
+      // TYPE WIDENING (r17): a LONG/DOUBLE-declared column may sit in a
+      // file written before the widen commit with the narrow physical
+      // type — upcast. The NARROWING direction (int-declared reading an
+      // int64 file) means the column widened after this consumer bound
+      // its schema: fail with the real story, not a ClassCastException.
+      case LongType =>
+        primName(fs, name) match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            g.getInteger(name, 0).toLong
+          case _ => g.getLong(name, 0)
+        }
+      case IntegerType =>
+        require(primName(fs, name) != PrimitiveType.PrimitiveTypeName.INT64,
+          s"graft-lake reader: column '$name' was WIDENED to BIGINT " +
+            "after this reader bound its schema — restart the stream/" +
+            "query to pick up the widened type")
+        g.getInteger(name, 0)
       case DateType => g.getInteger(name, 0)
-      case DoubleType => g.getDouble(name, 0)
-      case FloatType => g.getFloat(name, 0)
+      case DoubleType =>
+        primName(fs, name) match {
+          case PrimitiveType.PrimitiveTypeName.FLOAT =>
+            g.getFloat(name, 0).toDouble
+          case _ => g.getDouble(name, 0)
+        }
+      case FloatType =>
+        require(primName(fs, name) != PrimitiveType.PrimitiveTypeName.DOUBLE,
+          s"graft-lake reader: column '$name' was WIDENED to DOUBLE " +
+            "after this reader bound its schema — restart the stream/" +
+            "query to pick up the widened type")
+        g.getFloat(name, 0)
       case BooleanType => g.getBoolean(name, 0)
       case StringType => UTF8String.fromString(g.getString(name, 0))
       case BinaryType => g.getBinary(name, 0).getBytes
@@ -982,6 +1007,12 @@ private[sources] object LakeGroupRead {
       sub: Group, gt: GroupType, st: StructType): Any =
     new GenericInternalRow(st.fields.map(f =>
       internalValue(sub, gt, f.name, f.dataType)))
+
+  private def primName(
+      fs: GroupType, name: String): PrimitiveType.PrimitiveTypeName = {
+    val t = fs.getType(fs.getFieldIndex(name))
+    if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName else null
+  }
 
   private def decimalValue(
       g: Group, fs: GroupType, name: String, d: DecimalType): Any =

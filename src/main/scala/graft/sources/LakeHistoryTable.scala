@@ -66,7 +66,8 @@ private[sources] class LakeHistoryTable(dir: String)
                 if (kv.contains("snapshot")) "checkpoint"
                 else if (kv.contains("deltagen")) "delta"
                 else if (kv.contains("dvgen")) "delete-vector"
-                else if (kv.contains("rename") || kv.contains("dropcol"))
+                else if (kv.contains("rename") || kv.contains("dropcol") ||
+                  kv.contains("widen"))
                   "alter-column"
                 else if (kv.getOrElse("dropped", "").nonEmpty) "delete"
                 else "write"
