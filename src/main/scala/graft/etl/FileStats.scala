@@ -43,7 +43,7 @@ import org.apache.spark.sql.SparkSession
 object FileStats {
 
   final case class ColStat(family: String, lmn: Long = 0L, lmx: Long = 0L,
-      dmn: Double = 0d, dmx: Double = 0d)
+      dmn: Double = 0d, dmx: Double = 0d, scale: Int = -1)
 
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
@@ -116,6 +116,8 @@ object FileStats {
         f(1) match {
           case "l" => f(0) -> ColStat("l", lmn = f(2).toLong, lmx = f(3).toLong)
           case "d" => f(0) -> ColStat("d", dmn = f(2).toDouble, dmx = f(3).toDouble)
+          case "c" => f(0) -> ColStat("c", lmn = f(3).toLong,
+            lmx = f(4).toLong, scale = f(2).toInt)
           case fam => f(0) -> ColStat(fam)
         }
       }.toMap
@@ -128,14 +130,23 @@ object FileStats {
     * never skips; all-null and column-absent always skip a comparison).
     */
   def provablyEmpty(st: FileStat, col: String, op: String,
-      isFloat: Boolean, lv: Long, dv: Double): Boolean =
+      isFloat: Boolean, lv: Long, dv: Double, decScale: Int = -1): Boolean =
     st.cols.get(col) match {
       case None => true                 // column absent from the file
-      case Some(ColStat("n", _, _, _, _)) => true // every value null
-      case Some(c @ ColStat("l", _, _, _, _)) if !isFloat =>
+      case Some(c) if c.family == "n" => true // every value null
+      case Some(c) if c.family == "l" && !isFloat && decScale < 0 =>
         emptyRange(op, lv, c.lmn, c.lmx)
-      case Some(c @ ColStat("d", _, _, _, _)) if isFloat =>
+      case Some(c) if c.family == "d" && isFloat =>
         emptyRangeD(op, dv, c.dmn, c.dmx)
+      // DECIMAL tier (r17, VERDICT r16 #4): same-scale unscaled longs
+      // are order-preserving, so a decimal predicate (lv = unscaled
+      // value at decScale) compares directly against the file's
+      // unscaled min/max — but ONLY when the scales agree; a scale
+      // mismatch makes no claim (residual-correct, like any family
+      // mismatch)
+      case Some(c) if c.family == "c" && decScale >= 0 &&
+          c.scale == decScale =>
+        emptyRange(op, lv, c.lmn, c.lmx)
       case _ => false                   // family mismatch / unusable
     }
 
@@ -161,9 +172,10 @@ object FileStats {
 
   private def line(rel: String, st: FileStat): String = {
     val cols = st.cols.toSeq.sortBy(_._1).map {
-      case (n, ColStat("l", mn, mx, _, _)) => s"$n:l:$mn:$mx"
-      case (n, ColStat("d", _, _, mn, mx)) => s"$n:d:$mn:$mx"
-      case (n, ColStat(fam, _, _, _, _)) => s"$n:$fam"
+      case (n, c) if c.family == "l" => s"$n:l:${c.lmn}:${c.lmx}"
+      case (n, c) if c.family == "d" => s"$n:d:${c.dmn}:${c.dmx}"
+      case (n, c) if c.family == "c" => s"$n:c:${c.scale}:${c.lmn}:${c.lmx}"
+      case (n, c) => s"$n:${c.family}"
     }
     (Seq(rel, st.rows.toString) ++ cols).mkString("\t")
   }
@@ -200,17 +212,36 @@ object FileStats {
           _.getColumns.asScala.find(_.getPath.toDotString == name))
         val stats = chunks.map(_.getStatistics)
         val usable = stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)
-        // decimal-annotated int32/int64 stats are UNSCALED integers —
-        // comparing them against a filter's scaled value would skip
-        // wrongly, so the family is unusable like INT96 (no decimal
-        // filter currently becomes a skip hint either; defense in depth)
-        val isDecimal = pt.getLogicalTypeAnnotation
-          .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
-        if (!usable || isDecimal) name -> ColStat("x")
+        // decimal-annotated stats are UNSCALED integers — within ONE
+        // scale they are order-preserving, so they get their own ordered
+        // family `c:<scale>` (r17, VERDICT r16 #4): a same-scale decimal
+        // predicate skips; any scale mismatch stays residual-only
+        val decScale = pt.getLogicalTypeAnnotation match {
+          case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            a.getScale
+          case _ => -1
+        }
+        if (!usable) name -> ColStat("x")
         else if (stats.forall(!_.hasNonNullValue)) name -> ColStat("n")
         else {
           val nn = stats.filter(_.hasNonNullValue)
-          pt.getPrimitiveTypeName match {
+          // a decimal's unscaled value as a Long — int32/int64 directly;
+          // BINARY/FIXED as big-endian two's complement when it fits
+          def unscaled(v: Any): Option[Long] = v match {
+            case n: Number => Some(n.longValue())
+            case b: org.apache.parquet.io.api.Binary =>
+              val bi = new java.math.BigInteger(b.getBytes)
+              if (bi.bitLength < 64) Some(bi.longValue) else None
+            case _ => None
+          }
+          if (decScale >= 0) {
+            val mins = nn.map(s => unscaled(s.genericGetMin))
+            val maxs = nn.map(s => unscaled(s.genericGetMax))
+            if (mins.forall(_.isDefined) && maxs.forall(_.isDefined))
+              name -> ColStat("c", lmn = mins.flatten.min,
+                lmx = maxs.flatten.max, scale = decScale)
+            else name -> ColStat("x") // >63-bit unscaled: no claim
+          } else pt.getPrimitiveTypeName match {
             case INT64 | INT32 =>
               def norm(v: Long): Long =
                 if (nanos) Math.floorDiv(v, 1000L) else v * mul

@@ -527,7 +527,8 @@ private[sources] class LakeScan(
         case None => true // no sidecar / unknown file: never skip blind
         case Some(st) =>
           val dead = skipPhys.exists(f => graft.etl.FileStats
-            .provablyEmpty(st, f.col, f.op, f.isFloat, f.lv, f.dv))
+            .provablyEmpty(st, f.col, f.op, f.isFloat, f.lv, f.dv,
+              f.decScale))
           if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
           !dead
       }
@@ -666,9 +667,21 @@ private[sources] class LakeScan(
   * micros — or floating `dv`).
   */
 final case class RowGroupFilter(
-    col: String, op: String, isFloat: Boolean, lv: Long, dv: Double)
+    col: String, op: String, isFloat: Boolean, lv: Long, dv: Double,
+    // decimal family (r17): when >= 0, `lv` is the predicate's UNSCALED
+    // value at this scale — comparable against same-scale decimal stats
+    decScale: Int = -1)
 
 object RowGroupFilter {
+  private def decNorm(
+      col: String, op: String, d: java.math.BigDecimal): Option[RowGroupFilter] = {
+    val u = d.unscaledValue
+    if (u.bitLength < 64)
+      Some(RowGroupFilter(col, op, isFloat = false, u.longValue, 0d,
+        decScale = d.scale))
+    else None // >63-bit unscaled: residual-only
+  }
+
   private def norm(col: String, op: String, v: Any): Option[RowGroupFilter] =
     // a NESTED-field predicate (struct columns, r15) arrives as a dotted
     // name — the stats layers key on TOP-LEVEL columns, and the
@@ -694,7 +707,12 @@ object RowGroupFilter {
       case t: java.time.Instant =>
         Some(RowGroupFilter(col, op, isFloat = false,
           t.getEpochSecond * 1000000L + t.getNano / 1000L, 0d))
-      case _ => None // strings/decimals: correctness via the residual
+      // DECIMAL predicates (r17, VERDICT r16 #4): order-preserving as
+      // unscaled longs within one scale — both stats layers compare
+      // same-scale only, so a money filter finally prunes
+      case d: java.math.BigDecimal => decNorm(col, op, d)
+      case d: scala.math.BigDecimal => decNorm(col, op, d.bigDecimal)
+      case _ => None // strings: correctness via the residual
     }
 
   /** The skip hint for a pushed filter, if its shape and value family
@@ -831,13 +849,33 @@ private[sources] object LakeGroupRead {
           val st = cc.getStatistics
           if (st == null || st.isEmpty) false
           else if (!st.hasNonNullValue) true // every value null
-          else if (cc.getPrimitiveType.getLogicalTypeAnnotation
-              .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
-            false // unscaled-integer stats: no claim (mirrors FileStats)
           else {
+            val fileScale =
+              cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  a.getScale
+                case _ => -1
+              }
             val pt = cc.getPrimitiveType.getPrimitiveTypeName
             import PrimitiveType.PrimitiveTypeName._
-            (pt, f.isFloat) match {
+            if (fileScale >= 0) {
+              // DECIMAL chunk (r17): unscaled stats compare against a
+              // same-scale decimal predicate's unscaled value; any
+              // mismatch (scale, non-decimal filter, >63-bit) = no claim
+              def unscaled(v: Any): Option[Long] = v match {
+                case n: Number => Some(n.longValue())
+                case b: org.apache.parquet.io.api.Binary =>
+                  val bi = new java.math.BigInteger(b.getBytes)
+                  if (bi.bitLength < 64) Some(bi.longValue) else None
+                case _ => None
+              }
+              if (f.decScale != fileScale) false
+              else (unscaled(st.genericGetMin), unscaled(st.genericGetMax)) match {
+                case (Some(mn), Some(mx)) => provablyEmptyLong(f.op, f.lv, mn, mx)
+                case _ => false
+              }
+            } else (pt, f.isFloat) match {
+              case _ if f.decScale >= 0 => false // decimal filter, plain col
               case (INT64, false) | (INT32, false) =>
                 val (mn, mx) = (
                   st.genericGetMin.asInstanceOf[Number].longValue(),

@@ -330,46 +330,65 @@ class LakeTypedColumnsSpec extends AnyFunSuite {
     }
   }
 
-  test("decimal stats never claim a skip: pushed decimal comparisons " +
-    "produce no RowGroupFilter, the sidecar marks decimal columns " +
-    "unusable, and a decimal point-filter is residual-correct with " +
-    "zero files/groups skipped") {
+  test("decimal stats ORDERED tier (r17, VERDICT r16 #4): same-scale " +
+    "unscaled-long min/max skip files and row groups for a selective " +
+    "money filter, the point-filter stays exact, and any scale " +
+    "mismatch makes no claim") {
     val dir = s"$wh/decstats"
+    // two days with DISJOINT amount ranges — day 2's file provably holds
+    // nothing under 500, so a selective filter must prune it wholesale
     LakeSnapshot.merge(spark,
       dir,
       Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "1.25"),
         (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "2.50"),
-        (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "-3.75"))
+        (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "1000.00"),
+        (4L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), "2000.75"))
         .toDF("id", "ts", "m")
         .withColumn("amount", col("m").cast("decimal(18,2)")).drop("m"),
       "id", "ts")
-    // layer 0: the filter → skip-hint translation refuses decimals
-    assert(RowGroupFilter.of(
-      EqualTo("amount", new java.math.BigDecimal("1.25"))).isEmpty,
-      "a decimal comparison must never become a stats skip hint")
-    assert(RowGroupFilter.of(
-      EqualTo("amount", org.apache.spark.sql.types.Decimal("1.25"))).isEmpty)
-    // layer 1: the stats sidecar families the decimal column 'x'
-    // (unusable), never 'l' with unscaled min/max
+    // layer 0: a decimal comparison becomes a same-scale skip hint
+    // carrying the UNSCALED value
+    val hint = RowGroupFilter.of(
+      EqualTo("amount", new java.math.BigDecimal("1.25")))
+    assert(hint === Some(RowGroupFilter("amount", "eq", isFloat = false,
+      125L, 0d, decScale = 2)),
+      s"decimal comparisons must become unscaled same-scale hints, got $hint")
+    // layer 1: the sidecar families the decimal column 'c' with the
+    // scale and ordered unscaled min/max
     val gen = s"$dir/data/gen=${LakeSnapshot.tableState(spark, dir)
       .days.values.map(_.base).max}"
     val stats = FileStats.read(spark, gen).get
-    stats.values.foreach { fstat =>
-      assert(fstat.cols("amount").family === "x",
-        s"decimal column must be stats-unusable, got ${fstat.cols("amount")}")
+    stats.foreach { case (f, fstat) =>
+      val c = fstat.cols("amount")
+      assert(c.family === "c" && c.scale === 2,
+        s"decimal column must carry ordered unscaled stats, got $c in $f")
+      if (f.startsWith("day=2024-01-02")) assert(c.lmn === 100000L &&
+        c.lmx === 200075L, s"day-2 unscaled range wrong: $c")
     }
-    // layer 2: end-to-end — the point filter is answered by the residual
-    // (exactly one row), with no file or row-group skipped from decimal
-    // stats
+    // layer 2: provablyEmpty claims a skip ONLY at the matching scale
+    val st2 = stats.collectFirst {
+      case (f, s) if f.startsWith("day=2024-01-02") => s }.get
+    assert(FileStats.provablyEmpty(st2, "amount", "lt", isFloat = false,
+      50000L, 0d, decScale = 2), "amount < 500.00 must prune day 2")
+    assert(!FileStats.provablyEmpty(st2, "amount", "lt", isFloat = false,
+      50000L, 0d, decScale = 3),
+      "a scale mismatch must make no claim")
+    assert(!FileStats.provablyEmpty(st2, "amount", "lt", isFloat = false,
+      50000L, 0d), "a non-decimal filter against decimal stats: no claim")
+    // layer 3: end-to-end — the selective filter files-skips day 2 AND
+    // the values stay exact (residual answers, stats only prune)
     val f0 = FileStats.skippedFiles.get()
-    val g0 = LakeGroupRead.skippedGroups.get()
+    val low = spark.read.format("graft-lake").option("path", dir).load()
+      .filter(col("amount") < new java.math.BigDecimal("500.00"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(low === Seq(1L, 2L))
+    assert(FileStats.skippedFiles.get() > f0,
+      "the selective money filter must prune day 2's file from its " +
+        "sidecar stats")
+    // layer 4: the point filter stays EXACT (p42's contract)
     val hit = spark.read.format("graft-lake").option("path", dir).load()
       .filter(col("amount") === new java.math.BigDecimal("2.50"))
       .select("id").as[Long].collect().toSeq
     assert(hit === Seq(2L))
-    assert(FileStats.skippedFiles.get() === f0,
-      "no file skip may fire from unscaled decimal stats")
-    assert(LakeGroupRead.skippedGroups.get() === g0,
-      "no row-group skip may fire from unscaled decimal stats")
   }
 }
