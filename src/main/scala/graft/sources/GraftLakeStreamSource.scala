@@ -59,9 +59,18 @@ private[sources] class LakeFullTableStream(
   // fold together). At least one unit is always admitted (progress).
   private val maxBytesPerBatch =
     props.get("maxBytesPerBatch").map(_.toLong).getOrElse(Long.MaxValue)
+  // row-based admission (r17, VERDICT r16 #9): rows are what downstream
+  // state sizing actually bounds. Base-file units carry EXACT row counts
+  // from the generation's stats sidecar; a unit with no recorded count
+  // (pre-stats generation, or a delta fold whose exact fold size is
+  // unknowable pre-read) conservatively fills the whole row budget —
+  // it is admitted alone, never alongside counted units.
+  private val maxRowsPerBatch =
+    props.get("maxRowsPerBatch").map(_.toLong).getOrElse(Long.MaxValue)
   require(maxDaysPerBatch > 0, "maxDaysPerBatch must be positive")
   require(maxEpochsPerBatch > 0, "maxEpochsPerBatch must be positive")
   require(maxBytesPerBatch > 0, "maxBytesPerBatch must be positive")
+  require(maxRowsPerBatch > 0, "maxRowsPerBatch must be positive")
 
   private def spark = SparkSession.active
 
@@ -95,10 +104,15 @@ private[sources] class LakeFullTableStream(
   private final case class DayPlan(
       day: String, baseFiles: Seq[(String, Long)],
       deltas: Seq[LakeDeltaFileRef], dvFiles: Seq[String],
-      foldBytes: Long) {
+      foldBytes: Long,
+      baseRows: Seq[Long] = Nil) { // aligned with baseFiles; -1 unknown
     def unitCount: Int = baseFiles.size + (if (deltas.nonEmpty) 1 else 0)
     def unitBytes(u: Int): Long =
       if (u < baseFiles.size) baseFiles(u)._2 else foldBytes
+    /** Exact rows for counted base files; -1 = unknown (fills the whole
+      * row budget under `maxRowsPerBatch`). */
+    def unitRows(u: Int): Long =
+      if (u < baseRows.size) baseRows(u) else -1L
   }
 
   @volatile private var planCache: (Int, Vector[DayPlan]) = _
@@ -125,6 +139,18 @@ private[sources] class LakeFullTableStream(
         .sortBy(_._1)
     }
     val key = state.key.orNull
+    // per-generation stats sidecars (one tiny read per base gen, cached
+    // for the plan build) — exact per-file row counts for row admission;
+    // only read when the row budget is actually set
+    val statsByGen = scala.collection.mutable.Map
+      .empty[Int, Option[Map[String, graft.etl.FileStats.FileStat]]]
+    def rowsOf(gen: Int, day: String, path: String): Long =
+      if (maxRowsPerBatch == Long.MaxValue) -1L
+      else statsByGen.getOrElseUpdate(gen,
+        graft.etl.FileStats.read(spark, s"${p.data}/gen=$gen"))
+        .flatMap(_.get(s"day=$day/" +
+          new org.apache.hadoop.fs.Path(path).getName))
+        .map(_.rows).getOrElse(-1L)
     val plan = snapDays(e0).map { day =>
       val ds = state.days(day)
       if (ds.deltas.nonEmpty) require(key != null,
@@ -139,7 +165,8 @@ private[sources] class LakeFullTableStream(
         if (ds.base < 0) Nil
         else files(s"${p.data}/gen=${ds.base}/day=$day")
       DayPlan(day, base, deltaFiles.map(_._1), dvFiles,
-        deltaFiles.map(_._2).sum)
+        deltaFiles.map(_._2).sum,
+        base.map { case (f, _) => rowsOf(ds.base, day, f) })
     }.toVector
     planCache = (e0, plan)
     plan
@@ -182,11 +209,13 @@ private[sources] class LakeFullTableStream(
       val plan = snapPlan(s.epoch)
       val (d0, u0) = normalized(s.epoch, s.dayIdx, s.unitIdx)
       if (d0 >= plan.size) return tailTarget(s.epoch) // drained: hand over
-      // admit units (base file / whole delta fold) until the byte budget
-      // or the day cap closes the batch; always at least one unit
+      // admit units (base file / whole delta fold) until the byte or
+      // row budget or the day cap closes the batch; always at least one
+      // unit (progress). An unknown-row unit fills the whole row budget.
       var d = d0
       var u = u0
       var bytes = 0L
+      var rows = 0L
       var admitted = 0
       var open = true
       while (open && d < plan.size && (d - d0) < maxDaysPerBatch) {
@@ -194,9 +223,12 @@ private[sources] class LakeFullTableStream(
         if (u >= dp.unitCount) { d += 1; u = 0 }
         else {
           val b = dp.unitBytes(u)
-          if (admitted > 0 && bytes + b > maxBytesPerBatch) open = false
+          val ur = dp.unitRows(u)
+          val r = if (ur < 0) maxRowsPerBatch else ur
+          if (admitted > 0 && (bytes + b > maxBytesPerBatch ||
+              rows + r > maxRowsPerBatch)) open = false
           else {
-            bytes += b; admitted += 1; u += 1
+            bytes += b; rows += r; admitted += 1; u += 1
             if (u >= dp.unitCount) { d += 1; u = 0 }
           }
         }

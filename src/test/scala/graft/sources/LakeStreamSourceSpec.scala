@@ -317,6 +317,56 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "folded snapshot: delta values win, every base row exactly once")
   }
 
+  test("row-based admission (r17, VERDICT r16 #9): maxRowsPerBatch " +
+    "bounds every counted micro-batch by the sidecar's exact per-file " +
+    "row counts; an unknown-row unit (the delta fold) drains ALONE") {
+    val root = freshDir("row_budget")
+    val dir = s"$root/lake"
+    // one day, 4 base files of ~100 rows each (coalescing pinned off so
+    // the keyed staging shuffle genuinely writes 4 files), plus a fold
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      LakeSnapshot.merge(spark, dir,
+        (1 to 400).map(i => (i.toLong, ts(1), i.toDouble))
+          .toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+    } finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, ts(1), 111.0), (500L, ts(1), 555.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val accDir = s"$root/acc"
+    val q = spark.readStream.format("graft-lake")
+      .option("path", dir).option("changes", "true")
+      .option("maxRowsPerBatch", "250")
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { sizes += n; b.write.mode("append").parquet(accDir) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+    // 4 counted files (~100 rows each) under a 250-row budget → 2-file
+    // batches; the fold (unknown rows) fills the budget → drains alone
+    assert(sizes.size >= 3,
+      s"a 250-row budget must split the day, got $sizes")
+    assert(sizes.forall(_ <= 250L),
+      s"every counted batch must respect the row budget, got $sizes")
+    // exactly-once, fold-correct
+    val got = spark.read.parquet(accDir)
+      .filter(col("_change_type") === "insert")
+      .select("event_id", "value").as[(Long, Double)].collect()
+    assert(got.length === got.toSet.size, "no row delivered twice")
+    assert(got.toSet ===
+      ((2 to 400).map(i => (i.toLong, i.toDouble)).toSet +
+        ((1L, 111.0)) + ((500L, 555.0))))
+  }
+
   test("schema inference never leaks the gen= partition key (ADVICE " +
     "r15): no spurious always-null 'gen INT' column, a REAL data column " +
     "named 'gen' keeps its declared type and streams its values, and " +
