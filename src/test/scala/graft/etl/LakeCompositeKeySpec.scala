@@ -141,4 +141,35 @@ class LakeCompositeKeySpec extends AnyFunSuite {
       (1L, 1L, 110.0), (1L, 2L, 12.0), (2L, 1L, 21.0)),
       "youngest micro-batch wins per TUPLE")
   }
+
+  test("the streaming sink upserts by a THREE-part mixed-type key " +
+    "(key = 'site,uid,reg' — STRING+BIGINT+DATE, r17)") {
+    val root = freshDir("sink3")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/lake", s"$root/ckpt")
+    def d(i: Int) = java.sql.Date.valueOf(f"2023-06-$i%02d")
+    // (a,1,d1) recurs across batches — youngest wins; (a,1,d2) differs
+    // ONLY in the date part and must survive untouched
+    Seq(("a", 1L, d(1), ts(1), 11.0), ("a", 1L, d(2), ts(1), 12.0),
+      ("b", 1L, d(1), ts(1), 21.0))
+      .toDF("site", "uid", "reg", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(s"$inDir/b1")
+    Seq(("a", 1L, d(1), ts(1), 110.0))
+      .toDF("site", "uid", "reg", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(s"$inDir/b2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "site STRING, uid BIGINT, reg DATE, ts TIMESTAMP, value DOUBLE")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      .writeStream.format("graft-lake")
+      .option("path", outDir).option("key", "site,uid,reg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val got = LakeSnapshot.read(spark, outDir)
+      .select("site", "uid", "reg", "value")
+      .as[(String, Long, java.sql.Date, Double)].collect().toSet
+    assert(got === Set(("a", 1L, d(1), 110.0), ("a", 1L, d(2), 12.0),
+      ("b", 1L, d(1), 21.0)),
+      "youngest wins per full 3-part tuple; date-part-only siblings survive")
+  }
 }
