@@ -153,7 +153,17 @@ object ScaleRehearsal {
     // one grouped pass). s25 shares p13's load shape through the native
     // sink and is correctness-gated, not rehearsed (own checkpoints).
     "p38_sql_merge",
-    "p39_kgp_aggregate")
+    "p39_kgp_aggregate",
+    // r17 (VERDICT r15 #8 / r16 #5): the full-table stream source — the
+    // entry builds the lake from the events table, drains the pinned
+    // snapshot in day-bounded micro-batches, ingests the p13 correction
+    // as a cdf tail, and resumes. Its ratio prices the snapshot-drain
+    // admission planner (per-day listings + per-unit offsets) against a
+    // 10x day/file population — the claim "the drain is O(admitted
+    // units), not O(table)" becomes a measured number. The entry
+    // self-cleans (lakeDir/freshCheckpoint delete on access), so the
+    // warm-up + timed re-runs are deterministic.
+    "s26_lake_stream_source")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")
