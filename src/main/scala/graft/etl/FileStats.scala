@@ -34,8 +34,11 @@ import org.apache.spark.sql.SparkSession
   * }}}
   * families: `l` integral (longs/ints; dates as epoch days; timestamps
   * normalized to MICROS whatever int64 unit the file used), `d`
-  * floating, `n` present-but-all-null (comparisons never match → always
-  * skippable), `x` present but stats-unusable (INT96, strings,
+  * floating, `c:<scale>` decimal unscaled (r17 — same-scale compares
+  * only), `s` string (r17 — base64 UTF-8 min/max, recorded only while
+  * both fit 64 bytes; compares are unsigned byte order, parquet's own
+  * string comparator), `n` present-but-all-null (comparisons never
+  * match → always skippable), `x` present but stats-unusable (INT96,
   * missing stats → never skippable). A column ABSENT from a line is
   * absent from the file itself (schema evolution gap) — all-null, so
   * skippable, mirroring [[graft.sources]]' row-group rule.
@@ -43,7 +46,23 @@ import org.apache.spark.sql.SparkSession
 object FileStats {
 
   final case class ColStat(family: String, lmn: Long = 0L, lmx: Long = 0L,
-      dmn: Double = 0d, dmx: Double = 0d, scale: Int = -1)
+      dmn: Double = 0d, dmx: Double = 0d, scale: Int = -1,
+      smn: Array[Byte] = null, smx: Array[Byte] = null)
+
+  /** Unsigned lexicographic byte compare — parquet's UTF-8 string stat
+    * order, so Spark string predicates compare against footer min/max
+    * under the SAME total order the writer used.
+    */
+  def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
@@ -112,12 +131,15 @@ object FileStats {
     Some(text.linesIterator.filter(_.nonEmpty).map { l =>
       val parts = l.split('\t')
       val cols = parts.drop(2).map { ent =>
-        val f = ent.split(':')
+        val f = ent.split(":", -1)
         f(1) match {
           case "l" => f(0) -> ColStat("l", lmn = f(2).toLong, lmx = f(3).toLong)
           case "d" => f(0) -> ColStat("d", dmn = f(2).toDouble, dmx = f(3).toDouble)
           case "c" => f(0) -> ColStat("c", lmn = f(3).toLong,
             lmx = f(4).toLong, scale = f(2).toInt)
+          case "s" if f.length >= 4 =>
+            val dec = java.util.Base64.getDecoder
+            f(0) -> ColStat("s", smn = dec.decode(f(2)), smx = dec.decode(f(3)))
           case fam => f(0) -> ColStat(fam)
         }
       }.toMap
@@ -130,11 +152,16 @@ object FileStats {
     * never skips; all-null and column-absent always skip a comparison).
     */
   def provablyEmpty(st: FileStat, col: String, op: String,
-      isFloat: Boolean, lv: Long, dv: Double, decScale: Int = -1): Boolean =
+      isFloat: Boolean, lv: Long, dv: Double, decScale: Int = -1,
+      sv: Array[Byte] = null): Boolean =
     st.cols.get(col) match {
       case None => true                 // column absent from the file
       case Some(c) if c.family == "n" => true // every value null
-      case Some(c) if c.family == "l" && !isFloat && decScale < 0 =>
+      // IS NOT NULL (r17): only the all-null/absent cases above skip;
+      // any present stats family means the file may hold non-nulls
+      case Some(_) if op == "notnull" => false
+      case Some(c) if c.family == "l" && !isFloat && decScale < 0 &&
+          sv == null =>
         emptyRange(op, lv, c.lmn, c.lmx)
       case Some(c) if c.family == "d" && isFloat =>
         emptyRangeD(op, dv, c.dmn, c.dmx)
@@ -147,6 +174,10 @@ object FileStats {
       case Some(c) if c.family == "c" && decScale >= 0 &&
           c.scale == decScale =>
         emptyRange(op, lv, c.lmn, c.lmx)
+      // STRING tier (r17): unsigned-byte-order compare against the
+      // recorded UTF-8 min/max — the same comparator parquet used
+      case Some(c) if c.family == "s" && sv != null =>
+        emptyRangeS(op, sv, c.smn, c.smx)
       case _ => false                   // family mismatch / unusable
     }
 
@@ -170,11 +201,25 @@ object FileStats {
       case _ => false
     }
 
+  private def emptyRangeS(
+      op: String, v: Array[Byte], mn: Array[Byte], mx: Array[Byte]): Boolean =
+    op match {
+      case "eq" => cmpUtf8(v, mn) < 0 || cmpUtf8(v, mx) > 0
+      case "gt" => cmpUtf8(mx, v) <= 0
+      case "ge" => cmpUtf8(mx, v) < 0
+      case "lt" => cmpUtf8(mn, v) >= 0
+      case "le" => cmpUtf8(mn, v) > 0
+      case _ => false
+    }
+
   private def line(rel: String, st: FileStat): String = {
+    val enc = java.util.Base64.getEncoder
     val cols = st.cols.toSeq.sortBy(_._1).map {
       case (n, c) if c.family == "l" => s"$n:l:${c.lmn}:${c.lmx}"
       case (n, c) if c.family == "d" => s"$n:d:${c.dmn}:${c.dmx}"
       case (n, c) if c.family == "c" => s"$n:c:${c.scale}:${c.lmn}:${c.lmx}"
+      case (n, c) if c.family == "s" =>
+        s"$n:s:${enc.encodeToString(c.smn)}:${enc.encodeToString(c.smx)}"
       case (n, c) => s"$n:${c.family}"
     }
     (Seq(rel, st.rows.toString) ++ cols).mkString("\t")
@@ -256,6 +301,24 @@ object FileStats {
                   _.genericGetMin.asInstanceOf[Number].doubleValue()).min,
                 dmx = nn.map(
                   _.genericGetMax.asInstanceOf[Number].doubleValue()).max)
+            case BINARY if pt.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              // STRING stats (r17): unsigned-byte-order min/max, recorded
+              // only while both fit 64 bytes — long text columns stay
+              // unusable (a truncated bound needs increment logic to stay
+              // an upper bound; not worth it for the low-cardinality
+              // dimension columns this tier targets)
+              val mins = nn.map(s =>
+                s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes)
+              val maxs = nn.map(s =>
+                s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes)
+              if (mins.forall(_.length <= 64) && maxs.forall(_.length <= 64))
+                name -> ColStat("s",
+                  smn = mins.reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b),
+                  smx = maxs.reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b))
+              else name -> ColStat("x")
             case _ => name -> ColStat("x") // INT96, binary, boolean
           }
         }

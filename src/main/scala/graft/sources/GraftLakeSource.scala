@@ -526,9 +526,15 @@ private[sources] class LakeScan(
       stats.flatMap(_.get(s"day=$day/${new Path(file).getName}")) match {
         case None => true // no sidecar / unknown file: never skip blind
         case Some(st) =>
-          val dead = skipPhys.exists(f => graft.etl.FileStats
-            .provablyEmpty(st, f.col, f.op, f.isFloat, f.lv, f.dv,
-              f.decScale))
+          // an IN conjunct proves the file empty only when EVERY member
+          // does (members compare under the remapped physical name)
+          def empty(f: RowGroupFilter): Boolean =
+            if (f.op == "in") f.inSet.nonEmpty && f.inSet.forall(m =>
+              graft.etl.FileStats.provablyEmpty(st, f.col, "eq",
+                m.isFloat, m.lv, m.dv, m.decScale, m.sv))
+            else graft.etl.FileStats.provablyEmpty(st, f.col, f.op,
+              f.isFloat, f.lv, f.dv, f.decScale, f.sv)
+          val dead = skipPhys.exists(empty)
           if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
           !dead
       }
@@ -670,7 +676,13 @@ final case class RowGroupFilter(
     col: String, op: String, isFloat: Boolean, lv: Long, dv: Double,
     // decimal family (r17): when >= 0, `lv` is the predicate's UNSCALED
     // value at this scale — comparable against same-scale decimal stats
-    decScale: Int = -1)
+    decScale: Int = -1,
+    // string family (r17): the predicate value's UTF-8 bytes — compared
+    // unsigned-lexicographically, parquet's own string stat order
+    sv: Array[Byte] = null,
+    // op == "in": the member equality hints — the IN conjunct proves a
+    // file/group empty only when EVERY member does
+    inSet: Seq[RowGroupFilter] = Nil)
 
 object RowGroupFilter {
   private def decNorm(
@@ -712,7 +724,13 @@ object RowGroupFilter {
       // same-scale only, so a money filter finally prunes
       case d: java.math.BigDecimal => decNorm(col, op, d)
       case d: scala.math.BigDecimal => decNorm(col, op, d.bigDecimal)
-      case _ => None // strings: correctness via the residual
+      // STRING predicates (r17): the dimension-column case —
+      // `event_type = 'purchase'`, `lang = 'en'` — compares the value's
+      // UTF-8 bytes against the footer min/max unsigned, the exact
+      // total order parquet's string comparator recorded them under
+      case s: String => Some(RowGroupFilter(col, op, isFloat = false,
+        0L, 0d, sv = s.getBytes("UTF-8")))
+      case _ => None
     }
 
   /** The skip hint for a pushed filter, if its shape and value family
@@ -724,6 +742,20 @@ object RowGroupFilter {
     case sources.GreaterThanOrEqual(a, v) => norm(a, "ge", v)
     case sources.LessThan(a, v) => norm(a, "lt", v)
     case sources.LessThanOrEqual(a, v) => norm(a, "le", v)
+    // IN (r17): one conjunct — skippable only when EVERY member is;
+    // any non-convertible member (or an over-wide list) forfeits the
+    // hint, never the correctness (filters stay residual)
+    case sources.In(a, vs) if vs.nonEmpty && vs.length <= 32 =>
+      val members = vs.toSeq.map(v => norm(a, "eq", v))
+      if (members.forall(_.isDefined))
+        Some(RowGroupFilter(a, "in", isFloat = false, 0L, 0d,
+          inSet = members.flatten))
+      else None
+    // IS NOT NULL (r17): skips all-null / column-absent files and
+    // groups — the schema-evolution gap reads, common under
+    // `WHERE new_col IS NOT NULL` backfills
+    case sources.IsNotNull(a) if !a.contains(".") =>
+      Some(RowGroupFilter(a, "notnull", isFloat = false, 0L, 0d))
     case _ => None
   }
 }
@@ -840,7 +872,15 @@ private[sources] object LakeGroupRead {
   def groupProvablyEmpty(
       block: org.apache.parquet.hadoop.metadata.BlockMetaData,
       filters: Seq[RowGroupFilter], fileSchema: MessageType): Boolean =
-    filters.exists { f =>
+    filters.exists(f => filterProvablyEmpty(block, f, fileSchema))
+
+  private def filterProvablyEmpty(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      f: RowGroupFilter, fileSchema: MessageType): Boolean = {
+      // an IN conjunct: empty only when every member equality is
+      if (f.op == "in")
+        return f.inSet.nonEmpty && f.inSet.forall(m =>
+          filterProvablyEmpty(block, m.copy(col = f.col), fileSchema))
       if (!fileSchema.containsField(f.col)) true // all-null evolution gap
       else block.getColumns.asScala
         .find(_.getPath.toDotString == f.col) match {
@@ -849,6 +889,7 @@ private[sources] object LakeGroupRead {
           val st = cc.getStatistics
           if (st == null || st.isEmpty) false
           else if (!st.hasNonNullValue) true // every value null
+          else if (f.op == "notnull") false // non-nulls exist: no claim
           else {
             val fileScale =
               cc.getPrimitiveType.getLogicalTypeAnnotation match {
@@ -876,6 +917,17 @@ private[sources] object LakeGroupRead {
               }
             } else (pt, f.isFloat) match {
               case _ if f.decScale >= 0 => false // decimal filter, plain col
+              // STRING chunk vs string predicate (r17): unsigned byte
+              // order, parquet's own string comparator
+              case (BINARY, false) if f.sv != null &&
+                  cc.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                provablyEmptyBytes(f.op, f.sv, mn, mx)
+              case _ if f.sv != null => false // string filter, other family
               case (INT64, false) | (INT32, false) =>
                 val (mn, mx) = (
                   st.genericGetMin.asInstanceOf[Number].longValue(),
@@ -910,6 +962,19 @@ private[sources] object LakeGroupRead {
     case "lt" => mn >= v
     case "le" => mn > v
     case _ => false
+  }
+
+  private def provablyEmptyBytes(
+      op: String, v: Array[Byte], mn: Array[Byte], mx: Array[Byte]): Boolean = {
+    import graft.etl.FileStats.cmpUtf8
+    op match {
+      case "eq" => cmpUtf8(v, mn) < 0 || cmpUtf8(v, mx) > 0
+      case "gt" => cmpUtf8(mx, v) <= 0
+      case "ge" => cmpUtf8(mx, v) < 0
+      case "lt" => cmpUtf8(mn, v) >= 0
+      case "le" => cmpUtf8(mn, v) > 0
+      case _ => false
+    }
   }
 
   private val JulianEpochDay = 2440588L // 1970-01-01 as a julian day

@@ -304,6 +304,47 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       "no sidecar → no file skip (row-group layer still applies)")
   }
 
+  test("STRING stats family + IN + IS NOT NULL skip hints (r17): " +
+    "dimension-column filters prune files from base64 UTF-8 min/max, " +
+    "an IN conjunct skips only when EVERY member does, IS NOT NULL " +
+    "skips all-null files — values stay exact throughout") {
+    val dir = freshDir("strstats")
+    // three days: day 1 src ∈ {alpha, beta}, day 2 src ∈ {xray, zulu}
+    // (disjoint byte ranges), day 3 src all-null
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), "alpha"), (2L, ts(1), "beta"),
+        (3L, ts(2), "xray"), (4L, ts(2), "zulu"),
+        (5L, ts(3), null.asInstanceOf[String]),
+        (6L, ts(3), null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "src"),
+      "event_id", "ts")
+    // string equality: day 2 (and the all-null day 3) are provably empty
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("src") === "alpha")
+      .select("event_id").as[Long].collect().toSeq === Seq(1L))
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "a string equality must file-skip the disjoint day from its stats")
+    // IN with every member inside day 1's range: days 2/3 skip
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("src").isin("alpha", "beta"))
+      .count() === 2L)
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "an IN whose every member misses a file must skip it")
+    // IN with a member in day 2's range: day 2 must NOT be skipped —
+    // the values prove it (xray still returned)
+    assert(dsv2(dir).filter(col("src").isin("alpha", "xray"))
+      .select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // IS NOT NULL skips the all-null day wholesale
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("src").isNotNull).count() === 4L)
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "IS NOT NULL must skip the all-null file")
+    // exactness against the Scala read for the full matrix
+    assert(dsv2(dir).filter(col("src") >= "beta").count() ===
+      LakeSnapshot.read(spark, dir).filter(col("src") >= "beta").count())
+    assert(dsv2(dir).filter(col("src") < "m").count() === 2L)
+  }
+
   test("footerStat folds row groups: longs, doubles, dates, timestamp " +
     "units normalize to micros, all-null and absent columns mark") {
     val dir = freshDir("footerstat")
