@@ -209,8 +209,29 @@ object FileStats {
       case "ge" => cmpUtf8(mx, v) < 0
       case "lt" => cmpUtf8(mn, v) >= 0
       case "le" => cmpUtf8(mn, v) > 0
+      // LIKE 'prefix%': matches live in [prefix, successor(prefix)) —
+      // empty iff every value is below the prefix or at/after the
+      // successor (no successor = all-0xff prefix: lower check only)
+      case "sw" =>
+        cmpUtf8(mx, v) < 0 ||
+          prefixSuccessor(v).exists(up => cmpUtf8(mn, up) >= 0)
       case _ => false
     }
+
+  /** The smallest byte string GREATER than every string with prefix `p`
+    * — increment the last non-0xff byte and truncate after it; None when
+    * every byte is 0xff (no finite successor).
+    */
+  private[graft] def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val up = java.util.Arrays.copyOf(p, i + 1)
+      up(i) = (up(i) + 1).toByte
+      Some(up)
+    }
+  }
 
   private def line(rel: String, st: FileStat): String = {
     val enc = java.util.Base64.getEncoder

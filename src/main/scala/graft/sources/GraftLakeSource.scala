@@ -756,6 +756,12 @@ object RowGroupFilter {
     // `WHERE new_col IS NOT NULL` backfills
     case sources.IsNotNull(a) if !a.contains(".") =>
       Some(RowGroupFilter(a, "notnull", isFloat = false, 0L, 0d))
+    // LIKE 'prefix%' (r17): matches live in [prefix, successor(prefix))
+    // under the same unsigned byte order the stats were recorded in —
+    // URL/path/tenant prefixes are the everyday selective string filter
+    case sources.StringStartsWith(a, p) if !a.contains(".") && p.nonEmpty =>
+      Some(RowGroupFilter(a, "sw", isFloat = false, 0L, 0d,
+        sv = p.getBytes("UTF-8")))
     case _ => None
   }
 }
@@ -966,13 +972,16 @@ private[sources] object LakeGroupRead {
 
   private def provablyEmptyBytes(
       op: String, v: Array[Byte], mn: Array[Byte], mx: Array[Byte]): Boolean = {
-    import graft.etl.FileStats.cmpUtf8
+    import graft.etl.FileStats.{cmpUtf8, prefixSuccessor}
     op match {
       case "eq" => cmpUtf8(v, mn) < 0 || cmpUtf8(v, mx) > 0
       case "gt" => cmpUtf8(mx, v) <= 0
       case "ge" => cmpUtf8(mx, v) < 0
       case "lt" => cmpUtf8(mn, v) >= 0
       case "le" => cmpUtf8(mn, v) > 0
+      case "sw" =>
+        cmpUtf8(mx, v) < 0 ||
+          prefixSuccessor(v).exists(up => cmpUtf8(mn, up) >= 0)
       case _ => false
     }
   }

@@ -339,6 +339,13 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(dsv2(dir).filter(col("src").isNotNull).count() === 4L)
     assert(graft.etl.FileStats.skippedFiles.get() > 0,
       "IS NOT NULL must skip the all-null file")
+    // LIKE 'prefix%': day 1 ({alpha, beta}) is provably outside the
+    // 'x' prefix range [x, y) — file-skips; the matching rows are exact
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("src").startsWith("x"))
+      .select("event_id").as[Long].collect().toSeq === Seq(3L))
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "a prefix filter must skip files whose range misses [p, succ(p))")
     // exactness against the Scala read for the full matrix
     assert(dsv2(dir).filter(col("src") >= "beta").count() ===
       LakeSnapshot.read(spark, dir).filter(col("src") >= "beta").count())
