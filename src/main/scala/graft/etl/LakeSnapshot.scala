@@ -914,8 +914,9 @@ object LakeSnapshot {
     // natural physical is taken (re-add after drop/rename) get fresh
     // physical ids, recorded in the commit row
     val (viewX, addcols) = allocatePhysicals(b, live)
-    toPhysical(merged, viewX)
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    val physMerged = toPhysical(merged, viewX)
+    microsWrite(physMerged)(physMerged
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
     if (cdf) stageCdfMerge(spark, p, gen, stored, b, keyCol)
     Staged(gen, base, days, Nil, cdf = cdf, addcols = addcols,
@@ -980,12 +981,27 @@ object LakeSnapshot {
     // foreachBatch the micro-batch frame is bound to a cloned session
     // with isolated conf, and setting the outer session's conf silently
     // leaves the write on INT96 (found by s24).
-    val sess = changes.sparkSession
+    microsWrite(changes)(
+      changes.write.mode("append").parquet(s"${p.cdf}/gen=$gen"))
+  }
+
+  /** Run a generation write with the frame's session pinned to
+    * TIMESTAMP_MICROS (r17, extended from the cdf sidecars to EVERY
+    * lake write): Spark's default is still legacy INT96, whose footer
+    * stats are unusable — micros timestamps make `ts` range predicates
+    * file- and row-group-skippable and min/max(ts) metadata-answerable,
+    * the most common pruning dimension a 100 TB event table has. Old
+    * INT96 generations keep reading (the readers handle both; the
+    * mixed-generation spec locks it). The conf binds to the frame's OWN
+    * session — under foreachBatch the micro-batch frame rides a cloned
+    * session with isolated conf (found by s24).
+    */
+  private[etl] def microsWrite[T](df: DataFrame)(body: => T): T = {
+    val sess = df.sparkSession
     val conf = "spark.sql.parquet.outputTimestampType"
     val prev = sess.conf.get(conf)
     sess.conf.set(conf, "TIMESTAMP_MICROS")
-    try changes.write.mode("append").parquet(s"${p.cdf}/gen=$gen")
-    finally sess.conf.set(conf, prev)
+    try body finally sess.conf.set(conf, prev)
   }
 
   /** Stage a DELETE: write the survivors' generation for every touched
@@ -1008,8 +1024,10 @@ object LakeSnapshot {
     val gen = claimGen(spark, dir, base + 1, store)
     val stored = readDaysRaw(spark, dir, live, days.toSet)
     val delKeys = b.select(keyParts(keyCol).map(col): _*).distinct()
-    toPhysical(stored.join(delKeys, keyParts(keyCol), "left_anti"), live)
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    val physSurv = toPhysical(
+      stored.join(delKeys, keyParts(keyCol), "left_anti"), live)
+    microsWrite(physSurv)(physSurv
+      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
     if (cdf)
       writeCdf(spark, p, gen,
@@ -1056,8 +1074,9 @@ object LakeSnapshot {
         s"'${live.key.get}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
     val (viewX, addcols) = allocatePhysicals(b, live)
-    toPhysical(b, viewX)
-      .write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
+    val physB = toPhysical(b, viewX)
+    microsWrite(physB)(physB
+      .write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen"))
     // write-time CDF for a delta commit needs PREIMAGES — one folded
     // read of the touched STORED days (the O(touched days) price a
     // cdf=false delta never pays), and [[commitDelta]] must then abort
@@ -1096,7 +1115,8 @@ object LakeSnapshot {
       s"delta key '$keyCol' does not match the table's recorded key " +
         s"'${live.key.get}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
-    b.write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen")
+    microsWrite(b)(b.write.mode("append").partitionBy("day")
+      .parquet(s"${p.delta}/gen=$gen"))
     // delete preimages: the folded rows the markers will kill — markers
     // for absent keys/days emit nothing (same suppression as the fold)
     if (cdf) {
@@ -1237,11 +1257,12 @@ object LakeSnapshot {
             .select(col("file").as("__file"), col("pos").as("__pos")),
           priorPaths),
         Seq("__file", "__pos"), "left_anti")
-    liveBase
+    val tomb = liveBase
       .join(b.select(keyParts(keyCol).map(col): _*).distinct(),
         keyParts(keyCol), "left_semi")
       .select(col("day"), col("__file").as("file"), col("__pos").as("pos"))
-      .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen")
+    microsWrite(tomb)(tomb
+      .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen"))
     Staged(gen, base, days, Nil, dv = true, key = Some(keyCol))
   }
 
@@ -1818,7 +1839,7 @@ object LakeSnapshot {
        else days.filter(live.days.contains)).sorted
     if (touched.isEmpty) return Nil
     val gen = claimGen(spark, dir, base + 1, store)
-    toPhysical(readDaysRaw(spark, dir, live, touched.toSet), live)
+    val compacted = toPhysical(readDaysRaw(spark, dir, live, touched.toSet), live)
       // co-locate each day in one task → one file per day directory, with
       // task parallelism ACROSS days (never a single global funnel);
       // bound single-file size for huge days with
@@ -1827,7 +1848,9 @@ object LakeSnapshot {
       // the maintenance step that returns delta-heavy days to the
       // shuffle-free fast read path.
       .repartition(col("day"))
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    microsWrite(compacted)(compacted
+      .write.mode("append").partitionBy("day")
+      .parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
     // a day whose rows all folded away (delta deletes) writes no
     // directory — the same written-layout census as stageDelete
@@ -1900,14 +1923,16 @@ object LakeSnapshot {
         expr(s"(CAST(__z$i - $mn AS DECIMAL(38,0)) * $scale) div " +
           s"${math.max(1L, mx - mn)}"))
     }
-    bucketed
+    val zordered = bucketed
       .withColumn("__zkey",
         ZOrder.mortonKeyN((0 until k).map(i => col(s"__b$i")), bits))
       .repartitionByRange(files, col("day"), col("__zkey"))
       .sortWithinPartitions(col("day"), col("__zkey"))
       .drop((0 until k).flatMap(i => Seq(s"__z$i", s"__b$i")) :+ "__zkey": _*)
       .transform(toPhysical(_, live))
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen")
+    microsWrite(zordered)(zordered
+      .write.mode("append").partitionBy("day")
+      .parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
     val f = fsOf(spark, dir)
     val genPath = new Path(s"${p.data}/gen=$gen")

@@ -393,11 +393,42 @@ private[sources] class LakeWriteBuilder(
 private[sources] class LakeScanBuilder(
     fullSchema: StructType, props: Map[String, String])
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var dayFilters: Array[sources.Filter] = Array.empty
   private var statFilters: Array[sources.Filter] = Array.empty
+  private var aggPush: Option[(StructType, Array[Any])] = None
+
+  // METADATA-ONLY COUNT/MIN/MAX (r17, see [[LakeAggPushdown]]): PARTIAL
+  // pushdown — Spark's final aggregate merges the one partial row, and
+  // a refused push falls back to the normal scan, never a wrong answer.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    // residual non-day filters change the row population; Spark only
+    // attempts the push when no Filter node remains, but guard anyway
+    if (statFilters.nonEmpty) return false
+    val spark = SparkSession.active
+    val dir = GraftLakeSource.dirOf(props)
+    val state = LakeSnapshot.tableState(
+      spark, dir, props.get("epoch").map(_.toInt))
+    if (!state.nonEmpty) return false
+    (for {
+      specs <- LakeAggPushdown.specsOf(agg, fullSchema)
+      values <- LakeAggPushdown.compute(
+        spark, dir, state, dayFilters.toSeq, specs)
+    } yield {
+      aggPush = Some((LakeAggPushdown.schemaOf(specs), values))
+      LakeAggPushdown.pushedAggs.incrementAndGet()
+      true
+    }).getOrElse(false)
+  }
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -420,8 +451,12 @@ private[sources] class LakeScanBuilder(
     // still reads day-partition row counts correctly via empty rows
     required = requiredSchema
 
-  override def build(): Scan =
-    new LakeScan(required, props, dayFilters.toSeq, statFilters.toSeq)
+  override def build(): Scan = aggPush match {
+    case Some((out, values)) =>
+      new LakeAggScan(out, values, GraftLakeSource.dirOf(props))
+    case None =>
+      new LakeScan(required, props, dayFilters.toSeq, statFilters.toSeq)
+  }
 }
 
 private[sources] class LakeScan(

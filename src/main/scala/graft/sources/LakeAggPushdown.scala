@@ -1,0 +1,232 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{FileStats, LakeSnapshot}
+import graft.etl.LakeSnapshot.{DayState, LakeState}
+
+/** METADATA-ONLY aggregate pushdown (r17): `SELECT count(*) / min(c) /
+  * max(c) FROM lake [WHERE day-only]` answered from the manifest fold +
+  * the per-generation stats sidecars — ZERO data files opened, zero
+  * tasks over table bytes. At 100 TB this is the difference between a
+  * row-count in milliseconds and a cluster-wide scan (the Iceberg/Delta
+  * "stats as query input" shape).
+  *
+  * The push is PARTIAL (`supportCompletePushDown = false`): the scan
+  * emits ONE partial row and Spark's final aggregate merges it — a
+  * refused push (any condition below) falls back to the normal scan,
+  * never to a wrong answer. Pushdown is accepted ONLY when every
+  * selected day is a pure base (no row deltas to fold, no deletion
+  * vectors to subtract), every base file has a sidecar row, and — for
+  * min/max — every file's stat family is usable for the column's type.
+  * That is exactly the regime where sidecar stats are EXACT, not bounds:
+  * footers record true min/max, and staging wrote the sidecar from the
+  * same footers the files ship with.
+  */
+private[sources] object LakeAggPushdown {
+
+  sealed trait Spec
+  case object CountStarSpec extends Spec
+  final case class MinSpec(logical: String, dt: DataType) extends Spec
+  final case class MaxSpec(logical: String, dt: DataType) extends Spec
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Translate the pushed aggregation — None when any function/column
+    * is outside the supported set (CountStar, Min/Max on stat-usable
+    * scalar types; no GROUP BY).
+    */
+  def specsOf(agg: Aggregation, schema: StructType): Option[Seq[Spec]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    def typed(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType).filter {
+        case LongType | IntegerType | DateType | TimestampType |
+             DoubleType | FloatType | StringType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountStarSpec)
+      case m: Min => colOf(m.column()).filter(_ != "day")
+        .flatMap(c => typed(c).map(MinSpec(c, _)))
+      case m: Max => colOf(m.column()).filter(_ != "day")
+        .flatMap(c => typed(c).map(MaxSpec(c, _)))
+      case _: AggregateFunc => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  /** The scan-output schema for the partial row, in agg order. */
+  def schemaOf(specs: Seq[Spec]): StructType = StructType(
+    specs.zipWithIndex.map {
+      case (CountStarSpec, i) => StructField(s"agg_$i", LongType, false)
+      case (MinSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
+      case (MaxSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
+    })
+
+  /** Compute the partial values from the sidecars, or None when any
+    * condition fails (→ the caller refuses the push and the normal scan
+    * answers). Driver-side: one listing per selected day + one sidecar
+    * read per touched generation.
+    */
+  def compute(
+      spark: SparkSession, dir: String, state: LakeState,
+      dayFilters: Seq[org.apache.spark.sql.sources.Filter],
+      specs: Seq[Spec]): Option[Array[Any]] = {
+    val p = LakeSnapshot.LakePaths(dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sel: Seq[(String, DayState)] = state.days.toSeq.sortBy(_._1)
+      .filter { case (d, _) => GraftLakeSource.dayOk(d, dayFilters) }
+    // pure-base days only: a delta fold or a DV subtraction changes the
+    // row population in ways stats cannot see
+    if (!sel.forall { case (_, ds) =>
+      ds.base >= 0 && ds.deltas.isEmpty && ds.dvs.isEmpty }) return None
+    val statsByGen = scala.collection.mutable.Map
+      .empty[Int, Option[Map[String, FileStats.FileStat]]]
+    // resolve min/max columns to PHYSICAL names once; a column with no
+    // physical binding was never written → all null
+    val phys: Map[String, Option[String]] = specs.collect {
+      case MinSpec(l, _) => l
+      case MaxSpec(l, _) => l
+    }.distinct.map(l => l -> state.physicalFor(l)).toMap
+
+    var count = 0L
+    // running (min, max) ColStat-space values per logical column
+    val mins = scala.collection.mutable.Map.empty[String, FileStats.ColStat]
+    val maxs = scala.collection.mutable.Map.empty[String, FileStats.ColStat]
+    def fold(into: scala.collection.mutable.Map[String, FileStats.ColStat],
+        l: String, c: FileStats.ColStat, takeMin: Boolean): Boolean = {
+      import FileStats.cmpUtf8
+      into.get(l) match {
+        case None => into(l) = c; true
+        case Some(prev) if prev.family != c.family => false
+        case Some(prev) if prev.family == "c" && prev.scale != c.scale =>
+          false
+        case Some(prev) =>
+          val pick = (prev.family, takeMin) match {
+            case ("l" | "c", true) => if (c.lmn < prev.lmn) c else prev
+            case ("l" | "c", false) => if (c.lmx > prev.lmx) c else prev
+            case ("d", true) => if (c.dmn < prev.dmn) c else prev
+            case ("d", false) => if (c.dmx > prev.dmx) c else prev
+            case ("s", true) => if (cmpUtf8(c.smn, prev.smn) < 0) c else prev
+            case ("s", false) => if (cmpUtf8(c.smx, prev.smx) > 0) c else prev
+            case _ => return false
+          }
+          into(l) = pick
+          true
+      }
+    }
+    for ((day, ds) <- sel) {
+      val dp = new Path(s"${p.data}/gen=${ds.base}/day=$day")
+      if (!fs.exists(dp)) return None
+      val files = fs.listStatus(dp)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toSeq
+      val stats = statsByGen.getOrElseUpdate(ds.base,
+        FileStats.read(spark, s"${p.data}/gen=${ds.base}"))
+        .getOrElse(return None) // pre-stats generation: no claim
+      for (f <- files) {
+        val st = stats.getOrElse(s"day=$day/$f", return None)
+        count += st.rows
+        for ((l, ph) <- phys) {
+          // absent column / no binding / all-null: contributes nothing;
+          // an unusable family forfeits the whole push
+          val cs = ph.flatMap(st.cols.get)
+          cs match {
+            case None => ()
+            case Some(c) if c.family == "n" => ()
+            case Some(c) if c.family == "x" => return None
+            case Some(c) =>
+              if (!fold(mins, l, c, takeMin = true)) return None
+              if (!fold(maxs, l, c, takeMin = false)) return None
+          }
+        }
+      }
+    }
+    // render each agg value in the column's INTERNAL representation;
+    // a family/type mismatch (e.g. decimal scale drift) refuses
+    def render(c: FileStats.ColStat, dt: DataType, takeMin: Boolean)
+        : Option[Any] = {
+      val lv = if (takeMin) c.lmn else c.lmx
+      val dv = if (takeMin) c.dmn else c.dmx
+      val sv = if (takeMin) c.smn else c.smx
+      (c.family, dt) match {
+        case ("l", LongType) => Some(lv)
+        case ("l", IntegerType) => Some(lv.toInt)
+        case ("l", DateType) => Some(lv.toInt)
+        case ("l", TimestampType) => Some(lv)
+        case ("d", DoubleType) => Some(dv)
+        case ("d", FloatType) => Some(dv.toFloat)
+        case ("s", StringType) => Some(UTF8String.fromBytes(sv))
+        case ("c", d: DecimalType) if c.scale == d.scale =>
+          Some(Decimal(BigDecimal(java.math.BigInteger.valueOf(lv), d.scale),
+            d.precision, d.scale))
+        case _ => None
+      }
+    }
+    val out = new Array[Any](specs.length)
+    var i = 0
+    for (s <- specs) {
+      out(i) = s match {
+        case CountStarSpec => count
+        case MinSpec(l, dt) => mins.get(l) match {
+          case None => null // no non-null value anywhere
+          case Some(c) => render(c, dt, takeMin = true).getOrElse(return None)
+        }
+        case MaxSpec(l, dt) => maxs.get(l) match {
+          case None => null
+          case Some(c) => render(c, dt, takeMin = false).getOrElse(return None)
+        }
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Diagnostic only: pushes answered from metadata (specs assert). */
+  val pushedAggs = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+/** The agg-pushed scan: ONE partition carrying the precomputed partial
+  * row — no file is ever opened.
+  */
+private[sources] class LakeAggScan(
+    out: StructType, values: Array[Any], label: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def description(): String = s"graft-lake agg-pushdown $label"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeAggResultPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val vs = p.asInstanceOf[LakeAggResultPartition].values
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] final case class LakeAggResultPartition(values: Array[Any])
+  extends InputPartition
