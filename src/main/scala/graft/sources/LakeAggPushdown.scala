@@ -31,7 +31,7 @@ import graft.etl.LakeSnapshot.{DayState, LakeState}
   * footers record true min/max, and staging wrote the sidecar from the
   * same footers the files ship with.
   */
-private[sources] object LakeAggPushdown {
+private[graft] object LakeAggPushdown {
 
   sealed trait Spec
   case object CountStarSpec extends Spec
@@ -60,10 +60,14 @@ private[sources] object LakeAggPushdown {
       }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarSpec)
-      case m: Min => colOf(m.column()).filter(_ != "day")
-        .flatMap(c => typed(c).map(MinSpec(c, _)))
-      case m: Max => colOf(m.column()).filter(_ != "day")
-        .flatMap(c => typed(c).map(MaxSpec(c, _)))
+      // min/max(day): the partition column — answered from the manifest
+      // day SET itself, no stats needed
+      case m: Min => colOf(m.column()).flatMap(c =>
+        if (c == "day") Some(MinSpec("day", DateType))
+        else typed(c).map(MinSpec(c, _)))
+      case m: Max => colOf(m.column()).flatMap(c =>
+        if (c == "day") Some(MaxSpec("day", DateType))
+        else typed(c).map(MaxSpec(c, _)))
       case _: AggregateFunc => None
     }
     if (specs.forall(_.isDefined)) Some(specs.flatten) else None
@@ -100,8 +104,8 @@ private[sources] object LakeAggPushdown {
     // resolve min/max columns to PHYSICAL names once; a column with no
     // physical binding was never written → all null
     val phys: Map[String, Option[String]] = specs.collect {
-      case MinSpec(l, _) => l
-      case MaxSpec(l, _) => l
+      case MinSpec(l, _) if l != "day" => l
+      case MaxSpec(l, _) if l != "day" => l
     }.distinct.map(l => l -> state.physicalFor(l)).toMap
 
     var count = 0L
@@ -178,11 +182,17 @@ private[sources] object LakeAggPushdown {
         case _ => None
       }
     }
+    def dayEpoch(d: String): Int =
+      java.time.LocalDate.parse(d).toEpochDay.toInt
     val out = new Array[Any](specs.length)
     var i = 0
     for (s <- specs) {
       out(i) = s match {
         case CountStarSpec => count
+        case MinSpec("day", _) =>
+          if (sel.isEmpty) null else dayEpoch(sel.map(_._1).min)
+        case MaxSpec("day", _) =>
+          if (sel.isEmpty) null else dayEpoch(sel.map(_._1).max)
         case MinSpec(l, dt) => mins.get(l) match {
           case None => null // no non-null value anywhere
           case Some(c) => render(c, dt, takeMin = true).getOrElse(return None)

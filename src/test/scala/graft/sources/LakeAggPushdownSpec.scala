@@ -67,6 +67,12 @@ class LakeAggPushdownSpec extends AnyFunSuite {
     assert(dsv2(dir).filter(col("day") === "2024-01-02")
       .agg(count(lit(1))).head().getLong(0) === 2L)
     assert(LakeAggPushdown.pushedAggs.get() > n1)
+    // min/max(day): answered from the manifest day SET
+    val n2 = LakeAggPushdown.pushedAggs.get()
+    val d = dsv2(dir).agg(min("day"), max("day")).head()
+    assert(d.getDate(0) === java.sql.Date.valueOf("2024-01-01") &&
+      d.getDate(1) === java.sql.Date.valueOf("2024-01-02"))
+    assert(LakeAggPushdown.pushedAggs.get() > n2)
   }
 
   test("REFUSALS fall back to the true scan: row deltas, deletion " +
