@@ -399,7 +399,7 @@ private[sources] class LakeScanBuilder(
   private var required: StructType = fullSchema
   private var dayFilters: Array[sources.Filter] = Array.empty
   private var statFilters: Array[sources.Filter] = Array.empty
-  private var aggPush: Option[(StructType, Array[Any])] = None
+  private var aggPush: Option[(StructType, Seq[Array[Any]])] = None
 
   // METADATA-ONLY COUNT/MIN/MAX (r17, see [[LakeAggPushdown]]): PARTIAL
   // pushdown — Spark's final aggregate merges the one partial row, and
@@ -420,11 +420,12 @@ private[sources] class LakeScanBuilder(
       spark, dir, props.get("epoch").map(_.toInt))
     if (!state.nonEmpty) return false
     (for {
-      specs <- LakeAggPushdown.specsOf(agg, fullSchema)
-      values <- LakeAggPushdown.compute(
-        spark, dir, state, dayFilters.toSeq, specs)
+      gbSpecs <- LakeAggPushdown.specsOf(agg, fullSchema)
+      (groupByDay, specs) = gbSpecs
+      rows <- LakeAggPushdown.compute(
+        spark, dir, state, dayFilters.toSeq, groupByDay, specs)
     } yield {
-      aggPush = Some((LakeAggPushdown.schemaOf(specs), values))
+      aggPush = Some((LakeAggPushdown.schemaOf(groupByDay, specs), rows))
       LakeAggPushdown.pushedAggs.incrementAndGet()
       true
     }).getOrElse(false)

@@ -49,8 +49,14 @@ private[graft] object LakeAggPushdown {
     * is outside the supported set (CountStar, Min/Max on stat-usable
     * scalar types; no GROUP BY).
     */
-  def specsOf(agg: Aggregation, schema: StructType): Option[Seq[Spec]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  /** (groupByDay, specs) — group-by is supported for exactly the `day`
+    * partition column (the everyday reporting shape: per-day counts).
+    */
+  def specsOf(agg: Aggregation, schema: StructType)
+      : Option[(Boolean, Seq[Spec])] = {
+    val gb = agg.groupByExpressions()
+    val groupByDay = gb.length == 1 && colOf(gb(0)).contains("day")
+    if (gb.nonEmpty && !groupByDay) return None
     def typed(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType).filter {
         case LongType | IntegerType | DateType | TimestampType |
@@ -70,16 +76,22 @@ private[graft] object LakeAggPushdown {
         else typed(c).map(MaxSpec(c, _)))
       case _: AggregateFunc => None
     }
-    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+    if (specs.forall(_.isDefined)) Some((groupByDay, specs.flatten))
+    else None
   }
 
-  /** The scan-output schema for the partial row, in agg order. */
-  def schemaOf(specs: Seq[Spec]): StructType = StructType(
-    specs.zipWithIndex.map {
-      case (CountStarSpec, i) => StructField(s"agg_$i", LongType, false)
-      case (MinSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
-      case (MaxSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
-    })
+  /** The scan-output schema for the partial rows: group-by columns
+    * FIRST, then the agg columns in order (the JDBC convention Spark's
+    * rewrite expects).
+    */
+  def schemaOf(groupByDay: Boolean, specs: Seq[Spec]): StructType =
+    StructType(
+      (if (groupByDay) Seq(StructField("day", DateType, false)) else Nil) ++
+      specs.zipWithIndex.map {
+        case (CountStarSpec, i) => StructField(s"agg_$i", LongType, false)
+        case (MinSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
+        case (MaxSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
+      })
 
   /** Compute the partial values from the sidecars, or None when any
     * condition fails (→ the caller refuses the push and the normal scan
@@ -89,7 +101,7 @@ private[graft] object LakeAggPushdown {
   def compute(
       spark: SparkSession, dir: String, state: LakeState,
       dayFilters: Seq[org.apache.spark.sql.sources.Filter],
-      specs: Seq[Spec]): Option[Array[Any]] = {
+      groupByDay: Boolean, specs: Seq[Spec]): Option[Seq[Array[Any]]] = {
     val p = LakeSnapshot.LakePaths(dir)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,10 +120,16 @@ private[graft] object LakeAggPushdown {
       case MaxSpec(l, _) if l != "day" => l
     }.distinct.map(l => l -> state.physicalFor(l)).toMap
 
-    var count = 0L
-    // running (min, max) ColStat-space values per logical column
-    val mins = scala.collection.mutable.Map.empty[String, FileStats.ColStat]
-    val maxs = scala.collection.mutable.Map.empty[String, FileStats.ColStat]
+    // per-GROUP accumulators (one group per day when grouped, a single
+    // "" group otherwise): row count + running (min, max) ColStat-space
+    // values per logical column
+    final case class Acc(
+        var count: Long = 0L,
+        mins: scala.collection.mutable.Map[String, FileStats.ColStat] =
+          scala.collection.mutable.Map.empty,
+        maxs: scala.collection.mutable.Map[String, FileStats.ColStat] =
+          scala.collection.mutable.Map.empty)
+    val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
     def fold(into: scala.collection.mutable.Map[String, FileStats.ColStat],
         l: String, c: FileStats.ColStat, takeMin: Boolean): Boolean = {
       import FileStats.cmpUtf8
@@ -135,6 +153,7 @@ private[graft] object LakeAggPushdown {
       }
     }
     for ((day, ds) <- sel) {
+      val acc = accs.getOrElseUpdate(if (groupByDay) day else "", Acc())
       val dp = new Path(s"${p.data}/gen=${ds.base}/day=$day")
       if (!fs.exists(dp)) return None
       val files = fs.listStatus(dp)
@@ -145,7 +164,7 @@ private[graft] object LakeAggPushdown {
         .getOrElse(return None) // pre-stats generation: no claim
       for (f <- files) {
         val st = stats.getOrElse(s"day=$day/$f", return None)
-        count += st.rows
+        acc.count += st.rows
         for ((l, ph) <- phys) {
           // absent column / no binding / all-null: contributes nothing;
           // an unusable family forfeits the whole push
@@ -155,12 +174,13 @@ private[graft] object LakeAggPushdown {
             case Some(c) if c.family == "n" => ()
             case Some(c) if c.family == "x" => return None
             case Some(c) =>
-              if (!fold(mins, l, c, takeMin = true)) return None
-              if (!fold(maxs, l, c, takeMin = false)) return None
+              if (!fold(acc.mins, l, c, takeMin = true)) return None
+              if (!fold(acc.maxs, l, c, takeMin = false)) return None
           }
         }
       }
     }
+    if (!groupByDay && accs.isEmpty) accs("") = Acc() // global: one row
     // render each agg value in the column's INTERNAL representation;
     // a family/type mismatch (e.g. decimal scale drift) refuses
     def render(c: FileStats.ColStat, dt: DataType, takeMin: Boolean)
@@ -184,27 +204,30 @@ private[graft] object LakeAggPushdown {
     }
     def dayEpoch(d: String): Int =
       java.time.LocalDate.parse(d).toEpochDay.toInt
-    val out = new Array[Any](specs.length)
-    var i = 0
-    for (s <- specs) {
-      out(i) = s match {
-        case CountStarSpec => count
-        case MinSpec("day", _) =>
-          if (sel.isEmpty) null else dayEpoch(sel.map(_._1).min)
-        case MaxSpec("day", _) =>
-          if (sel.isEmpty) null else dayEpoch(sel.map(_._1).max)
-        case MinSpec(l, dt) => mins.get(l) match {
+    val rows = accs.toSeq.map { case (g, acc) =>
+      val gcol = if (groupByDay) Seq[Any](dayEpoch(g)) else Nil
+      // within a day group, min/max(day) IS the group; globally it is
+      // the day-set bounds
+      def dayLo = if (groupByDay) dayEpoch(g)
+        else if (sel.isEmpty) null else dayEpoch(sel.map(_._1).min)
+      def dayHi = if (groupByDay) dayEpoch(g)
+        else if (sel.isEmpty) null else dayEpoch(sel.map(_._1).max)
+      val vals = specs.map {
+        case CountStarSpec => acc.count
+        case MinSpec("day", _) => dayLo
+        case MaxSpec("day", _) => dayHi
+        case MinSpec(l, dt) => acc.mins.get(l) match {
           case None => null // no non-null value anywhere
           case Some(c) => render(c, dt, takeMin = true).getOrElse(return None)
         }
-        case MaxSpec(l, dt) => maxs.get(l) match {
+        case MaxSpec(l, dt) => acc.maxs.get(l) match {
           case None => null
           case Some(c) => render(c, dt, takeMin = false).getOrElse(return None)
         }
       }
-      i += 1
+      (gcol ++ vals).toArray[Any]
     }
-    Some(out)
+    Some(rows)
   }
 
   /** Diagnostic only: pushes answered from metadata (specs assert). */
@@ -215,28 +238,28 @@ private[graft] object LakeAggPushdown {
   * row — no file is ever opened.
   */
 private[sources] class LakeAggScan(
-    out: StructType, values: Array[Any], label: String)
+    out: StructType, rows: Seq[Array[Any]], label: String)
   extends Scan with Batch {
   override def readSchema(): StructType = out
   override def description(): String = s"graft-lake agg-pushdown $label"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeAggResultPartition(values))
+    Array(LakeAggResultPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] = {
-        val vs = p.asInstanceOf[LakeAggResultPartition].values
+        val vs = p.asInstanceOf[LakeAggResultPartition].rows
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow = new GenericInternalRow(vs)
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < vs.length }
+          override def get(): InternalRow = new GenericInternalRow(vs(i))
           override def close(): Unit = ()
         }
       }
     }
 }
 
-private[sources] final case class LakeAggResultPartition(values: Array[Any])
+private[sources] final case class LakeAggResultPartition(
+    rows: Seq[Array[Any]])
   extends InputPartition

@@ -113,10 +113,34 @@ class LakeAggPushdownSpec extends AnyFunSuite {
     val s = dsv2(dir).agg(count(lit(1)), sum("value")).head()
     assert(s.getLong(0) === 4L)
     assert(LakeAggPushdown.pushedAggs.get() === n3)
-    // group-by refuses (the KGP day-grouped plan keeps its own path)
+    // a NON-day group-by refuses (the KGP grouped plan keeps its path)
     val n4 = LakeAggPushdown.pushedAggs.get()
-    assert(dsv2(dir).groupBy("day").agg(count(lit(1))).count() === 2L)
+    assert(dsv2(dir).groupBy("src").agg(count(lit(1))).count() === 4L)
     assert(LakeAggPushdown.pushedAggs.get() === n4)
+  }
+
+  test("GROUP BY day pushes: per-day counts and min/max come from the " +
+    "sidecars, one row per day, values exact") {
+    val dir = freshDir("grouped")
+    seed(dir)
+    val n0 = LakeAggPushdown.pushedAggs.get()
+    val got = dsv2(dir).groupBy("day")
+      .agg(count(lit(1)).as("n"), min("event_id").as("lo"),
+        max("value").as("hi"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(LakeAggPushdown.pushedAggs.get() > n0,
+      "the day-grouped aggregate must be answered from metadata")
+    assert(got === Seq(
+      ("2024-01-01", 2L, 1L, 1.5), ("2024-01-02", 2L, 3L, 30.0)))
+    // min/max(day) inside a day group is the group itself
+    val d = dsv2(dir).groupBy("day").agg(min("day"), max("day"))
+      .orderBy("day").collect().map(r =>
+        (r.getDate(0).toString, r.getDate(1).toString, r.getDate(2).toString))
+    assert(d.toSeq === Seq(
+      ("2024-01-01", "2024-01-01", "2024-01-01"),
+      ("2024-01-02", "2024-01-02", "2024-01-02")))
   }
 
   test("the SQL catalog surface pushes too (after OPTIMIZE returns the " +

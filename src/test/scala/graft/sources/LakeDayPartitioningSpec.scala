@@ -149,19 +149,33 @@ class LakeDayPartitioningSpec extends AnyFunSuite {
     }
   }
 
-  test("day filters compose with the grouped plan: pruned days never " +
-    "plan a partition, the agg stays exchange-free") {
+  test("day filters compose with the grouped plan: a pushdown-eligible " +
+    "COUNT answers from metadata (r17); a SUM keeps the exchange-free " +
+    "KGP scan with pruned days never planning a partition") {
     val dir = freshLake("filtered")
     withConf("true") {
-      val df = spark.read.format("graft-lake").option("path", dir).load()
+      // count per day over a pure-base lake: the metadata answer WINS
+      // over the exchange-free scan (one tiny merge exchange over
+      // row-per-day partials beats opening any file)
+      val dfc = spark.read.format("graft-lake").option("path", dir).load()
         .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-02")))
         .groupBy("day").agg(count(lit(1)).as("n"))
+      assert(dfc.queryExecution.executedPlan.toString
+        .contains("agg-pushdown"))
+      assert(dfc.orderBy("day").as[(java.sql.Date, Long)].collect()
+        .map { case (d, n) => (d.toString, n) }.toSeq ===
+        Seq(("2024-01-02", 2L), ("2024-01-03", 1L)))
+      // SUM refuses the pushdown (stats cannot answer it): the grouped
+      // KGP scan stays exchange-free and pruned days never plan
+      val df = spark.read.format("graft-lake").option("path", dir).load()
+        .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-02")))
+        .groupBy("day").agg(round(sum("value"), 2).as("v"))
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
       assert(df.rdd.getNumPartitions === 2)
-      assert(df.orderBy("day").as[(java.sql.Date, Long)].collect()
-        .map { case (d, n) => (d.toString, n) }.toSeq ===
-        Seq(("2024-01-02", 2L), ("2024-01-03", 1L)))
+      assert(df.orderBy("day").as[(java.sql.Date, Double)].collect()
+        .map { case (d, v) => (d.toString, v) }.toSeq ===
+        Seq(("2024-01-02", 9.0), ("2024-01-03", 4.0)))
     }
   }
 }
