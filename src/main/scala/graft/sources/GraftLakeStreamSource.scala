@@ -188,10 +188,19 @@ private[sources] class LakeFullTableStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(LakeSnapshot.currentEpoch(spark, dir))
 
-  override def initialOffset(): Offset = {
-    val e0 = LakeSnapshot.currentEpoch(spark, dir)
-    if (e0 < 0) LakeStreamOffset.tail(e0) // empty lake: straight to tail
-    else LakeStreamOffset.snapshot(e0, 0)
+  // tail-only subscribe (r17, the Delta `startingVersion` shape): a
+  // consumer that already bootstrapped skips the snapshot phase and
+  // starts the CDC tail at epochs AFTER `startingEpoch` (the graft-cdc
+  // option's exact semantics, so switching formats never shifts a
+  // window)
+  private val startingEpoch = props.get("startingEpoch").map(_.toInt)
+
+  override def initialOffset(): Offset = startingEpoch match {
+    case Some(e) => LakeStreamOffset.tail(e)
+    case None =>
+      val e0 = LakeSnapshot.currentEpoch(spark, dir)
+      if (e0 < 0) LakeStreamOffset.tail(e0) // empty lake: straight to tail
+      else LakeStreamOffset.snapshot(e0, 0)
   }
 
   override def deserializeOffset(json: String): Offset =

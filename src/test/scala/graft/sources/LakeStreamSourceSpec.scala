@@ -367,6 +367,47 @@ class LakeStreamSourceSpec extends AnyFunSuite {
         ((1L, 111.0)) + ((500L, 555.0))))
   }
 
+  test("startingEpoch (r17): tail-only subscribe skips the snapshot " +
+    "and emits exactly the change images after the pinned epoch — the " +
+    "graft-cdc window semantics, so switching formats never shifts it") {
+    val root = freshDir("starting_epoch")
+    val dir = s"$root/lake"
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((2L, ts(2), 22.0), (3L, ts(3), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val accDir = s"$root/acc"
+    val q = spark.readStream.format("graft-lake")
+      .option("path", dir).option("changes", "true")
+      .option("startingEpoch", e0.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(accDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination()
+    val got = spark.read.parquet(accDir)
+      .select("event_id", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (2L, 2.0, "update_preimage"), (2L, 22.0, "update_postimage"),
+      (3L, 3.0, "insert")),
+      "no snapshot re-emit; exactly the post-epoch change images")
+    // the graft-cdc feed over the same window agrees row-for-row
+    val cdc = LakeSnapshot.readChangesCdf(spark, dir, e0,
+      LakeSnapshot.currentEpoch(spark, dir))
+      .select("event_id", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(cdc === got)
+  }
+
   test("schema inference never leaks the gen= partition key (ADVICE " +
     "r15): no spurious always-null 'gen INT' column, a REAL data column " +
     "named 'gen' keeps its declared type and streams its values, and " +
