@@ -47,7 +47,11 @@ object FileStats {
 
   final case class ColStat(family: String, lmn: Long = 0L, lmx: Long = 0L,
       dmn: Double = 0d, dmx: Double = 0d, scale: Int = -1,
-      smn: Array[Byte] = null, smx: Array[Byte] = null)
+      smn: Array[Byte] = null, smx: Array[Byte] = null,
+      // exact per-file null count when every chunk recorded one (r17 —
+      // count(col) pushdown = rows - nulls); -1 = unknown (pre-r17
+      // sidecar or footer without null counts)
+      nulls: Long = -1L)
 
   /** Unsigned lexicographic byte compare — parquet's UTF-8 string stat
     * order, so Spark string predicates compare against footer min/max
@@ -132,15 +136,22 @@ object FileStats {
       val parts = l.split('\t')
       val cols = parts.drop(2).map { ent =>
         val f = ent.split(":", -1)
+        // each family's fixed fields, then an OPTIONAL trailing null
+        // count (absent in pre-r17 lines → -1 unknown)
+        def nl(fixed: Int): Long =
+          if (f.length > fixed) f(fixed).toLong else -1L
         f(1) match {
-          case "l" => f(0) -> ColStat("l", lmn = f(2).toLong, lmx = f(3).toLong)
-          case "d" => f(0) -> ColStat("d", dmn = f(2).toDouble, dmx = f(3).toDouble)
+          case "l" => f(0) -> ColStat("l", lmn = f(2).toLong,
+            lmx = f(3).toLong, nulls = nl(4))
+          case "d" => f(0) -> ColStat("d", dmn = f(2).toDouble,
+            dmx = f(3).toDouble, nulls = nl(4))
           case "c" => f(0) -> ColStat("c", lmn = f(3).toLong,
-            lmx = f(4).toLong, scale = f(2).toInt)
+            lmx = f(4).toLong, scale = f(2).toInt, nulls = nl(5))
           case "s" if f.length >= 4 =>
             val dec = java.util.Base64.getDecoder
-            f(0) -> ColStat("s", smn = dec.decode(f(2)), smx = dec.decode(f(3)))
-          case fam => f(0) -> ColStat(fam)
+            f(0) -> ColStat("s", smn = dec.decode(f(2)),
+              smx = dec.decode(f(3)), nulls = nl(4))
+          case fam => f(0) -> ColStat(fam, nulls = nl(2))
         }
       }.toMap
       parts(0) -> FileStat(parts(1).toLong, cols)
@@ -235,13 +246,15 @@ object FileStats {
 
   private def line(rel: String, st: FileStat): String = {
     val enc = java.util.Base64.getEncoder
+    def nl(c: ColStat): String = if (c.nulls >= 0) s":${c.nulls}" else ""
     val cols = st.cols.toSeq.sortBy(_._1).map {
-      case (n, c) if c.family == "l" => s"$n:l:${c.lmn}:${c.lmx}"
-      case (n, c) if c.family == "d" => s"$n:d:${c.dmn}:${c.dmx}"
-      case (n, c) if c.family == "c" => s"$n:c:${c.scale}:${c.lmn}:${c.lmx}"
+      case (n, c) if c.family == "l" => s"$n:l:${c.lmn}:${c.lmx}${nl(c)}"
+      case (n, c) if c.family == "d" => s"$n:d:${c.dmn}:${c.dmx}${nl(c)}"
+      case (n, c) if c.family == "c" =>
+        s"$n:c:${c.scale}:${c.lmn}:${c.lmx}${nl(c)}"
       case (n, c) if c.family == "s" =>
-        s"$n:s:${enc.encodeToString(c.smn)}:${enc.encodeToString(c.smx)}"
-      case (n, c) => s"$n:${c.family}"
+        s"$n:s:${enc.encodeToString(c.smn)}:${enc.encodeToString(c.smx)}${nl(c)}"
+      case (n, c) => s"$n:${c.family}${nl(c)}"
     }
     (Seq(rel, st.rows.toString) ++ cols).mkString("\t")
   }
@@ -278,6 +291,15 @@ object FileStats {
           _.getColumns.asScala.find(_.getPath.toDotString == name))
         val stats = chunks.map(_.getStatistics)
         val usable = stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)
+        // exact null count when every chunk recorded one (r17 —
+        // count(col) = rows - nulls becomes metadata-answerable)
+        val nulls: Long =
+          if (usable && stats.forall(_.isNumNullsSet))
+            stats.map(_.getNumNulls).sum
+          else -1L
+        def withNulls(kv: (String, ColStat)): (String, ColStat) =
+          kv._1 -> kv._2.copy(nulls = nulls)
+        withNulls {
         // decimal-annotated stats are UNSCALED integers — within ONE
         // scale they are order-preserving, so they get their own ordered
         // family `c:<scale>` (r17, VERDICT r16 #4): a same-scale decimal
@@ -342,6 +364,7 @@ object FileStats {
               else name -> ColStat("x")
             case _ => name -> ColStat("x") // INT96, binary, boolean
           }
+        }
         }
       }.toMap
       FileStat(rows, cols)

@@ -87,7 +87,8 @@ object LakeCompaction {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prior = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
-      try bucketed.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+      try LakeSnapshot.microsWrite(bucketed)(bucketed
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(root))
       finally prior match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)

@@ -124,7 +124,8 @@ object LakeUpsert {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try remaining.write.mode("overwrite").partitionBy("day").parquet(dir)
+    try LakeSnapshot.microsWrite(remaining)(
+      remaining.write.mode("overwrite").partitionBy("day").parquet(dir))
     finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -162,7 +163,8 @@ object LakeUpsert {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("day").parquet(dir)
+    try LakeSnapshot.microsWrite(merged)(
+      merged.write.mode("overwrite").partitionBy("day").parquet(dir))
     finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

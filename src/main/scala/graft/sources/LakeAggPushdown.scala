@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,6 +35,9 @@ private[graft] object LakeAggPushdown {
 
   sealed trait Spec
   case object CountStarSpec extends Spec
+  /** count(col) = rows - nulls: answerable from the r17 sidecar null
+    * counts (pre-r17 sidecars lack them → the push refuses). */
+  final case class CountColSpec(logical: String) extends Spec
   final case class MinSpec(logical: String, dt: DataType) extends Spec
   final case class MaxSpec(logical: String, dt: DataType) extends Spec
 
@@ -66,6 +69,10 @@ private[graft] object LakeAggPushdown {
       }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarSpec)
+      // count(col): rows - nulls from the r17 sidecar null counts;
+      // count(DISTINCT col) is not stats-answerable
+      case c: Count if !c.isDistinct() =>
+        colOf(c.column()).map(CountColSpec)
       // min/max(day): the partition column — answered from the manifest
       // day SET itself, no stats needed
       case m: Min => colOf(m.column()).flatMap(c =>
@@ -89,6 +96,7 @@ private[graft] object LakeAggPushdown {
       (if (groupByDay) Seq(StructField("day", DateType, false)) else Nil) ++
       specs.zipWithIndex.map {
         case (CountStarSpec, i) => StructField(s"agg_$i", LongType, false)
+        case (CountColSpec(_), i) => StructField(s"agg_$i", LongType, false)
         case (MinSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
         case (MaxSpec(_, dt), i) => StructField(s"agg_$i", dt, true)
       })
@@ -118,7 +126,10 @@ private[graft] object LakeAggPushdown {
     val phys: Map[String, Option[String]] = specs.collect {
       case MinSpec(l, _) if l != "day" => l
       case MaxSpec(l, _) if l != "day" => l
+      case CountColSpec(l) if l != "day" => l
     }.distinct.map(l => l -> state.physicalFor(l)).toMap
+    val countCols: Set[String] = specs.collect {
+      case CountColSpec(l) if l != "day" => l }.toSet
 
     // per-GROUP accumulators (one group per day when grouped, a single
     // "" group otherwise): row count + running (min, max) ColStat-space
@@ -128,7 +139,9 @@ private[graft] object LakeAggPushdown {
         mins: scala.collection.mutable.Map[String, FileStats.ColStat] =
           scala.collection.mutable.Map.empty,
         maxs: scala.collection.mutable.Map[String, FileStats.ColStat] =
-          scala.collection.mutable.Map.empty)
+          scala.collection.mutable.Map.empty,
+        nonNull: scala.collection.mutable.Map[String, Long] =
+          scala.collection.mutable.Map.empty.withDefaultValue(0L))
     val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
     def fold(into: scala.collection.mutable.Map[String, FileStats.ColStat],
         l: String, c: FileStats.ColStat, takeMin: Boolean): Boolean = {
@@ -167,9 +180,22 @@ private[graft] object LakeAggPushdown {
         acc.count += st.rows
         for ((l, ph) <- phys) {
           // absent column / no binding / all-null: contributes nothing;
-          // an unusable family forfeits the whole push
+          // an unusable min/max family forfeits the push only when a
+          // min/max actually needs it (count(col) reads null counts,
+          // which any family carries)
           val cs = ph.flatMap(st.cols.get)
-          cs match {
+          if (countCols(l)) cs match {
+            case None => () // absent / never written: all null, +0
+            case Some(c) if c.family == "n" => ()
+            case Some(c) =>
+              if (c.nulls < 0) return None // pre-r17 sidecar: unknown
+              acc.nonNull(l) = acc.nonNull(l) + (st.rows - c.nulls)
+          }
+          val needMinMax = specs.exists {
+            case MinSpec(`l`, _) | MaxSpec(`l`, _) => true
+            case _ => false
+          }
+          if (needMinMax) cs match {
             case None => ()
             case Some(c) if c.family == "n" => ()
             case Some(c) if c.family == "x" => return None
@@ -214,6 +240,8 @@ private[graft] object LakeAggPushdown {
         else if (sel.isEmpty) null else dayEpoch(sel.map(_._1).max)
       val vals = specs.map {
         case CountStarSpec => acc.count
+        case CountColSpec("day") => acc.count // the partition col: no nulls
+        case CountColSpec(l) => acc.nonNull(l)
         case MinSpec("day", _) => dayLo
         case MaxSpec("day", _) => dayHi
         case MinSpec(l, dt) => acc.mins.get(l) match {

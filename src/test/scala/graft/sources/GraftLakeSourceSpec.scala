@@ -374,16 +374,17 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     val st = graft.etl.FileStats.footerStat(file.toString,
       spark.sparkContext.hadoopConfiguration)
     assert(st.rows === 2L)
-    assert(st.cols("k") === graft.etl.FileStats.ColStat("l", 5L, 9L))
+    assert(st.cols("k") === graft.etl.FileStats.ColStat("l", 5L, 9L,
+      nulls = 0L))
     assert(st.cols("v").family === "d")
     assert(st.cols("v").dmn === -2.5 && st.cols("v").dmx === 1.5)
     assert(st.cols("d") === graft.etl.FileStats.ColStat("l",
       java.time.LocalDate.parse("2024-01-01").toEpochDay,
-      java.time.LocalDate.parse("2024-02-01").toEpochDay))
+      java.time.LocalDate.parse("2024-02-01").toEpochDay, nulls = 0L))
     // ts stats must land in MICROS whatever unit the writer chose
     val tmin = ts(1).getTime * 1000L
     assert(st.cols("t") === graft.etl.FileStats.ColStat("l",
-      tmin, ts(2).getTime * 1000L))
+      tmin, ts(2).getTime * 1000L, nulls = 0L))
     assert(st.cols("s").family === "n", "all-null column marks 'n'")
     assert(graft.etl.FileStats.provablyEmpty(st, "absent", "eq",
       isFloat = false, 1L, 0d), "absent column is skippable")

@@ -73,6 +73,18 @@ class LakeAggPushdownSpec extends AnyFunSuite {
     assert(d.getDate(0) === java.sql.Date.valueOf("2024-01-01") &&
       d.getDate(1) === java.sql.Date.valueOf("2024-01-02"))
     assert(LakeAggPushdown.pushedAggs.get() > n2)
+    // count(col) = rows - nulls from the sidecar null counts: the
+    // all-null note column counts 0, src counts 4, day counts rows
+    val n3 = LakeAggPushdown.pushedAggs.get()
+    val cc = dsv2(dir).agg(count(lit(1)), count(col("note")),
+      count(col("src")), count(col("day"))).head()
+    assert(cc.toSeq === Seq(4L, 0L, 4L, 4L))
+    assert(LakeAggPushdown.pushedAggs.get() > n3,
+      "count(col) must be answered from the sidecar null counts")
+    // count(DISTINCT col) is NOT stats-answerable — falls back
+    val n4 = LakeAggPushdown.pushedAggs.get()
+    assert(dsv2(dir).agg(countDistinct(col("src"))).head().getLong(0) === 4L)
+    assert(LakeAggPushdown.pushedAggs.get() === n4)
   }
 
   test("REFUSALS fall back to the true scan: row deltas, deletion " +
