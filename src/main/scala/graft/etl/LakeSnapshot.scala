@@ -212,10 +212,37 @@ object LakeSnapshot {
       c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    import org.apache.spark.sql.types._
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case st: StructType => st.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
     dt match {
-      case org.apache.spark.sql.types.MapType(kt, vt, _)
+      case MapType(kt, vt, _)
           if RowOrdering.isOrderable(kt) && RowOrdering.isOrderable(vt) =>
         to_json(map_from_entries(array_sort(map_entries(c))))
+      // NESTED-map values (r17 wave 3 — maps-in-maps/arrays-in-maps):
+      // entries sort by KEY alone (keys are unique orderable scalars, a
+      // total order on entries) and each value canonicalizes
+      // recursively. Rendering-only — feeds CDC change detection and
+      // batch-dedup ranking, never persisted.
+      case MapType(_, vt, _) =>
+        val sorted = array_sort(map_entries(c), (l, r) =>
+          when(l("key") < r("key"), lit(-1))
+            .when(l("key") > r("key"), lit(1)).otherwise(lit(0)))
+        to_json(transform(sorted, e =>
+          struct(e("key").as("key"),
+            canonicalRender(e("value"), vt).as("value"))))
+      case ArrayType(et, _) if hasMap(et) =>
+        to_json(transform(c, x => canonicalRender(x, et)))
+      case st: StructType if st.fields.exists(f => hasMap(f.dataType)) =>
+        to_json(struct(st.fields.map { f =>
+          (if (hasMap(f.dataType))
+            canonicalRender(c.getField(f.name), f.dataType)
+          else c.getField(f.name)).as(f.name)
+        }.toIndexedSeq: _*))
       case _ => to_json(c)
     }
   }
@@ -454,6 +481,23 @@ object LakeSnapshot {
     */
   def currentEpoch(spark: SparkSession, dir: String): Int =
     maxEpoch(spark, dir)
+
+  /** The youngest epoch whose commit wall-clock is at or before `tMs` —
+    * the TIMESTAMP AS OF resolution, shared by the SQL catalog and the
+    * path-based `option("timestampAsOf", ...)` read (r17 wave 3). None
+    * when the instant predates every commit. One manifest listing +
+    * one commit-time read per epoch (driver-side metadata).
+    */
+  def epochAtOrBefore(
+      spark: SparkSession, dir: String, tMs: Long): Option[Int] = {
+    val manifest = s"$dir/manifest"
+    val epochs = graft.ops.IncrementalDedup.Manifest.read(spark, manifest)
+      .map(_._1)
+    val at = epochs.filter(e =>
+      graft.ops.IncrementalDedup.Manifest
+        .commitTimeMs(spark, manifest, e) <= tMs)
+    if (at.isEmpty) None else Some(at.max)
+  }
 
   /** The folded table state external planners read — the DSv2 batch
     * relation ([[graft.sources.GraftLakeSource]]) derives its file
@@ -916,8 +960,10 @@ object LakeSnapshot {
     val (viewX, addcols) = allocatePhysicals(b, live)
     val physMerged = toPhysical(merged, viewX)
     microsWrite(physMerged)(physMerged
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
+      .write.options(BloomStats.writeOptions(spark, p.dir))
+      .mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
+    BloomStats.stage(spark, p.dir, gen)
     if (cdf) stageCdfMerge(spark, p, gen, stored, b, keyCol)
     Staged(gen, base, days, Nil, cdf = cdf, addcols = addcols,
       key = Some(keyCol))
@@ -1027,8 +1073,10 @@ object LakeSnapshot {
     val physSurv = toPhysical(
       stored.join(delKeys, keyParts(keyCol), "left_anti"), live)
     microsWrite(physSurv)(physSurv
-      .write.mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
+      .write.options(BloomStats.writeOptions(spark, p.dir))
+      .mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
+    BloomStats.stage(spark, p.dir, gen)
     if (cdf)
       writeCdf(spark, p, gen,
         stored.join(delKeys, keyParts(keyCol), "left_semi")
@@ -1367,11 +1415,17 @@ object LakeSnapshot {
       keyCol: String, tsCol: String,
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false,
-      retries: Int = 0): Int =
+      retries: Int = 0): Int = {
+    // CHECK constraints fuse into the staging plan as raising per-row
+    // filters (r17 wave 3) — covers SQL INSERT / DataFrame appends /
+    // CTAS; zero extra passes, no-op without declarations
+    val checked = LakeChecks.applyTo(spark, dir, batch)
     withRebase(retries) { () =>
       commitDelta(spark, dir,
-        stageMergeDelta(spark, dir, batch, keyCol, tsCol, store, cdf), keyCol)
+        stageMergeDelta(spark, dir, checked, keyCol, tsCol, store, cdf),
+        keyCol)
     }
+  }
 
   /** MERGE-ON-READ delete: commits (key, day) markers as a row-delta
     * generation — O(keys) cost, no abort; folded out at read. Same row
@@ -1618,12 +1672,14 @@ object LakeSnapshot {
       keyCol: String, tsCol: String,
       store: ClaimStore = FsClaimStore,
       retries: Int = 0,
-      cdf: Boolean = false): Seq[String] =
+      cdf: Boolean = false): Seq[String] = {
+    val checked = LakeChecks.applyTo(spark, dir, batch) // CHECKs, r17 w3
     withRebase(retries) { () =>
-      val staged = stageMerge(spark, dir, batch, keyCol, tsCol, store, cdf)
+      val staged = stageMerge(spark, dir, checked, keyCol, tsCol, store, cdf)
       commit(spark, dir, staged)
       staged.days
     }
+  }
 
   /** Snapshot-atomic DELETE of `keys` ((keyCol, tsCol) pairs). A fully
     * emptied day disappears from the live view in the same commit.
@@ -1849,9 +1905,11 @@ object LakeSnapshot {
       // shuffle-free fast read path.
       .repartition(col("day"))
     microsWrite(compacted)(compacted
-      .write.mode("append").partitionBy("day")
+      .write.options(BloomStats.writeOptions(spark, p.dir))
+      .mode("append").partitionBy("day")
       .parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
+    BloomStats.stage(spark, p.dir, gen)
     // a day whose rows all folded away (delta deletes) writes no
     // directory — the same written-layout census as stageDelete
     val f = fsOf(spark, dir)
@@ -1931,9 +1989,11 @@ object LakeSnapshot {
       .drop((0 until k).flatMap(i => Seq(s"__z$i", s"__b$i")) :+ "__zkey": _*)
       .transform(toPhysical(_, live))
     microsWrite(zordered)(zordered
-      .write.mode("append").partitionBy("day")
+      .write.options(BloomStats.writeOptions(spark, p.dir))
+      .mode("append").partitionBy("day")
       .parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
+    BloomStats.stage(spark, p.dir, gen)
     val f = fsOf(spark, dir)
     val genPath = new Path(s"${p.data}/gen=$gen")
     val surviving =

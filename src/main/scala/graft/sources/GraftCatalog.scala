@@ -41,6 +41,7 @@ import graft.etl.LakeSnapshot
   * it without a new catalog instance.
   */
 class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -99,6 +100,9 @@ class GraftCatalog extends TableCatalog
     val f = fs(root.toString)
     if (!f.exists(root)) return Array.empty
     f.listStatus(root).filter(_.isDirectory)
+      // dot-prefixed dirs are in-flight CTAS stagings / replace trash —
+      // never visible tables
+      .filter(st => !st.getPath.getName.startsWith("."))
       .filter(st => f.exists(new Path(st.getPath, "manifest")))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
@@ -134,20 +138,13 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
-    val manifest = s"$dir/manifest"
     val tMs = timestampMicros / 1000L
-    val epochs = graft.ops.IncrementalDedup.Manifest.read(spark, manifest)
-      .map(_._1)
-    val at = epochs.filter(e =>
-      graft.ops.IncrementalDedup.Manifest.commitTimeMs(spark, manifest, e)
-        <= tMs)
+    // shared resolution with the path-based option("timestampAsOf")
+    val at = LakeSnapshot.epochAtOrBefore(spark, dir, tMs)
     require(at.nonEmpty,
       s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tMs)} predates " +
-        s"every commit of ${ident} (first commit: " +
-        s"${java.time.Instant.ofEpochMilli(epochs.minOption.map(e =>
-          graft.ops.IncrementalDedup.Manifest.commitTimeMs(
-            spark, manifest, e)).getOrElse(0L))})")
-    loadAt(ident, epoch = Some(at.max))
+        s"every commit of ${ident}")
+    loadAt(ident, epoch = at)
   }
 
   private def loadAt(ident: Identifier, epoch: Option[Int]): Table = {
@@ -193,14 +190,18 @@ class GraftCatalog extends TableCatalog
         epoch.map(e => "epoch" -> e.toString).toMap)
   }
 
-  override def createTable(
-      ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+  /** The CREATE-time contract, shared by [[createTable]] and the staged
+    * CTAS/RTAS paths: no PARTITIONED BY (tables are always
+    * day-partitioned on ts), a declared merge key over real columns, a
+    * real event-time column, and only lake-bridgeable column types.
+    * Returns the property lines a CREATE records.
+    */
+  private def validateDeclaration(
+      schema: StructType, partitions: Array[Transform],
+      props: Map[String, String]): Seq[(String, String)] = {
     require(partitions.isEmpty,
       "graft tables are always day-partitioned on the 'ts' column — " +
         "PARTITIONED BY is not a choice to make")
-    val props = properties.asScala.toMap
     val key = props.getOrElse("key", sys.error(
       "CREATE TABLE needs TBLPROPERTIES ('key' = '<merge key column>')" +
         " — INSERT INTO is upsert-by-key"))
@@ -218,7 +219,15 @@ class GraftCatalog extends TableCatalog
     // array-of-maps could COMMIT and only fail at first read (r16).
     schema.fields.foreach(f =>
       GraftCatalog.validateLakeType(f.name, f.dataType))
-    val dir = dirOf(ident)
+    // CHECK constraints (r17 wave 3): every `check.<name>` condition
+    // must parse and resolve against the declared columns NOW — an
+    // unparseable constraint discovered at first write would strand the
+    // table
+    props.foreach { case (k, v) =>
+      if (k.startsWith(graft.etl.LakeChecks.Prefix))
+        graft.etl.LakeChecks.validateDeclaration(
+          spark, schema, k.stripPrefix(graft.etl.LakeChecks.Prefix), v)
+    }
     // COMMENT 'x' arrives as the "comment" property; any other
     // non-reserved TBLPROPERTIES persist alongside the declarations
     val extra = props.view
@@ -226,10 +235,80 @@ class GraftCatalog extends TableCatalog
         !k.startsWith("option.") && k != "provider" && k != "owner" &&
         k != "location" && k != "external")
       .toSeq
-    writeCreateProps(dir, Seq(
-      "key" -> key, "ts" -> ts, "schema" -> schema.toDDL) ++ extra)
+    Seq("key" -> key, "ts" -> ts, "schema" -> schema.toDDL) ++ extra
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val fields = validateDeclaration(
+      schema, partitions, properties.asScala.toMap)
+    val dir = dirOf(ident)
+    writeCreateProps(dir, fields)
     new LakeTable(schema,
-      Map("path" -> dir, "key" -> key, "ts" -> ts) ++ extra)
+      Map("path" -> dir) ++ fields.filterNot(_._1 == "schema"))
+  }
+
+  // --- StagingTableCatalog: atomic CTAS / RTAS ------------------------------
+  // `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS SELECT` /
+  // `CREATE OR REPLACE TABLE ... AS SELECT`. The staged table is a real
+  // lake in a dot-hidden sibling directory (`.stage-<name>-<uuid>`):
+  // the SELECT's rows land there through the ordinary V1-bridge upsert
+  // write (claim → stage → manifest commit), and the table only becomes
+  // VISIBLE — `exists()` is `<dir>/manifest` — at commitStagedChanges:
+  //   - CREATE publishes with ONE atomic rename (the declaration was
+  //     written into the staged dir before any data, so there is no
+  //     window where the table exists undeclared);
+  //   - REPLACE swaps via rename-out → rename-in (two renames; on an
+  //     in-between crash the old table is recoverable from the
+  //     `.replaced-*` trash dir and the new one from `.stage-*` — no
+  //     state is ever deleted before its successor is in place).
+  // A failed/aborted CTAS leaves NOTHING visible: abortStagedChanges
+  // deletes the staged dir, and dot-prefixed dirs are excluded from
+  // listTables/exists by construction. Manifests hold paths RELATIVE to
+  // the lake dir (the renameTable contract), so the rename publish is
+  // sound.
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties.asScala.toMap,
+      replace = false, orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties.asScala.toMap,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties.asScala.toMap,
+      replace = true, orCreate = true)
+
+  private def stage(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      props: Map[String, String], replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!replace && exists(ident)) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !exists(ident))
+      throw new NoSuchTableException(ident)
+    val fields = validateDeclaration(schema, partitions, props)
+    val destDir = dirOf(ident)
+    val stagedDir = (warehouse +: ident.namespace().toSeq :+
+      s".stage-${ident.name()}-${java.util.UUID.randomUUID()}")
+      .mkString("/")
+    // the declaration goes into the STAGED dir first: the CTAS write
+    // resolves its merge key from it, and the publish rename carries it
+    writeCreateProps(stagedDir, fields)
+    new StagedLakeTable(ident, stagedDir, destDir, schema,
+      Map("path" -> stagedDir) ++ fields.filterNot(_._1 == "schema"),
+      replace, orCreate)
   }
 
   /** RENAME/DROP COLUMN land as the lake's manifest-only column-mapping
@@ -273,11 +352,13 @@ class GraftCatalog extends TableCatalog
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "nested column rename is not supported")
+        refuseCheckedColumn(dir, r.fieldNames()(0), "RENAME")
         LakeSnapshot.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
         renameDeclared(dir, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "nested column drop is not supported")
+        refuseCheckedColumn(dir, d.fieldNames()(0), "DROP")
         LakeSnapshot.dropColumn(spark, dir, d.fieldNames()(0))
         dropDeclared(dir, d.fieldNames()(0))
       // COMMENT ON TABLE / ALTER TABLE SET-UNSET TBLPROPERTIES: plain
@@ -287,6 +368,18 @@ class GraftCatalog extends TableCatalog
         require(!GraftCatalog.ReservedProps(s.property()),
           s"'${s.property()}' is a structural table declaration — " +
             "immutable after CREATE")
+        // ADDING a CHECK constraint (r17 wave 3) gates on the declared
+        // schema AND the existing data — a constraint that is already
+        // false would poison every later write
+        if (s.property().startsWith(graft.etl.LakeChecks.Prefix)) {
+          val declared = readCreateProps(dir).get("schema")
+            .map(StructType.fromDDL).getOrElse(sys.error(
+              "CHECK constraints need a declared schema — CREATE the " +
+                "table through the catalog first"))
+          graft.etl.LakeChecks.validateExisting(spark, dir, declared,
+            s.property().stripPrefix(graft.etl.LakeChecks.Prefix),
+            s.value())
+        }
         rewriteCreateProps(dir,
           readCreateProps(dir) + (s.property() -> s.value()))
       case rm: TableChange.RemoveProperty =>
@@ -334,6 +427,28 @@ class GraftCatalog extends TableCatalog
           "are metadata, anything else is a merge or OPTIMIZE")
     }
     loadTable(ident)
+  }
+
+  /** A column a CHECK constraint references refuses RENAME/DROP until
+    * the constraint is dropped (UNSET TBLPROPERTIES) — the stored
+    * condition text would silently stop resolving otherwise.
+    */
+  private def refuseCheckedColumn(
+      dir: String, column: String, verb: String): Unit = {
+    val declared = readCreateProps(dir)
+    val schema = declared.get("schema").map(StructType.fromDDL)
+    schema.foreach { sc =>
+      declared.foreach { case (k, v) =>
+        if (k.startsWith(graft.etl.LakeChecks.Prefix)) {
+          val name = k.stripPrefix(graft.etl.LakeChecks.Prefix)
+          require(!graft.etl.LakeChecks
+            .referencedColumns(spark, sc, name, v).contains(column),
+            s"cannot $verb column '$column': CHECK constraint '$name' " +
+              s"($v) references it — drop the constraint first " +
+              s"(ALTER TABLE ... UNSET TBLPROPERTIES ('check.$name'))")
+        }
+      }
+    }
   }
 
   /** Keep the CREATE declaration's schema DDL in sync with a column
@@ -416,6 +531,111 @@ class GraftCatalog extends TableCatalog
   }
 }
 
+/** The in-flight table of an atomic CTAS/RTAS ([[GraftCatalog.stageCreate]]
+  * family): a full [[LakeTable]] rooted at the dot-hidden staging dir —
+  * the SELECT's write rides the ordinary V1-bridge upsert path against
+  * it — plus the publish/abort pair. Publish for CREATE is one atomic
+  * rename; REPLACE is rename-out → rename-in with the displaced table
+  * parked in a `.replaced-*` trash dir until the new one is in place.
+  */
+private[sources] class StagedLakeTable(
+    ident: Identifier, stagedDir: String, destDir: String,
+    tableSchema: StructType, tableProps: Map[String, String],
+    replace: Boolean, orCreate: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val inner = new LakeTable(tableSchema, tableProps)
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] = {
+    // + TRUNCATE: Spark plans RTAS as OverwriteByExpression(true) over
+    // the staged table; truncating a just-staged (empty-by-construction)
+    // lake is a no-op, so the capability is honest HERE even though a
+    // live LakeTable deliberately refuses overwrite
+    val caps = new util.HashSet(inner.capabilities())
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+    caps
+  }
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val base = inner.newWriteBuilder(info)
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        base.build()
+      // RTAS's truncate against the EMPTY staged lake: nothing to erase
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        require(LakeSnapshot.currentEpoch(
+          SparkSession.active, stagedDir) < 0,
+          s"staged CTAS lake at $stagedDir has commits before its " +
+            "truncating write — not a fresh staging")
+        this
+      }
+    }
+  }
+
+  private def fs = new Path(destDir)
+    .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def commitStagedChanges(): Unit = {
+    val f = fs
+    val staged = new Path(stagedDir)
+    val dest = new Path(destDir)
+    f.mkdirs(dest.getParent)
+    val existed = f.exists(new Path(dest, "manifest"))
+    if (!replace) {
+      // CREATE: losing a publish race fails loudly — rename onto an
+      // existing dir fails, nothing is overwritten
+      if (existed) {
+        f.delete(staged, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+      require(f.rename(staged, dest),
+        s"CTAS publish rename failed: $stagedDir -> $destDir")
+    } else if (!existed) {
+      // REPLACE of a table dropped since staging: only OR CREATE may
+      // publish (re-checked here — the stage-time check was a fast
+      // fail, this one is the decision)
+      if (!orCreate) {
+        f.delete(staged, true)
+        throw new NoSuchTableException(ident)
+      }
+      // a bare (non-manifest) leftover dir would block the rename
+      if (f.exists(dest)) f.delete(dest, true)
+      require(f.rename(staged, dest),
+        s"RTAS publish rename failed: $stagedDir -> $destDir")
+    } else {
+      val trash = new Path(dest.getParent,
+        s".replaced-${ident.name()}-${java.util.UUID.randomUUID()}")
+      require(f.rename(dest, trash),
+        s"RTAS swap-out rename failed: $destDir -> $trash")
+      if (!f.rename(staged, dest)) {
+        // restore the displaced table before failing — REPLACE must
+        // never leave LESS state than it started with
+        f.rename(trash, dest)
+        sys.error(s"RTAS swap-in rename failed: $stagedDir -> $destDir " +
+          "(original table restored)")
+      }
+      f.delete(trash, true)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    fs.delete(new Path(stagedDir), true)
+    ()
+  }
+}
+
 object GraftCatalog {
 
   /** Structural declarations: immutable after CREATE (SET/UNSET
@@ -426,9 +646,10 @@ object GraftCatalog {
   /** The lake's type contract, enforced where a table is born, exactly
     * mirroring what the Group bridges round-trip: scalars/decimal/binary
     * anywhere; structs anywhere (fields recurse); arrays of anything
-    * except maps (nested lists recurse, r16); maps with scalar keys
-    * whose values are scalars or structs — never a map as an array
-    * element or map value, never an array as a map value. Checked at
+    * (nested lists since r16, maps-in-arrays since r17 wave 3); maps
+    * with scalar string/long/int keys whose values are ANY bridged type
+    * — scalars/structs since r15, arrays and maps (maps-in-maps) since
+    * r17 wave 3. The one remaining rule is the KEY type. Checked at
     * CREATE because an insert-only MERGE plans as an append (never
     * reaching the Group writer's own checks), so an unreadable shape
     * could otherwise COMMIT and only fail at first read (r16).
@@ -441,22 +662,8 @@ object GraftCatalog {
         require(kt == StringType || kt == LongType || kt == IntegerType,
           s"graft-lake: column '$name' has map key type $kt — " +
             "string/long/int keys only")
-        vt match {
-          case _: MapType | _: ArrayType =>
-            throw new UnsupportedOperationException(
-              s"graft-lake: column '$name' has map value type $vt — " +
-                "lake map values hold scalars or structs " +
-                "(maps-in-maps / arrays-in-maps stay out)")
-          case other => validateLakeType(s"$name[value]", other)
-        }
-      case ArrayType(elem, _) => elem match {
-        case _: MapType =>
-          throw new UnsupportedOperationException(
-            s"graft-lake: column '$name' has array element type $elem — " +
-              "lake arrays hold scalars, structs, or arrays " +
-              "(maps-in-arrays stay out)")
-        case other => validateLakeType(s"$name[]", other)
-      }
+        validateLakeType(s"$name[value]", vt)
+      case ArrayType(elem, _) => validateLakeType(s"$name[]", elem)
       case st: StructType =>
         st.fields.foreach(f =>
           validateLakeType(s"$name.${f.name}", f.dataType))

@@ -145,6 +145,12 @@ private[sources] class LakeDeltaWrite(
       s"graft-lake: merge row schema ${dataSchema.fieldNames.toSeq} is " +
         s"missing the event-time column '$ts'")
     val parts = LakeSnapshot.keyParts(key)
+    // CHECK constraints bind against the merge-output schema driver-side
+    // and ship to the writers as serialized bound expressions
+    val checks = graft.etl.LakeChecks.checksOf(spark, dir).map {
+      case (n, c) =>
+        (n, c, graft.etl.LakeChecks.boundCheck(spark, dataSchema, n, c))
+    }
     new LakeDeltaWriterFactory(
       dir, s"${LakeSnapshot.LakePaths(dir).delta}/gen=$gen",
       dataSchema, physical, dataSchema.fieldIndex(ts),
@@ -152,7 +158,8 @@ private[sources] class LakeDeltaWrite(
       rowIdSchema.fieldIndex(ts),
       parts.map(k => state.physicalFor(k).getOrElse(k)).toArray,
       spark.sparkContext.hadoopConfiguration.asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+        .map(e => e.getKey -> e.getValue).toMap,
+      checks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -181,14 +188,16 @@ private[sources] class LakeDeltaWriterFactory(
     dir: String, root: String,
     dataSchema: StructType, physical: Array[String], tsIdxData: Int,
     rowIdSchema: StructType, keyIdxId: Array[Int], tsIdxId: Int,
-    keyPhysical: Array[String], hadoopConf: Map[String, String])
+    keyPhysical: Array[String], hadoopConf: Map[String, String],
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DeltaWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LakeDeltaTaskWriter(dir, root, dataSchema, physical, tsIdxData,
       rowIdSchema, keyIdxId, tsIdxId, keyPhysical, hadoopConf,
-      partitionId, taskId)
+      partitionId, taskId, checks)
 }
 
 /** One task's delta writer: streams merge output rows into per-day
@@ -204,10 +213,21 @@ private[sources] class LakeDeltaTaskWriter(
     dataSchema: StructType, physical: Array[String], tsIdxData: Int,
     rowIdSchema: StructType, keyIdxId: Array[Int], tsIdxId: Int,
     keyPhysical: Array[String], hadoopConf: Map[String, String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    // CHECK constraints (r17 wave 3): (name, condition SQL, expression
+    // bound against dataSchema, null-tolerant) — evaluated per upsert
+    // row as it streams (deletes carry no data row, exempt)
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DeltaWriter[InternalRow] {
 
   private val conf = LakeGroupRead.confOf(hadoopConf)
+
+  private lazy val checkPreds = checks.map { case (name, cond, e) =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (name, cond, p)
+  }
 
   private val fileSchema: MessageType = {
     val b = Types.buildMessage()
@@ -251,6 +271,11 @@ private[sources] class LakeDeltaTaskWriter(
     require(!row.isNullAt(tsIdxData),
       s"graft-lake MERGE: NULL event-time — every written row needs " +
         s"'${dataSchema.fields(tsIdxData).name}' to derive its day")
+    checkPreds.foreach { case (name, cond, p) =>
+      if (!p.eval(row)) throw new IllegalArgumentException(
+        s"graft-lake: CHECK constraint '$name' ($cond) violated by a " +
+          "written row — the whole operation aborts, nothing commits")
+    }
     val g = groups.newGroup()
     var i = 0
     while (i < physical.length) {
@@ -384,15 +409,9 @@ private[sources] object LakeGroupWrite {
       case ArrayType(elem, _) =>
         val lb = b.optionalGroup().as(LogicalTypeAnnotation.listType())
           .repeatedGroup()
-        elem match {
-          case _: MapType =>
-            throw new UnsupportedOperationException(
-              s"graft-lake merge writer: nested element type $elem " +
-                s"for '$name' — lake arrays hold scalars, structs, or " +
-                "arrays (maps-in-arrays stay out)")
-          // ArrayType recurses: nested LIST groups to any depth (r16)
-          case _ => addField(lb, "element", elem)
-        }
+        // ArrayType recurses: nested LIST groups to any depth (r16);
+        // maps-in-arrays recurse through the MapType case (r17 wave 3)
+        addField(lb, "element", elem)
         lb.named("list").named(name)
       case MapType(kt, vt, _) =>
         // the standard parquet MAP shape: `name (MAP) { repeated group
@@ -411,13 +430,9 @@ private[sources] object LakeGroupWrite {
             s"graft-lake merge writer: unsupported map key type $other " +
               s"for '$name' (string/long/int keys)")
         }
-        vt match {
-          case _: ArrayType | _: MapType =>
-            throw new UnsupportedOperationException(
-              s"graft-lake merge writer: nested map value type $vt " +
-                s"for '$name' — lake map values hold scalars or structs")
-          case _ => addField(kv, "value", vt)
-        }
+        // values recurse: scalars/structs since r15, arrays and maps
+        // since r17 wave 3 (maps-in-maps are standard nested MAP groups)
+        addField(kv, "value", vt)
         kv.named("key_value").named(name)
       case st: StructType =>
         // a (possibly nested) struct column — the multimodal media
@@ -450,19 +465,28 @@ private[sources] object LakeGroupWrite {
     case st: StructType =>
       addStruct(g.addGroup(name), st, row.getStruct(i, st.length))
     case MapType(kt, vt, _) =>
-      val m = row.getMap(i)
-      val mg = g.addGroup(name)
-      val keys = m.keyArray()
-      val values = m.valueArray()
-      var j = 0
-      while (j < m.numElements()) {
-        val e = mg.addGroup("key_value")
-        addElement(e, "key", kt, keys, j) // map keys are never null
-        if (!values.isNullAt(j)) addElement(e, "value", vt, values, j)
-        j += 1
-      }
+      addMap(g, name, kt, vt, row.getMap(i))
     case other => throw new UnsupportedOperationException(
       s"graft-lake merge writer: unsupported column type $other for '$name'")
+  }
+
+  /** A MAP value as the standard key_value group — shared by top-level
+    * map columns and nested map elements/values (maps-in-maps and
+    * maps-in-arrays recurse, r17 wave 3).
+    */
+  private def addMap(
+      g: Group, name: String, kt: DataType, vt: DataType,
+      m: org.apache.spark.sql.catalyst.util.MapData): Unit = {
+    val mg = g.addGroup(name)
+    val keys = m.keyArray()
+    val values = m.valueArray()
+    var j = 0
+    while (j < m.numElements()) {
+      val e = mg.addGroup("key_value")
+      addElement(e, "key", kt, keys, j) // map keys are never null
+      if (!values.isNullAt(j)) addElement(e, "value", vt, values, j)
+      j += 1
+    }
   }
 
   /** A decimal value under the writer's physical sizing rule —
@@ -522,6 +546,8 @@ private[sources] object LakeGroupWrite {
         addDecimal(e, into, d, arr.getDecimal(j, d.precision, d.scale))
       case ArrayType(inner, _) =>
         addArray(e, into, inner, arr.getArray(j))
+      case MapType(kt, vt, _) =>
+        addMap(e, into, kt, vt, arr.getMap(j))
       case st: StructType =>
         addStruct(e.addGroup(into), st, arr.getStruct(j, st.length))
       case other => throw new UnsupportedOperationException(

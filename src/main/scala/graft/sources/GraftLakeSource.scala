@@ -76,16 +76,18 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val dir = GraftLakeSource.dirOf(options.asScala.toMap)
+    val opts =
+      GraftLakeSource.resolveAsOf(spark, options.asScala.toMap)
+    val dir = GraftLakeSource.dirOf(opts)
     // `changes=true` (the Delta readChangeFeed precedent): the FULL-TABLE
     // STREAM's schema — data columns + change stamps (r15, VERDICT #4)
-    if (Option(options.get("changes")).exists(_.toBoolean))
+    if (opts.get("changes").exists(_.toBoolean))
       return LakeFullTableStream.streamSchema(spark, dir)
     // a FIRST write targets a lake with no committed snapshot yet — no
     // schema to infer; the table accepts any schema and the write path
     // records it (reads of an empty lake still fail loudly in the scan)
     if (LakeSnapshot.currentEpoch(spark, dir) < 0) return new StructType()
-    Option(options.get("epoch")).map(_.toInt) match {
+    opts.get("epoch").map(_.toInt) match {
       case Some(e) => LakeSnapshot.readAt(spark, dir, e).schema
       case None => LakeSnapshot.read(spark, dir).schema
     }
@@ -94,13 +96,44 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new LakeTable(schema, properties.asScala.toMap)
+    new LakeTable(schema, GraftLakeSource.resolveAsOf(
+      SparkSession.active, properties.asScala.toMap))
 }
 
 object GraftLakeSource {
   private[sources] def dirOf(props: Map[String, String]): String =
     props.getOrElse("path",
       sys.error("graft-lake: the 'path' option (lake directory) is required"))
+
+  /** `option("timestampAsOf", ...)` on the path-based read (r17 wave 3,
+    * the Delta option's shape): resolves to the youngest epoch committed
+    * at or before the instant and rides the SAME epoch-pinned read as
+    * `option("epoch", ...)`. Accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss]`,
+    * or an ISO instant; loud when it predates every commit or when both
+    * pins are given.
+    */
+  private[sources] def resolveAsOf(
+      spark: SparkSession, props: Map[String, String]): Map[String, String] =
+    props.keys.find(_.equalsIgnoreCase("timestampAsOf")) match {
+      case None => props
+      case Some(k) =>
+        require(!props.contains("epoch"),
+          "graft-lake: give option 'epoch' OR 'timestampAsOf', not both")
+        val raw = props(k)
+        val tMs: Long =
+          raw.toLongOption.getOrElse {
+            try java.sql.Timestamp.valueOf(
+              if (raw.length == 10) s"$raw 00:00:00" else raw).getTime
+            catch { case _: IllegalArgumentException =>
+              java.time.Instant.parse(raw).toEpochMilli }
+          }
+        val dir = dirOf(props)
+        val epoch = LakeSnapshot.epochAtOrBefore(spark, dir, tMs)
+          .getOrElse(sys.error(
+            s"graft-lake: timestampAsOf $raw predates every commit of " +
+              dir))
+        props - k + ("epoch" -> epoch.toString)
+    }
 
   /** Render a pushed filter value for the STRING day-partition compare.
     * ISO dates order lexically, so range filters stay exact.
@@ -555,25 +588,61 @@ private[sources] class LakeScan(
     }
     val statsByGen = scala.collection.mutable.Map.empty[
       Int, Option[Map[String, graft.etl.FileStats.FileStat]]]
+    // PER-FILE BLOOM probes (r17 wave 3): equality/IN hints on declared
+    // bloom columns consult the day's `_bloom.tsv` sidecar — the
+    // point-lookup tier range stats can't serve (a high-cardinality id's
+    // [min,max] straddles everything). Loaded lazily PER (gen, day) that
+    // actually reaches probing, only while eq/in hints exist — probe
+    // cost follows the pruned listing, never the table.
+    val eqPhys = skipPhys.filter(f => f.op == "eq" || f.op == "in")
+    val bloomByGenDay = scala.collection.mutable.Map.empty[
+      (Int, String), Option[Map[(String, String),
+        (String, org.apache.spark.util.sketch.BloomFilter)]]]
+    def bloomDead(baseGen: Int, day: String, name: String): Boolean = {
+      if (eqPhys.isEmpty) return false
+      bloomByGenDay.getOrElseUpdate((baseGen, day),
+        graft.etl.BloomStats.read(
+          spark, s"${p.data}/gen=$baseGen", day)) match {
+        case None => false // no sidecar: no claim
+        case Some(blooms) =>
+          def absent(f: RowGroupFilter): Boolean =
+            blooms.get((name, f.col)) match {
+              case None => false // column not bloomed in this gen
+              case Some((fam, filt)) =>
+                if (f.op == "eq")
+                  graft.etl.BloomStats.provablyAbsent(
+                    fam, filt, f.isFloat, f.lv, f.decScale, f.sv)
+                else f.inSet.nonEmpty && f.inSet.forall(m =>
+                  graft.etl.BloomStats.provablyAbsent(
+                    fam, filt, m.isFloat, m.lv, m.decScale, m.sv))
+            }
+          val dead = eqPhys.exists(absent)
+          if (dead) graft.etl.BloomStats.skippedFiles.incrementAndGet()
+          dead
+      }
+    }
     def fileOk(baseGen: Int, day: String, file: String): Boolean = {
       if (skipPhys.isEmpty) return true
+      val name = new Path(file).getName
       val stats = statsByGen.getOrElseUpdate(baseGen,
         graft.etl.FileStats.read(spark, s"${p.data}/gen=$baseGen"))
-      stats.flatMap(_.get(s"day=$day/${new Path(file).getName}")) match {
-        case None => true // no sidecar / unknown file: never skip blind
-        case Some(st) =>
-          // an IN conjunct proves the file empty only when EVERY member
-          // does (members compare under the remapped physical name)
-          def empty(f: RowGroupFilter): Boolean =
-            if (f.op == "in") f.inSet.nonEmpty && f.inSet.forall(m =>
-              graft.etl.FileStats.provablyEmpty(st, f.col, "eq",
-                m.isFloat, m.lv, m.dv, m.decScale, m.sv))
-            else graft.etl.FileStats.provablyEmpty(st, f.col, f.op,
-              f.isFloat, f.lv, f.dv, f.decScale, f.sv)
-          val dead = skipPhys.exists(empty)
-          if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
-          !dead
-      }
+      val statsDead =
+        stats.flatMap(_.get(s"day=$day/$name")) match {
+          case None => false // no sidecar / unknown file: never skip blind
+          case Some(st) =>
+            // an IN conjunct proves the file empty only when EVERY member
+            // does (members compare under the remapped physical name)
+            def empty(f: RowGroupFilter): Boolean =
+              if (f.op == "in") f.inSet.nonEmpty && f.inSet.forall(m =>
+                graft.etl.FileStats.provablyEmpty(st, f.col, "eq",
+                  m.isFloat, m.lv, m.dv, m.decScale, m.sv))
+              else graft.etl.FileStats.provablyEmpty(st, f.col, f.op,
+                f.isFloat, f.lv, f.dv, f.decScale, f.sv)
+            val dead = skipPhys.exists(empty)
+            if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
+            dead
+        }
+      !statsDead && !bloomDead(baseGen, day, name)
     }
     val sel = state.days.toSeq.sortBy(_._1)
       .filter { case (d, _) => GraftLakeSource.dayOk(d, eff) }
@@ -885,10 +954,61 @@ private[sources] object LakeGroupRead {
     private val io = new ColumnIOFactory().getColumnIO(fileSchema)
     private var rr: org.apache.parquet.io.RecordReader[Group] = _
     private var remaining = 0L
+    // parquet-NATIVE bloom probes (r17 wave 5): within a file the
+    // planner could not skip, an equality/IN hint probes each block's
+    // own bloom ([[graft.etl.BloomStats.writeOptions]] wrote them) —
+    // the row-group granularity twin of the file-level sidecar. One
+    // bloom read per (block, probed column); a file without blooms
+    // costs one null lookup.
+    private val eqSkips = skip.filter(f => f.op == "eq" || f.op == "in")
+    private def bloomEmpty(
+        block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+      if (eqSkips.isEmpty) return false
+      val bfr =
+        try reader.getBloomFilterDataReader(block)
+        catch { case _: Exception => null }
+      if (bfr == null) return false
+      def absentOne(
+          cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+          bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+          m: RowGroupFilter): Boolean = {
+        import PrimitiveType.PrimitiveTypeName._
+        cc.getPrimitiveType.getPrimitiveTypeName match {
+          case INT64 if !m.isFloat && m.decScale < 0 && m.sv == null =>
+            !bf.findHash(bf.hash(m.lv))
+          case INT32 if !m.isFloat && m.decScale < 0 && m.sv == null =>
+            // a post-widen long predicate beyond int32 cannot exist in
+            // an int32 chunk at all
+            m.lv > Int.MaxValue || m.lv < Int.MinValue ||
+              !bf.findHash(bf.hash(m.lv.toInt))
+          case BINARY if m.sv != null &&
+              cc.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            !bf.findHash(bf.hash(
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(m.sv)))
+          case _ => false // family mismatch / decimal / float: no claim
+        }
+      }
+      def absent(f: RowGroupFilter): Boolean =
+        block.getColumns.asScala.find(_.getPath.toDotString == f.col) match {
+          case None => false // absent chunk: the stats layer's claim
+          case Some(cc) =>
+            val bf =
+              try bfr.readBloomFilter(cc)
+              catch { case _: Exception => null }
+            if (bf == null) false
+            else if (f.op == "eq") absentOne(cc, bf, f)
+            else f.inSet.nonEmpty && f.inSet.forall(absentOne(cc, bf, _))
+        }
+      val dead = eqSkips.exists(absent)
+      if (dead) graft.etl.BloomStats.skippedGroups.incrementAndGet()
+      dead
+    }
     override def hasNext: Boolean = {
       while (remaining == 0L) {
         while (skip.nonEmpty && blockIdx < blocks.size() &&
-            groupProvablyEmpty(blocks.get(blockIdx), skip, fileSchema)) {
+            (groupProvablyEmpty(blocks.get(blockIdx), skip, fileSchema) ||
+              bloomEmpty(blocks.get(blockIdx)))) {
           onSkip(blocks.get(blockIdx).getRowCount)
           skippedGroups.incrementAndGet()
           reader.skipNextRowGroup()
@@ -1138,6 +1258,12 @@ private[sources] object LakeGroupRead {
           case dd: DecimalType =>
             decimalAt(entry, valName, 0,
               entryType.getType(1).asPrimitiveType(), dd)
+          // arrays-in-maps / maps-in-maps (r17 wave 3): the value is
+          // itself a LIST / MAP group — recurse against the entry group
+          case at: ArrayType =>
+            arrayValue(entry, entryType, valName, at.elementType)
+          case mt: MapType =>
+            mapValue(entry, entryType, valName, mt.keyType, mt.valueType)
           case _ => elementValue(entry, valName, 0, vt)
         }
       j += 1
@@ -1234,6 +1360,10 @@ private[sources] object LakeGroupRead {
             // arrays-of-arrays: the element is itself a LIST group (r16)
             case at: ArrayType =>
               arrayValue(entry, inner.asGroupType(), elemName, at.elementType)
+            // maps-in-arrays (r17 wave 3): the element is a MAP group
+            case mt: MapType =>
+              mapValue(entry, inner.asGroupType(), elemName,
+                mt.keyType, mt.valueType)
             case dd: DecimalType =>
               decimalAt(entry, elemName, 0, elemType.asPrimitiveType(), dd)
             case _ => elementValue(entry, elemName, 0, elem)

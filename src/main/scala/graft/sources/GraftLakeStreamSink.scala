@@ -83,11 +83,17 @@ private[sources] class LakeStreamingWrite(
           s"physical allocation at $dir (name retired by a rename/drop) " +
           "— evolve the schema through the Scala API first"))
     }
+    // CHECK constraints ride the stream too: bound once at query start,
+    // evaluated per row in the shared delta writer (r17 wave 3)
+    val checks = graft.etl.LakeChecks.checksOf(spark, dir).map {
+      case (n, c) =>
+        (n, c, graft.etl.LakeChecks.boundCheck(spark, schema, n, c))
+    }
     new LakeStreamingWriterFactory(
       dir, stagingPrefix = s"${LakeSnapshot.LakePaths(dir).delta}/.sw/$queryId",
       schema, physical, schema.fieldIndex(ts), key,
       spark.sparkContext.hadoopConfiguration.asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+        .map(e => e.getKey -> e.getValue).toMap, checks)
   }
 
   override def commit(
@@ -156,7 +162,9 @@ private[sources] class LakeStreamingWriterFactory(
     dir: String, stagingPrefix: String,
     schema: org.apache.spark.sql.types.StructType,
     physical: Array[String], tsIdx: Int, key: String,
-    hadoopConf: Map[String, String])
+    hadoopConf: Map[String, String],
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(
@@ -171,5 +179,5 @@ private[sources] class LakeStreamingWriterFactory(
       tsIdx,
       LakeSnapshot.keyParts(key)
         .map(k => physical(schema.fieldIndex(k))).toArray,
-      hadoopConf, partitionId, taskId)
+      hadoopConf, partitionId, taskId, checks)
 }

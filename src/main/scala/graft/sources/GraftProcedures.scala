@@ -180,5 +180,61 @@ private[sources] object GraftProcedures {
             Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
               r.getLong(4)))
       }
-    })
+    },
+    // Crashed-CTAS reclamation (r17 wave 3): a CTAS/RTAS whose driver
+    // died between staging and publish leaves a dot-hidden
+    // `.stage-<name>-<uuid>` (or `.replaced-*` trash) dir that belongs
+    // to NO table — per-table vacuum can never reach it. This sweeps a
+    // namespace DIRECTORY, age-gated (default 72 h, same posture as
+    // vacuum's orphan window: a staging younger than the gate may be a
+    // LIVE in-flight CTAS and must survive).
+    "clean_staging" -> new StagingCleanProcedure)
+}
+
+private[sources] class StagingCleanProcedure
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "clean_staging"
+  override def description(): String =
+    "reclaim crashed-CTAS staging/trash dirs under a namespace directory"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", StringType).build(),
+    ProcedureParameter.in("older_than_ms", LongType)
+      .defaultValue((72L * 3600 * 1000).toString).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(
+      input.getUTF8String(0).toString)
+    val olderThan =
+      if (input.isNullAt(1)) 72L * 3600 * 1000 else input.getLong(1)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThan
+    val victims =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory &&
+          (n.startsWith(".stage-") || n.startsWith(".replaced-")) &&
+          st.getModificationTime < cutoff
+      }
+    victims.foreach(st => fs.delete(st.getPath, true))
+    val schema = StructType(Seq(
+      StructField("operation", StringType),
+      StructField("n_reclaimed", IntegerType),
+      StructField("dirs", StringType)))
+    val row = Seq(Seq[Any]("clean_staging", victims.size,
+      victims.map(_.getPath.getName).sorted.mkString(",")))
+    val scan: Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          row.map(vs => new GenericInternalRow(vs.map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }.toArray): InternalRow).toArray
+      }
+    Iterator(scan).asJava
+  }
 }

@@ -559,4 +559,34 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(LakeGroupRead.deltaFileOpens.get() - before2 == 3L)
     assert(got2 === got._2 - 3.0 + 3000.0)
   }
+
+  test("option(timestampAsOf): the path-based read resolves to the " +
+    "youngest epoch at-or-before the instant (r17 wave 3)") {
+    val dir = freshDir("ts_asof")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val t0 = graft.ops.IncrementalDedup.Manifest
+      .commitTimeMs(spark, s"$dir/manifest", 0)
+    // commit times are second-resolution on some filesystems — space the
+    // second commit measurably after the first
+    Thread.sleep(1100)
+    LakeSnapshot.merge(spark, dir,
+      Seq((2L, ts(1), 2.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    // pin at the FIRST commit's instant: only row 1 exists
+    assert(dsv2(dir, "timestampAsOf" -> t0.toString)
+      .select("event_id").as[Long].collect().toSeq === Seq(1L))
+    // the unpinned read sees both
+    assert(dsv2(dir).count() === 2L)
+    // both pins at once refuse; an instant predating every commit is loud
+    val e1 = intercept[Exception] {
+      dsv2(dir, "timestampAsOf" -> t0.toString, "epoch" -> "0").count()
+    }
+    assert(e1.getMessage.contains("not both"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      dsv2(dir, "timestampAsOf" -> (t0 - 100000L).toString).count()
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+  }
 }

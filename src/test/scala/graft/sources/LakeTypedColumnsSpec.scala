@@ -305,28 +305,47 @@ class LakeTypedColumnsSpec extends AnyFunSuite {
       val r3 = rows(2)
       assert(!r3.isNullAt(10) && r3.getInt(10) === 0 && r3.isNullAt(5),
         "Group-written empty outer array and null map")
-      // maps nested in arrays/maps stay OUT, loudly AT CREATE: an
-      // insert-only MERGE plans as an append that bypasses the Group
-      // writer's checks, so the type gate must fire before any data can
-      // commit (r16 — found by exactly that silent-commit path)
-      val e = intercept[UnsupportedOperationException] {
-        spark.sql("CREATE TABLE graft.badnest (id BIGINT, ts TIMESTAMP, " +
-          "m ARRAY<MAP<STRING, BIGINT>>) TBLPROPERTIES ('key' = 'id')")
+      // r17 wave 3: maps nested in arrays/maps ROUND-TRIP — the type
+      // system closes. Half the rows land through the V1 Spark write
+      // (INSERT), half through the Group-API delta writer (MERGE), so
+      // both bridges prove the recursion; the one remaining gate is the
+      // map KEY type (scalar string/long/int only).
+      spark.sql("CREATE TABLE graft.deepnest (id BIGINT, ts TIMESTAMP, " +
+        "am ARRAY<MAP<STRING, BIGINT>>, " +
+        "mm MAP<STRING, MAP<STRING, BIGINT>>, " +
+        "ma MAP<STRING, ARRAY<DOUBLE>>) TBLPROPERTIES ('key' = 'id')")
+      spark.sql("INSERT INTO graft.deepnest (id, ts, am, mm, ma) SELECT " +
+        "1L, TIMESTAMP '2024-01-01 10:00:00', " +
+        "array(map('a', 1L), map('b', 2L, 'c', CAST(NULL AS BIGINT))), " +
+        "map('x', map('y', 10L)), map('k', array(0.5D, -1.5D))")
+      spark.sql("MERGE INTO graft.deepnest t USING (SELECT " +
+        "2L AS id, TIMESTAMP '2024-01-01 11:00:00' AS ts, " +
+        "array(map('d', 4L)) AS am, " +
+        "map('p', map('q', 20L), 'r', CAST(NULL AS MAP<STRING, BIGINT>))" +
+        " AS mm, map('m', array(2.5D)) AS ma) s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, ts, am, mm, ma) " +
+        "VALUES (s.id, s.ts, s.am, s.mm, s.ma)")
+      val deep = spark.sql("SELECT id, am[0]['a'], get(am, 1)['c'], " +
+        "mm['x']['y'], get(ma['k'], 1), am[0]['d'], mm['p']['q'], " +
+        "mm['r'], get(ma['m'], 0) FROM graft.deepnest ORDER BY id")
+        .collect()
+      val d1 = deep(0)
+      assert(d1.getLong(1) === 1L && d1.isNullAt(2) &&
+        d1.getLong(3) === 10L && d1.getDouble(4) === -1.5,
+        s"V1-written nested maps read back: $d1")
+      val d2 = deep(1)
+      assert(d2.getLong(5) === 4L && d2.getLong(6) === 20L &&
+        d2.isNullAt(7) && d2.getDouble(8) === 2.5,
+        s"Group-written nested maps (incl. a NULL inner map) read: $d2")
+      val eKey = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.badkey (id BIGINT, ts TIMESTAMP, " +
+          "m MAP<ARRAY<BIGINT>, BIGINT>) TBLPROPERTIES ('key' = 'id')")
       }
-      assert(e.getMessage.contains("maps-in-arrays"))
-      val e2 = intercept[UnsupportedOperationException] {
-        spark.sql("CREATE TABLE graft.badnest2 (id BIGINT, ts TIMESTAMP, " +
-          "m MAP<STRING, MAP<STRING, BIGINT>>) TBLPROPERTIES ('key' = 'id')")
-      }
-      assert(e2.getMessage.contains("maps-in-maps"))
-      val e3 = intercept[UnsupportedOperationException] {
-        spark.sql("ALTER TABLE graft.nest ADD COLUMN bad ARRAY<MAP<STRING, BIGINT>>")
-      }
-      assert(e3.getMessage.contains("maps-in-arrays"))
+      assert(eKey.getMessage.contains("map key type"), eKey.getMessage)
     } finally {
       spark.sql("DROP TABLE graft.nest")
-      spark.sql("DROP TABLE IF EXISTS graft.badnest")
-      spark.sql("DROP TABLE IF EXISTS graft.badnest2")
+      spark.sql("DROP TABLE IF EXISTS graft.deepnest")
+      spark.sql("DROP TABLE IF EXISTS graft.badkey")
     }
   }
 
