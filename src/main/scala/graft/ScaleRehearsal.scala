@@ -163,7 +163,16 @@ object ScaleRehearsal {
     // units), not O(table)" becomes a measured number. The entry
     // self-cleans (lakeDir/freshCheckpoint delete on access), so the
     // warm-up + timed re-runs are deterministic.
-    "s26_lake_stream_source")
+    "s26_lake_stream_source",
+    // r17 wave 6: the three write-path features with per-row/per-file
+    // costs price themselves — p51 the CTAS stage+publish, p52 the
+    // bloom-sidecar BUILD pass (one column-pruned read per staged
+    // generation — must scale with the batch) + the planning-time
+    // probe, p53 the fused CHECK predicates on every written row (the
+    // overhead claim "zero extra passes" becomes a measured ratio)
+    "p51_sql_ctas",
+    "p52_bloom_pruning",
+    "p53_sql_constraints")
 
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")

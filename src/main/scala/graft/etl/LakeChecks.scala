@@ -124,15 +124,28 @@ object LakeChecks {
     */
   def applyTo(spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
     val checks = checksOf(spark, dir)
-    if (checks.isEmpty) df
-    else checks.foldLeft(df) { case (d, (name, cond)) =>
+    if (checks.isEmpty) return df
+    // an evolution-tolerant batch may omit nullable columns the checks
+    // reference (they null-fill at stage) — evaluate against the same
+    // null-filled view, so `value IS NOT NULL`-style checks fire exactly
+    // as they would on the stored rows; the original projection returns
+    // after the filters
+    val declared = graft.sources.GraftCatalog.readCreateProps(spark, dir)
+      .get("schema").map(StructType.fromDDL)
+    val have = df.columns.toSet
+    val widened = declared.map(_.fields.filterNot(f => have(f.name))
+      .foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType))))
+      .getOrElse(df)
+    val checked = checks.foldLeft(widened) { case (d, (name, cond)) =>
       d.filter(
         when(coalesce(expr(cond), lit(true)), lit(true))
           .otherwise(raise_error(concat(
             lit(s"graft-lake: CHECK constraint '$name' ($cond) " +
               "violated by row "),
-            to_json(struct(d.columns.map(col).toIndexedSeq: _*))))))
+            to_json(struct(df.columns.map(col).toIndexedSeq: _*))))))
     }
+    checked.select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** ALTER-time gate for ADDING a check: declaration-valid AND the

@@ -112,12 +112,17 @@ class GraftCatalog extends TableCatalog
     // resolves here with name "history" under the table's namespace —
     // the commit log as SQL (epoch, operation, gen, n_days, n_dropped,
     // commit_time), no Scala call, no custom parser.
-    if (!exists(ident) && ident.name() == "history" &&
+    if (!exists(ident) &&
+        (ident.name() == "history" || ident.name() == "files") &&
         ident.namespace().nonEmpty) {
       val parent = Identifier.of(
         ident.namespace().dropRight(1), ident.namespace().last)
       if (exists(parent))
-        return new LakeHistoryTable(dirOf(parent))
+        return if (ident.name() == "history")
+          new LakeHistoryTable(dirOf(parent))
+        // `.files` (r17 wave 6): the live storage layout as SQL —
+        // day/kind/gen/file/bytes/rows per committed file
+        else new LakeFilesTable(dirOf(parent))
     }
     loadAt(ident, epoch = None)
   }

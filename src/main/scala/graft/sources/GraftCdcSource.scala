@@ -362,6 +362,13 @@ private[sources] class CdcPartitionReader(
             g.getFloat(f.name, 0)
           case BooleanType => g.getBoolean(f.name, 0)
           case StringType => UTF8String.fromString(g.getString(f.name, 0))
+          // COMPLEX columns (r17 wave 6): decimal/binary/array/map/
+          // struct change images decode through the SAME Group bridge
+          // the batch reader uses — a table with typed columns streams
+          // its change feed instead of refusing
+          case _: DecimalType | BinaryType | _: ArrayType | _: MapType |
+               _: StructType =>
+            LakeGroupRead.internalValue(g, fileSchema, f.name, f.dataType)
           case other => throw new UnsupportedOperationException(
             s"graft-cdc reader: unsupported column type $other for " +
               s"'${f.name}' in ${part.path}")

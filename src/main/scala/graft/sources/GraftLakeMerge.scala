@@ -141,19 +141,28 @@ private[sources] class LakeDeltaWrite(
         s"graft-lake: merge column '${f.name}' has no physical binding " +
           s"at $dir — not a live column of this table"))
     }
-    require(dataSchema.fieldNames.contains(ts),
+    // a DELETE-only row-level plan (e.g. DELETE WHERE id IN (subquery),
+    // r17 wave 6) carries NO data columns — rows arrive as rowId-only
+    // deletes and the day derives from the rowId ts; only data-carrying
+    // plans need the event-time column in the write schema
+    require(dataSchema.isEmpty || dataSchema.fieldNames.contains(ts),
       s"graft-lake: merge row schema ${dataSchema.fieldNames.toSeq} is " +
         s"missing the event-time column '$ts'")
     val parts = LakeSnapshot.keyParts(key)
     // CHECK constraints bind against the merge-output schema driver-side
-    // and ship to the writers as serialized bound expressions
-    val checks = graft.etl.LakeChecks.checksOf(spark, dir).map {
-      case (n, c) =>
-        (n, c, graft.etl.LakeChecks.boundCheck(spark, dataSchema, n, c))
-    }
+    // and ship to the writers as serialized bound expressions (deletes
+    // carry no data row — exempt by construction)
+    val checks =
+      if (dataSchema.isEmpty) Nil
+      else graft.etl.LakeChecks.checksOf(spark, dir).map {
+        case (n, c) =>
+          (n, c, graft.etl.LakeChecks.boundCheck(spark, dataSchema, n, c))
+      }
     new LakeDeltaWriterFactory(
       dir, s"${LakeSnapshot.LakePaths(dir).delta}/gen=$gen",
-      dataSchema, physical, dataSchema.fieldIndex(ts),
+      dataSchema, physical,
+      if (dataSchema.fieldNames.contains(ts)) dataSchema.fieldIndex(ts)
+      else -1,
       rowIdSchema, parts.map(rowIdSchema.fieldIndex).toArray,
       rowIdSchema.fieldIndex(ts),
       parts.map(k => state.physicalFor(k).getOrElse(k)).toArray,
@@ -235,6 +244,15 @@ private[sources] class LakeDeltaTaskWriter(
       if (physical(i) != null)
         LakeGroupWrite.addField(b, physical(i), f.dataType)
     }
+    // a DELETE-only plan (subquery DELETE, r17 wave 6) carries no data
+    // columns, but its markers still write every key part — those
+    // fields come from the rowId schema
+    val present = physical.filter(_ != null).toSet
+    keyPhysical.zipWithIndex.foreach { case (kp, k) =>
+      if (!present.contains(kp))
+        LakeGroupWrite.addField(
+          b, kp, rowIdSchema.fields(keyIdxId(k)).dataType)
+    }
     b.optional(PrimitiveType.PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("__op")
     b.named("spark_schema")
@@ -268,6 +286,9 @@ private[sources] class LakeDeltaTaskWriter(
 
   /** The full upsert image of `row` as a `__op = "u"` delta row. */
   private def upsert(row: InternalRow): Unit = {
+    require(tsIdxData >= 0,
+      "graft-lake: a delete-only delta write received a DATA row — " +
+        "the plan carried no event-time column to derive its day")
     require(!row.isNullAt(tsIdxData),
       s"graft-lake MERGE: NULL event-time — every written row needs " +
         s"'${dataSchema.fields(tsIdxData).name}' to derive its day")

@@ -146,6 +146,47 @@ object GraftLakeSource {
     case other => other.toString
   }
 
+  /** DAY pruning DERIVED from event-time predicates (r17 wave 6 — the
+    * Delta generated-column partition-filter shape): `day` IS the UTC
+    * date of `ts` by the lake's write contract, so
+    *   ts >/>= v  ⇒ day >= utcDate(v),   ts </<= v ⇒ day <= utcDate(v),
+    *   ts = v     ⇒ day = utcDate(v),    ts IN (..) ⇒ day IN (dates).
+    * Users filter on event time, not on the derived partition column —
+    * without this, `WHERE ts >= now() - INTERVAL 1 DAY` on a 100 TB
+    * event table lists (and stat-probes) every day ever written.
+    * Derived filters only SHRINK the day listing; the ts predicates
+    * stay pushed as stat hints AND residual, so row-level results are
+    * untouched even if the derivation were too wide.
+    */
+  private[sources] def derivedDayFilters(
+      tsCol: String, filters: Seq[sources.Filter]): Seq[sources.Filter] = {
+    def dayOf(v: Any): Option[String] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      case t: java.time.Instant =>
+        Some(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      case _ => None
+    }
+    filters.flatMap {
+      case sources.EqualTo(`tsCol`, v) =>
+        dayOf(v).map(sources.EqualTo("day", _))
+      case sources.GreaterThan(`tsCol`, v) =>
+        dayOf(v).map(sources.GreaterThanOrEqual("day", _))
+      case sources.GreaterThanOrEqual(`tsCol`, v) =>
+        dayOf(v).map(sources.GreaterThanOrEqual("day", _))
+      case sources.LessThan(`tsCol`, v) =>
+        dayOf(v).map(sources.LessThanOrEqual("day", _))
+      case sources.LessThanOrEqual(`tsCol`, v) =>
+        dayOf(v).map(sources.LessThanOrEqual("day", _))
+      case sources.In(`tsCol`, vs) if vs.nonEmpty && vs.length <= 32 =>
+        val ds = vs.toSeq.map(dayOf)
+        if (ds.forall(_.isDefined))
+          Some(sources.In("day", ds.flatten.distinct.toArray[Any]))
+        else None
+      case _ => None
+    }
+  }
+
   /** Is this a filter the planner can turn into exact day pruning? */
   private[sources] def isDayFilter(f: sources.Filter): Boolean = f match {
     case sources.EqualTo("day", _) | sources.In("day", _) |
@@ -514,10 +555,23 @@ private[sources] class LakeScan(
   private lazy val state: LakeState =
     LakeSnapshot.tableState(SparkSession.active, dir, asOf)
 
+  // event-time → day derivation (r17 wave 6): the recorded ts column
+  // (a PHYSICAL name from CREATE/first-write) resolves to its CURRENT
+  // logical name — the name pushed filters carry; a dropped/unresolved
+  // ts simply derives nothing (pruning is an optimization)
+  private lazy val tsDayFilters: Seq[sources.Filter] = {
+    val tsProp = GraftCatalog
+      .readCreateProps(SparkSession.active, dir)
+      .get("ts").orElse(props.get("ts")).getOrElse("ts")
+    state.logicalFor(tsProp)
+      .map(t => GraftLakeSource.derivedDayFilters(t, statFilters))
+      .getOrElse(Nil)
+  }
+
   override def readSchema(): StructType = prunedSchema
 
   override def description(): String = {
-    val eff = staticDayFilters ++ runtimeDayFilters
+    val eff = staticDayFilters ++ runtimeDayFilters ++ tsDayFilters
     s"graft-lake $dir${asOf.map(e => s" epoch=$e").getOrElse("")}" +
       (if (eff.nonEmpty) s" dayFilters=${eff.mkString(",")}" else "")
   }
@@ -565,7 +619,7 @@ private[sources] class LakeScan(
     }
     val p = LakeSnapshot.LakePaths(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val eff = staticDayFilters ++ runtimeDayFilters
+    val eff = staticDayFilters ++ runtimeDayFilters ++ tsDayFilters
     def files(d: String): Seq[String] = {
       val dp = new Path(d)
       if (!fs.exists(dp)) sys.error(
@@ -684,7 +738,7 @@ private[sources] class LakeScan(
     val spark = SparkSession.active
     val p = LakeSnapshot.LakePaths(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val eff = staticDayFilters ++ runtimeDayFilters
+    val eff = staticDayFilters ++ runtimeDayFilters ++ tsDayFilters
     var bytes = 0L
     var rows = 0L
     var rowsKnown = true
@@ -740,7 +794,7 @@ private[sources] class LakeScan(
     * keys resolve against the scan OUTPUT).
     */
   override def outputPartitioning(): Partitioning = {
-    val eff = staticDayFilters ++ runtimeDayFilters
+    val eff = staticDayFilters ++ runtimeDayFilters ++ tsDayFilters
     val nDays = state.days.keysIterator
       .count(d => GraftLakeSource.dayOk(d, eff))
     if (prunedSchema.fieldNames.contains("day") && nDays > 0)

@@ -147,6 +147,32 @@ class LakeChecksSpec extends AnyFunSuite {
       .as[Double].head() === -2.0)
   }
 
+  test("a batch missing a checked nullable column null-fills for the " +
+    "evaluation: range checks pass (NULL passes), IS NOT NULL fires") {
+    spark.sql("CREATE TABLE graft.ck_evo (event_id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) TBLPROPERTIES ('key' = 'event_id', " +
+      "'check.v_range' = 'v >= 0')")
+    // the batch omits v entirely — it null-fills at stage, and NULL
+    // passes a range CHECK (SQL semantics), so this must succeed
+    LakeSnapshot.merge(spark, s"$wh/ck_evo",
+      Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("event_id", "ts"), "event_id", "ts")
+    assert(spark.sql("SELECT v FROM graft.ck_evo WHERE event_id = 1")
+      .collect().head.isNullAt(0))
+    // an IS NOT NULL check refuses the same missing-column shape
+    spark.sql("CREATE TABLE graft.ck_evo2 (event_id BIGINT, " +
+      "ts TIMESTAMP, v DOUBLE) TBLPROPERTIES ('key' = 'event_id', " +
+      "'check.v_req' = 'v IS NOT NULL')")
+    val e = intercept[Exception] {
+      LakeSnapshot.merge(spark, s"$wh/ck_evo2",
+        Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+          .toDF("event_id", "ts"), "event_id", "ts")
+    }
+    assert(rootOf(e).contains("v_req"), rootOf(e))
+    assert(spark.sql("SELECT count(*) FROM graft.ck_evo2")
+      .as[Long].head() === 0L)
+  }
+
   test("an unparseable / unresolvable / misnamed check refuses at CREATE") {
     val e1 = intercept[Exception] {
       spark.sql("CREATE TABLE graft.ck_bad1 (event_id BIGINT, " +

@@ -400,4 +400,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet === Set("ev2"))
     spark.sql("DROP TABLE graft.raw.ev2")
   }
+
+  test("SELECT * FROM graft.tbl.files — the live storage layout as a " +
+    "metadata table (r17 wave 6): day/kind/gen/file/bytes/rows") {
+    spark.sql("CREATE TABLE graft.ft (event_id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    spark.sql("INSERT INTO graft.ft (event_id, ts, v) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-01-01 11:00:00', 2.0), " +
+      "(3, TIMESTAMP '2024-01-02 10:00:00', 3.0)")
+    val pre = spark.sql("SELECT kind, day, bytes FROM graft.ft.files")
+      .collect()
+    assert(pre.nonEmpty && pre.forall(_.getLong(2) > 0L))
+    assert(pre.map(_.getString(1)).toSet ===
+      Set("2024-01-01", "2024-01-02"))
+    // OPTIMIZE folds everything into base files whose sidecar row
+    // counts are exact
+    spark.sql("CALL graft.system.optimize(`table` => 'ft')")
+    val post = spark.sql("SELECT kind, day, rows FROM graft.ft.files")
+      .collect()
+    assert(post.map(_.getString(0)).toSet === Set("base"),
+      post.mkString(", "))
+    assert(post.map(_.getLong(2)).sum === 3L,
+      "sidecar row counts must sum to the table's rows")
+    // the metadata table is day-exact: per-day row sums match the data
+    assert(spark.sql("SELECT rows FROM graft.ft.files " +
+      "WHERE day = '2024-01-01'").as[Long].collect().sum === 2L)
+    spark.sql("DROP TABLE graft.ft")
+  }
 }

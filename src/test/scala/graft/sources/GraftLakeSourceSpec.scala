@@ -560,6 +560,40 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(got2 === got._2 - 3.0 + 3000.0)
   }
 
+  test("event-time predicates derive DAY pruning (r17 wave 6): a ts " +
+    "range read never LISTS days outside the derived bounds") {
+    val dir = freshDir("ts_day_prune")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(2, 8), 2.0), (3L, ts(2, 12), 3.0),
+        (4L, ts(3), 4.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    // physically remove day 1's committed directory: a DERIVED-pruned
+    // read must succeed (the day is never listed), a full read must
+    // fail on the missing dir — listing-level proof, not plan text
+    // capture the schema BEFORE punching the hole (schema inference
+    // itself reads every day; the explicit schema skips it so the test
+    // observes the PLANNER's listing alone)
+    val schema = dsv2(dir).schema
+    val d1 = new org.apache.hadoop.fs.Path(s"$dir/data/gen=0/day=2024-01-01")
+    val fs = d1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(d1, true))
+    def read() = spark.read.format("graft-lake").schema(schema)
+      .option("path", dir).load()
+    // lower bound mid-day-2: days 02/03 list, day-1 never touched;
+    // the residual ts filter still trims day 2's early row
+    assert(read().filter(col("ts") >= lit(ts(2, 12)))
+      .select("event_id").as[Long].collect().toSet === Set(3L, 4L))
+    // ts equality derives day equality
+    assert(read().filter(col("ts") === lit(ts(3)))
+      .select("event_id").as[Long].collect().toSeq === Seq(4L))
+    // IN on ts derives day IN
+    assert(read().filter(col("ts").isin(ts(2, 8), ts(3)))
+      .select("event_id").as[Long].collect().toSet === Set(2L, 4L))
+    // the unfiltered read DOES list day 1 — and fails loudly on the
+    // hole, proving the filtered reads above genuinely pruned
+    intercept[Exception] { read().collect() }
+  }
+
   test("option(timestampAsOf): the path-based read resolves to the " +
     "youngest epoch at-or-before the instant (r17 wave 3)") {
     val dir = freshDir("ts_asof")

@@ -302,4 +302,22 @@ class LakeMergeSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT src FROM graft.m9 WHERE event_id = 2")
       .head().getString(0) === "late")
   }
+
+  test("DELETE with a SUBQUERY predicate rides the row-level delta " +
+    "path (r17 wave 6): canDeleteWhere refuses, WriteDelta commits " +
+    "markers, never a rewrite") {
+    seed("dsub")
+    Seq(1L, 3L).toDF("victim_id").createOrReplaceTempView("dsub_victims")
+    val pre = LakeSnapshot.currentEpoch(spark, s"$wh/dsub")
+    spark.sql("DELETE FROM graft.dsub WHERE event_id IN " +
+      "(SELECT victim_id FROM dsub_victims)")
+    assert(spark.sql("SELECT event_id FROM graft.dsub ORDER BY event_id")
+      .as[Long].collect().toSeq === Seq(2L, 4L))
+    // one DELTA commit (marker files), not a rewrite
+    val ops = LakeSnapshot.describeHistory(spark, s"$wh/dsub")
+      .filter(col("epoch") > pre)
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("delta"), s"subquery DELETE must land as one " +
+      s"delta commit, got $ops")
+  }
 }

@@ -150,4 +150,38 @@ class GraftCdcSourceSpec extends AnyFunSuite {
       feed.fieldNames.contains("_change_type"),
       s"schema inference must survive stray dirs, got ${feed.fieldNames.toSeq}")
   }
+
+  test("typed columns stream through the change feed (r17 wave 6): " +
+    "map / array / decimal change images decode via the Group bridge") {
+    val dir = freshDir("typed")
+    val cp = freshDir("typed_cp")
+    val sinkDir = freshDir("typed_sink")
+    def row(eid: Long, a: Long, v0: Float, amt: String) =
+      Seq((eid, ts(1))).toDF("event_id", "ts")
+        .withColumn("tags", map(lit("a"), lit(a)))
+        .withColumn("vec", array(lit(v0), lit(v0 + 1.0f)))
+        .withColumn("amt", lit(amt).cast("decimal(10,2)"))
+    LakeSnapshot.merge(spark, dir, row(1L, 1L, 0.5f, "12.34"),
+      "event_id", "ts", cdf = true)
+    LakeSnapshot.merge(spark, dir, row(1L, 2L, 2.5f, "56.78"),
+      "event_id", "ts", cdf = true)
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir)
+      .option("startingEpoch", "-1") // the full feed, both commits
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sinkDir)
+      .select(col("_change_type"), col("tags")("a"),
+        col("vec")(0), col("amt").cast("string"))
+      .as[(String, Long, Float, String)].collect().toSet
+    assert(got === Set(
+      ("insert", 1L, 0.5f, "12.34"),
+      ("update_preimage", 1L, 0.5f, "12.34"),
+      ("update_postimage", 2L, 2.5f, "56.78")), got)
+  }
 }
