@@ -696,6 +696,31 @@ object GraftCatalog {
     sb.toString
   }
 
+  /** Merge `kv` into the lake's properties file (creating it when the
+    * lake was never CREATEd through the catalog) — how the path-based
+    * write surface persists declarations like `bloom` (r17 wave 7)
+    * without a catalog. Reserved structural keys refuse here exactly as
+    * through ALTER TABLE.
+    */
+  def upsertProps(
+      spark: SparkSession, dir: String, kv: Map[String, String]): Unit = {
+    kv.keys.foreach(k => require(!ReservedProps(k),
+      s"'$k' is a structural table declaration — immutable after CREATE"))
+    val merged = readCreateProps(spark, dir) ++ kv
+    val p = new Path(s"$dir/manifest/_table.properties")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(s"$dir/manifest/" +
+      s".tmp-props-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${esc(v)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(p, false)
+    require(f.rename(tmp, p), s"property update rename failed at $dir")
+  }
+
   /** The CREATE-time declarations of `dir` (key/ts/schema + metadata
     * like comment), empty for a lake never created through the catalog.
     */

@@ -446,6 +446,16 @@ private[sources] class LakeWriteBuilder(
                   .getOrElse(col(c))
               }: _*)
           }
+          // `option("bloom", "col1,col2")` (r17 wave 7): persist the
+          // bloom declaration for PATH-BASED lakes — the same
+          // properties entry a catalog CREATE records, so the sidecar
+          // stage and the planner probes work without a catalog. Only
+          // ever ADDS/updates the one key; recorded BEFORE the merge so
+          // this very write's generation already stages blooms.
+          props.get("bloom").filter(_.trim.nonEmpty).foreach { cols =>
+            if (!created.get("bloom").contains(cols))
+              GraftCatalog.upsertProps(spark, dir, Map("bloom" -> cols))
+          }
           val cdf = props.get("cdf").exists(_.toBoolean)
           val retries = props.get("retries").map(_.toInt).getOrElse(0)
           props.getOrElse("writeMode", "delta") match {

@@ -175,6 +175,32 @@ class BloomStatsSpec extends AnyFunSuite {
       "the row-group bloom probe never skipped a block")
   }
 
+  test("path-based lakes declare blooms via option(\"bloom\") on the " +
+    "write (r17 wave 7): no catalog needed, same sidecars, same probes") {
+    val dir = "target/bloom_stats_spec/pathlake"
+    val dp = Paths.get(dir)
+    if (Files.exists(dp))
+      Files.walk(dp).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f))
+    val c = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(c, "false")
+    try mkRows(200).repartition(2)
+      .write.format("graft-lake")
+      .option("path", dir).option("key", "event_id")
+      .option("bloom", "uid").option("writeMode", "cow")
+      .mode("append").save()
+    finally spark.conf.set(c, "true")
+    // the declaration persisted (the catalog-properties shape) and the
+    // very first generation staged its sidecars
+    assert(BloomStats.declaredColumns(spark, dir) === Seq("uid"))
+    assert(BloomStats.read(spark, s"$dir/data/gen=0", "2024-02-01")
+      .isDefined)
+    val b0 = BloomStats.skippedFiles.get()
+    assert(spark.read.format("graft-lake").option("path", dir).load()
+      .filter(col("uid") === "u201").count() === 0L)
+    assert(BloomStats.skippedFiles.get() > b0)
+  }
+
   test("OPTIMIZE re-stages blooms for the compacted generation") {
     spark.sql("CREATE TABLE graft.bo (event_id BIGINT, ts TIMESTAMP, " +
       "uid STRING) TBLPROPERTIES ('key' = 'event_id', 'bloom' = 'uid')")
