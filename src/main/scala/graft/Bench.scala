@@ -107,7 +107,8 @@ object Bench {
       baseline: Option[Double],
       mainRuns: Seq[(Double, Double)] = Nil,
       rerunRuns: Option[Seq[(Double, Double)]] = None,
-      rerunMedians: Seq[Double] = Nil) {
+      rerunMedians: Seq[Double] = Nil,
+      rerunSkipped: Boolean = false) { // gate breached but sweep-wide rerun budget was spent
     def failed: Boolean = timings.isEmpty
     def mainMedian: Double = if (failed) -1.0 else median(timings)
     def minOfRuns: Double =
@@ -148,9 +149,12 @@ object Bench {
       * attributed min), so a reader must treat it as unconfirmed —
       * either a real regression or a fully-loaded box end to end
       * (VERDICT r8 wrong #2; loop-reruns + attribution are r13 #7).
+      * A budget-skipped rerun (r18) counts: the entry breached the gate
+      * and was never given the chance to clear it, so the number is
+      * just as unconfirmed as a failed rerun.
       */
     def suspect: Boolean =
-      rerun.isDefined && needsRerun(finalMedian, baseline)
+      (rerun.isDefined || rerunSkipped) && needsRerun(finalMedian, baseline)
     /** Over the judge's 2× bar yet UNDER the rerun floor, so no rerun
       * ever fired (VERDICT r16 #10 — q47_pivot read 2.23× its 0.19 s
       * baseline while squeaking 16 ms under baseline+250 ms and the
@@ -205,7 +209,9 @@ object Bench {
   def timeQuery(name: String, run: () => Unit, baseline: Option[Double],
       maxRerunPasses: Int = 3, calmWaitMs: Long = 0L,
       load: () => Double = () => loadAvg(),
-      sleep: Long => Unit = Thread.sleep): QueryTiming = {
+      sleep: Long => Unit = Thread.sleep,
+      rerunBudgetMs: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)): QueryTiming = {
     def timedPass(): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
         val la = load()
@@ -226,27 +232,48 @@ object Bench {
     var lastMedian = if (timings.isEmpty) -1.0 else median(timings)
     var pass = 0
     var rerunFailed = false
-    while (timings.nonEmpty && !rerunFailed && pass < maxRerunPasses &&
-        needsRerun(lastMedian, baseline)) {
-      pass += 1
-      // calm-wait: re-timing under the SAME sustained load proves
-      // nothing — burn a bounded slice of wall-clock waiting for the
-      // ambient storm to pass before measuring again
-      var waited = 0L
-      while (waited < calmWaitMs && load() > LoadBound) {
-        sleep(1000L); waited += 1000L
-      }
-      System.err.println(
-        f"[bench] $name median $lastMedian%.3f s > gate vs baseline " +
-          f"${baseline.get}%.3f s — rerun pass $pass/$maxRerunPasses" +
-          (if (waited > 0) s" (waited ${waited / 1000}s for calm)" else ""))
-      try {
-        val p = timedPass()
-        rerunPasses += p
-        lastMedian = median(p.map(_._1))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name rerun FAILED: ${e.getMessage}")
-        rerunFailed = true
+    var rerunSkipped = false
+    while (timings.nonEmpty && !rerunFailed && !rerunSkipped &&
+        pass < maxRerunPasses && needsRerun(lastMedian, baseline)) {
+      // r18 (VERDICT r17 #1): the rerun machinery under sustained ambient
+      // load MULTIPLIES wall-clock — BENCH_r17's k_simhash burned ~200 s
+      // on a 0.42 s entry before the driver's external timeout killed the
+      // JVM mid-roster. The sweep-wide budget (calm-waits + rerun passes
+      // both charge it) caps that: once spent, further breaches degrade
+      // to the contended pass-1 number, marked rerun_skipped + suspect,
+      // and the sweep finishes inside the driver's window.
+      if (rerunBudgetMs.get() <= 0L) {
+        System.err.println(
+          f"[bench] $name median $lastMedian%.3f s > gate but the " +
+            "sweep-wide rerun budget is exhausted — skipping rerun " +
+            "(reported number is the contended pass; marked suspect)")
+        rerunSkipped = true
+      } else {
+        pass += 1
+        val passStartNs = System.nanoTime()
+        // calm-wait: re-timing under the SAME sustained load proves
+        // nothing — burn a bounded slice of wall-clock waiting for the
+        // ambient storm to pass before measuring again
+        var waited = 0L
+        while (waited < calmWaitMs && load() > LoadBound) {
+          sleep(1000L); waited += 1000L
+        }
+        System.err.println(
+          f"[bench] $name median $lastMedian%.3f s > gate vs baseline " +
+            f"${baseline.get}%.3f s — rerun pass $pass/$maxRerunPasses" +
+            (if (waited > 0) s" (waited ${waited / 1000}s for calm)" else ""))
+        try {
+          val p = timedPass()
+          rerunPasses += p
+          lastMedian = median(p.map(_._1))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rerun FAILED: ${e.getMessage}")
+          rerunFailed = true
+        }
+        // charge real elapsed wall-clock (incl. calm-wait) — with an
+        // injected sleep the wait is simulated, so charge it explicitly
+        rerunBudgetMs.addAndGet(
+          -math.max((System.nanoTime() - passStartNs) / 1000000L, waited))
       }
     }
     val rerunMedians = rerunPasses.toSeq.map(p => median(p.map(_._1)))
@@ -255,7 +282,7 @@ object Bench {
     QueryTiming(name, timings, best.map(_.map(_._1).sorted), baseline,
       mainRuns,
       if (rerunPasses.isEmpty) None else Some(rerunPasses.toSeq.flatten),
-      rerunMedians)
+      rerunMedians, rerunSkipped = rerunSkipped)
   }
 
   /** Full audit artifact for target/bench.json: every timing, both passes.
@@ -273,10 +300,11 @@ object Bench {
       val rerun = r.rerun.fold("null")(arr)
       val rr = r.rerunRuns.fold("null")(runsArr)
       val extra =
-        if (r.rerunMedians.isEmpty) ""
+        (if (r.rerunMedians.isEmpty) ""
         else s""","pass_medians":${arr(r.rerunMedians)}""" +
           s""","load_attributed":${r.loadAttributed}""" +
-          f""","max_load":${r.maxLoad}%.2f"""
+          f""","max_load":${r.maxLoad}%.2f""") +
+        (if (r.rerunSkipped) ""","rerun_skipped":true""" else "")
       "\"" + r.name + "\":{" +
         s""""timings":${arr(r.timings)},"median":${f"${r.mainMedian}%.3f"},""" +
         s""""min":${f"${r.minOfRuns}%.3f"},"baseline":$base,""" +
@@ -333,7 +361,8 @@ object Bench {
     * the untruncatable full audit at `target/bench.json`.
     */
   def summaryJson(
-      results: Seq[QueryTiming], sfDir: String, maxBytes: Int = 1200): String = {
+      results: Seq[QueryTiming], sfDir: String, maxBytes: Int = 1200,
+      ofTotal: Option[Int] = None): String = {
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -348,8 +377,12 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${shortNum(total)},"unit":"sec","queries":{"""
     val watch = watchList(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "n" is the COMPLETED count; "of" (when given) is the roster size, so
+    // a mid-sweep line left behind by a killed JVM is self-describing as a
+    // partial board (r18 — VERDICT r17 #1: last-line-wins emission)
+    val of = ofTotal.fold("")(t => s""","of":$t""")
     val tail =
-      s"""},"n":${results.size},"suspect":$sus,"watch":$watch,""" +
+      s"""},"n":${results.size}$of,"suspect":$sus,"watch":$watch,""" +
         s""""suspect_load":$susLoad,"audit":"target/bench.json","sf":"$sf"}"""
     val entries = results.sortBy(r => (-r.finalMedian, r.name))
       .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))
@@ -421,41 +454,62 @@ object Bench {
     if (baseline.isEmpty)
       System.err.println("[bench] no bench-baseline.tsv on classpath — outlier reruns disabled")
 
-    val results = benchable.map { case (name, fn) =>
-      // up to 3 rerun passes, each preceded by a bounded calm-wait (20 s
-      // budget) so a retry measures a quieter window, not the same storm
-      timeQuery(name, () => materialize(fn(spark, sfDir)), baseline.get(name),
-        maxRerunPasses = 3, calmWaitMs = 20000L)
-    }
+    // Sweep-wide rerun wall-clock budget (VERDICT r17 #1): the loop-rerun +
+    // calm-wait machinery is per-entry bounded but was sweep-unbounded —
+    // under a sustained ambient storm it ballooned BENCH_r17 past the
+    // driver's external timeout (k_simhash alone ~200 s on a 0.42 s entry;
+    // rc=124 SIGKILLed the JVM mid-k3m). Reruns now share one budget; once
+    // spent, further gate breaches keep their contended pass-1 number and
+    // are marked rerun_skipped + suspect instead of burning more wall.
+    val rerunBudgetMs = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.get("SPARK_GRAFT_BENCH_RERUN_BUDGET_SEC")
+        .map(_.toLong).getOrElse(240L) * 1000L)
 
-    // Full audit artifact first (never truncatable by the driver's tail
-    // window), human summary of any reruns to stderr, then TWO stdout
-    // lines: the full compact map, and LAST a byte-capped summary line that
-    // is always captured whole by a bounded tail window (see [[summaryJson]]
-    // — eight rounds of `parsed: null` came from the single full line
-    // losing its head to tail truncation).
-    val full = fullJson(results, sfDir, Some(orderSeed))
+    // Artifact paths, resolved once: both are REWRITTEN after every entry
+    // so a SIGKILL-class driver timeout mid-roster leaves a complete,
+    // parseable audit of the finished prefix on disk (and in git — the
+    // driver's end-of-round catch-all commits bench_audit/).
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    // Immutable audit copy in a GIT-TRACKED directory (VERDICT r10 #4):
-    // target/ is gitignored, which is why every prior round's full audit
-    // evaporated before the judge could read it — the driver's bounded
-    // stdout tail then clipped the per-query map with no recoverable file.
-    // bench_audit/ is tracked; the end-of-round commit (builder's or the
-    // driver's catch-all) carries the complete 3-decimal per-query map into
-    // git history. Stamp: SPARK_GRAFT_ROUND=N → bench-rN.json (the driver
-    // can export it); otherwise epoch seconds, still immutable per run.
-    // Full sweeps only — a name-filtered local iteration run would litter
-    // the tracked dir with partial maps that read like full sweeps.
-    if (only.isEmpty) {
+    val audit = if (only.isEmpty) {
+      // Immutable per-sweep stamp (VERDICT r10 #4): SPARK_GRAFT_ROUND=N →
+      // bench-rN.json, else epoch seconds. Full sweeps only — a
+      // name-filtered local run would litter the tracked dir with partial
+      // maps that read like full sweeps.
       val stamp = sys.env.get("SPARK_GRAFT_ROUND").map("r" + _)
         .getOrElse((System.currentTimeMillis() / 1000).toString)
-      val audit = java.nio.file.Paths.get("bench_audit", s"bench-$stamp.json")
-      java.nio.file.Files.createDirectories(audit.getParent)
-      java.nio.file.Files.write(audit, full.getBytes("UTF-8"))
-      System.err.println(s"[bench] full artifact: $out (tracked copy: $audit)")
-    } else System.err.println(s"[bench] full artifact: $out (filtered run, no tracked copy)")
+      val p = java.nio.file.Paths.get("bench_audit", s"bench-$stamp.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      Some(p)
+    } else None
+
+    // Per-entry emission (VERDICT r17 #1, the round's lead item): the r9
+    // "summary line LAST" contract did not survive a SIGKILL-class timeout
+    // because the line printed only at sweep end — BENCH_r17 was
+    // parsed:null despite 100+ finished entries. Now the byte-capped
+    // summary line is printed after EVERY completed entry (the driver's
+    // parser takes the last parseable line, so last-line-wins gives it the
+    // completed prefix no matter where the axe falls), and the full-json
+    // artifacts are rewritten in step.
+    val acc = scala.collection.mutable.ArrayBuffer.empty[QueryTiming]
+    for ((name, fn) <- benchable) {
+      acc += timeQuery(name, () => materialize(fn(spark, sfDir)),
+        baseline.get(name), maxRerunPasses = 3, calmWaitMs = 20000L,
+        rerunBudgetMs = rerunBudgetMs)
+      val snapshot = acc.toSeq
+      println(summaryJson(snapshot, sfDir, ofTotal = Some(benchable.size)))
+      System.out.flush()
+      val full = fullJson(snapshot, sfDir, Some(orderSeed))
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+      audit.foreach(p => java.nio.file.Files.write(p, full.getBytes("UTF-8")))
+    }
+    val results = acc.toSeq
+    audit match {
+      case Some(p) =>
+        System.err.println(s"[bench] full artifact: $out (tracked copy: $p)")
+      case None =>
+        System.err.println(s"[bench] full artifact: $out (filtered run, no tracked copy)")
+    }
     results.filter(_.rerun.isDefined).foreach { r =>
       System.err.println(
         f"[bench] ${r.name}: pass1 median ${r.mainMedian}%.3f s, rerun " +
@@ -473,8 +527,16 @@ object Bench {
           f"2x baseline ${r.baseline.get}%.3f s but under the rerun floor; " +
           "adjudicate via three clean solo sweeps (BASELINE.md rule)")
     }
+    results.filter(_.rerunSkipped).foreach { r =>
+      System.err.println(
+        f"[bench] ${r.name}: rerun SKIPPED (sweep budget spent) — " +
+          f"reported ${r.finalMedian}%.3f s is the contended pass; suspect")
+    }
+    // Final two lines keep the r9 contract: full compact map second-to-last
+    // (greppable), byte-capped summary LAST — now with "of" == "n" marking
+    // a completed sweep (a killed sweep's last line has n < of).
     println(compactJson(results, sfDir))
-    println(summaryJson(results, sfDir))
+    println(summaryJson(results, sfDir, ofTotal = Some(benchable.size)))
     spark.stop()
   }
 }

@@ -212,6 +212,62 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.summaryJson(Seq(calm), "/x").contains("\"all_loaded\":false"))
   }
 
+  test("r18 rerun budget (VERDICT r17 #1): once the sweep-wide budget is " +
+    "spent, a gate breach skips the rerun, keeps the contended number, " +
+    "and is marked rerun_skipped + suspect") {
+    val spent = new java.util.concurrent.atomic.AtomicLong(0L)
+    var calls = 0
+    val slow = () => { calls += 1; Thread.sleep(300) }
+    val r = Bench.timeQuery("budgeted", slow, Some(0.02),
+      maxRerunPasses = 3, calmWaitMs = 0, load = () => 0.4,
+      rerunBudgetMs = spent)
+    assert(calls == 4, "warm-up + 3 timed runs only — no rerun pass ran")
+    assert(r.rerunSkipped && r.rerun.isEmpty)
+    assert(r.suspect, "a budget-skipped breach must stay visibly unconfirmed")
+    assert(r.finalMedian > 0.25, "the contended pass-1 number is reported")
+    assert(Bench.fullJson(Seq(r), "/x").contains("\"rerun_skipped\":true"))
+    assert(Bench.summaryJson(Seq(r), "/x").contains("\"suspect\":[\"budgeted\"]"))
+  }
+
+  test("r18 rerun budget: passes that DO run charge real wall-clock, and " +
+    "the budget cuts the loop mid-entry once spent") {
+    val budget = new java.util.concurrent.atomic.AtomicLong(100L) // ~one pass
+    var calls = 0
+    // 300 ms clears BOTH gate arms vs the 1 ms baseline (the +250 ms
+    // absolute arm would absorb anything shorter)
+    val slow = () => { calls += 1; Thread.sleep(300) }
+    val r = Bench.timeQuery("charges", slow, Some(0.001),
+      maxRerunPasses = 3, calmWaitMs = 0, load = () => 0.4,
+      rerunBudgetMs = budget)
+    assert(r.rerunMedians.length == 1,
+      s"first rerun pass runs (budget was positive), got ${r.rerunMedians.length}")
+    assert(budget.get() < 100L, "the pass must charge the shared budget")
+    assert(r.rerunSkipped, "the second pass is cut by the spent budget")
+    assert(r.suspect)
+    // a clean entry under the same spent budget never touches the machinery
+    val ok = Bench.timeQuery("fast", () => Thread.sleep(5), Some(0.05),
+      rerunBudgetMs = budget)
+    assert(!ok.rerunSkipped && !ok.suspect)
+  }
+
+  test("r18 last-line-wins (VERDICT r17 #1): a mid-sweep summary line is " +
+    "complete JSON, self-describing as partial via n < of") {
+    val roster = (1 to 10).map(i =>
+      Bench.QueryTiming(f"q$i%02d", Seq(0.1, 0.11, 0.12), None, None))
+    // simulate the per-entry emission: after entry i the line carries the
+    // completed prefix; a SIGKILL anywhere leaves the last one parseable
+    (1 to 10).foreach { i =>
+      val line = Bench.summaryJson(roster.take(i), "/x", ofTotal = Some(10))
+      assert(line.count(_ == '{') == line.count(_ == '}'),
+        s"entry $i: line must be a complete JSON object")
+      assert(line.contains(s""""n":$i,"of":10"""),
+        s"entry $i: completed-count vs roster-size must ride the line")
+      assert(line.endsWith(""""audit":"target/bench.json","sf":"x"}"""))
+    }
+    // the no-ofTotal shape (direct callers, old tests) is unchanged
+    assert(Bench.summaryJson(roster, "/x").contains(""""n":10,"suspect""""))
+  }
+
   test("r17 watch (VERDICT r16 #10): over 2x baseline but under the rerun " +
     "floor -> named machine-readably in both JSON lines, never a suspect") {
     // q47's exact shape: baseline 0.19, median 0.424 — over 2x (0.38),

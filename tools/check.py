@@ -36,7 +36,14 @@ def render(v, f32=False):
     # distinguished date-vs-midnight-timestamp (both sides used to route
     # through duckdb), so keep that equivalence explicitly.
     if isinstance(v, dt.datetime):
-        if v.tzinfo is None and v.time() == dt.time(0):
+        # TZ canonicalization (r18): Spark writes timestamp[us, tz=UTC]
+        # parquet, so pyarrow hands tz-AWARE datetimes, while the DuckDB
+        # session (TimeZone=UTC) fetches naive UTC walls — identical
+        # instants rendered "…+00:00" vs bare were 9 phantom FAILs. Both
+        # sides are UTC walls; strip the awareness before rendering.
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        if v.time() == dt.time(0):
             return v.date().isoformat()
         return str(v)
     if isinstance(v, dt.date):
