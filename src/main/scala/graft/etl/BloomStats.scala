@@ -224,6 +224,27 @@ object BloomStats {
     }.toMap)
   }
 
+  /** Bloom-declaration COVERAGE of one day of a generation (r18
+    * observability, VERDICT r17 #6): file name → the physical columns a
+    * sidecar bloom covers. Names only — the bits are never base64-
+    * decoded, so listing coverage over a wide table costs one small TSV
+    * read per (gen, day), not megabytes of filter state.
+    */
+  def coverage(spark: SparkSession, genDir: String, day: String)
+      : Map[String, Seq[String]] = {
+    val p = new Path(s"$genDir/day=$day", "_bloom.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val f = l.split('\t'); (f(0), f(1))
+    }.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toMap
+  }
+
   /** True when the (fam, filter) entry PROVES no row of the file holds
     * `col = value` — the predicate literal re-hashed exactly as the
     * write side hashed the column. Only plain equality claims (the

@@ -931,6 +931,10 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
+    // record the event-time column once (first write wins) so the
+    // read side derives ts->day pruning only from an EXPLICIT
+    // declaration, never the bare default guess (ADVICE r17)
+    graft.sources.GraftCatalog.recordDeclaredTs(spark, dir, tsCol)
     val b = LakeUpsert.dedupBatch(batch, keyCol)
       .withColumn("day", to_date(col(tsCol)).cast("string"))
     val days = b.select("day").distinct()
@@ -1060,6 +1064,10 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
+    // record the event-time column once (first write wins) so the
+    // read side derives ts->day pruning only from an EXPLICIT
+    // declaration, never the bare default guess (ADVICE r17)
+    graft.sources.GraftCatalog.recordDeclaredTs(spark, dir, tsCol)
     val b = keys.select(keyParts(keyCol).map(col) :+
       to_date(col(tsCol)).cast("string").as("day"): _*)
     val (base, live) = stagingSnapshot(spark, dir)
@@ -1111,6 +1119,10 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
+    // record the event-time column once (first write wins) so the
+    // read side derives ts->day pruning only from an EXPLICIT
+    // declaration, never the bare default guess (ADVICE r17)
+    graft.sources.GraftCatalog.recordDeclaredTs(spark, dir, tsCol)
     val b = LakeUpsert.dedupBatch(batch, keyCol)
       .withColumn("day", to_date(col(tsCol)).cast("string"))
       .withColumn("__op", lit("u"))
@@ -1151,6 +1163,10 @@ object LakeSnapshot {
       store: ClaimStore = FsClaimStore,
       cdf: Boolean = false): Staged = {
     val p = LakePaths(dir)
+    // record the event-time column once (first write wins) so the
+    // read side derives ts->day pruning only from an EXPLICIT
+    // declaration, never the bare default guess (ADVICE r17)
+    graft.sources.GraftCatalog.recordDeclaredTs(spark, dir, tsCol)
     val b = keys
       .select(keyParts(keyCol).map(col) :+
         to_date(col(tsCol)).cast("string").as("day"): _*)
@@ -1202,6 +1218,10 @@ object LakeSnapshot {
       keyCol: String, tsCol: String,
       store: ClaimStore = FsClaimStore): Staged = {
     val p = LakePaths(dir)
+    // record the event-time column once (first write wins) so the
+    // read side derives ts->day pruning only from an EXPLICIT
+    // declaration, never the bare default guess (ADVICE r17)
+    graft.sources.GraftCatalog.recordDeclaredTs(spark, dir, tsCol)
     val b = keys
       .select(keyParts(keyCol).map(col) :+
         to_date(col(tsCol)).cast("string").as("day"): _*)

@@ -44,6 +44,12 @@ class GraftCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
+  // lets the analyzer route ALTER TABLE ADD/DROP CONSTRAINT here (r18)
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   private var catalogName: String = _
   private var initOptions: Map[String, String] = Map.empty
 
@@ -392,6 +398,39 @@ class GraftCatalog extends TableCatalog
           s"'${rm.property()}' is a structural table declaration — " +
             "immutable after CREATE")
         rewriteCreateProps(dir, readCreateProps(dir) - rm.property())
+      // ALTER TABLE ... ADD CONSTRAINT name CHECK (cond) /
+      // DROP CONSTRAINT name (r18, VERDICT r17 #8): plain-SQL verbs over
+      // the same `check.<name>` declarations the TBLPROPERTIES route and
+      // [[graft.etl.LakeChecks]] enforce at every write — one mechanism,
+      // two spellings. ADD validates EXISTING data first, exactly like
+      // the SET TBLPROPERTIES path (a constraint that is already false
+      // would poison every later write).
+      case ac: TableChange.AddConstraint =>
+        val chk = ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+          case other => sys.error("only CHECK constraints are supported " +
+            s"(got ${other.getClass.getSimpleName})")
+        }
+        require(chk.predicateSql() != null && chk.predicateSql().nonEmpty,
+          "CHECK constraint needs a SQL predicate")
+        val key = graft.etl.LakeChecks.Prefix + chk.name()
+        val declared = readCreateProps(dir)
+        require(!declared.contains(key),
+          s"CHECK constraint '${chk.name()}' already exists")
+        val declaredSchema = declared.get("schema")
+          .map(StructType.fromDDL).getOrElse(sys.error(
+            "CHECK constraints need a declared schema — CREATE the " +
+              "table through the catalog first"))
+        graft.etl.LakeChecks.validateExisting(spark, dir, declaredSchema,
+          chk.name(), chk.predicateSql())
+        rewriteCreateProps(dir, declared + (key -> chk.predicateSql()))
+      case dc: TableChange.DropConstraint =>
+        val key = graft.etl.LakeChecks.Prefix + dc.name()
+        val declared = readCreateProps(dir)
+        require(declared.contains(key) || dc.ifExists(),
+          s"no CHECK constraint named '${dc.name()}' on this table")
+        if (declared.contains(key))
+          rewriteCreateProps(dir, declared - key)
       // ALTER COLUMN ... TYPE (r17, VERDICT r16 #3): WIDENING only —
       // int→bigint, float→double, decimal(p,s)→decimal(p+k,s) — as a
       // manifest-only `widen` binding commit: zero data rewrite, old
@@ -605,6 +644,12 @@ private[sources] class StagedLakeTable(
         f.delete(staged, true)
         throw new TableAlreadyExistsException(ident)
       }
+      // a bare MANIFEST-LESS dest dir (crashed DROP, stray user dir)
+      // would swallow the publish: FileSystem.rename moves the staged
+      // dir INTO an existing destination, nesting the table invisibly
+      // at dest/.stage-* while exists() stays false (ADVICE r17) —
+      // mirror the REPLACE branch and clear the leftover first
+      if (f.exists(dest)) f.delete(dest, true)
       require(f.rename(staged, dest),
         s"CTAS publish rename failed: $stagedDir -> $destDir")
     } else if (!existed) {
@@ -706,20 +751,66 @@ object GraftCatalog {
       spark: SparkSession, dir: String, kv: Map[String, String]): Unit = {
     kv.keys.foreach(k => require(!ReservedProps(k),
       s"'$k' is a structural table declaration — immutable after CREATE"))
-    val merged = readCreateProps(spark, dir) ++ kv
-    val p = new Path(s"$dir/manifest/_table.properties")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(s"$dir/manifest/" +
-      s".tmp-props-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=${esc(v)}" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"property update rename failed at $dir")
+    writeMergedProps(spark, dir, kv)
   }
+
+  /** Record the event-time column a path-based write was given, once —
+    * first write wins, a declared (catalog-CREATE) value is never
+    * touched. This is what lets the read side derive ts→day pruning
+    * WITHOUT the bare `"ts"` default guess ADVICE r17 flagged (an
+    * unrelated data column physically named `ts` would have derived
+    * wrong day bounds and silently pruned matching rows).
+    */
+  private[graft] def recordDeclaredTs(
+      spark: SparkSession, dir: String, tsCol: String): Unit =
+    dirLock(dir).synchronized {
+      if (!readCreateProps(spark, dir).contains("ts"))
+        writeMergedProps(spark, dir, Map("ts" -> tsCol))
+    }
+
+  // one lock per table dir (JVM-wide): upsertProps was an unlocked
+  // read-merge-write, so two same-JVM writers (ALTER TBLPROPERTIES racing
+  // a path-based bloom declaration) could lose updates (ADVICE r17).
+  // Cross-JVM writers still race the read-merge; the atomic overwrite
+  // rename below at least guarantees a full file is always present.
+  private val propsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def dirLock(dir: String): Object =
+    propsLocks.computeIfAbsent(dir, _ => new Object)
+
+  private def writeMergedProps(
+      spark: SparkSession, dir: String, kv: Map[String, String]): Unit =
+    dirLock(dir).synchronized {
+      val merged = readCreateProps(spark, dir) ++ kv
+      val p = new Path(s"$dir/manifest/_table.properties")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(p.getParent)
+      val bytes = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${esc(v)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8")
+      val tmp = new Path(s"$dir/manifest/" +
+        s".tmp-props-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      // Publish WITHOUT a no-file window (ADVICE r17: delete-then-rename
+      // left a crash slot where a catalog-created table lost its key/ts/
+      // schema declarations): FileContext.rename(OVERWRITE) is one
+      // metadata op where the FS supports it; the fallback restores the
+      // destination from the merged bytes if the classic rename fails
+      // after the delete, so this call can never end with no file.
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case _: Throwable =>
+        f.delete(p, false)
+        if (!f.rename(tmp, p)) {
+          val direct = f.create(p, true)
+          try direct.write(bytes) finally direct.close()
+          f.delete(tmp, false)
+        }
+      }
+    }
 
   /** The CREATE-time declarations of `dir` (key/ts/schema + metadata
     * like comment), empty for a lake never created through the catalog.

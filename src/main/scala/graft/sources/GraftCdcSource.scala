@@ -173,7 +173,21 @@ private[sources] class CdcMicroBatchStream(
 
   private val dir = props.getOrElse("path",
     sys.error("graft-cdc: the 'path' option (lake directory) is required"))
-  private val startingEpoch = props.get("startingEpoch").map(_.toInt)
+  // startingTimestamp (r18): same resolution as the full-table stream —
+  // T → youngest epoch committed strictly BEFORE T, so the tail emits
+  // every commit at or after T (users think in time, not epoch numbers)
+  private val startingEpoch: Option[Int] = {
+    val byEpoch = props.get("startingEpoch").map(_.toInt)
+    val byTs = props.get("startingTimestamp").map { raw =>
+      require(byEpoch.isEmpty,
+        "graft-cdc: give option 'startingEpoch' OR 'startingTimestamp', " +
+          "not both")
+      val tMs = GraftLakeSource.parseInstantMs(raw)
+      LakeSnapshot.epochAtOrBefore(SparkSession.active, dir, tMs - 1)
+        .getOrElse(-1)
+    }
+    byEpoch.orElse(byTs)
+  }
   private val maxEpochsPerBatch =
     props.get("maxEpochsPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
   require(maxEpochsPerBatch > 0, "maxEpochsPerBatch must be positive")

@@ -105,6 +105,25 @@ object GraftLakeSource {
     props.getOrElse("path",
       sys.error("graft-lake: the 'path' option (lake directory) is required"))
 
+  /** Diagnostics (spec-gated, like [[LakeAggPushdown.pushedAggs]]):
+    * LIMIT/TopN pushes accepted by the builder, and plans where the cap
+    * actually stopped the listing early (proven coverage reached k).
+    */
+  val pushedLimits = new java.util.concurrent.atomic.AtomicLong(0L)
+  val limitCappedPlans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Instant parsing shared by `timestampAsOf` (batch) and
+    * `startingTimestamp` (stream): epoch millis, `yyyy-MM-dd[ HH:mm:ss]`,
+    * or an ISO instant.
+    */
+  private[sources] def parseInstantMs(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(
+        if (raw.length == 10) s"$raw 00:00:00" else raw).getTime
+      catch { case _: IllegalArgumentException =>
+        java.time.Instant.parse(raw).toEpochMilli }
+    }
+
   /** `option("timestampAsOf", ...)` on the path-based read (r17 wave 3,
     * the Delta option's shape): resolves to the youngest epoch committed
     * at or before the instant and rides the SAME epoch-pinned read as
@@ -120,13 +139,7 @@ object GraftLakeSource {
         require(!props.contains("epoch"),
           "graft-lake: give option 'epoch' OR 'timestampAsOf', not both")
         val raw = props(k)
-        val tMs: Long =
-          raw.toLongOption.getOrElse {
-            try java.sql.Timestamp.valueOf(
-              if (raw.length == 10) s"$raw 00:00:00" else raw).getTime
-            catch { case _: IllegalArgumentException =>
-              java.time.Instant.parse(raw).toEpochMilli }
-          }
+        val tMs: Long = parseInstantMs(raw)
         val dir = dirOf(props)
         val epoch = LakeSnapshot.epochAtOrBefore(spark, dir, tMs)
           .getOrElse(sys.error(
@@ -147,10 +160,15 @@ object GraftLakeSource {
   }
 
   /** DAY pruning DERIVED from event-time predicates (r17 wave 6 — the
-    * Delta generated-column partition-filter shape): `day` IS the UTC
-    * date of `ts` by the lake's write contract, so
-    *   ts >/>= v  ⇒ day >= utcDate(v),   ts </<= v ⇒ day <= utcDate(v),
-    *   ts = v     ⇒ day = utcDate(v),    ts IN (..) ⇒ day IN (dates).
+    * Delta generated-column partition-filter shape): `day` IS the
+    * session-zone date of `ts` by the lake's write contract
+    * (`to_date(tsCol)` at write uses the session timezone), so
+    *   ts >/>= v  ⇒ day >= date(v),   ts </<= v ⇒ day <= date(v),
+    *   ts = v     ⇒ day = date(v),    ts IN (..) ⇒ day IN (dates).
+    * `zone` must be the SAME zone `to_date` used at write — the caller
+    * passes the session zone (ADVICE r17: a hard-coded UTC here under a
+    * non-UTC session derived UTC dates against local-labeled partitions
+    * and silently dropped rows near day boundaries).
     * Users filter on event time, not on the derived partition column —
     * without this, `WHERE ts >= now() - INTERVAL 1 DAY` on a 100 TB
     * event table lists (and stat-probes) every day ever written.
@@ -159,12 +177,13 @@ object GraftLakeSource {
     * untouched even if the derivation were too wide.
     */
   private[sources] def derivedDayFilters(
-      tsCol: String, filters: Seq[sources.Filter]): Seq[sources.Filter] = {
+      tsCol: String, filters: Seq[sources.Filter],
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Seq[sources.Filter] = {
     def dayOf(v: Any): Option[String] = v match {
       case t: java.sql.Timestamp => Some(t.toInstant
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+        .atZone(zone).toLocalDate.toString)
       case t: java.time.Instant =>
-        Some(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+        Some(t.atZone(zone).toLocalDate.toString)
       case _ => None
     }
     filters.flatMap {
@@ -246,6 +265,26 @@ private[sources] class LakeTable(
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft-lake:${props.getOrElse("path", "?")}"
+
+  /** The table's CHECK constraints as Spark-native [[Constraint]]s —
+    * what `ALTER TABLE ... ADD/DROP CONSTRAINT` resolves against and
+    * DESCRIBE surfaces (r18). Derived live from the same `check.<name>`
+    * declarations [[graft.etl.LakeChecks]] enforces at every write.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    val spark = SparkSession.active
+    val dir = props.getOrElse("path", return Array.empty)
+    GraftCatalog.readCreateProps(spark, dir).toSeq
+      .filter(_._1.startsWith(graft.etl.LakeChecks.Prefix))
+      .sortBy(_._1)
+      .map { case (k, v) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(graft.etl.LakeChecks.Prefix))
+          .predicateSql(v)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+  }
 
   /** key/ts surface NON-NULLABLE: they are the table's row identity
     * (every committed row derived its day partition from ts, and key is
@@ -478,12 +517,86 @@ private[sources] class LakeScanBuilder(
     fullSchema: StructType, props: Map[String, String])
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var dayFilters: Array[sources.Filter] = Array.empty
   private var statFilters: Array[sources.Filter] = Array.empty
   private var aggPush: Option[(StructType, Seq[Array[Any]])] = None
+  private var limitK: Option[Int] = None
+  private var limitReverse: Boolean = false
+  private var limitWholeDay: Boolean = false
+
+  /** LIMIT/TopN eligibility (r18, VERDICT r17 #3): the plan-time cap on
+    * emitted InputPartitions is safe ONLY when the file row counts we
+    * stop on are EXACT post-read counts — pure-base surviving days (a
+    * COW base file's rows are all live; deltas/DVs remove rows at fold)
+    * and no residual filters (a residual could empty a file we counted).
+    * Same partial-push discipline as [[LakeAggPushdown]]: any refusal
+    * falls back to the full listing, never a wrong answer — Spark keeps
+    * its own LIMIT/Sort on top either way (isPartiallyPushed).
+    */
+  private def limitSafe(): Boolean = {
+    if (statFilters.nonEmpty) return false
+    val spark = SparkSession.active
+    val dir = GraftLakeSource.dirOf(props)
+    val state = LakeSnapshot.tableState(
+      spark, dir, props.get("epoch").map(_.toInt))
+    state.nonEmpty && state.days.toSeq
+      .filter { case (d, _) => GraftLakeSource.dayOk(d, dayFilters.toSeq) }
+      .forall { case (_, ds) => ds.deltas.isEmpty && ds.dvs.isEmpty }
+  }
+
+  override def pushLimit(limit: Int): Boolean =
+    limit > 0 && limitSafe() && {
+      limitK = Some(limit)
+      GraftLakeSource.pushedLimits.incrementAndGet()
+      true
+    }
+
+  /** `ORDER BY day [DESC] LIMIT k` — and the user-common
+    * `ORDER BY ts [DESC] LIMIT k`: `to_date(ts)` is monotone in ts, so
+    * every global top-k-by-ts row lives inside the extreme days that
+    * cover ≥ k exact rows (a row in an excluded earlier day is strictly
+    * smaller than every row of an included later day, and vice versa
+    * for ASC). Whole-day granularity: within-day order is unknown at
+    * planning, so the cap only ever drops ENTIRE days beyond coverage.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (limit <= 0 || orders.length != 1) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case c: NamedReference if c.fieldNames.length == 1 => c.fieldNames()(0)
+      case _ => return false
+    }
+    val spark = SparkSession.active
+    val dir = GraftLakeSource.dirOf(props)
+    val sortsLikeDay = colName == "day" || {
+      // the declared event-time column (current logical name): its order
+      // agrees with day order by the write contract day = to_date(ts)
+      val state = LakeSnapshot.tableState(
+        spark, dir, props.get("epoch").map(_.toInt))
+      GraftCatalog.readCreateProps(spark, dir)
+        .get("ts").orElse(props.get("ts"))
+        .flatMap(state.logicalFor).contains(colName)
+    }
+    sortsLikeDay && limitSafe() && {
+      limitK = Some(limit)
+      limitReverse = o.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+      limitWholeDay = true
+      GraftLakeSource.pushedLimits.incrementAndGet()
+      true
+    }
+  }
+
+  // partial push, both shapes: Spark keeps the real LIMIT (and the Sort
+  // for TopN) above the scan — the push only SHRINKS the listing
+  override def isPartiallyPushed(): Boolean = true
 
   // METADATA-ONLY COUNT/MIN/MAX (r17, see [[LakeAggPushdown]]): PARTIAL
   // pushdown — Spark's final aggregate merges the one partial row, and
@@ -540,16 +653,113 @@ private[sources] class LakeScanBuilder(
     case Some((out, values)) =>
       new LakeAggScan(out, values, GraftLakeSource.dirOf(props))
     case None =>
-      new LakeScan(required, props, dayFilters.toSeq, statFilters.toSeq)
+      new LakeScan(required, props, dayFilters.toSeq, statFilters.toSeq,
+        limitK, limitReverse, limitWholeDay)
   }
+}
+
+/** Per-query scan observability (r18, VERDICT r17 #6): the skip tiers
+  * counted their wins only in spec-gated globals — a user could not ask
+  * "did my filter prune?". DSv2 custom metrics are Spark's own surface
+  * for exactly this (they render per-query in the SQL UI node and
+  * aggregate executor-side values automatically): the planner-side
+  * tiers ride [[LakeScan.reportDriverMetrics]], the row-group tier
+  * rides each reader's `currentMetricsValues`.
+  */
+// Spark re-instantiates CustomMetric classes REFLECTIVELY on the
+// listener side (SQLAppStatusListener), so each one must be a top-level
+// class with a zero-argument constructor — a parameterized factory class
+// throws "did not have a zero-argument constructor" on every query.
+private[sources] class GraftDaysSelectedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftDaysSelected"
+  override def description(): String = "day partitions surviving pruning"
+}
+private[sources] class GraftDaysPrunedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftDaysPruned"
+  override def description(): String =
+    "day partitions pruned (filters + derived ts bounds)"
+}
+private[sources] class GraftFilesPlannedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesPlanned"
+  override def description(): String =
+    "base files planned after all skip tiers"
+}
+private[sources] class GraftFilesSkippedByStatsMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesSkippedByStats"
+  override def description(): String =
+    "base files skipped by the stats sidecar"
+}
+private[sources] class GraftFilesSkippedByBloomMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesSkippedByBloom"
+  override def description(): String =
+    "base files skipped by the bloom sidecar"
+}
+private[sources] class GraftDaysDroppedByLimitMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftDaysDroppedByLimit"
+  override def description(): String =
+    "day partitions never listed thanks to the pushed LIMIT/TopN cap"
+}
+private[sources] class GraftRowGroupsSkippedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftRowGroupsSkipped"
+  override def description(): String =
+    "row groups skipped executor-side (footer stats + native blooms)"
+}
+
+private[sources] object GraftScanMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+  final case class Task(n: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+  val supported: Array[CustomMetric] = Array(
+    new GraftDaysSelectedMetric,
+    new GraftDaysPrunedMetric,
+    new GraftFilesPlannedMetric,
+    new GraftFilesSkippedByStatsMetric,
+    new GraftFilesSkippedByBloomMetric,
+    new GraftDaysDroppedByLimitMetric,
+    new GraftRowGroupsSkippedMetric)
 }
 
 private[sources] class LakeScan(
     prunedSchema: StructType, props: Map[String, String],
     staticDayFilters: Seq[sources.Filter],
-    statFilters: Seq[sources.Filter] = Nil)
+    statFilters: Seq[sources.Filter] = Nil,
+    limit: Option[Int] = None,
+    limitReverse: Boolean = false,
+    limitWholeDay: Boolean = false)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
+
+  // planner-side skip telemetry, written by planInputPartitions and
+  // reported through reportDriverMetrics (Spark calls it after planning)
+  @volatile private var mDaysSelected = 0L
+  @volatile private var mDaysPruned = 0L
+  @volatile private var mFilesPlanned = 0L
+  @volatile private var mFilesSkippedStats = 0L
+  @volatile private var mFilesSkippedBloom = 0L
+  @volatile private var mDaysDroppedByLimit = 0L
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.supported
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      GraftScanMetrics.Task("graftDaysSelected", mDaysSelected),
+      GraftScanMetrics.Task("graftDaysPruned", mDaysPruned),
+      GraftScanMetrics.Task("graftFilesPlanned", mFilesPlanned),
+      GraftScanMetrics.Task("graftFilesSkippedByStats", mFilesSkippedStats),
+      GraftScanMetrics.Task("graftFilesSkippedByBloom", mFilesSkippedBloom),
+      GraftScanMetrics.Task("graftDaysDroppedByLimit", mDaysDroppedByLimit))
 
   private val dir = GraftLakeSource.dirOf(props)
   private val asOf = props.get("epoch").map(_.toInt)
@@ -566,15 +776,22 @@ private[sources] class LakeScan(
     LakeSnapshot.tableState(SparkSession.active, dir, asOf)
 
   // event-time → day derivation (r17 wave 6): the recorded ts column
-  // (a PHYSICAL name from CREATE/first-write) resolves to its CURRENT
-  // logical name — the name pushed filters carry; a dropped/unresolved
-  // ts simply derives nothing (pruning is an optimization)
+  // (a PHYSICAL name from CREATE/first-write — LakeSnapshot's write
+  // funnels record it since r18) resolves to its CURRENT logical name —
+  // the name pushed filters carry. Derivation happens ONLY when the ts
+  // column is explicitly known (declared prop or read option): the old
+  // bare "ts" default guess could alias an unrelated data column
+  // physically named ts and prune days containing matching rows
+  // (ADVICE r17). The day date is derived in the SESSION zone — the
+  // same zone to_date used at write (ADVICE r17's other medium).
   private lazy val tsDayFilters: Seq[sources.Filter] = {
-    val tsProp = GraftCatalog
-      .readCreateProps(SparkSession.active, dir)
-      .get("ts").orElse(props.get("ts")).getOrElse("ts")
-    state.logicalFor(tsProp)
-      .map(t => GraftLakeSource.derivedDayFilters(t, statFilters))
+    val spark = SparkSession.active
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    GraftCatalog.readCreateProps(spark, dir)
+      .get("ts").orElse(props.get("ts"))
+      .flatMap(state.logicalFor)
+      .map(t => GraftLakeSource.derivedDayFilters(t, statFilters, zone))
       .getOrElse(Nil)
   }
 
@@ -583,7 +800,11 @@ private[sources] class LakeScan(
   override def description(): String = {
     val eff = staticDayFilters ++ runtimeDayFilters ++ tsDayFilters
     s"graft-lake $dir${asOf.map(e => s" epoch=$e").getOrElse("")}" +
-      (if (eff.nonEmpty) s" dayFilters=${eff.mkString(",")}" else "")
+      (if (eff.nonEmpty) s" dayFilters=${eff.mkString(",")}" else "") +
+      limit.map(k => s" pushedLimit=$k" +
+        (if (limitWholeDay)
+          s" topN(${if (limitReverse) "DESC" else "ASC"})" else ""))
+        .getOrElse("")
   }
 
   override def filterAttributes(): Array[NamedReference] =
@@ -681,7 +902,10 @@ private[sources] class LakeScan(
                     fam, filt, m.isFloat, m.lv, m.decScale, m.sv))
             }
           val dead = eqPhys.exists(absent)
-          if (dead) graft.etl.BloomStats.skippedFiles.incrementAndGet()
+          if (dead) {
+            graft.etl.BloomStats.skippedFiles.incrementAndGet()
+            mFilesSkippedBloom += 1
+          }
           dead
       }
     }
@@ -703,18 +927,82 @@ private[sources] class LakeScan(
               else graft.etl.FileStats.provablyEmpty(st, f.col, f.op,
                 f.isFloat, f.lv, f.dv, f.decScale, f.sv)
             val dead = skipPhys.exists(empty)
-            if (dead) graft.etl.FileStats.skippedFiles.incrementAndGet()
+            if (dead) {
+              graft.etl.FileStats.skippedFiles.incrementAndGet()
+              mFilesSkippedStats += 1
+            }
             dead
         }
       !statsDead && !bloomDead(baseGen, day, name)
     }
     val sel = state.days.toSeq.sortBy(_._1)
       .filter { case (d, _) => GraftLakeSource.dayOk(d, eff) }
+    mDaysSelected = sel.size.toLong
+    mDaysPruned = (state.days.size - sel.size).toLong
     val anyDeltas = sel.exists(_._2.deltas.nonEmpty)
     val key = state.key.orNull
     if (anyDeltas) require(key != null,
       s"delta generations exist at $dir but no table key is recorded")
-    sel.flatMap { case (day, ds) =>
+    // LIMIT/TopN partition cap (r18, VERDICT r17 #3): a pushed limit
+    // stops emitting base-file partitions once the sidecar-proven row
+    // coverage reaches k — `SELECT * FROM lake LIMIT 10` on a 365-day
+    // table plans a handful of files instead of one InputPartition per
+    // base file table-wide. Guarded to the provably-exact cases: the
+    // builder only pushed on pure-base survivors with no residual
+    // filters, re-checked here (plus no runtime DPP filters — they
+    // arrive later and shrink the DAY set, which could orphan the cap's
+    // choice). Files with no sidecar row count never advance coverage,
+    // so a stats-less lake degrades to the full listing, never to a
+    // short answer. TopN walks WHOLE days in sort direction (within-day
+    // order is unknown at planning); plain LIMIT caps at file grain.
+    val capped: Option[Array[InputPartition]] = limit.flatMap { k =>
+      if (runtimeDayFilters.nonEmpty || statFilters.nonEmpty ||
+          !sel.forall { case (_, ds) => ds.deltas.isEmpty && ds.dvs.isEmpty })
+        None
+      else {
+        val ordered = if (limitReverse) sel.reverse else sel
+        val statsCache = scala.collection.mutable.Map.empty[
+          Int, Option[Map[String, graft.etl.FileStats.FileStat]]]
+        var proven = 0L
+        var covered = false
+        val keep = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        val dayIt = ordered.iterator
+        while (dayIt.hasNext && !covered) {
+          val (day, ds) = dayIt.next()
+          if (ds.base >= 0) {
+            val fls = files(s"${p.data}/gen=${ds.base}/day=$day")
+            val stats = statsCache.getOrElseUpdate(ds.base,
+              graft.etl.FileStats.read(spark, s"${p.data}/gen=${ds.base}"))
+            def rowsOf(f: String): Option[Long] =
+              stats.flatMap(_.get(s"day=$day/${new Path(f).getName}"))
+                .map(_.rows)
+            if (limitWholeDay) {
+              fls.foreach(f => keep +=
+                (LakeBaseFilePartition(day, f, Nil, Nil, key): InputPartition))
+              val dayRows = fls.map(rowsOf)
+              if (dayRows.forall(_.isDefined))
+                proven += dayRows.flatten.sum
+              covered = proven >= k
+            } else {
+              val fIt = fls.iterator
+              while (fIt.hasNext && !covered) {
+                val f = fIt.next()
+                keep +=
+                  (LakeBaseFilePartition(day, f, Nil, Nil, key): InputPartition)
+                rowsOf(f).foreach { r => proven += r; covered = proven >= k }
+              }
+            }
+          }
+        }
+        if (covered) GraftLakeSource.limitCappedPlans.incrementAndGet()
+        val walked = ordered.size - dayIt.size
+        mDaysDroppedByLimit = (ordered.size - walked).toLong
+        mFilesPlanned = keep.size.toLong
+        // !covered means the walk kept everything — same as the full plan
+        Some(keep.toArray)
+      }
+    }
+    val out = capped.getOrElse(sel.flatMap { case (day, ds) =>
       // commit-order fold positions: generation numbers are claim-ordered,
       // not commit-ordered, so seq comes from the manifest fold
       val deltas = ds.deltas.zipWithIndex.flatMap { case (g, i) =>
@@ -731,7 +1019,9 @@ private[sources] class LakeScan(
       base ++ (if (deltas.nonEmpty)
         Seq(LakeDeltaFoldPartition(day, deltas, key): InputPartition)
       else Nil)
-    }.toArray
+    }.toArray)
+    mFilesPlanned = out.count(_.isInstanceOf[LakeBaseFilePartition]).toLong
+    out
   }
 
   /** Planner statistics off METADATA only: file sizes from the day-dir
@@ -997,6 +1287,64 @@ private[sources] object LakeGroupRead {
     */
   val skippedGroups = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic only: total parquet LEAF columns requested across file
+    * opens — specs assert projections (incl. nested-struct field
+    * pruning) reach the page reads, not just the logical plan.
+    */
+  val leafColumnsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The footer schema narrowed to what the scan actually needs (r18):
+    * the PHYSICAL column behind each projected logical column, plus the
+    * key columns the winner-map lookup reads on delta-carrying days.
+    * Plain STRUCT columns narrow recursively to the requested subfields
+    * — on a multimodal table, `SELECT media.mime` stops fetching the
+    * sibling binary payload's pages (VERDICT r17 missing #4). LIST/MAP
+    * annotated groups pass whole (their repeated-group shapes don't
+    * narrow safely by name); a requested field missing from the file is
+    * simply omitted (the converter already yields null for evolution
+    * gaps). An empty projection (count(*)) keeps the narrowest single
+    * leaf so row iteration still works.
+    */
+  def projectionOf(
+      file: MessageType, schema: StructType,
+      physical: Array[String], keyCols: Seq[String]): MessageType = {
+    def pruneType(
+        ft: org.apache.parquet.schema.Type,
+        dt: DataType): org.apache.parquet.schema.Type = dt match {
+      case st: StructType if !ft.isPrimitive &&
+          ft.getLogicalTypeAnnotation == null =>
+        val g = ft.asGroupType
+        val kids = st.fields.toSeq
+          .filter(f => g.containsField(f.name))
+          .map(f => pruneType(g.getType(f.name), f.dataType))
+        // parquet groups cannot be empty — an all-missing struct keeps
+        // the whole group (its rows convert to all-null subfields)
+        if (kids.isEmpty) ft else g.withNewFields(kids.asJava)
+      case _ => ft
+    }
+    def fieldOf(name: String): org.apache.parquet.schema.Type =
+      file.getType(file.getFieldIndex(name))
+    val projected = schema.fields.toSeq.zip(physical.toSeq).flatMap {
+      case (f, phys) =>
+        if (phys == null || !file.containsField(phys)) None
+        else Some(pruneType(fieldOf(phys), f.dataType))
+    }
+    val have = projected.map(_.getName).toSet
+    val keys = keyCols
+      .filter(k => !have(k) && file.containsField(k))
+      .map(fieldOf)
+    val all = projected ++ keys
+    val fields =
+      if (all.nonEmpty) all
+      else {
+        // count(*): one narrowest leaf keeps the record reader alive
+        val leaf = file.getFields.asScala
+          .find(_.isPrimitive).getOrElse(file.getFields.get(0))
+        Seq(leaf)
+      }
+    new MessageType(file.getName, fields.asJava)
+  }
+
   /** Streaming iterator over one parquet file's Groups. With `skip`
     * filters, row groups whose footer min/max stats prove no row can
     * match are skipped WITHOUT reading their pages — parquet's native
@@ -1008,11 +1356,26 @@ private[sources] object LakeGroupRead {
   final class GroupIterator(
       path: String, conf: Configuration,
       skip: Seq[RowGroupFilter] = Nil,
-      onSkip: Long => Unit = _ => ())
+      onSkip: Long => Unit = _ => (),
+      project: MessageType => MessageType = identity)
     extends Iterator[Group] with AutoCloseable {
     private val reader =
       ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
-    val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+    /** the file's FULL footer schema — stats/bloom claims resolve here
+      * (a filter column outside the projection must read "present",
+      * never "evolution gap")
+      */
+    val fullSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+    /** the schema the emitted Groups CARRY: the caller's projection of
+      * the footer schema (r18 — before this, every read materialized
+      * EVERY column's pages: a 2-column projection over a wide
+      * multimodal table still decoded the sibling binary payloads;
+      * `setRequestedSchema` makes parquet fetch only the projected
+      * column chunks, which is the entire point of columnar storage)
+      */
+    val fileSchema: MessageType = project(fullSchema)
+    if (!(fileSchema eq fullSchema)) reader.setRequestedSchema(fileSchema)
+    LakeGroupRead.leafColumnsRead.addAndGet(fileSchema.getPaths.size.toLong)
     private val blocks = reader.getFooter.getBlocks
     private var blockIdx = 0
     private val io = new ColumnIOFactory().getColumnIO(fileSchema)
@@ -1071,7 +1434,7 @@ private[sources] object LakeGroupRead {
     override def hasNext: Boolean = {
       while (remaining == 0L) {
         while (skip.nonEmpty && blockIdx < blocks.size() &&
-            (groupProvablyEmpty(blocks.get(blockIdx), skip, fileSchema) ||
+            (groupProvablyEmpty(blocks.get(blockIdx), skip, fullSchema) ||
               bloomEmpty(blocks.get(blockIdx)))) {
           onSkip(blocks.get(blockIdx).getRowCount)
           skippedGroups.incrementAndGet()
@@ -1611,11 +1974,25 @@ private[sources] class LakeBaseReader(
       s
     }
   private var pos = -1L
+  private var groupsSkipped = 0L
   // a skipped group's rows still occupy POSITIONS in the file — advance
   // the running index so deletion-vector matching stays aligned (a
   // tombstoned row inside a skipped group is dead either way)
   private val it = new LakeGroupRead.GroupIterator(
-    part.file, conf, skip, n => pos += n)
+    part.file, conf, skip, n => { pos += n; groupsSkipped += 1 },
+    // page-read projection (r18): only the projected physical columns'
+    // chunks are fetched — plus the key columns when a winner-map
+    // lookup needs them on this delta-carrying day
+    project = full => LakeGroupRead.projectionOf(
+      full, schema, physical,
+      if (superseded == null || part.key == null) Nil
+      else LakeSnapshot.keyParts(part.key)))
+
+  // the row-group tier's per-query surface (r18): Spark aggregates these
+  // across tasks into the scan node's "graftRowGroupsSkipped" SQL metric
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftScanMetrics.Task("graftRowGroupsSkipped", groupsSkipped))
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -211,13 +211,28 @@ private[sources] class StagingCleanProcedure
       if (input.isNullAt(1)) 72L * 3600 * 1000 else input.getLong(1)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - olderThan
+    // Age by the NEWEST mtime anywhere in the candidate tree, not the
+    // root dir's (ADVICE r17): most filesystems bump a directory's
+    // mtime only when a DIRECT child appears, so a live CTAS whose
+    // SELECT outlives older_than_ms — its writes landing deep under
+    // data/gen=0/day=… — looked idle at the root and got deleted
+    // mid-flight, failing the job at publish. Staging trees are small
+    // (one table's worth), so the recursive walk is bounded.
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      val kids =
+        if (st.isDirectory) fs.listStatus(p).toSeq else Nil
+      (st.getModificationTime +: kids.map { k =>
+        if (k.isDirectory) newestMtime(k.getPath) else k.getModificationTime
+      }).max
+    }
     val victims =
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq.filter { st =>
         val n = st.getPath.getName
         st.isDirectory &&
           (n.startsWith(".stage-") || n.startsWith(".replaced-")) &&
-          st.getModificationTime < cutoff
+          newestMtime(st.getPath) < cutoff
       }
     victims.foreach(st => fs.delete(st.getPath, true))
     val schema = StructType(Seq(

@@ -52,6 +52,11 @@ private[sources] class LakeFilesTable(dir: String)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val statsByGen = scala.collection.mutable.Map
             .empty[Int, Option[Map[String, FileStats.FileStat]]]
+          // bloom-declaration coverage per (gen, day) — names only, the
+          // filter bits are never decoded (r18 observability: "is my
+          // point-lookup column actually bloomed here?")
+          val bloomByGenDay = scala.collection.mutable.Map
+            .empty[(Int, String), Map[String, Seq[String]]]
           def ls(root: String, g: Int, day: String, kind: String)
               : Seq[LakeFileRow] = {
             val dp = new org.apache.hadoop.fs.Path(s"$root/gen=$g/day=$day")
@@ -66,8 +71,13 @@ private[sources] class LakeFilesTable(dir: String)
                     FileStats.read(spark, s"$root/gen=$g"))
                     .flatMap(_.get(s"day=$day/${st.getPath.getName}"))
                     .map(_.rows).getOrElse(-1L)
+                val bloom =
+                  if (kind != "base") ""
+                  else bloomByGenDay.getOrElseUpdate((g, day),
+                    graft.etl.BloomStats.coverage(spark, s"$root/gen=$g", day))
+                    .getOrElse(st.getPath.getName, Nil).mkString(",")
                 LakeFileRow(day, kind, g, st.getPath.getName,
-                  st.getLen, rows)
+                  st.getLen, rows, bloom)
               }
           }
           val rows = state.days.toSeq.sortBy(_._1).flatMap {
@@ -92,7 +102,8 @@ private[sources] class LakeFilesTable(dir: String)
                     current = new GenericInternalRow(Array[Any](
                       UTF8String.fromString(r.day),
                       UTF8String.fromString(r.kind), r.gen,
-                      UTF8String.fromString(r.file), r.bytes, r.rows))
+                      UTF8String.fromString(r.file), r.bytes, r.rows,
+                      UTF8String.fromString(r.bloom)))
                     true
                   }
                 override def get(): InternalRow = current
@@ -106,7 +117,7 @@ private[sources] class LakeFilesTable(dir: String)
 
 private[sources] final case class LakeFileRow(
     day: String, kind: String, gen: Int, file: String,
-    bytes: Long, rows: Long)
+    bytes: Long, rows: Long, bloom: String = "")
 
 private[sources] final case class LakeFilesPartition(
     rows: Seq[LakeFileRow]) extends InputPartition
@@ -118,5 +129,8 @@ private[sources] object LakeFilesTable {
     StructField("gen", IntegerType, nullable = false),
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("rows", LongType, nullable = false)))
+    StructField("rows", LongType, nullable = false),
+    // comma-joined PHYSICAL columns a bloom sidecar covers for this
+    // file ("" = none): the observability half of the bloom tier (r18)
+    StructField("bloom", StringType, nullable = false)))
 }

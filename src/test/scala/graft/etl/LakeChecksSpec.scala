@@ -189,4 +189,63 @@ class LakeChecksSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getString(1)).contains("ck_bad1"))
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT (r18): the plain-SQL constraint " +
+    "verbs ride the same check.<name> declarations — ADD validates " +
+    "existing data, enforcement fires at the next write, DROP re-opens") {
+    spark.sql("CREATE TABLE graft.ck_ddl (event_id BIGINT, " +
+      "ts TIMESTAMP, value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    spark.sql("INSERT INTO graft.ck_ddl (event_id, ts, value) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)")
+    // post-hoc constraint over existing data: violating data refuses —
+    // Spark's own analyzer plans the validation scan here (it throws
+    // NEW_CHECK_CONSTRAINT_VIOLATION before alterTable), and our
+    // alterTable's validateExisting backstops the non-SQL routes
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck_ddl ADD CONSTRAINT big_ids " +
+        "CHECK (event_id >= 5)")
+    }
+    assert(rootOf(e).contains("event_id >= 5"), rootOf(e))
+    // a satisfiable one lands, surfaces as a constraint, and enforces
+    spark.sql("ALTER TABLE graft.ck_ddl ADD CONSTRAINT sane_value " +
+      "CHECK (value > -1e9)")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ck_ddl (event_id, ts, value) VALUES " +
+        "(3, TIMESTAMP '2024-01-03 10:00:00', -2e9)")
+    }
+    assert(rootOf(e2).contains("sane_value"), rootOf(e2))
+    // duplicate names refuse; DROP of a missing name refuses without
+    // IF EXISTS and passes with it
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck_ddl ADD CONSTRAINT sane_value " +
+        "CHECK (value > 0)")
+    }
+    assert(rootOf(e3).contains("sane_value"), rootOf(e3))
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck_ddl DROP CONSTRAINT no_such")
+    }
+    assert(rootOf(e4).contains("no_such"), rootOf(e4))
+    spark.sql("ALTER TABLE graft.ck_ddl DROP CONSTRAINT IF EXISTS no_such")
+    // DROP re-opens the verb
+    spark.sql("ALTER TABLE graft.ck_ddl DROP CONSTRAINT sane_value")
+    spark.sql("INSERT INTO graft.ck_ddl (event_id, ts, value) VALUES " +
+      "(3, TIMESTAMP '2024-01-03 10:00:00', -2e9)")
+    assert(spark.sql("SELECT count(*) FROM graft.ck_ddl")
+      .head().getLong(0) === 3L)
+    // the TBLPROPERTIES route and the DDL route are ONE mechanism: a
+    // DDL-added constraint unsets via TBLPROPERTIES and vice versa
+    spark.sql("ALTER TABLE graft.ck_ddl ADD CONSTRAINT via_ddl " +
+      "CHECK (event_id < 1000)")
+    spark.sql("ALTER TABLE graft.ck_ddl UNSET TBLPROPERTIES " +
+      "('check.via_ddl')")
+    spark.sql("ALTER TABLE graft.ck_ddl SET TBLPROPERTIES " +
+      "('check.via_props' = 'event_id < 1000')")
+    spark.sql("ALTER TABLE graft.ck_ddl DROP CONSTRAINT via_props")
+    spark.sql("INSERT INTO graft.ck_ddl (event_id, ts, value) VALUES " +
+      "(5000, TIMESTAMP '2024-01-03 12:00:00', 1.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.ck_ddl")
+      .head().getLong(0) === 4L)
+    spark.sql("DROP TABLE graft.ck_ddl")
+  }
 }

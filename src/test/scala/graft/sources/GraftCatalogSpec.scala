@@ -428,4 +428,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       "WHERE day = '2024-01-01'").as[Long].collect().sum === 2L)
     spark.sql("DROP TABLE graft.ft")
   }
+
+  test(".files lists bloom-declaration coverage per base file (r18): " +
+    "the observability half of the point-lookup tier") {
+    spark.sql("CREATE TABLE graft.fb (event_id BIGINT, ts TIMESTAMP, " +
+      "uid BIGINT) TBLPROPERTIES ('key' = 'event_id', 'bloom' = 'uid')")
+    LakeSnapshot.merge(spark, s"$wh/fb",
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 4L))
+        .toDF("event_id", "ts", "uid"),
+      "event_id", "ts")
+    val rows = spark.sql("SELECT kind, bloom FROM graft.fb.files")
+      .as[(String, String)].collect()
+    assert(rows.length === 2)
+    assert(rows.forall { case (kind, bloom) =>
+      kind == "base" && bloom == "uid"
+    }, rows.mkString(", "))
+    spark.sql("DROP TABLE graft.fb")
+  }
+
+  test("upsertProps under concurrency keeps every writer's keys, and " +
+    "the properties file always exists afterwards (ADVICE r17: the " +
+    "unlocked read-merge-write lost updates; delete-then-rename left " +
+    "a no-file crash window)") {
+    val dir = s"$wh/props_race"
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            GraftCatalog.upsertProps(spark, dir, Map(s"meta.k$i" -> s"v$i"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val got = GraftCatalog.readCreateProps(spark, dir)
+    (1 to n).foreach(i => assert(got.get(s"meta.k$i") === Some(s"v$i"),
+      s"writer $i's update was lost: ${got.keys.toSeq.sorted}"))
+    // the recorded structural declaration (r18 write-funnel recording)
+    // survives all the metadata churn
+    assert(got.get("ts") === Some("ts"))
+  }
 }

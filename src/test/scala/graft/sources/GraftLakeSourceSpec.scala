@@ -594,6 +594,267 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     intercept[Exception] { read().collect() }
   }
 
+  test("ts->day derivation only fires on an EXPLICIT ts declaration " +
+    "(ADVICE r17): an unrelated column physically named ts never " +
+    "derives day bounds, and the write funnel records the real ts col") {
+    val dir = freshDir("ts_explicit_only")
+    // event time lives in event_time; `ts` is an UNRELATED data column
+    // whose values point at a different day than the row's partition
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), ts(3), 1.0), (2L, ts(2), ts(1), 2.0))
+        .toDF("event_id", "event_time", "ts", "value"),
+      "event_id", "event_time")
+    // the write funnel recorded its ts column (r18)
+    assert(GraftCatalog.readCreateProps(spark, dir).get("ts")
+      === Some("event_time"))
+    // poison scenario: a pre-r18 lake with NO recorded props — the old
+    // bare "ts" default would derive day<=2024-01-01 from this filter
+    // and silently lose row 1 (partitioned at day 3... no: row 1 sits
+    // at day=2024-01-01 via event_time=ts(1), its ts value is ts(3));
+    // filter ts <= ts(1): matches row 2 only BY VALUE, but row 2 sits
+    // at day=2024-01-02 — a derived day<=2024-01-01 bound would prune
+    // row 2's day and return EMPTY
+    val props = Paths.get(dir, "manifest", "_table.properties")
+    val saved = Files.readAllBytes(props)
+    Files.delete(props)
+    LakeDeltaStateCache.clear()
+    assert(dsv2(dir).filter(col("ts") <= lit(ts(1)))
+      .select("event_id").as[Long].collect().toSeq === Seq(2L),
+      "no declaration -> no derivation -> the unrelated ts column " +
+        "filters by VALUE only")
+    Files.write(props, saved)
+    // with the declaration restored, predicates on the REAL event-time
+    // column still derive (row 1 is at day 1)
+    assert(dsv2(dir).filter(col("event_time") <= lit(ts(1)))
+      .select("event_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("ts->day derivation uses the SESSION zone — the zone to_date " +
+    "used at write (ADVICE r17): boundary rows survive under a " +
+    "non-UTC session") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val dir = freshDir("ts_session_zone")
+      // 2024-01-02 03:00 Tokyo == 2024-01-01 18:00 UTC: the write labels
+      // the day 2024-01-02 (session zone); a UTC-derived bound from the
+      // same literal would point at day 2024-01-01 and prune the row
+      val t = java.sql.Timestamp.from(
+        java.time.ZonedDateTime.of(2024, 1, 2, 3, 0, 0, 0,
+          java.time.ZoneId.of("Asia/Tokyo")).toInstant)
+      LakeSnapshot.merge(spark, dir,
+        Seq((1L, t, 1.0)).toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+      // equality on the exact boundary-adjacent instant: the derived
+      // day must match the written label or the row vanishes
+      assert(dsv2(dir).filter(col("ts") === lit(t))
+        .select("event_id").as[Long].collect().toSeq === Seq(1L),
+        "session-zone write + UTC-derived day bound would lose this row")
+      // and a range read over the instant finds it too
+      assert(dsv2(dir).filter(col("ts") >= lit(t))
+        .select("event_id").as[Long].collect().toSeq === Seq(1L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("page-read projection (r18): the scan fetches only the projected " +
+    "columns' chunks — SELECT media.mime never touches the payload " +
+    "pages, and nested-struct pruning reaches the parquet reader") {
+    val dir = freshDir("nested_prune")
+    val src = Seq((1L, 1), (2L, 2)).toDF("doc_id", "d")
+      .selectExpr("doc_id",
+        "to_timestamp(concat('2024-01-0', d, ' 10:00:00')) AS ts",
+        "named_struct('mime', concat('image/', doc_id), " +
+          "'w', CAST(doc_id AS INT), " +
+          "'payload', CAST(repeat('x', 1000) AS BINARY)) AS media",
+        "CAST(repeat('y', 500) AS BINARY) AS blob")
+    LakeSnapshot.merge(spark, dir, src, "doc_id", "ts")
+    // nested pruning reaches the SCAN schema…
+    val mimes = dsv2(dir).select(col("media.mime").as("mime"))
+    val readSchema = scanOf(mimes).scan.readSchema()
+    assert(readSchema.fieldNames.toSeq === Seq("media"))
+    assert(readSchema("media").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("mime"),
+      s"nested pruning must reach readSchema, got $readSchema")
+    // …and the PAGE READS: 2 base files, ONE leaf column each (the
+    // pre-r18 reader materialized every column's pages regardless of
+    // the projection — payload, blob and all)
+    val c0 = LakeGroupRead.leafColumnsRead.get()
+    assert(mimes.as[String].collect().toSet ===
+      Set("image/1", "image/2"))
+    assert(LakeGroupRead.leafColumnsRead.get() - c0 === 2L,
+      "SELECT media.mime over 2 files must request exactly 2 leaves")
+    // top-level projection too: one leaf per file (the frame is built
+    // BEFORE the counter snapshot — schema inference may open files)
+    val ids = dsv2(dir).select("doc_id")
+    val c1 = LakeGroupRead.leafColumnsRead.get()
+    assert(ids.as[Long].collect().toSet === Set(1L, 2L))
+    assert(LakeGroupRead.leafColumnsRead.get() - c1 === 2L)
+    // the full struct still round-trips whole
+    val full = dsv2(dir).select("doc_id", "media")
+      .collect().map(r => (r.getLong(0),
+        r.getStruct(1).getString(0), r.getStruct(1).getAs[Array[Byte]](2)))
+    assert(full.map(_._2).toSet === Set("image/1", "image/2"))
+    assert(full.forall(_._3.length === 1000))
+    // a delta-carrying day folds correctly through the projection: the
+    // winner-map key column is added to the page reads under the hood
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((1L, 1)).toDF("doc_id", "d").selectExpr("doc_id",
+        "to_timestamp('2024-01-01 10:00:00') AS ts",
+        "named_struct('mime', 'image/updated', 'w', 9, " +
+          "'payload', CAST('z' AS BINARY)) AS media",
+        "CAST('y' AS BINARY) AS blob"),
+      "doc_id", "ts")
+    LakeDeltaStateCache.clear()
+    assert(dsv2(dir).select(col("media.mime")).as[String].collect().toSet
+      === Set("image/updated", "image/2"),
+      "the superseded base row must vanish even under a pruned read")
+  }
+
+  test("LIMIT pushdown (r18): a preview on a pure-base lake plans only " +
+    "k-covering files — days beyond coverage are never even LISTED") {
+    val dir = freshDir("limit_push")
+    LakeSnapshot.merge(spark, dir, Seq(
+      (1L, ts(1), 1.0), (2L, ts(1), 1.5),
+      (3L, ts(2), 2.0), (4L, ts(2), 2.5),
+      (5L, ts(3), 3.0), (6L, ts(3), 3.5),
+      (7L, ts(4), 4.0), (8L, ts(4), 4.5)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val schema = dsv2(dir).schema // inference reads every day; capture first
+    def read() = spark.read.format("graft-lake").schema(schema)
+      .option("path", dir).load()
+    // punch a hole in the LAST day: the plain-LIMIT cap walks days in
+    // ascending order, so a LIMIT 2 covered by day 1's two sidecar-known
+    // rows must plan (and run) without ever listing day 4
+    val d4 = new org.apache.hadoop.fs.Path(s"$dir/data/gen=0/day=2024-01-04")
+    val fs = d4.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(d4, true))
+    LakeDeltaStateCache.clear()
+    val pushedBefore = GraftLakeSource.pushedLimits.get()
+    val cappedBefore = GraftLakeSource.limitCappedPlans.get()
+    val lim = read().limit(2)
+    val parts = scanOf(lim).inputPartitions
+    assert(parts.length === 1, s"LIMIT 2 over 2-row files needs ONE " +
+      s"partition, planned ${parts.length}")
+    assert(parts.collect { case b: LakeBaseFilePartition => b.day }.toSet
+      === Set("2024-01-01"))
+    assert(scanOf(lim).scan.description().contains("pushedLimit=2"))
+    assert(lim.count() === 2L)
+    assert(GraftLakeSource.pushedLimits.get() > pushedBefore)
+    assert(GraftLakeSource.limitCappedPlans.get() > cappedBefore)
+    // the UNCAPPED read does list day 4 — and fails loudly on the hole,
+    // proving the capped plan genuinely skipped the listing
+    intercept[Exception] { read().collect() }
+  }
+
+  test("TopN pushdown (r18): ORDER BY day/ts DESC LIMIT k walks whole " +
+    "days from the top — early days are never listed; order and values " +
+    "stay exact (Spark keeps the real Sort above the capped scan)") {
+    val dir = freshDir("topn_push")
+    LakeSnapshot.merge(spark, dir, Seq(
+      (1L, ts(1), 1.0), (2L, ts(1), 1.5),
+      (3L, ts(2), 2.0), (4L, ts(2), 2.5),
+      (7L, ts(4, 8), 4.0), (8L, ts(4, 12), 4.5))
+      .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    val schema = dsv2(dir).schema
+    def read() = spark.read.format("graft-lake").schema(schema)
+      .option("path", dir).load()
+    // punch a hole in the FIRST day: a DESC top-k covered by day 4 must
+    // never list day 1
+    val d1 = new org.apache.hadoop.fs.Path(s"$dir/data/gen=0/day=2024-01-01")
+    val fs = d1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(d1, true))
+    LakeDeltaStateCache.clear()
+    // ORDER BY day DESC LIMIT 2: day 4 holds exactly 2 rows -> one day
+    val topDay = read().orderBy(col("day").desc).limit(2)
+    assert(scanOf(topDay).inputPartitions.collect {
+      case b: LakeBaseFilePartition => b.day
+    }.toSet === Set("2024-01-04"))
+    assert(topDay.select("event_id").as[Long].collect().toSet === Set(7L, 8L))
+    // ORDER BY ts DESC LIMIT 1: ts orders within day by the write
+    // contract day = to_date(ts) — the newest row, exactly
+    assert(read().orderBy(col("ts").desc).limit(1)
+      .select("event_id").as[Long].head() === 8L)
+    // ASC over the punched-out day 1 fails loudly: the direction is
+    // honored, not just "some small set of days"
+    intercept[Exception] {
+      read().orderBy(col("day").asc).limit(2).collect()
+    }
+  }
+
+  test("LIMIT pushdown refuses when exactness is unprovable: deltas on a " +
+    "surviving day or residual filters fall back to the full plan (r18)") {
+    val dir = freshDir("limit_refuse")
+    LakeSnapshot.merge(spark, dir, Seq(
+      (1L, ts(1), 1.0), (2L, ts(1), 2.0), (3L, ts(2), 3.0))
+      .toDF("event_id", "ts", "value"), "event_id", "ts")
+    // a pending delta on day 1: raw base rows overstate the fold
+    LakeSnapshot.deleteKeysDelta(spark, dir,
+      Seq((1L, ts(1))).toDF("event_id", "ts"), "event_id", "ts")
+    LakeDeltaStateCache.clear()
+    val pushedBefore = GraftLakeSource.pushedLimits.get()
+    val lim = dsv2(dir).limit(2)
+    assert(!scanOf(lim).scan.description().contains("pushedLimit"),
+      "deltas present -> the push must refuse")
+    assert(lim.count() === 2L) // 3 live rows minus the deleted key -> 2
+    assert(GraftLakeSource.pushedLimits.get() === pushedBefore)
+    // residual filter: the Filter node stays between scan and limit, so
+    // no push — and the filtered LIMIT is still correct
+    val filtered = dsv2(dir).filter(col("value") > 1.5).limit(5)
+    assert(!scanOf(filtered).scan.description().contains("pushedLimit"))
+    assert(filtered.select("event_id").as[Long].collect().toSet
+      === Set(2L, 3L))
+  }
+
+  test("scan observability (r18): driver metrics carry the per-query " +
+    "skip tiers, readers report row-group skips, and bloom coverage is " +
+    "listable without decoding filter bits") {
+    val dir = freshDir("scan_obs")
+    // bloom declaration BEFORE the first write: the staging builds
+    // sidecars for it (the path-based write surface's order)
+    GraftCatalog.upsertProps(spark, dir, Map("bloom" -> "uid"))
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 2L, 1.0),
+        (2L, ts(2), 4L, 2.0), (3L, ts(2), 8L, 2.5),
+        (4L, ts(3), 6L, 3.0), (5L, ts(3), 10L, 3.5))
+        .toDF("event_id", "ts", "uid", "value"),
+      "event_id", "ts")
+    val schema = dsv2(dir).schema
+    // day filter prunes day 1; uid = 7 is odd (absent by construction)
+    // and INSIDE both surviving files' [min, max] — only the BLOOM tier
+    // can prove the absence, the stats tier cannot
+    val scan = new LakeScan(schema, Map("path" -> dir),
+      staticDayFilters = Seq(GreaterThanOrEqual("day",
+        java.sql.Date.valueOf("2024-01-02"))),
+      statFilters = Seq(EqualTo("uid", 7L)))
+    val parts = scan.planInputPartitions()
+    val m = scan.reportDriverMetrics().map(t => t.name -> t.value).toMap
+    assert(m("graftDaysSelected") === 2L && m("graftDaysPruned") === 1L)
+    assert(m("graftFilesSkippedByBloom") === 2L,
+      s"both surviving days' files hold only even uids: $m")
+    assert(m("graftFilesPlanned") === parts.count(
+      _.isInstanceOf[LakeBaseFilePartition]).toLong)
+    assert(m("graftFilesPlanned") === 0L)
+    // executor tier: a reader under a stats-impossible filter skips its
+    // row group and reports it through currentMetricsValues
+    val all = new LakeScan(schema, Map("path" -> dir), Nil)
+    val part = all.planInputPartitions().collectFirst {
+      case b: LakeBaseFilePartition => b
+    }.get
+    val rf = new LakeScan(schema, Map("path" -> dir), Nil,
+      statFilters = Seq(EqualTo("value", -12345.0))).createReaderFactory()
+    val r = rf.createReader(part)
+    while (r.next()) fail("the impossible filter must skip every group")
+    val rm = r.currentMetricsValues().map(t => t.name -> t.value).toMap
+    r.close()
+    assert(rm("graftRowGroupsSkipped") === 1L, rm.toString)
+    // bloom coverage listing: names only, no filter-bit decode
+    val cov = graft.etl.BloomStats.coverage(
+      spark, s"$dir/data/gen=0", "2024-01-01")
+    assert(cov.nonEmpty && cov.values.flatten.toSet === Set("uid"))
+  }
+
   test("option(timestampAsOf): the path-based read resolves to the " +
     "youngest epoch at-or-before the instant (r17 wave 3)") {
     val dir = freshDir("ts_asof")

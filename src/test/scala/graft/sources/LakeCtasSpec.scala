@@ -181,17 +181,61 @@ class LakeCtasSpec extends AnyFunSuite {
       s"CALL graft.system.clean_staging(path => '$wh')").head()
     assert(kept.getInt(1) === 0, kept.toString)
     assert(Files.exists(stale) && Files.exists(fresh))
-    // age the stale one past an explicit gate and sweep again
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 10000))
+    // age the stale one past an explicit gate and sweep again — the
+    // WHOLE tree must read old: the r18 gate is the newest mtime
+    // anywhere in the tree (ADVICE r17: most filesystems bump a dir's
+    // mtime only on direct-child creation, so a live CTAS writing deep
+    // under data/ looked idle at the root and was deleted mid-flight)
+    def ageTree(p: JPath, ageMs: Long): Unit =
+      Files.walk(p).forEach(f => Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs)))
+    ageTree(stale, 10000)
     val swept = spark.sql(
       s"CALL graft.system.clean_staging(path => '$wh', " +
         "older_than_ms => 5000)").head()
     assert(swept.getInt(1) === 1, swept.toString)
     assert(swept.getString(2) === ".stage-dead-12345")
     assert(!Files.exists(stale) && Files.exists(fresh))
-    Files.walk(fresh).sorted(java.util.Comparator.reverseOrder[JPath]())
-      .forEach(f => Files.deleteIfExists(f))
+    // the live-CTAS shape: root + shallow dirs old, but a DEEP data file
+    // is fresh (the SELECT is still writing) — must survive the sweep
+    val live = Paths.get(wh, ".stage-long-select-111")
+    Files.createDirectories(live.resolve("data/gen=0/day=2024-01-01"))
+    ageTree(live, 10000)
+    Files.write(live.resolve("data/gen=0/day=2024-01-01/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val spared = spark.sql(
+      s"CALL graft.system.clean_staging(path => '$wh', " +
+        "older_than_ms => 5000)").head()
+    assert(spared.getInt(1) === 0, spared.toString)
+    assert(Files.exists(live), "a live deep-writing CTAS staging must survive")
+    Seq(live, fresh).foreach(d =>
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder[JPath]())
+        .forEach(f => Files.deleteIfExists(f)))
+  }
+
+  test("CTAS publish over a bare manifest-less dest dir (crashed DROP " +
+    "leftover) lands the table AT the dest, not nested inside it (r18)") {
+    srcView()
+    // the leftover: a stray dir with junk but no manifest
+    val leftover = Paths.get(wh, "ctas_leftover")
+    Files.createDirectories(leftover.resolve("junk"))
+    Files.write(leftover.resolve("junk/file.txt"), "stray".getBytes)
+    spark.sql("CREATE TABLE graft.ctas_leftover TBLPROPERTIES " +
+      "('key' = 'id') AS SELECT id, ts, v FROM ctas_src")
+    // visible through the catalog AND at the expected path — the old
+    // FileSystem.rename-into-existing-dir bug nested the table at
+    // dest/.stage-* with exists() false (ADVICE r17)
+    assert(spark.sql("SELECT count(*) FROM graft.ctas_leftover")
+      .head().getLong(0) === 4L)
+    assert(Files.exists(leftover.resolve("manifest")),
+      "the table must land AT the dest path")
+    assert(!Files.exists(leftover.resolve("junk")),
+      "the manifest-less leftover is cleared by the publish")
+    val nested = Files.list(leftover).iterator()
+    while (nested.hasNext) {
+      val n = nested.next().getFileName.toString
+      assert(!n.startsWith(".stage-"), s"table nested at dest/$n")
+    }
   }
 }

@@ -408,6 +408,65 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(cdc === got)
   }
 
+  test("startingTimestamp (r18): T resolves to the first commit AT OR " +
+    "AFTER T via the manifest's recorded commit wall-clocks — the same " +
+    "window the equivalent startingEpoch subscribes") {
+    val root = freshDir("starting_ts")
+    val dir = s"$root/lake"
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    val t0 = graft.ops.IncrementalDedup.Manifest
+      .commitTimeMs(spark, s"$dir/manifest", e0)
+    // commit times are second-resolution on some filesystems — space
+    // the second commit measurably after the first
+    Thread.sleep(1100)
+    LakeSnapshot.mergeDelta(spark, dir,
+      Seq((2L, ts(2), 22.0), (3L, ts(3), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val e1 = LakeSnapshot.currentEpoch(spark, dir)
+    val t1 = graft.ops.IncrementalDedup.Manifest
+      .commitTimeMs(spark, s"$dir/manifest", e1)
+    require(t1 > t0, "fixture needs measurably spaced commits")
+    def run(opts: (String, String)*): Set[(Long, Double, String)] = {
+      val tag = opts.map(_._2.replaceAll("[^0-9A-Za-z]", "")).mkString("_")
+      val accDir = s"$root/acc_$tag"
+      val q = opts.foldLeft(spark.readStream.format("graft-lake")
+          .option("path", dir).option("changes", "true")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(accDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.awaitTermination()
+      spark.read.parquet(accDir)
+        .select("event_id", "value", "_change_type")
+        .as[(Long, Double, String)].collect().toSet
+    }
+    // an instant just after commit e0: subscribe the e1-onward window —
+    // exactly what startingEpoch=e0 subscribes
+    val want = Set(
+      (2L, 2.0, "update_preimage"), (2L, 22.0, "update_postimage"),
+      (3L, 3.0, "insert"))
+    assert(run("startingTimestamp" -> (t0 + 1).toString) === want)
+    // epoch-millis and commit-instant forms agree
+    assert(run("startingTimestamp" -> t1.toString) === want,
+      "T exactly at a commit's wall-clock must include that commit")
+    // an instant after every commit: future-only (nothing yet)
+    assert(run("startingTimestamp" -> (t1 + 60000).toString) === Set.empty)
+    // both pins at once refuse loudly
+    val e = intercept[Exception] {
+      run("startingTimestamp" -> t0.toString, "startingEpoch" -> "0")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("schema inference never leaks the gen= partition key (ADVICE " +
     "r15): no spurious always-null 'gen INT' column, a REAL data column " +
     "named 'gen' keeps its declared type and streams its values, and " +

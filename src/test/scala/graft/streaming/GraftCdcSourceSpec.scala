@@ -184,4 +184,45 @@ class GraftCdcSourceSpec extends AnyFunSuite {
       ("update_preimage", 1L, 0.5f, "12.34"),
       ("update_postimage", 2L, 2.5f, "56.78")), got)
   }
+
+  test("startingTimestamp (r18): the CDC feed resolves T to the first " +
+    "commit at or after T — the full-table stream's exact semantics, so " +
+    "switching formats never shifts a window") {
+    val dir = freshDir("cdc_start_ts")
+    val sinkDir = freshDir("cdc_start_ts_sink")
+    mergeCdf(dir, Seq((1L, ts(1), 1.0)))
+    val t0 = graft.ops.IncrementalDedup.Manifest
+      .commitTimeMs(spark, s"$dir/manifest", 0)
+    Thread.sleep(1100) // commit times are second-resolution on some FS
+    mergeCdf(dir, Seq((2L, ts(2), 2.0)))
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir)
+      .option("startingTimestamp", (t0 + 1).toString)
+      .load()
+      .select("event_id", "value", "_change_type")
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", freshDir("cdc_start_ts_cp"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sinkDir)
+      .select("event_id", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+      === Set((2L, 2.0, "insert")),
+      "only the second commit's changes — the first predates T")
+    // both pins refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdc")
+        .option("path", dir)
+        .option("startingTimestamp", t0.toString)
+        .option("startingEpoch", "0")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("cdc_start_ts_cp2"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
 }
