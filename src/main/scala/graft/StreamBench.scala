@@ -69,7 +69,16 @@ object StreamBench {
       // moves + tag-idempotent delta commit against the COW merge paths
       "s25_stream_lake_sink",
       "s26_lake_stream_source")
-    val results = targets.map { name =>
+    // optional args tail = name filter for single-stream adjudication
+    // (r18, same contract as Bench/Verify/ScaleRehearsal: unknown names
+    // fail loudly) — the noise-window bounce pattern is adjudicated by
+    // solo re-runs, which need to not drag the whole board along
+    val only = args.toSet
+    val unknown = only.diff(targets.toSet)
+    require(unknown.isEmpty,
+      s"unknown stream name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    val roster = if (only.isEmpty) targets else targets.filter(only)
+    val results = roster.map { name =>
       materialize(name) // warm-up: JIT + codegen cache + replay-input prep
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -261,6 +261,36 @@ class GraftCatalog extends TableCatalog
       Map("path" -> dir) ++ fields.filterNot(_._1 == "schema"))
   }
 
+  /** CREATE TABLE with INLINE constraints (r18): Spark 4.1 routes
+    * `CREATE TABLE (..., CONSTRAINT c CHECK (...))` through the
+    * TableInfo overload, whose DEFAULT delegates to the columns
+    * overload and silently DROPS `info.constraints()` — a user's
+    * declared check would vanish. Map each CHECK onto the same
+    * `check.<name>` property the ALTER verbs and TBLPROPERTIES route
+    * write, refusing the constraint kinds the lake doesn't enforce.
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checkProps = info.constraints().map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+          s"CHECK constraint '${c.name()}' needs a SQL predicate")
+        (graft.etl.LakeChecks.Prefix + c.name()) -> c.predicateSql()
+      case other => sys.error("only CHECK constraints are supported " +
+        s"(got ${other.getClass.getSimpleName} '${other.name()}')")
+    }.toMap
+    val props = new util.HashMap[String, String](info.properties())
+    checkProps.foreach { case (k, v) => props.put(k, v) }
+    // v2 Column -> StructField by hand (CatalogV2Util is private[sql]);
+    // defaults/generated columns aren't lake features, so name/type/
+    // nullability is the whole declaration
+    val schema = StructType(info.columns().map { c =>
+      StructField(c.name(), c.dataType(), c.nullable())
+    })
+    createTable(ident, schema, info.partitions(), props)
+  }
+
   // --- StagingTableCatalog: atomic CTAS / RTAS ------------------------------
   // `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS SELECT` /
   // `CREATE OR REPLACE TABLE ... AS SELECT`. The staged table is a real

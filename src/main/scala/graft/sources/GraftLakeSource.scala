@@ -1320,6 +1320,25 @@ private[sources] object LakeGroupRead {
         // parquet groups cannot be empty — an all-missing struct keeps
         // the whole group (its rows convert to all-null subfields)
         if (kids.isEmpty) ft else g.withNewFields(kids.asJava)
+      // LIST-annotated groups narrow through the element (r18): Spark's
+      // nested pruning hands array<struct<mime>> for a
+      // `SELECT frames.mime` over array<struct<mime,…,payload>> — the
+      // element group narrows exactly like a plain struct, so frame
+      // arrays on multimodal tables stop fetching sibling payload
+      // chunks. 2-level legacy lists (repeated primitive) pass whole.
+      case at: ArrayType if !ft.isPrimitive &&
+          ft.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation] =>
+        val g = ft.asGroupType
+        val inner = g.getType(0)
+        if (inner.isPrimitive) ft
+        else {
+          val innerG = inner.asGroupType
+          val elemT = innerG.getType(0)
+          val narrowed = pruneType(elemT, at.elementType)
+          if (narrowed eq elemT) ft
+          else g.withNewFields(innerG.withNewFields(narrowed))
+        }
       case _ => ft
     }
     def fieldOf(name: String): org.apache.parquet.schema.Type =

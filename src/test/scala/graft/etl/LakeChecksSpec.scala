@@ -190,6 +190,26 @@ class LakeChecksSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("ck_bad1"))
   }
 
+  test("CREATE TABLE with an inline CONSTRAINT ... CHECK (r18): the " +
+    "clause is recorded — not silently dropped by the TableInfo default " +
+    "delegation — and enforces at the first write") {
+    spark.sql("CREATE TABLE graft.ck_inline (event_id BIGINT, " +
+      "ts TIMESTAMP, value DOUBLE, CONSTRAINT pos_v CHECK (value >= 0)) " +
+      "TBLPROPERTIES ('key' = 'event_id')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ck_inline (event_id, ts, value) " +
+        "VALUES (1, TIMESTAMP '2024-01-01 10:00:00', -1.0)")
+    }
+    assert(rootOf(e).contains("pos_v"), rootOf(e))
+    // the inline declaration is the SAME mechanism as the other routes
+    spark.sql("ALTER TABLE graft.ck_inline DROP CONSTRAINT pos_v")
+    spark.sql("INSERT INTO graft.ck_inline (event_id, ts, value) " +
+      "VALUES (1, TIMESTAMP '2024-01-01 10:00:00', -1.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.ck_inline")
+      .head().getLong(0) === 1L)
+    spark.sql("DROP TABLE graft.ck_inline")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT (r18): the plain-SQL constraint " +
     "verbs ride the same check.<name> declarations — ADD validates " +
     "existing data, enforcement fires at the next write, DROP re-opens") {

@@ -709,6 +709,25 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(dsv2(dir).select(col("media.mime")).as[String].collect().toSet
       === Set("image/updated", "image/2"),
       "the superseded base row must vanish even under a pruned read")
+    // array<struct> narrows through the LIST element too: a frames
+    // array's mime projection never fetches the per-frame payloads
+    val dir2 = freshDir("nested_prune_list")
+    LakeSnapshot.merge(spark, dir2,
+      Seq((1L, 1), (2L, 2)).toDF("doc_id", "d").selectExpr(
+        "doc_id",
+        "to_timestamp(concat('2024-01-0', d, ' 10:00:00')) AS ts",
+        "array(named_struct('mime', concat('f/', doc_id), " +
+          "'payload', CAST(repeat('x', 500) AS BINARY)), " +
+          "named_struct('mime', concat('g/', doc_id), " +
+          "'payload', CAST('y' AS BINARY))) AS frames"),
+      "doc_id", "ts")
+    val fm = dsv2(dir2).select(col("frames.mime").as("mimes"))
+    val c2 = LakeGroupRead.leafColumnsRead.get()
+    assert(fm.as[Seq[String]].collect().flatten.toSet
+      === Set("f/1", "f/2", "g/1", "g/2"))
+    assert(LakeGroupRead.leafColumnsRead.get() - c2 === 2L,
+      "2 files x the one projected list leaf (mime) — payload chunks " +
+        "must not be requested")
   }
 
   test("LIMIT pushdown (r18): a preview on a pure-base lake plans only " +
