@@ -792,11 +792,18 @@ object GraftCatalog {
     * wrong day bounds and silently pruned matching rows).
     */
   private[graft] def recordDeclaredTs(
-      spark: SparkSession, dir: String, tsCol: String): Unit =
+      spark: SparkSession, dir: String, tsCol: String): Unit = {
+    // once recorded (by anyone), recorded forever — the JVM-local memo
+    // spares a streaming sink one props-file read per micro-batch
+    if (tsRecordedDirs.contains(dir)) return
     dirLock(dir).synchronized {
       if (!readCreateProps(spark, dir).contains("ts"))
         writeMergedProps(spark, dir, Map("ts" -> tsCol))
+      tsRecordedDirs.add(dir)
     }
+  }
+  private val tsRecordedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // one lock per table dir (JVM-wide): upsertProps was an unlocked
   // read-merge-write, so two same-JVM writers (ALTER TBLPROPERTIES racing
