@@ -18,6 +18,36 @@ object CoverageQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  // --- p0: type-render canary (SURVEY §2.3) --------------------------------
+  // One literal row, one column per render class the driver's checker has
+  // historically drifted on (r15: decimals; r18: timestamps). Pure literals:
+  // any flip here is harness render drift, never data or operator drift —
+  // ONE diagnostic row names the class instead of N scattered operator rows.
+  // This is deliberately the ONLY oracle-hashed entry allowed to emit raw
+  // TIMESTAMP columns (rule 8 exempts it by name).
+  def p0(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1).select(
+      lit("1995-06-15 12:34:56").cast("timestamp").as("ts_instant"),
+      lit("1995-06-15 12:34:56").cast("timestamp_ntz").as("ts_ntz"),
+      lit("1995-06-15").cast("date").as("d_date"),
+      round(lit(1.23456), 2).as("dbl_round"),
+      // rule 7: decimals dump as integer cents, never raw DECIMAL — the
+      // decimal class is canaried in its sanctioned rendering
+      (lit("1234.50").cast("decimal(12,2)") * 100).cast("long").as("dec_cents"),
+      lit("abc").as("s_str"),
+      lit(null).cast("int").as("i_null"),
+      lit(true).as("b_bool"))
+
+  val p0Sql: String =
+    """SELECT TIMESTAMP '1995-06-15 12:34:56' AS ts_instant,
+      |       TIMESTAMP '1995-06-15 12:34:56' AS ts_ntz,
+      |       DATE '1995-06-15' AS d_date,
+      |       round(1.23456, 2) AS dbl_round,
+      |       CAST(CAST('1234.50' AS DECIMAL(12,2)) * 100 AS BIGINT) AS dec_cents,
+      |       'abc' AS s_str,
+      |       CAST(NULL AS INT) AS i_null,
+      |       TRUE AS b_bool""".stripMargin
+
   // --- q13b: trailing 10-min sum WITHOUT a global window -------------------
   // q13's oracle shape (Window.orderBy with no partition) funnels every row
   // through one task — correct, but a scale-killer (VERDICT.md wrong #3).
@@ -106,9 +136,10 @@ object CoverageQueries {
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("d"),
         quarter(col("o_orderdate")).as("q"),
-        make_timestamp(
+        // µs BIGINT, not TIMESTAMP (§2.3 rule 8)
+        unix_micros(make_timestamp(
           year(col("o_orderdate")), month(col("o_orderdate")),
-          dayofmonth(col("o_orderdate")), lit(12), lit(0), lit(0)).as("noon"))
+          dayofmonth(col("o_orderdate")), lit(12), lit(0), lit(0))).as("noon"))
       .orderBy("o_orderkey")
 
   val q26Sql: String =
@@ -119,10 +150,10 @@ object CoverageQueries {
       |       CAST(extract(month FROM o_orderdate) AS INT) AS mo,
       |       CAST(extract(day FROM o_orderdate) AS INT) AS d,
       |       CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
-      |       make_timestamp(CAST(extract(year FROM o_orderdate) AS BIGINT),
+      |       epoch_us(make_timestamp(CAST(extract(year FROM o_orderdate) AS BIGINT),
       |                      CAST(extract(month FROM o_orderdate) AS BIGINT),
       |                      CAST(extract(day FROM o_orderdate) AS BIGINT),
-      |                      12, 0, 0.0) AS noon
+      |                      12, 0, 0.0)) AS noon
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // --- q27: stddev/var/min/max (D3) ----------------------------------------
@@ -139,8 +170,9 @@ object CoverageQueries {
         round(var_samp(col("l_extendedprice")) / 1e6, 4).as("var_price_m"),
         min(col("l_quantity")).as("min_q"),
         max(col("l_quantity")).as("max_q"),
-        min(col("l_shipdate")).as("min_ship"),
-        max(col("l_shipdate")).as("max_ship"))
+        // µs BIGINT, not TIMESTAMP (§2.3 rule 8); cast is a no-op under UTC
+        unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship"),
+        unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship"))
       .orderBy("l_returnflag")
 
   val q27Sql: String =
@@ -150,7 +182,8 @@ object CoverageQueries {
       |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
       |       round(var_samp(l_extendedprice) / 1e6, 4) AS var_price_m,
       |       min(l_quantity) AS min_q, max(l_quantity) AS max_q,
-      |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |       epoch_us(min(l_shipdate)) AS min_ship,
+      |       epoch_us(max(l_shipdate)) AS max_ship
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --- q28: LIMIT/OFFSET (F3) ----------------------------------------------
@@ -852,6 +885,7 @@ object CoverageQueries {
       |GROUP BY mon ORDER BY mon""".stripMargin
 
   val declared: Seq[(String, QFn, Option[String])] = Seq(
+    ("p0_type_canary", p0 _, Some(p0Sql)),
     ("q49_pctrank_cumedist", q49 _, Some(q49Sql)),
     ("q50_lateral_join", q50 _, Some(q50Sql)),
     ("q51_recursive_cte", q51 _, Some(q51Sql)),

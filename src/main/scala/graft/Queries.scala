@@ -350,16 +350,20 @@ object Queries {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // --- Q18: JSON extraction + date_trunc (H2, H4) -------------------------
+  // `h` is emitted as µs-since-epoch BIGINT, not TIMESTAMP: oracle-hashed
+  // outputs never dump raw timestamp columns (SURVEY §2.3 rule 8 — the r18
+  // driver-board render drift; p0_type_canary carries the raw classes).
   def q18(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
       .agg(
         sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"),
         count(lit(1)).as("n"))
       .orderBy("h", "event_type")
 
   val q18Sql: String =
-    """SELECT date_trunc('hour', ts) AS h, event_type,
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h, event_type,
       |       cast(sum(cast(json_extract(props,'$.k') AS INT)) AS BIGINT) AS sk,
       |       count(*) AS n
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
@@ -413,11 +417,14 @@ object Queries {
     graft.ops.Joins.asofLookup(
         t(spark, dir, "events"), t(spark, dir, "orders"),
         "ts", "o_orderdate", "last_od")
-      .select("event_id", "last_od")
+      .select(col("event_id"),
+        // µs BIGINT, not TIMESTAMP (§2.3 rule 8); the cast is a no-op
+        // when the scan already produced instants under the UTC session.
+        unix_micros(col("last_od").cast("timestamp")).as("last_od"))
       .orderBy("event_id")
 
   val q21Sql: String =
-    """SELECT e.event_id, max(o.o_orderdate) AS last_od
+    """SELECT e.event_id, epoch_us(max(o.o_orderdate)) AS last_od
       |FROM events e LEFT JOIN orders o ON o.o_orderdate <= e.ts
       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
 

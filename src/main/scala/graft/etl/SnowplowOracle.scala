@@ -93,9 +93,17 @@ object SnowplowOracle {
     (s"len(f) = $NUM_FIELDS" +: perField).mkString("\n  AND ")
   }
 
-  /** Oracle for p1_snowplow_good: typed values of the projected columns. */
+  /** Oracle for p1_snowplow_good: typed values of the projected columns.
+    * Timestamp fields are emitted as µs-since-epoch BIGINT (SURVEY §2.3
+    * rule 8) — mirrors p1Good's unix_micros conversion, driven by the same
+    * FIELDS types so the two sides cannot disagree on which columns convert.
+    */
   def p1GoodSql(outCols: Seq[String]): String = {
-    val sel = outCols.map(n => s"${typedByName(n)} AS $n").mkString(",\n       ")
+    val sel = outCols.map { n =>
+      val t = typedByName(n)
+      val e = if (FIELDS(idx(n))._2 == TimestampType) s"epoch_us($t)" else t
+      s"$e AS $n"
+    }.mkString(",\n       ")
     s"""WITH $linesCte
        |SELECT $sel
        |FROM lines

@@ -95,13 +95,15 @@ object StreamQueries {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
-      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+      // window start as µs BIGINT, not TIMESTAMP (§2.3 rule 8)
+      .select(unix_micros(col("window.start")).as("h"),
+        col("event_type"), col("n"), col("v"))
     runToTable(spark, agg, "s2_tumbling", sfDir, OutputMode.Complete())
       .orderBy("h", "event_type")
   }
 
   val s2Sql: String =
-    """SELECT date_trunc('hour', ts) AS h, event_type,
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h, event_type,
       |       count(*) AS n, round(sum(value),2) AS v
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
@@ -123,7 +125,9 @@ object StreamQueries {
     val agg = joined
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("category"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
-      .select(col("window.start").as("w_start"), col("category"), col("n"), col("v"))
+      // window start as µs BIGINT, not TIMESTAMP (§2.3 rule 8)
+      .select(unix_micros(col("window.start")).as("w_start"),
+        col("category"), col("n"), col("v"))
     runToTable(spark, agg, "s3_sliding", sfDir, OutputMode.Complete())
       .orderBy("w_start", "category")
   }
@@ -133,8 +137,8 @@ object StreamQueries {
   val s3Sql: String =
     """SELECT ws AS w_start, category, count(*) AS n, round(sum(value),2) AS v
       |FROM (
-      |  SELECT CAST(unnest([to_timestamp(floor(epoch(ts)/300)*300),
-      |                      to_timestamp(floor(epoch(ts)/300)*300 - 300)]) AS TIMESTAMP) AS ws,
+      |  SELECT CAST(unnest([floor(epoch(ts)/300)*300*1000000,
+      |                      (floor(epoch(ts)/300)*300 - 300)*1000000]) AS BIGINT) AS ws,
       |         CASE WHEN event_type IN ('click','view') THEN 'engagement'
       |              WHEN event_type IN ('purchase','signup') THEN 'conversion'
       |              ELSE 'ops' END AS category,
@@ -149,7 +153,8 @@ object StreamQueries {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
       .select(
-        col("session_window.start").as("s_start"),
+        // session start as µs BIGINT, not TIMESTAMP (§2.3 rule 8)
+        unix_micros(col("session_window.start")).as("s_start"),
         col("user_id"), col("n"), col("v"))
     runToTable(spark, agg, "s4_session", sfDir, OutputMode.Complete())
       .orderBy("user_id", "s_start")
@@ -157,7 +162,7 @@ object StreamQueries {
 
   // Batch sessionization: lag-gap flag → running session id → group.
   val s4Sql: String =
-    """SELECT CAST(min(ts) AS TIMESTAMP) AS s_start, user_id,
+    """SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS s_start, user_id,
       |       count(*) AS n, round(sum(value),2) AS v
       |FROM (
       |  SELECT user_id, ts, value,
@@ -680,12 +685,14 @@ object StreamQueries {
       .join(heavyPerH, Seq("h"), "left")
       .join(missingPerH, Seq("h"), "left")
       .select(
-        col("h"),
+        // window start as µs BIGINT, not TIMESTAMP (§2.3 rule 8); the
+        // h-keyed joins above stay timestamp-typed — only the dump converts
+        unix_micros(col("h")).as("h"),
         col("n"),
         coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
         (coalesce(col("n_missing"), lit(0L)) === 0L).as("all_heavy_present"),
         (size(col("sk")) <= k).as("size_ok"))
-      .orderBy("h")
+      .orderBy(col("h"))
   }
 
   val s13Sql: String =
@@ -699,7 +706,7 @@ object StreamQueries {
       |), tot AS (
       |  SELECT h, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY h
       |)
-      |SELECT tot.h, tot.n,
+      |SELECT epoch_us(tot.h) AS h, tot.n,
       |       CAST(count(*) FILTER (WHERE per.cnt * 8 > tot.n) AS BIGINT)
       |         AS n_heavy,
       |       TRUE AS all_heavy_present,
