@@ -211,7 +211,8 @@ object Bench {
       load: () => Double = () => loadAvg(),
       sleep: Long => Unit = Thread.sleep,
       rerunBudgetMs: java.util.concurrent.atomic.AtomicLong =
-        new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)): QueryTiming = {
+        new java.util.concurrent.atomic.AtomicLong(Long.MaxValue),
+      perEntryBudgetMs: Long = Long.MaxValue): QueryTiming = {
     def timedPass(): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
         val la = load()
@@ -233,8 +234,13 @@ object Bench {
     var pass = 0
     var rerunFailed = false
     var rerunSkipped = false
+    // r19 (VERDICT r18 #3): per-ENTRY rerun cap inside the sweep budget —
+    // one noisy entry (k21b-class) could drain the whole sweep budget
+    // through its own passes + calm-waits and starve every later breach.
+    var entrySpentMs = 0L
     while (timings.nonEmpty && !rerunFailed && !rerunSkipped &&
-        pass < maxRerunPasses && needsRerun(lastMedian, baseline)) {
+        pass < maxRerunPasses && entrySpentMs < perEntryBudgetMs &&
+        needsRerun(lastMedian, baseline)) {
       // r18 (VERDICT r17 #1): the rerun machinery under sustained ambient
       // load MULTIPLIES wall-clock — BENCH_r17's k_simhash burned ~200 s
       // on a 0.42 s entry before the driver's external timeout killed the
@@ -272,8 +278,10 @@ object Bench {
         }
         // charge real elapsed wall-clock (incl. calm-wait) — with an
         // injected sleep the wait is simulated, so charge it explicitly
-        rerunBudgetMs.addAndGet(
-          -math.max((System.nanoTime() - passStartNs) / 1000000L, waited))
+        val chargedMs =
+          math.max((System.nanoTime() - passStartNs) / 1000000L, waited)
+        rerunBudgetMs.addAndGet(-chargedMs)
+        entrySpentMs += chargedMs
       }
     }
     val rerunMedians = rerunPasses.toSeq.map(p => median(p.map(_._1)))
@@ -283,6 +291,99 @@ object Bench {
       mainRuns,
       if (rerunPasses.isEmpty) None else Some(rerunPasses.toSeq.flatten),
       rerunMedians, rerunSkipped = rerunSkipped)
+  }
+
+  /** Per-visit rerun bounds (VERDICT r18 #3): each visit to an entry may
+    * add at most ONE 3-timing rerun pass and spend at most
+    * [[PerEntryRerunMs]] wall-clock (calm-wait included) — the k21b
+    * starvation bound. Budget left when the sweep completes is then
+    * spent by [[secondChance]] on the worst-ratio pending entries.
+    */
+  val PerEntryRerunMs = 45000L
+
+  /** One more capped rerun pass for an already-timed entry, merged into
+    * its evidence: the post-sweep redistribution visit. Same calm-wait +
+    * budget-charging discipline as [[timeQuery]]'s loop; a visit never
+    * runs when the shared budget is spent.
+    */
+  def revisit(qt: QueryTiming, run: () => Unit,
+      calmWaitMs: Long = 0L,
+      load: () => Double = () => loadAvg(),
+      sleep: Long => Unit = Thread.sleep,
+      rerunBudgetMs: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)): QueryTiming = {
+    if (qt.failed || rerunBudgetMs.get() <= 0L) return qt
+    val passStartNs = System.nanoTime()
+    var waited = 0L
+    while (waited < calmWaitMs && waited < PerEntryRerunMs &&
+        load() > LoadBound) {
+      sleep(1000L); waited += 1000L
+    }
+    val runs =
+      try (1 to 3).map { _ =>
+        val la = load()
+        val t0 = System.nanoTime()
+        run()
+        ((System.nanoTime() - t0) / 1e9, la)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${qt.name} revisit FAILED: ${e.getMessage}")
+        Seq.empty[(Double, Double)]
+      }
+    rerunBudgetMs.addAndGet(-math.max(
+      (System.nanoTime() - passStartNs) / 1000000L, waited))
+    if (runs.isEmpty) qt
+    else {
+      val newMedian = median(runs.map(_._1))
+      val newBest = qt.rerun match {
+        case Some(prev) if median(prev) <= newMedian => prev
+        case _ => runs.map(_._1).sorted
+      }
+      qt.copy(
+        rerun = Some(newBest),
+        rerunRuns = Some(qt.rerunRuns.getOrElse(Nil) ++ runs),
+        rerunMedians = qt.rerunMedians :+ newMedian,
+        // the entry got its (post-sweep) rerun after all
+        rerunSkipped = false)
+    }
+  }
+
+  /** Post-sweep budget redistribution (VERDICT r18 #3): while shared
+    * budget remains, give the still-unconfirmed entries (worst
+    * baseline-ratio first) one more capped pass each, up to
+    * `maxVisits` per entry. Returns the updated roster after each
+    * visit via `onUpdate` so the caller can re-emit its artifacts.
+    */
+  def secondChance(results: scala.collection.mutable.ArrayBuffer[QueryTiming],
+      runs: Map[String, () => Unit],
+      calmWaitMs: Long,
+      rerunBudgetMs: java.util.concurrent.atomic.AtomicLong,
+      load: () => Double = () => loadAvg(),
+      sleep: Long => Unit = Thread.sleep,
+      maxVisits: Int = 2,
+      onUpdate: () => Unit = () => ()): Unit = {
+    val visits = scala.collection.mutable.Map.empty[String, Int]
+    var go = true
+    while (go && rerunBudgetMs.get() > 0L) {
+      val cand = results.zipWithIndex
+        .filter { case (r, _) =>
+          !r.failed && needsRerun(r.finalMedian, r.baseline) &&
+            visits.getOrElse(r.name, 0) < maxVisits &&
+            runs.contains(r.name) }
+        .sortBy { case (r, _) => -(r.finalMedian / r.baseline.get) }
+      cand.headOption match {
+        case None => go = false
+        case Some((r, i)) =>
+          visits(r.name) = visits.getOrElse(r.name, 0) + 1
+          System.err.println(
+            f"[bench] ${r.name}: second-chance pass (ratio " +
+              f"${r.finalMedian / r.baseline.get}%.2fx, visit " +
+              s"${visits(r.name)}/$maxVisits, budget " +
+              s"${rerunBudgetMs.get() / 1000}s left)")
+          results(i) = revisit(r, runs(r.name), calmWaitMs, load, sleep,
+            rerunBudgetMs)
+          onUpdate()
+      }
+    }
   }
 
   /** Full audit artifact for target/bench.json: every timing, both passes.
@@ -492,10 +593,7 @@ object Bench {
     // completed prefix no matter where the axe falls), and the full-json
     // artifacts are rewritten in step.
     val acc = scala.collection.mutable.ArrayBuffer.empty[QueryTiming]
-    for ((name, fn) <- benchable) {
-      acc += timeQuery(name, () => materialize(fn(spark, sfDir)),
-        baseline.get(name), maxRerunPasses = 3, calmWaitMs = 20000L,
-        rerunBudgetMs = rerunBudgetMs)
+    def emit(): Unit = {
       val snapshot = acc.toSeq
       println(summaryJson(snapshot, sfDir, ofTotal = Some(benchable.size)))
       System.out.flush()
@@ -503,6 +601,21 @@ object Bench {
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
       audit.foreach(p => java.nio.file.Files.write(p, full.getBytes("UTF-8")))
     }
+    // r19 (VERDICT r18 #3): ONE capped rerun pass (3 timings, <=45 s) per
+    // entry during the sweep — a noisy entry can no longer starve later
+    // breaches — then secondChance below redistributes whatever budget
+    // remains to the worst-ratio unconfirmed entries.
+    for ((name, fn) <- benchable) {
+      acc += timeQuery(name, () => materialize(fn(spark, sfDir)),
+        baseline.get(name), maxRerunPasses = 1, calmWaitMs = 20000L,
+        rerunBudgetMs = rerunBudgetMs, perEntryBudgetMs = PerEntryRerunMs)
+      emit()
+    }
+    secondChance(acc,
+      benchable.map { case (n, fn) =>
+        n -> (() => materialize(fn(spark, sfDir))) }.toMap,
+      calmWaitMs = 20000L, rerunBudgetMs = rerunBudgetMs,
+      onUpdate = () => emit())
     val results = acc.toSeq
     audit match {
       case Some(p) =>

@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
@@ -565,6 +565,7 @@ class GraftCatalog extends TableCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false
+    GraftCatalog.forgetDeclaredTs(dirOf(ident))
     fs(dirOf(ident)).delete(new Path(dirOf(ident)), true)
   }
 
@@ -598,6 +599,8 @@ class GraftCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    GraftCatalog.forgetDeclaredTs(dirOf(oldIdent))
+    GraftCatalog.forgetDeclaredTs(dirOf(newIdent))
     val f = fs(dirOf(oldIdent))
     f.mkdirs(new Path(dirOf(newIdent)).getParent)
     require(f.rename(new Path(dirOf(oldIdent)), new Path(dirOf(newIdent))),
@@ -661,10 +664,27 @@ private[sources] class StagedLakeTable(
   private def fs = new Path(destDir)
     .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
 
+  // a bare MANIFEST-LESS dest dir (crashed DROP, stray user dir) would
+  // swallow the publish: FileSystem.rename moves the staged dir INTO an
+  // existing destination, nesting the table invisibly at dest/.stage-*
+  // while exists() stays false (ADVICE r17). Park it aside in the same
+  // `.replaced-*` trash pattern a displaced table uses — the leftover
+  // may be LIVE non-graft data (raw parquet dropped into the warehouse
+  // path), so it is never deleted (ADVICE r18); clean_staging sweeps
+  // the trash age-gated.
+  private def parkLeftoverAside(f: FileSystem, dest: Path): Unit =
+    if (f.exists(dest)) {
+      val aside = new Path(dest.getParent,
+        s".replaced-${ident.name()}-${java.util.UUID.randomUUID()}")
+      require(f.rename(dest, aside),
+        s"CTAS publish: could not move non-table leftover $dest aside")
+    }
+
   override def commitStagedChanges(): Unit = {
     val f = fs
     val staged = new Path(stagedDir)
     val dest = new Path(destDir)
+    GraftCatalog.forgetDeclaredTs(destDir)
     f.mkdirs(dest.getParent)
     val existed = f.exists(new Path(dest, "manifest"))
     if (!replace) {
@@ -674,12 +694,7 @@ private[sources] class StagedLakeTable(
         f.delete(staged, true)
         throw new TableAlreadyExistsException(ident)
       }
-      // a bare MANIFEST-LESS dest dir (crashed DROP, stray user dir)
-      // would swallow the publish: FileSystem.rename moves the staged
-      // dir INTO an existing destination, nesting the table invisibly
-      // at dest/.stage-* while exists() stays false (ADVICE r17) —
-      // mirror the REPLACE branch and clear the leftover first
-      if (f.exists(dest)) f.delete(dest, true)
+      parkLeftoverAside(f, dest)
       require(f.rename(staged, dest),
         s"CTAS publish rename failed: $stagedDir -> $destDir")
     } else if (!existed) {
@@ -690,8 +705,7 @@ private[sources] class StagedLakeTable(
         f.delete(staged, true)
         throw new NoSuchTableException(ident)
       }
-      // a bare (non-manifest) leftover dir would block the rename
-      if (f.exists(dest)) f.delete(dest, true)
+      parkLeftoverAside(f, dest)
       require(f.rename(staged, dest),
         s"RTAS publish rename failed: $stagedDir -> $destDir")
     } else {
@@ -784,26 +798,70 @@ object GraftCatalog {
     writeMergedProps(spark, dir, kv)
   }
 
+  /** `ts.zone` value meaning the table's writes spanned session zones:
+    * day = to_date(ts) is no longer a single-zone function of ts, so the
+    * read side must not derive day bounds or ts-ordered TopN admission
+    * from it (ADVICE r18). Sticky — zones cannot un-mix.
+    */
+  private[graft] val TsZoneMixed = "mixed"
+  // memo sentinel: ts present but its write zone is unverifiable
+  // (legacy table, or zone-recording refused) — nothing left to record
+  private val TsZoneNone = " none"
+
   /** Record the event-time column a path-based write was given, once —
     * first write wins, a declared (catalog-CREATE) value is never
     * touched. This is what lets the read side derive ts→day pruning
     * WITHOUT the bare `"ts"` default guess ADVICE r17 flagged (an
     * unrelated data column physically named `ts` would have derived
     * wrong day bounds and silently pruned matching rows).
+    *
+    * Alongside it, record the SESSION ZONE the write's `to_date(ts)`
+    * runs under (ADVICE r18): the reader derives day bounds with the
+    * RECORDED zone, never its own session's. First data-free write wins;
+    * a later write under a different zone flips `ts.zone` to
+    * [[TsZoneMixed]] permanently, and a table that already has commits
+    * before any zone was recorded stays zone-less (its history is
+    * unverifiable) — both states disable the derivation, which is only
+    * an optimization.
     */
   private[graft] def recordDeclaredTs(
       spark: SparkSession, dir: String, tsCol: String): Unit = {
-    // once recorded (by anyone), recorded forever — the JVM-local memo
-    // spares a streaming sink one props-file read per micro-batch
-    if (tsRecordedDirs.contains(dir)) return
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // the JVM-local memo spares a streaming sink one props-file read per
+    // micro-batch; keyed by the CONFIRMED zone state so a write under a
+    // new session zone re-checks and records the mix
+    val seen = tsRecordedDirs.get(dir)
+    if (seen == zone || seen == TsZoneMixed || seen == TsZoneNone) return
     dirLock(dir).synchronized {
-      if (!readCreateProps(spark, dir).contains("ts"))
-        writeMergedProps(spark, dir, Map("ts" -> tsCol))
-      tsRecordedDirs.add(dir)
+      val props = readCreateProps(spark, dir)
+      (props.get("ts"), props.get("ts.zone")) match {
+        case (None, _) => // fresh path-based table: called at STAGE time
+          // of the first write, so the zone claim covers all of its data
+          writeMergedProps(spark, dir,
+            Map("ts" -> tsCol, "ts.zone" -> zone))
+          tsRecordedDirs.put(dir, zone)
+        case (Some(_), Some(z)) if z == zone || z == TsZoneMixed =>
+          tsRecordedDirs.put(dir, if (z == zone) zone else TsZoneMixed)
+        case (Some(_), Some(_)) => // writes spanned zones — sticky
+          writeMergedProps(spark, dir, Map("ts.zone" -> TsZoneMixed))
+          tsRecordedDirs.put(dir, TsZoneMixed)
+        case (Some(_), None) =>
+          // catalog-declared ts: safe to claim the zone only while the
+          // table has no committed data (this stage is its first write)
+          if (graft.etl.LakeSnapshot.currentEpoch(spark, dir) < 0) {
+            writeMergedProps(spark, dir, Map("ts.zone" -> zone))
+            tsRecordedDirs.put(dir, zone)
+          } else tsRecordedDirs.put(dir, TsZoneNone)
+      }
     }
   }
+  // DROP/recreate at the same path must re-record (ADVICE r18): the
+  // catalog's drop/replace paths call this, so a long-lived driver never
+  // serves a stale early-return for a NEW table at an old dir
+  private[graft] def forgetDeclaredTs(dir: String): Unit =
+    tsRecordedDirs.remove(dir)
   private val tsRecordedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // one lock per table dir (JVM-wide): upsertProps was an unlocked
   // read-merge-write, so two same-JVM writers (ALTER TBLPROPERTIES racing

@@ -114,13 +114,24 @@ object GraftLakeSource {
 
   /** Instant parsing shared by `timestampAsOf` (batch) and
     * `startingTimestamp` (stream): epoch millis, `yyyy-MM-dd[ HH:mm:ss]`,
-    * or an ISO instant.
+    * or an ISO instant. Local-datetime forms resolve in the SESSION
+    * zone, not the JVM default (ADVICE r18): the session-timezone
+    * contract every other timestamp seam standardizes on — two drivers
+    * with different OS zones must pin the same epoch.
     */
   private[sources] def parseInstantMs(raw: String): Long =
     raw.toLongOption.getOrElse {
-      try java.sql.Timestamp.valueOf(
-        if (raw.length == 10) s"$raw 00:00:00" else raw).getTime
-      catch { case _: IllegalArgumentException =>
+      val zone = java.time.ZoneId.of(SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone)
+      try {
+        val ldt =
+          if (raw.length == 10)
+            java.time.LocalDate.parse(raw).atStartOfDay()
+          else java.time.LocalDateTime.parse(raw,
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        ldt.atZone(zone).toInstant.toEpochMilli
+      } catch { case _: java.time.format.DateTimeParseException =>
         java.time.Instant.parse(raw).toEpochMilli }
     }
 
@@ -577,11 +588,19 @@ private[sources] class LakeScanBuilder(
     val dir = GraftLakeSource.dirOf(props)
     val sortsLikeDay = colName == "day" || {
       // the declared event-time column (current logical name): its order
-      // agrees with day order by the write contract day = to_date(ts)
+      // agrees with day order by the write contract day = to_date(ts) —
+      // which is monotone in ts only under ONE fixed write zone, so a
+      // table whose writes spanned zones (ts.zone=mixed) or whose zone
+      // was never recorded refuses the push (ADVICE r18); the read
+      // OPTION remains the user's explicit single-zone assertion
       val state = LakeSnapshot.tableState(
         spark, dir, props.get("epoch").map(_.toInt))
-      GraftCatalog.readCreateProps(spark, dir)
-        .get("ts").orElse(props.get("ts"))
+      val cp = GraftCatalog.readCreateProps(spark, dir)
+      val declared = for {
+        t <- cp.get("ts")
+        z <- cp.get("ts.zone") if z != GraftCatalog.TsZoneMixed
+      } yield t
+      declared.orElse(props.get("ts").filter(_ => cp.get("ts").isEmpty))
         .flatMap(state.logicalFor).contains(colName)
     }
     sortsLikeDay && limitSafe() && {
@@ -782,16 +801,27 @@ private[sources] class LakeScan(
   // column is explicitly known (declared prop or read option): the old
   // bare "ts" default guess could alias an unrelated data column
   // physically named ts and prune days containing matching rows
-  // (ADVICE r17). The day date is derived in the SESSION zone — the
-  // same zone to_date used at write (ADVICE r17's other medium).
+  // (ADVICE r17). The day date is derived in the zone to_date used AT
+  // WRITE — recorded as `ts.zone` alongside `ts` at the table's first
+  // write (ADVICE r18: the reader's session zone is an unverifiable
+  // stand-in; wrong-zone bounds silently prune live day partitions near
+  // day boundaries). No recorded zone, or a mixed-zone write history →
+  // derivation is skipped (it is only an optimization). The read-OPTION
+  // ts path keeps the reader's session zone: an explicit per-read user
+  // assertion that this session's zone is the write zone.
   private lazy val tsDayFilters: Seq[sources.Filter] = {
     val spark = SparkSession.active
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
-    GraftCatalog.readCreateProps(spark, dir)
-      .get("ts").orElse(props.get("ts"))
-      .flatMap(state.logicalFor)
-      .map(t => GraftLakeSource.derivedDayFilters(t, statFilters, zone))
+    val cp = GraftCatalog.readCreateProps(spark, dir)
+    val declared = for {
+      t <- cp.get("ts")
+      z <- cp.get("ts.zone") if z != GraftCatalog.TsZoneMixed
+    } yield (t, java.time.ZoneId.of(z))
+    declared
+      .orElse(props.get("ts").filter(_ => cp.get("ts").isEmpty).map(t =>
+        (t, java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone))))
+      .flatMap { case (t, zone) => state.logicalFor(t)
+        .map(l => GraftLakeSource.derivedDayFilters(l, statFilters, zone)) }
       .getOrElse(Nil)
   }
 

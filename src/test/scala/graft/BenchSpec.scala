@@ -290,4 +290,77 @@ class BenchSpec extends AnyFunSuite {
       maxRerunPasses = 1, calmWaitMs = 0, load = () => 0.4)
     assert(sus.suspect && !sus.watch)
   }
+
+  test("r19 per-entry rerun cap (VERDICT r18 #3): a hog entry charges at " +
+    "most one capped pass, so a LATER breach still gets its rerun from " +
+    "the shared budget") {
+    // budget sized so the OLD behavior (3 passes for the hog, ~2.7 s
+    // charged) would starve the later entry, while one capped pass
+    // (~0.9 s) leaves budget for it
+    val budget = new java.util.concurrent.atomic.AtomicLong(1500L)
+    val hogRun = () => Thread.sleep(300)
+    val hog = Bench.timeQuery("hog", hogRun, Some(0.001),
+      maxRerunPasses = 1, calmWaitMs = 0, load = () => 0.4,
+      rerunBudgetMs = budget, perEntryBudgetMs = Bench.PerEntryRerunMs)
+    assert(hog.rerunMedians.length == 1,
+      "the sweep visit adds exactly ONE rerun pass (3 timings)")
+    assert(budget.get() > 0L,
+      s"one capped pass must not drain the sweep budget, left ${budget.get()}")
+    val later = Bench.timeQuery("later", () => Thread.sleep(300), Some(0.001),
+      maxRerunPasses = 1, calmWaitMs = 0, load = () => 0.4,
+      rerunBudgetMs = budget, perEntryBudgetMs = Bench.PerEntryRerunMs)
+    assert(!later.rerunSkipped && later.rerunMedians.nonEmpty,
+      "the later breach must still get its rerun")
+  }
+
+  test("r19 per-entry wall budget cuts a multi-pass loop even when the " +
+    "sweep budget and pass count would allow more") {
+    var calls = 0
+    val slow = () => { calls += 1; Thread.sleep(300) }
+    val r = Bench.timeQuery("entrycap", slow, Some(0.001),
+      maxRerunPasses = 3, calmWaitMs = 0, load = () => 0.4,
+      perEntryBudgetMs = 500L) // < one ~900 ms pass
+    assert(r.rerunMedians.length == 1,
+      s"pass 2 must be blocked by the entry budget, got ${r.rerunMedians.length}")
+    assert(r.suspect)
+  }
+
+  test("r19 secondChance: leftover budget goes to the worst-ratio " +
+    "pending entries first, merges the pass into the entry's evidence, " +
+    "and clears rerun_skipped") {
+    import scala.collection.mutable.ArrayBuffer
+    def breached(name: String, sec: Double, base: Double,
+        skipped: Boolean) =
+      Bench.QueryTiming(name, Seq(sec, sec, sec), None, Some(base),
+        mainRuns = Seq((sec, 0.4), (sec, 0.4), (sec, 0.4)),
+        rerunSkipped = skipped)
+    val acc = ArrayBuffer(
+      breached("mild", 0.9, 0.3, skipped = true),   // 3.0x
+      Bench.QueryTiming("fine", Seq(0.1, 0.1, 0.1), None, Some(0.09)),
+      breached("awful", 3.0, 0.3, skipped = true))  // 10.0x
+    val order = ArrayBuffer.empty[String]
+    val runs = Map[String, () => Unit](
+      "mild" -> (() => { order += "mild"; Thread.sleep(5) }),
+      "awful" -> (() => { order += "awful"; Thread.sleep(5) }))
+    var updates = 0
+    val budget = new java.util.concurrent.atomic.AtomicLong(60000L)
+    Bench.secondChance(acc, runs, calmWaitMs = 0,
+      rerunBudgetMs = budget, load = () => 0.4,
+      onUpdate = () => updates += 1)
+    assert(order.take(3) == Seq("awful", "awful", "awful"),
+      s"worst ratio first, got $order") // 3 timings of the first visit
+    val awful = acc.find(_.name == "awful").get
+    val mild = acc.find(_.name == "mild").get
+    assert(!awful.rerunSkipped && !mild.rerunSkipped)
+    assert(awful.rerun.isDefined && awful.finalMedian < 0.1,
+      "the clean second-chance pass becomes the reported number")
+    assert(mild.finalMedian < 0.1)
+    assert(updates >= 2, "every visit re-emits the artifacts")
+    // spent budget -> no visits at all
+    val untouched = ArrayBuffer(breached("x", 3.0, 0.3, skipped = true))
+    Bench.secondChance(untouched, Map("x" -> (() => fail("must not run"))),
+      calmWaitMs = 0,
+      rerunBudgetMs = new java.util.concurrent.atomic.AtomicLong(0L))
+    assert(untouched.head.rerunSkipped)
+  }
 }

@@ -629,30 +629,122 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSeq === Seq(1L))
   }
 
-  test("ts->day derivation uses the SESSION zone — the zone to_date " +
-    "used at write (ADVICE r17): boundary rows survive under a " +
-    "non-UTC session") {
+  test("ts->day derivation uses the RECORDED write zone (ADVICE r18): " +
+    "a table written under a non-UTC session keeps its boundary rows " +
+    "when READ under a different session zone") {
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val dir = freshDir("ts_session_zone")
+    // 2024-01-02 03:00 Tokyo == 2024-01-01 18:00 UTC: the write labels
+    // the day 2024-01-02 (write-session zone); a reader-zone-derived
+    // bound from the same literal would point at day 2024-01-01 and
+    // prune the row
+    val t = java.sql.Timestamp.from(
+      java.time.ZonedDateTime.of(2024, 1, 2, 3, 0, 0, 0,
+        java.time.ZoneId.of("Asia/Tokyo")).toInstant)
     try {
       spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-      val dir = freshDir("ts_session_zone")
-      // 2024-01-02 03:00 Tokyo == 2024-01-01 18:00 UTC: the write labels
-      // the day 2024-01-02 (session zone); a UTC-derived bound from the
-      // same literal would point at day 2024-01-01 and prune the row
-      val t = java.sql.Timestamp.from(
-        java.time.ZonedDateTime.of(2024, 1, 2, 3, 0, 0, 0,
-          java.time.ZoneId.of("Asia/Tokyo")).toInstant)
       LakeSnapshot.merge(spark, dir,
         Seq((1L, t, 1.0)).toDF("event_id", "ts", "value"),
         "event_id", "ts")
-      // equality on the exact boundary-adjacent instant: the derived
-      // day must match the written label or the row vanishes
+      // the write funnel recorded the write zone next to the ts column
+      assert(GraftCatalog.readCreateProps(spark, dir).get("ts.zone")
+        === Some("Asia/Tokyo"))
+      // same-zone read: equality on the boundary-adjacent instant
       assert(dsv2(dir).filter(col("ts") === lit(t))
         .select("event_id").as[Long].collect().toSeq === Seq(1L),
-        "session-zone write + UTC-derived day bound would lose this row")
-      // and a range read over the instant finds it too
-      assert(dsv2(dir).filter(col("ts") >= lit(t))
-        .select("event_id").as[Long].collect().toSeq === Seq(1L))
+        "write-zone day bound must match the written label")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // CROSS-ZONE read (the r18 ADVICE scenario): the session is back to
+    // UTC, but day bounds must still derive in the RECORDED Tokyo zone
+    // — the r17 session-zone rule would derive day<=2024-01-01 here and
+    // silently prune the live 2024-01-02 partition
+    LakeDeltaStateCache.clear()
+    assert(dsv2(dir).filter(col("ts") === lit(t))
+      .select("event_id").as[Long].collect().toSeq === Seq(1L),
+      "reader-zone-derived day bounds lose rows near day boundaries")
+    assert(dsv2(dir).filter(col("ts") >= lit(t))
+      .select("event_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("mixed-zone write history flips ts.zone to 'mixed' and disables " +
+    "derivation; a zone-less recorded-ts table never derives (ADVICE " +
+    "r18)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val dir = freshDir("ts_mixed_zone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      LakeSnapshot.merge(spark, dir,
+        Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // second write under UTC: zones spanned — sticky mixed
+    LakeSnapshot.merge(spark, dir,
+      Seq((2L, ts(2), 2.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    assert(GraftCatalog.readCreateProps(spark, dir).get("ts.zone")
+      === Some(GraftCatalog.TsZoneMixed))
+    // derivation is OFF: punch a hole in day 1 — a ts filter that would
+    // have derived day>=2024-01-02 must now fail loudly (day 1 still
+    // LISTS), proving no silent wrong-zone pruning can occur
+    val schema = dsv2(dir).schema
+    val d1 = new org.apache.hadoop.fs.Path(s"$dir/data/gen=0/day=2024-01-01")
+    val fs = d1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(d1, true))
+    LakeDeltaStateCache.clear()
+    intercept[Exception] {
+      spark.read.format("graft-lake").schema(schema).option("path", dir)
+        .load().filter(col("ts") >= lit(ts(2))).collect()
+    }
+    // …and values still come back right through the residual filter on
+    // an intact lake (rebuild)
+    val dir2 = freshDir("ts_mixed_zone2")
+    LakeSnapshot.merge(spark, dir2,
+      Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0))
+        .toDF("event_id", "ts", "value"), "event_id", "ts")
+    assert(dsv2(dir2).filter(col("ts") >= lit(ts(2)))
+      .select("event_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("recordDeclaredTs memo invalidation (ADVICE r18): DROP/recreate " +
+    "at the same path re-records; without forget the memo would " +
+    "early-return forever") {
+    val dir = freshDir("ts_memo")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "event_time", "value"),
+      "event_id", "event_time")
+    assert(GraftCatalog.readCreateProps(spark, dir).get("ts")
+      === Some("event_time"))
+    // simulate DROP + recreate at the same path in one JVM
+    val p = Paths.get(dir)
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[JPath]())
+      .forEach(f => Files.deleteIfExists(f))
+    GraftCatalog.forgetDeclaredTs(dir) // what dropTable/rename/CTAS do
+    LakeDeltaStateCache.clear()
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "other_time", "value"),
+      "event_id", "other_time")
+    assert(GraftCatalog.readCreateProps(spark, dir).get("ts")
+      === Some("other_time"),
+      "the NEW table at the old path must get its own ts recording")
+  }
+
+  test("parseInstantMs resolves local-datetime forms in the SESSION " +
+    "zone, not the JVM default (ADVICE r18)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val ms = GraftLakeSource.parseInstantMs("2024-01-02 03:00:00")
+      val want = java.time.ZonedDateTime.of(2024, 1, 2, 3, 0, 0, 0,
+        java.time.ZoneId.of("Asia/Tokyo")).toInstant.toEpochMilli
+      assert(ms === want)
+      assert(GraftLakeSource.parseInstantMs("2024-01-02") ===
+        java.time.ZonedDateTime.of(2024, 1, 2, 0, 0, 0, 0,
+          java.time.ZoneId.of("Asia/Tokyo")).toInstant.toEpochMilli)
+      // epoch millis and ISO instants are zone-independent
+      assert(GraftLakeSource.parseInstantMs("1700000000000")
+        === 1700000000000L)
+      assert(GraftLakeSource.parseInstantMs("2024-01-02T03:00:00Z") ===
+        java.time.Instant.parse("2024-01-02T03:00:00Z").toEpochMilli)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 

@@ -231,11 +231,24 @@ class LakeCtasSpec extends AnyFunSuite {
     assert(Files.exists(leftover.resolve("manifest")),
       "the table must land AT the dest path")
     assert(!Files.exists(leftover.resolve("junk")),
-      "the manifest-less leftover is cleared by the publish")
+      "the manifest-less leftover must not remain under the table")
     val nested = Files.list(leftover).iterator()
     while (nested.hasNext) {
       val n = nested.next().getFileName.toString
       assert(!n.startsWith(".stage-"), s"table nested at dest/$n")
     }
+    // the leftover may have been LIVE non-graft data (raw parquet
+    // dropped into the warehouse path): it is PARKED in a .replaced-*
+    // trash dir, never deleted (ADVICE r18) — clean_staging sweeps it
+    // age-gated like any displaced table
+    val parked = Files.list(Paths.get(wh)).iterator()
+    var strayFound = false
+    while (parked.hasNext) {
+      val d = parked.next()
+      if (d.getFileName.toString.startsWith(".replaced-ctas_leftover-") &&
+        Files.exists(d.resolve("junk/file.txt"))) strayFound = true
+    }
+    assert(strayFound,
+      "the displaced manifest-less dir's contents must survive in trash")
   }
 }
