@@ -180,6 +180,86 @@ object ScaleRehearsal {
     // batch; the capped previews must not add a table-sized term)
     "p54_limit_pushdown")
 
+  /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
+    * re-run SOLO in a fresh JVM automatically, and the artifact carries
+    * both readings machine-readably — the r17/r18 adjudications showed
+    * late-roster JVM/page-cache aging minting 2–3× phantom super-linear
+    * ratios (p15 9.0× in-roster vs 4.6× solo) that previously needed
+    * prose in BASELINE.md to be read correctly.
+    */
+  val SoloBand: Double =
+    sys.env.get("SPARK_GRAFT_SCALE_BAND").map(_.toDouble).getOrElse(5.0)
+
+  /** Cap on automatic solo re-runs per rehearsal (each is a fresh JVM +
+    * Spark session + both-scale timings): worst ratios first.
+    */
+  val MaxSoloReruns: Int =
+    sys.env.get("SPARK_GRAFT_SCALE_MAX_SOLO").map(_.toInt).getOrElse(6)
+
+  /** The tracked artifact line: roster trios, plus a `solo` trio for
+    * every out-of-band entry that was re-adjudicated, plus the band
+    * itself — self-describing without prose.
+    */
+  def rehearsalJson(
+      rows: Seq[(String, (Double, Double, Double))],
+      solos: Map[String, (Double, Double, Double)],
+      src: String, out: String): String = {
+    def trio(t: (Double, Double, Double)): String =
+      s""""small_sec":${f"${t._1}%.2f"},"big_sec":${f"${t._2}%.2f"},""" +
+        s""""ratio":${f"${t._3}%.2f"}"""
+    val js = rows.map { case (n, t) =>
+      val solo = solos.get(n).map(s => s""","solo":{${trio(s)}}""").getOrElse("")
+      s""""$n":{${trio(t)}$solo}"""
+    }.mkString("{", ",", "}")
+    s"""{"metric":"scale_rehearsal","reps":$Reps,"band":${f"$SoloBand%.1f"},""" +
+      s""""entries":$js,"src":"$src","out":"$out"}"""
+  }
+
+  /** Fresh-JVM solo re-run of one entry (the r16 q47 adjudication
+    * protocol, automated): spawn this same main with a name filter —
+    * same JVM args, same classpath, corpus reused — and parse its trio
+    * out of the child's JSON line. None on timeout/crash/parse failure
+    * (the artifact then simply carries no solo field — loud in stderr).
+    */
+  def soloRerun(name: String, src: String, out: String,
+      timeoutMin: Long = 20L): Option[(Double, Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.ScaleRehearsal", name)
+    val outFile = java.nio.file.Files.createTempFile("scale-solo-", ".out")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SCALE_REUSE", "1")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", src)
+    pb.environment().put("SPARK_GRAFT_SCALE_DIR", out)
+    pb.redirectOutput(outFile.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    System.err.println(s"[scale] $name: out-of-band — solo fresh-JVM re-run")
+    val proc = pb.start()
+    try {
+      if (!proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        System.err.println(s"[scale] $name solo re-run TIMED OUT")
+        return None
+      }
+      val text = new String(
+        java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      val re = ("\"" + java.util.regex.Pattern.quote(name) +
+        "\":\\{\"small_sec\":([0-9.]+),\"big_sec\":([0-9.]+)," +
+        "\"ratio\":(-?[0-9.]+)").r
+      val parsed = re.findFirstMatchIn(text).map(m =>
+        (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble))
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[scale] $name solo re-run rc=${proc.exitValue()} — no trio parsed")
+      parsed
+    } finally java.nio.file.Files.deleteIfExists(outFile)
+  }
+
   def main(args: Array[String]): Unit = {
     System.setProperty("derby.stream.error.file", "target/derby.log")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,12 +317,23 @@ object ScaleRehearsal {
       name -> (small, big, ratio)
     }
 
-    val js = rows.map { case (n, (s, b, r)) =>
-      s""""$n":{"small_sec":${f"$s%.2f"},"big_sec":${f"$b%.2f"},""" +
-        s""""ratio":${f"$r%.2f"}}"""
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_rehearsal","reps":$Reps,""" +
-      s""""entries":$js,"src":"$src","out":"$out"}"""
+    // self-adjudication (VERDICT r18 #5): out-of-band roster ratios are
+    // re-run solo in fresh JVMs, worst first, and the artifact records
+    // BOTH readings — full-roster runs only (a filtered run IS a solo)
+    val solos: Map[String, (Double, Double, Double)] =
+      if (only.nonEmpty) Map.empty
+      else rows.filter(_._2._3 > SoloBand)
+        .sortBy { case (_, (_, _, r)) => -r }
+        .take(MaxSoloReruns)
+        .flatMap { case (n, (_, _, rosterRatio)) =>
+          soloRerun(n, src, out).map { case s @ (_, _, soloRatio) =>
+            System.err.println(
+              f"[scale] $n: roster ratio $rosterRatio%.1f -> solo " +
+                f"$soloRatio%.1f")
+            n -> s
+          }
+        }.toMap
+    val line = rehearsalJson(rows, solos, src, out)
     if (only.isEmpty) {
       val audit = java.nio.file.Paths.get("bench_audit", "scale-rehearsal.json")
       java.nio.file.Files.createDirectories(audit.getParent)
