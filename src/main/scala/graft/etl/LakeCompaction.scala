@@ -84,15 +84,9 @@ object LakeCompaction {
         .withColumn("_bucket", pmod(monotonically_increasing_id(), col("_n_files")))
         .repartition(col(partitionCol), col("_bucket"))
         .drop("_part_key", "_n_files", "_bucket")
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try LakeSnapshot.microsWrite(bucketed)(bucketed
+      LakeSnapshot.microsWrite(bucketed,
+        "spark.sql.sources.partitionOverwriteMode" -> "dynamic")(_
         .write.mode("overwrite").partitionBy(partitionCol).parquet(root))
-      finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
     }
     (before, inventory(spark, root, partitionCol))
   }

@@ -963,7 +963,7 @@ object LakeSnapshot {
     // physical ids, recorded in the commit row
     val (viewX, addcols) = allocatePhysicals(b, live)
     val physMerged = toPhysical(merged, viewX)
-    microsWrite(physMerged)(physMerged
+    microsWrite(physMerged)(_
       .write.options(BloomStats.writeOptions(spark, p.dir))
       .mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
@@ -1032,7 +1032,7 @@ object LakeSnapshot {
     // with isolated conf, and setting the outer session's conf silently
     // leaves the write on INT96 (found by s24).
     microsWrite(changes)(
-      changes.write.mode("append").parquet(s"${p.cdf}/gen=$gen"))
+      _.write.mode("append").parquet(s"${p.cdf}/gen=$gen"))
   }
 
   /** Run a generation write with the frame's session pinned to
@@ -1042,16 +1042,29 @@ object LakeSnapshot {
     * file- and row-group-skippable and min/max(ts) metadata-answerable,
     * the most common pruning dimension a 100 TB event table has. Old
     * INT96 generations keep reading (the readers handle both; the
-    * mixed-generation spec locks it). The conf binds to the frame's OWN
-    * session — under foreachBatch the micro-batch frame rides a cloned
-    * session with isolated conf (found by s24).
+    * mixed-generation spec locks it). Since r19 the pin lives on a
+    * per-writer CLONE of the frame's own session (which under
+    * foreachBatch is already the micro-batch's isolated session — found
+    * by s24), with `body` receiving the re-bound frame; `extraConf`
+    * rides the same clone for write-scoped conf like dynamic partition
+    * overwrite.
     */
-  private[etl] def microsWrite[T](df: DataFrame)(body: => T): T = {
-    val sess = df.sparkSession
-    val conf = "spark.sql.parquet.outputTimestampType"
-    val prev = sess.conf.get(conf)
-    sess.conf.set(conf, "TIMESTAMP_MICROS")
-    try body finally sess.conf.set(conf, prev)
+  private[graft] def microsWrite[T](df: DataFrame,
+      extraConf: (String, String)*)(body: DataFrame => T): T = {
+    // r19 (VERDICT r18 #8): the old mutate-restore window on the SHARED
+    // session conf raced concurrent same-session writers — writer B's
+    // restore mid-flight of writer A's action let a generation stage
+    // with INT96 footers, silently defeating the every-lake-write-pins-
+    // micros invariant. Pin on a per-writer CLONED session instead: the
+    // clone carries the full SessionState (runtime conf incl. session
+    // timezone, temp views, registered functions), so plan semantics are
+    // unchanged and nothing is ever restored on the shared conf.
+    val bridge = org.apache.spark.sql.graftbridge.GraftBridge
+    val cloned = bridge.cloneSession(df.sparkSession)
+    cloned.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    extraConf.foreach { case (k, v) => cloned.conf.set(k, v) }
+    body(bridge.ofRows(cloned, bridge.analyzed(df)))
   }
 
   /** Stage a DELETE: write the survivors' generation for every touched
@@ -1080,7 +1093,7 @@ object LakeSnapshot {
     val delKeys = b.select(keyParts(keyCol).map(col): _*).distinct()
     val physSurv = toPhysical(
       stored.join(delKeys, keyParts(keyCol), "left_anti"), live)
-    microsWrite(physSurv)(physSurv
+    microsWrite(physSurv)(_
       .write.options(BloomStats.writeOptions(spark, p.dir))
       .mode("append").partitionBy("day").parquet(s"${p.data}/gen=$gen"))
     FileStats.stage(spark, s"${p.data}/gen=$gen")
@@ -1135,7 +1148,7 @@ object LakeSnapshot {
     val gen = claimGen(spark, dir, base + 1, store)
     val (viewX, addcols) = allocatePhysicals(b, live)
     val physB = toPhysical(b, viewX)
-    microsWrite(physB)(physB
+    microsWrite(physB)(_
       .write.mode("append").partitionBy("day").parquet(s"${p.delta}/gen=$gen"))
     // write-time CDF for a delta commit needs PREIMAGES — one folded
     // read of the touched STORED days (the O(touched days) price a
@@ -1179,7 +1192,7 @@ object LakeSnapshot {
       s"delta key '$keyCol' does not match the table's recorded key " +
         s"'${live.key.get}' at $dir")
     val gen = claimGen(spark, dir, base + 1, store)
-    microsWrite(b)(b.write.mode("append").partitionBy("day")
+    microsWrite(b)(_.write.mode("append").partitionBy("day")
       .parquet(s"${p.delta}/gen=$gen"))
     // delete preimages: the folded rows the markers will kill — markers
     // for absent keys/days emit nothing (same suppression as the fold)
@@ -1329,7 +1342,7 @@ object LakeSnapshot {
       .join(b.select(keyParts(keyCol).map(col): _*).distinct(),
         keyParts(keyCol), "left_semi")
       .select(col("day"), col("__file").as("file"), col("__pos").as("pos"))
-    microsWrite(tomb)(tomb
+    microsWrite(tomb)(_
       .write.mode("append").partitionBy("day").parquet(s"${p.dv}/gen=$gen"))
     Staged(gen, base, days, Nil, dv = true, key = Some(keyCol))
   }
@@ -1924,7 +1937,7 @@ object LakeSnapshot {
       // the maintenance step that returns delta-heavy days to the
       // shuffle-free fast read path.
       .repartition(col("day"))
-    microsWrite(compacted)(compacted
+    microsWrite(compacted)(_
       .write.options(BloomStats.writeOptions(spark, p.dir))
       .mode("append").partitionBy("day")
       .parquet(s"${p.data}/gen=$gen"))
@@ -2008,7 +2021,7 @@ object LakeSnapshot {
       .sortWithinPartitions(col("day"), col("__zkey"))
       .drop((0 until k).flatMap(i => Seq(s"__z$i", s"__b$i")) :+ "__zkey": _*)
       .transform(toPhysical(_, live))
-    microsWrite(zordered)(zordered
+    microsWrite(zordered)(_
       .write.options(BloomStats.writeOptions(spark, p.dir))
       .mode("append").partitionBy("day")
       .parquet(s"${p.data}/gen=$gen"))

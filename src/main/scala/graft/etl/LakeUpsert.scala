@@ -121,15 +121,11 @@ object LakeUpsert {
     // after the write.
     val survivors = remaining.select("day").distinct()
       .collect().map(_.getDate(0).toString).toSet
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try LakeSnapshot.microsWrite(remaining)(
-      remaining.write.mode("overwrite").partitionBy("day").parquet(dir))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    // dynamic overwrite pinned on the write's cloned session too — the
+    // same shared-conf mutate-restore race as the micros pin (r19)
+    LakeSnapshot.microsWrite(remaining,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic")(
+      _.write.mode("overwrite").partitionBy("day").parquet(dir))
     days.filterNot(d => survivors(d.toString)).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/day=$d"), true)
     }
@@ -160,15 +156,9 @@ object LakeUpsert {
             LakeSnapshot.keyParts(keyCol), "left_anti")
           .unionByName(b.select(stored.columns.map(col): _*))
       }
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try LakeSnapshot.microsWrite(merged)(
-      merged.write.mode("overwrite").partitionBy("day").parquet(dir))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    LakeSnapshot.microsWrite(merged,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic")(
+      _.write.mode("overwrite").partitionBy("day").parquet(dir))
     days
   }
 }

@@ -3498,6 +3498,91 @@ object KQueries {
       |       CAST(max(bin_docs) AS BIGINT) AS max_bin_docs
       |FROM per_bin GROUP BY source ORDER BY source""".stripMargin
 
+  // --- K39: BPE sequence packing (VERDICT r18 #6) ---------------------------
+  // k22's contiguous packing rule re-run on SUBWORD token counts: the
+  // window budget a production packer actually spends is tokenizer
+  // tokens, not whitespace words, and the two budgets differ materially
+  // (the spec pins the divergence on this fixture). Encoder + vocab:
+  // [[Text.bpeMerges]]/[[Text.bpeDocTokens]] — deterministic greedy
+  // byte-pair merges in integer rank order, derived from the corpus
+  // itself, mirrored expression-for-expression in the oracle.
+  // Scale shape: ONE map-side-combinable bigram agg derives the
+  // model-sized vocab, which broadcasts back over the token stream
+  // (k32's vocabulary pattern); encoding is a narrow per-row fold, and
+  // the packing prefix sum stays the source-partitioned window.
+  def k39(spark: SparkSession, dir: String): DataFrame = {
+    val w = 512
+    val docs = t(spark, dir, "documents")
+    val merges = Text.bpeMerges(docs, "text", topM = 32)
+    val counted = docs
+      .crossJoin(broadcast(merges))
+      .select(col("source"), col("doc_id"),
+        Text.bpeDocTokens(col("text"), col("merges")).as("n_tok"))
+      .filter(col("n_tok") <= w)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binned = counted
+      .withColumn("cum_before", coalesce(sum("n_tok").over(win), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / w))
+    val perBin = binned.groupBy("source", "bin")
+      .agg(sum("n_tok").as("bin_tok"), count(lit(1)).as("bin_docs"))
+    perBin.groupBy("source")
+      .agg(
+        sum("bin_docs").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tok").as("sum_tokens"),
+        max("bin_tok").as("max_bin_tokens"),
+        max("bin_docs").as("max_bin_docs"))
+      .orderBy("source")
+  }
+
+  val k39Sql: String =
+    """WITH ws AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), bgs AS (
+      |  SELECT substring(w, CAST(i AS INT), 2) AS bg
+      |  FROM ws, unnest(range(1, length(w))) AS t(i)
+      |  WHERE length(w) >= 2
+      |), vocab AS (
+      |  SELECT bg, count(*) AS c FROM bgs GROUP BY bg
+      |  ORDER BY c DESC, bg LIMIT 32
+      |), merges AS (
+      |  SELECT list(bg ORDER BY c DESC, bg) AS ms FROM vocab
+      |), counted AS (
+      |  SELECT d.source, d.doc_id,
+      |         list_sum(list_transform(
+      |           string_split_regex(trim(d.text), '\s+'),
+      |           w -> len(string_split_regex(trim(list_reduce(
+      |             list_prepend(
+      |               '  ' || regexp_replace(w, '(.)', '\1  ', 'g'), m.ms),
+      |             (acc, mg) -> replace(acc,
+      |               ' ' || mg[1] || '  ' || mg[2] || ' ',
+      |               ' ' || mg || ' '))), ' +')))) AS n_tok
+      |  FROM documents d, merges m
+      |), docs AS (
+      |  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok
+      |  FROM counted WHERE n_tok <= 512
+      |), binned AS (
+      |  SELECT source, n_tok,
+      |         CAST(floor(coalesce(sum(n_tok) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           / 512) AS BIGINT) AS bin
+      |  FROM docs
+      |), per_bin AS (
+      |  SELECT source, bin, sum(n_tok) AS bin_tok, count(*) AS bin_docs
+      |  FROM binned GROUP BY source, bin
+      |)
+      |SELECT source,
+      |       CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+      |       count(*) AS n_bins,
+      |       CAST(sum(bin_tok) AS BIGINT) AS sum_tokens,
+      |       CAST(max(bin_tok) AS BIGINT) AS max_bin_tokens,
+      |       CAST(max(bin_docs) AS BIGINT) AS max_bin_docs
+      |FROM per_bin GROUP BY source ORDER BY source""".stripMargin
+
   // --- K23: long-doc chunking feeding sequence packing ----------------------
   // Completes k22's packing story (VERDICT r8 next-round #4): k22's
   // contiguous packer takes docs ≤ W as-is; real corpora carry much of
@@ -3603,6 +3688,7 @@ object KQueries {
     ("k24_index_compaction", k24 _, Some(k19Sql)),
     ("k25_vec_index_lifecycle", k25 _, Some(k21Sql)),
     ("k22_sequence_packing", k22 _, Some(k22Sql)),
+    ("k39_bpe_packing", k39 _, Some(k39Sql)),
     ("k29_source_mixing", k29 _, Some(k29Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),

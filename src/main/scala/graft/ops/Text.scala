@@ -174,4 +174,73 @@ object Text {
     piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+
+  // --- BPE-style subword tokenization (k39, VERDICT r18 #6) ----------------
+  //
+  // Deterministic greedy byte-pair merging with integer merge ranks:
+  // words pre-tokenize on whitespace ([[tokens]]), each word starts as
+  // its character sequence, and a fixture-derived ranked merge list is
+  // applied in rank order — every occurrence of a merge's pair fuses
+  // left-to-right, exactly the standard BPE-encoder loop (applying
+  // merges sequentially in rank order is equivalent to repeatedly
+  // merging the lowest-rank pair present, because a merge's operands can
+  // only be produced by LOWER-rank merges).
+  //
+  // The vocab here is single-pass: merges are the top-M corpus character
+  // bigrams ranked by (count DESC, bigram ASC) — integer ranks, no
+  // floats, derivable identically in DuckDB SQL. (Iterative pair-recount
+  // BPE *training* would put an M-pass loop on both engines; for the
+  // packing semantics k39 exercises, the encoder loop — not the trainer
+  // — is the operator under test, and single-char-pair merges keep every
+  // merge's operands primitive so the rank-order equivalence above is
+  // trivially satisfied.)
+  //
+  // Mechanics shared by both engines: a word is rendered with two-space
+  // token separators ("  h  i  "), merge (x,y) is the literal replace of
+  // " x  y " with " xy " — the two-space separators make one space of
+  // each boundary consumable per match, so consecutive occurrences
+  // ("abab" under merge (a,b)) all fuse in one left-to-right pass, while
+  // patterns can never match inside a multi-char token. Token count =
+  // the surviving space-delimited runs. Everything is codegen-friendly
+  // string/HOF expressions — no UDFs.
+
+  /** Top-M corpus bigram merge list as a ONE-ROW frame `{merges: array}`
+    * in rank order — model-sized (≤ alphabet²), broadcast by callers.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, topM: Int): DataFrame = {
+    val bigrams = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    // deterministic rank order without a single-partition window: the
+    // distinct-bigram domain is model-sized, so one collect_list + sort
+    // on (count DESC, bigram ASC) composite keys stays metadata-scale
+    bigrams.agg(
+      slice(
+        transform(
+          sort_array(collect_list(struct(
+            (lit(Long.MaxValue) - col("c")).as("nc"), col("bg")))),
+          s => s.getField("bg")),
+        1, topM).as("merges"))
+  }
+
+  /** Character-sequence rendering with two-space separators. */
+  private def bpeCharRep(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+
+  /** Subword token count of one word under the ranked `merges` array. */
+  def bpeTokenCount(word: Column, merges: Column): Column =
+    size(split(trim(aggregate(merges, bpeCharRep(word), (acc, m) =>
+      replace(acc,
+        concat(lit(" "), m.substr(lit(1), lit(1)), lit("  "),
+          m.substr(lit(2), lit(1)), lit(" ")),
+        concat(lit(" "), m, lit(" "))))), " +")).cast("long")
+
+  /** Total BPE token count of a document: Σ per-word counts. */
+  def bpeDocTokens(text: Column, merges: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (a, w) => a + bpeTokenCount(w, merges))
 }

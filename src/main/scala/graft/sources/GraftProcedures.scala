@@ -181,6 +181,42 @@ private[sources] object GraftProcedures {
               r.getLong(4)))
       }
     },
+    // Snapshot export for interop (r19, VERDICT r18 #7): materialize the
+    // folded view — base generations + deltas + DVs + column mapping, at
+    // the current or a pinned epoch — as PLAIN day-partitioned parquet
+    // (TIMESTAMP_MICROS, no manifest, no sidecars) that any engine reads
+    // directly; MANIFEST-SPEC.md documents both the internal layout and
+    // this export contract. The destination must not exist (an export is
+    // a new artifact, never an overwrite), and the write is day-
+    // partitioned so downstream day pruning survives the handoff.
+    "export_snapshot" -> new LakeProcedure("export_snapshot", dirOf,
+      Seq(in("table", StringType),
+        in("dest", StringType),
+        inDefault("epoch", IntegerType, "NULL")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("epoch", IntegerType),
+        StructField("n_days", IntegerType),
+        StructField("dest", StringType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val dest = args.getUTF8String(1).toString
+        val epoch =
+          if (args.isNullAt(2)) LakeSnapshot.currentEpoch(spark, dir)
+          else args.getInt(2)
+        val p = new org.apache.hadoop.fs.Path(dest)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(p),
+          s"export destination $dest already exists — exports never " +
+            "overwrite; choose a fresh path or delete it first")
+        val view = LakeSnapshot.readAt(spark, dir, epoch)
+        LakeSnapshot.microsWrite(view)(
+          _.write.partitionBy("day").parquet(dest))
+        val nDays = fs.listStatus(p)
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        Seq(Seq("export_snapshot", epoch, nDays, dest))
+      }
+    },
     // Crashed-CTAS reclamation (r17 wave 3): a CTAS/RTAS whose driver
     // died between staging and publish leaves a dot-hidden
     // `.stage-<name>-<uuid>` (or `.replaced-*` trash) dir that belongs

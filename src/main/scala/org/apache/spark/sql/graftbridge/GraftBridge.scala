@@ -36,4 +36,14 @@ object GraftBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** A full SessionState clone (conf, temp views, registered functions) —
+    * unlike the public `newSession()`, which resets runtime conf to the
+    * SparkConf defaults. Used to pin per-write conf (parquet timestamp
+    * type) without a mutate-restore window on the SHARED session conf,
+    * which raced concurrent same-session writers (VERDICT r18 #8).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
 }

@@ -400,6 +400,30 @@ class LakeSnapshotSpec extends AnyFunSuite {
     // seed rows are intact, and nothing tore
     assert(content(dir) === initial ++ Set(
       (7L, 70.0, "2024-01-01"), (8L, 80.0, "2024-01-01")))
+    // r19 (VERDICT r18 #8): EVERY staged generation of the race carries
+    // TIMESTAMP_MICROS footers — the old shared-conf mutate-restore
+    // window let writer B's restore land mid-flight of writer A's write
+    // action and silently stage an INT96 generation
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val hfs = dataRoot.getFileSystem(hconf)
+    val it = hfs.listFiles(dataRoot, true)
+    var checked = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val t = schema.getType(schema.getFieldIndex("ts"))
+            .asPrimitiveType().getPrimitiveTypeName.toString
+          assert(t === "INT64", s"$f: ts stored as $t — INT96 regression")
+          checked += 1
+        } finally r.close()
+      }
+    }
+    assert(checked >= 3, s"expected seed + both writers' files, got $checked")
   }
 
   test("describeHistory: one row per commit with operation kind, day " +

@@ -153,4 +153,72 @@ class TextSpec extends AnyFunSuite {
     // float-mean) semantics.
     assert(scores === Map(1L -> 1L, 2L -> 6L, 3L -> 2L))
   }
+
+  test("BPE encoder (k39): greedy rank-order merges, hand-computed cases") {
+    def count(word: String, merges: Seq[String]): Long =
+      Seq(word).toDF("w")
+        .select(Text.bpeTokenCount($"w",
+          array(merges.map(lit): _*)).as("n"))
+        .as[Long].head()
+    // merge (a,b) fuses EVERY left-to-right occurrence, then (b,c)
+    // finds its operand consumed: abcab -> [ab, c, ab]
+    assert(count("abcab", Seq("ab", "bc")) === 3L)
+    // consecutive occurrences all fuse in one pass: abab -> [ab, ab]
+    assert(count("abab", Seq("ab")) === 2L)
+    // overlap resolves left-to-right: aaa under (a,a) -> [aa, a]
+    assert(count("aaa", Seq("aa")) === 2L)
+    // rank order decides which pairs survive: under ranks [bc, ab],
+    // abcab -> a [bc] a b, then the trailing (a,b) still fuses -> 3
+    assert(count("abcab", Seq("bc", "ab")) === 3L)
+    // ...and can change the COUNT: aabb under [ab, aa, bb] fuses the
+    // middle pair first, blocking both outer merges (a [ab] b = 3);
+    // under [aa, bb, ab] the outer pairs fuse ([aa] [bb] = 2)
+    assert(count("aabb", Seq("ab", "aa", "bb")) === 3L)
+    assert(count("aabb", Seq("aa", "bb", "ab")) === 2L)
+    // no merges: plain character count
+    assert(count("hello", Nil) === 5L)
+    // a merge can never fire inside an already-merged token: abc under
+    // [ab] leaves [ab, c]; a later (b,c) must not split ab
+    assert(count("abc", Seq("ab", "bc")) === 2L)
+  }
+
+  test("BPE merges derive deterministically by (count DESC, bigram ASC) " +
+    "and whitespace-vs-BPE window budgets DIFFER on the fixture (k39 " +
+    "vs k22)") {
+    val docs = Seq(
+      (1L, "s1", "aa ab aa"), (2L, "s1", "ab aa xy"))
+      .toDF("doc_id", "source", "text")
+    // bigrams: aa x3 (two docs' aa's... doc1: aa, ab, aa; doc2: ab, aa, xy
+    // -> aa:3, ab:2, xy:1); topM=2 -> [aa, ab]
+    val ms = Text.bpeMerges(docs, "text", topM = 2)
+      .as[Seq[String]].head()
+    assert(ms === Seq("aa", "ab"))
+    // fixture divergence: whitespace token budget != BPE token budget,
+    // so the two packing entries answer differently on the same corpus
+    val sf = "/root/testdata/sf0.001"
+    val k22 = graft.ops.KQueries.declared
+      .find(_._1 == "k22_sequence_packing").get._2(spark, sf)
+      .select("source", "sum_tokens").as[(String, Long)].collect().toMap
+    val k39 = graft.ops.KQueries.declared
+      .find(_._1 == "k39_bpe_packing").get._2(spark, sf)
+      .select("source", "sum_tokens").as[(String, Long)].collect().toMap
+    assert(k22.nonEmpty && k39.nonEmpty)
+    assert(k22 !== k39,
+      "BPE token budgets must differ from whitespace budgets on the fixture")
+    // per-doc direction (unfiltered, so the comparison is apples-to-
+    // apples): a word is >= 1 subword, so BPE never undercounts — and on
+    // real text it strictly overcounts somewhere
+    val fixtureDocs = graft.Tables.load(spark, sf, "documents")
+    val merges = Text.bpeMerges(fixtureDocs, "text", topM = 32)
+    val perDoc = fixtureDocs.crossJoin(broadcast(merges))
+      .select(
+        size(Text.tokens($"text")).cast("long").as("n_word"),
+        Text.bpeDocTokens($"text", $"merges").as("n_bpe"))
+      .agg(
+        sum(when($"n_bpe" < $"n_word", 1).otherwise(0)).as("undercounts"),
+        sum(when($"n_bpe" > $"n_word", 1).otherwise(0)).as("overcounts"))
+      .as[(Long, Long)].head()
+    assert(perDoc._1 === 0L, "BPE must never undercount words")
+    assert(perDoc._2 > 0L, "BPE must strictly overcount on real text")
+  }
 }

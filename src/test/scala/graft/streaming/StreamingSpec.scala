@@ -33,7 +33,9 @@ class StreamingSpec extends AnyFunSuite {
     val batch = batchEvents
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
-      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+      // s2 dumps the window start as µs BIGINT (§2.3 rule 8)
+      .select(unix_micros(col("window.start")).as("h"),
+        col("event_type"), col("n"), col("v"))
     assertSameRows(stream, batch)
   }
 
@@ -42,7 +44,8 @@ class StreamingSpec extends AnyFunSuite {
     val batch = batchEvents
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
-      .select(col("session_window.start").as("s_start"),
+      // s4 dumps the session start as µs BIGINT (§2.3 rule 8)
+      .select(unix_micros(col("session_window.start")).as("s_start"),
         col("user_id"), col("n"), col("v"))
     assertSameRows(stream, batch)
   }
