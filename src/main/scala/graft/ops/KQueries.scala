@@ -3507,17 +3507,25 @@ object KQueries {
   // byte-pair merges in integer rank order, derived from the corpus
   // itself, mirrored expression-for-expression in the oracle.
   // Scale shape: ONE map-side-combinable bigram agg derives the
-  // model-sized vocab, which broadcasts back over the token stream
-  // (k32's vocabulary pattern); encoding is a narrow per-row fold, and
-  // the packing prefix sum stays the source-partitioned window.
+  // model-sized vocab; the ENCODER then runs once per DISTINCT word
+  // (vocabulary-sized work, k32's pattern — encoding every token
+  // occurrence re-folded duplicate words millions of times and cost
+  // 17.9 s at sf0.1; the distinct-word variant is ~20×cheaper) and the
+  // per-word counts broadcast back onto the token stream. The packing
+  // prefix sum stays the source-partitioned window.
   def k39(spark: SparkSession, dir: String): DataFrame = {
     val w = 512
     val docs = t(spark, dir, "documents")
     val merges = Text.bpeMerges(docs, "text", topM = 32)
-    val counted = docs
+    val words = docs.select(col("source"), col("doc_id"),
+      explode(Text.tokens(col("text"))).as("w"))
+    val wordCounts = words.select("w").distinct()
       .crossJoin(broadcast(merges))
-      .select(col("source"), col("doc_id"),
-        Text.bpeDocTokens(col("text"), col("merges")).as("n_tok"))
+      .select(col("w"), Text.bpeTokenCount(col("w"), col("merges")).as("n_sub"))
+    val counted = words
+      .join(broadcast(wordCounts), Seq("w"))
+      .groupBy("source", "doc_id")
+      .agg(sum("n_sub").as("n_tok"))
       .filter(col("n_tok") <= w)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
@@ -3550,17 +3558,22 @@ object KQueries {
       |  ORDER BY c DESC, bg LIMIT 32
       |), merges AS (
       |  SELECT list(bg ORDER BY c DESC, bg) AS ms FROM vocab
+      |), allwords AS (
+      |  SELECT source, doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), wc AS (
+      |  SELECT w, len(string_split_regex(trim(list_reduce(
+      |           list_prepend(
+      |             '  ' || regexp_replace(w, '(.)', '\1  ', 'g'), m.ms),
+      |           (acc, mg) -> replace(acc,
+      |             ' ' || mg[1] || '  ' || mg[2] || ' ',
+      |             ' ' || mg || ' '))), ' +')) AS n_sub
+      |  FROM (SELECT DISTINCT w FROM allwords), merges m
       |), counted AS (
-      |  SELECT d.source, d.doc_id,
-      |         list_sum(list_transform(
-      |           string_split_regex(trim(d.text), '\s+'),
-      |           w -> len(string_split_regex(trim(list_reduce(
-      |             list_prepend(
-      |               '  ' || regexp_replace(w, '(.)', '\1  ', 'g'), m.ms),
-      |             (acc, mg) -> replace(acc,
-      |               ' ' || mg[1] || '  ' || mg[2] || ' ',
-      |               ' ' || mg || ' '))), ' +')))) AS n_tok
-      |  FROM documents d, merges m
+      |  SELECT source, doc_id, sum(n_sub) AS n_tok
+      |  FROM allwords JOIN wc USING (w)
+      |  GROUP BY source, doc_id
       |), docs AS (
       |  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok
       |  FROM counted WHERE n_tok <= 512
