@@ -172,6 +172,22 @@ object Bench {
   def suspects(results: Seq[QueryTiming]): Seq[String] =
     results.filter(_.suspect).map(_.name).sorted
 
+  /** Median final/baseline ratio across the completed roster (r19): the
+    * box-window attribution a reader previously derived by hand. A
+    * uniformly-elevated sweep (r18's 1.39×, r19's 1.38× readings — the
+    * slow-window class the HEAD-A/B proved is ambient) shows up here as
+    * window_ratio ≈ the elevation with a long suspect list, while a
+    * REAL single-entry regression leaves window_ratio ≈ 1 and one
+    * suspect. -1 when no entry has a baseline yet.
+    */
+  def windowRatio(results: Seq[QueryTiming]): Double = {
+    val rs = results.collect {
+      case r if !r.failed && r.baseline.exists(_ > 0) =>
+        r.finalMedian / r.baseline.get
+    }
+    if (rs.isEmpty) -1.0 else median(rs)
+  }
+
   /** Names over 2× baseline that the rerun floor shielded ([[QueryTiming.watch]]). */
   def watchList(results: Seq[QueryTiming]): Seq[String] =
     results.filter(_.watch).map(_.name).sorted
@@ -416,8 +432,10 @@ object Bench {
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
     val watch = watchList(results).map("\"" + _ + "\"").mkString("[", ",", "]")
     val seed = orderSeed.fold("")(s => s""","order_seed":$s""")
+    val wr = f"${windowRatio(results)}%.3f"
     s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":$qs,"suspect":$sus,"watch":$watch$seed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"window_ratio":$wr,"suspect":$sus,""" +
+      s""""watch":$watch$seed,"sf":"$sfDir"}"""
   }
 
   /** Minimal JSON number: 2 decimals, trailing zeros (and a bare dot)
@@ -482,8 +500,10 @@ object Bench {
     // a mid-sweep line left behind by a killed JVM is self-describing as a
     // partial board (r18 — VERDICT r17 #1: last-line-wins emission)
     val of = ofTotal.fold("")(t => s""","of":$t""")
+    val wr = windowRatio(results)
     val tail =
-      s"""},"n":${results.size}$of,"suspect":$sus,"watch":$watch,""" +
+      s"""},"n":${results.size}$of,"window_ratio":${shortNum(wr)},""" +
+        s""""suspect":$sus,"watch":$watch,""" +
         s""""suspect_load":$susLoad,"audit":"target/bench.json","sf":"$sf"}"""
     val entries = results.sortBy(r => (-r.finalMedian, r.name))
       .map(r => "\"" + r.name + "\":" + shortNum(r.finalMedian))

@@ -265,7 +265,8 @@ class BenchSpec extends AnyFunSuite {
       assert(line.endsWith(""""audit":"target/bench.json","sf":"x"}"""))
     }
     // the no-ofTotal shape (direct callers, old tests) is unchanged
-    assert(Bench.summaryJson(roster, "/x").contains(""""n":10,"suspect""""))
+    assert(Bench.summaryJson(roster, "/x")
+      .contains(""""n":10,"window_ratio""""))
   }
 
   test("r17 watch (VERDICT r16 #10): over 2x baseline but under the rerun " +
@@ -323,6 +324,25 @@ class BenchSpec extends AnyFunSuite {
     assert(r.rerunMedians.length == 1,
       s"pass 2 must be blocked by the entry budget, got ${r.rerunMedians.length}")
     assert(r.suspect)
+  }
+
+  test("r19 window_ratio: the median sweep ratio rides both JSON lines " +
+    "so a uniformly-elevated box window is machine-attributable") {
+    def qt(name: String, sec: Double, base: Double) =
+      Bench.QueryTiming(name, Seq(sec, sec, sec), None, Some(base))
+    // the slow-window shape: everything ~1.4x -> window_ratio says so
+    val window = (1 to 9).map(i => qt(s"q$i", 0.42, 0.30))
+    assert(math.abs(Bench.windowRatio(window) - 1.4) < 0.01)
+    assert(Bench.summaryJson(window, "/x").contains("\"window_ratio\":1.4"))
+    assert(Bench.fullJson(window, "/x").contains("\"window_ratio\":1.400"))
+    // the real-regression shape: one outlier leaves the median ~1
+    val spike = (1 to 8).map(i => qt(s"q$i", 0.30, 0.30)) :+ qt("bad", 3.0, 0.3)
+    assert(math.abs(Bench.windowRatio(spike) - 1.0) < 0.01)
+    // no baselines -> -1, and the line still parses
+    val none = Seq(Bench.QueryTiming("x", Seq(0.1, 0.1, 0.1), None, None))
+    assert(Bench.windowRatio(none) === -1.0)
+    val line = Bench.summaryJson(none, "/x")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
   test("r19 secondChance: leftover budget goes to the worst-ratio " +
