@@ -178,7 +178,13 @@ object ScaleRehearsal {
     // follows k-coverage, not the table" becomes a measured ratio (the
     // dominant cost is the entry's own lake BUILD, which scales with the
     // batch; the capped previews must not add a table-sized term)
-    "p54_limit_pushdown")
+    "p54_limit_pushdown",
+    // r19: the BPE tier's vocab agg + distinct-word encode must scale
+    // with the corpus (the bigram domain is alphabet-bounded; the
+    // distinct-word set grows sub-linearly in replicated corpora), and
+    // the snapshot export prices the fold+rewrite of the full table
+    "k39_bpe_packing",
+    "p55_export_snapshot")
 
   /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
     * re-run SOLO in a fresh JVM automatically, and the artifact carries
