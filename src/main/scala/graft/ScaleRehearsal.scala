@@ -184,7 +184,13 @@ object ScaleRehearsal {
     // distinct-word set grows sub-linearly in replicated corpora), and
     // the snapshot export prices the fold+rewrite of the full table
     "k39_bpe_packing",
-    "p55_export_snapshot")
+    "p55_export_snapshot",
+    // r19 continuation: the metadata-only RESTORE must price as the
+    // entry's own lake build (the rollback row is O(1) at any size),
+    // and CONVERT as the plain write + one rename + the stats-sidecar
+    // footer pass — "adoption never rewrites data" becomes a ratio
+    "p56_restore",
+    "p57_convert_parquet")
 
   /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
     * re-run SOLO in a fresh JVM automatically, and the artifact carries

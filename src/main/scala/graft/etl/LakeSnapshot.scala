@@ -184,7 +184,9 @@ object LakeSnapshot {
       maint: Boolean = false, // content-identical maintenance (CDC-silent)
       dv: Boolean = false,   // `gen` is a deletion-vector generation
       addcols: Seq[(String, String)] = Nil, // fresh (physical, logical) binds
-      key: Option[String] = None) // the mutation's row key (recorded)
+      key: Option[String] = None, // the mutation's row key (recorded)
+      extra: Seq[(String, String)] = Nil) // informational row fields (e.g.
+      // `convert=1`) — ignored by the fold, surfaced by `.history`
 
   final class ConcurrentLakeMutationException(msg: String)
     extends RuntimeException(msg)
@@ -620,6 +622,46 @@ object LakeSnapshot {
     */
   def readAt(spark: SparkSession, dir: String, asOf: Int): DataFrame =
     readView(spark, dir, viewAt(spark, dir, asOf))
+
+  /** A DAY-SUBSET of the epoch-pinned view (incremental export's read
+    * path): exactly [[readAt]] restricted to `days` — same fold, same
+    * column mapping, O(selected days) data cost.
+    */
+  def readDaysAt(
+      spark: SparkSession, dir: String, asOf: Int,
+      days: Set[String]): DataFrame = {
+    val view = viewAt(spark, dir, asOf)
+    readDaysRaw(spark, dir, view, days)
+      .withColumn("day", col("day").cast("date"))
+  }
+
+  /** The day-grain diff between two epoch-pinned views — what an
+    * incremental export must ship: `changed` days whose storage state
+    * (base/delta/DV layering) differs at `to` vs `from` (including
+    * newborn days), and `removed` days present at `from` but gone at
+    * `to`. Derived ENTIRELY from the manifest fold (driver-side
+    * metadata) — a day whose DayState is identical at both epochs is
+    * byte-identical on disk (generations are immutable), so it is
+    * provably skippable without reading a single data file.
+    */
+  def changedDays(
+      spark: SparkSession, dir: String, from: Int,
+      to: Int): (Seq[String], Seq[String]) = {
+    require(from <= to, s"changedDays: from $from > to $to")
+    val av = viewAt(spark, dir, from)
+    val bv = viewAt(spark, dir, to)
+    // a column op (rename/drop/widen) is manifest-only — every day's
+    // STORAGE state is unchanged but its LOGICAL surface is not, so an
+    // incremental consumer needs every day re-shipped
+    val surfaceChanged = av.colmap != bv.colmap || av.widened != bv.widened
+    val changed =
+      (if (surfaceChanged) bv.days.keys
+       else bv.days.collect {
+         case (d, st) if !av.days.get(d).contains(st) => d
+       }).toSeq.sorted
+    val removed = (av.days.keySet -- bv.days.keySet).toSeq.sorted
+    (changed, removed)
+  }
 
   private def readView(
       spark: SparkSession, dir: String, view: LakeState): DataFrame = {
@@ -1627,6 +1669,195 @@ object LakeSnapshot {
       }
     }
 
+  /** RESTORE the table to a committed `epoch` (the Delta `RESTORE TABLE
+    * ... TO VERSION AS OF` verb): ONE manifest row replaces the live day
+    * map — and the column-mapping / type-widening bindings — with the
+    * historical view's. Metadata-only rollback: no data file is read,
+    * copied, or rewritten at any table size. History stays append-only,
+    * so the mistake AND the rollback are both auditable (`.history`
+    * shows `restore`), time travel to the undone epochs keeps working
+    * until vacuum's history retention takes their generations, and the
+    * generations the restore re-enlivens are live again for vacuum
+    * liveness by construction (the manifest fold IS the liveness
+    * source — [[vacuumPlan]] re-derives both sets from it).
+    *
+    * Idempotence protection does NOT roll back: the row carries the
+    * CURRENT tag high-waters forward, so a streaming sink's exactly-once
+    * guard survives — re-delivering a pre-restore micro-batch is still
+    * refused. The rollback is of DATA, never of the commit protocol.
+    *
+    * Loud failures: a target view referencing vacuumed generations
+    * (missing dirs enumerated — the Delta RESTORE-vs-VACUUM contract),
+    * and ANY commit racing the restore: a restore replaces the whole
+    * view, so it conflicts with every concurrent mutation and no rebase
+    * is sound ([[ConcurrentLakeMutationException]], re-run by hand).
+    * CDC: a restore commits no change sidecar — a write-time feed window
+    * containing it fails loudly in [[readChangesCdf]]/[[cdfGens]] (a
+    * feed cannot represent a rollback; use [[readChanges]] snapshot diff
+    * or restart the feed past the restore epoch).
+    */
+  def restoreTo(spark: SparkSession, dir: String, epoch: Int): Int =
+    restoreToImpl(spark, dir, epoch, () => ())
+
+  /** [[restoreTo]] with a test seam between the staging read and the
+    * commit loop — how the spec injects a racing commit to falsify the
+    * "restore conflicts with everything" abort deterministically (the
+    * restore has no staged-generation phase to split like merge's).
+    */
+  private[etl] def restoreToImpl(
+      spark: SparkSession, dir: String, epoch: Int,
+      afterRead: () => Unit): Int = {
+    val p = LakePaths(dir)
+    val all = IncrementalDedup.Manifest.read(spark, p.manifest)
+    val maxE = all.map(_._1).maxOption.getOrElse(-1)
+    require(maxE >= 0, s"nothing to restore at $dir (no committed epoch)")
+    require(all.exists(_._1 == epoch),
+      s"epoch $epoch is not a committed epoch of $dir " +
+        s"(history spans 0..$maxE)")
+    val target = all.filter(_._1 <= epoch)
+      .foldLeft(EmptyState) { case (m, (_, kv)) => applyRow(m, kv) }
+    val current = all
+      .foldLeft(EmptyState) { case (m, (_, kv)) => applyRow(m, kv) }
+    val f = fsOf(spark, dir)
+    val missing = target.days.toSeq.sortBy(_._1).flatMap { case (d, s) =>
+      (if (s.base >= 0) Seq(s"${p.data}/gen=${s.base}/day=$d") else Nil) ++
+        s.deltas.map(g => s"${p.delta}/gen=$g/day=$d") ++
+        s.dvs.map(g => s"${p.dv}/gen=$g/day=$d")
+    }.filterNot(path => f.exists(new Path(path)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to epoch $epoch: ${missing.size} generation " +
+        s"dir(s) its view references were vacuumed — " +
+        missing.take(4).mkString(", ") +
+        (if (missing.size > 4) ", …" else ""))
+    afterRead()
+    while (true) {
+      val later =
+        IncrementalDedup.Manifest.readFrom(spark, p.manifest, maxE + 1)
+      if (later.nonEmpty)
+        throw new ConcurrentLakeMutationException(
+          s"epoch(s) ${later.map(_._1).mkString(",")} committed while the " +
+            s"restore to $epoch staged against epoch $maxE — a restore " +
+            "replaces the whole view, so it conflicts with every " +
+            "concurrent mutation; re-run against the new head")
+      if (IncrementalDedup.Manifest.writeIfAbsent(spark, p.manifest,
+        maxE + 1, Seq(
+          "restore" -> epoch.toString,
+          "snapshot" -> renderSnapshot(target),
+          // ALWAYS present, even when empty: the restore must RESET the
+          // bindings to the historical ones — an absent snapshotcolmap
+          // would carry the CURRENT mapping over the historical days
+          "snapshotcolmap" -> renderColmap(target.colmap),
+          "snapshotwiden" -> renderWiden(target.widened)) ++
+          (if (current.txnsComplete)
+            Seq("txns" -> renderTxns(current.txns)) else Nil) ++
+          current.key.orElse(target.key).map("key" -> _).toSeq))
+        return maxE + 1
+      // lost the epoch race: re-read — the winner now shows in `later`
+    }
+    -1 // unreachable
+  }
+
+  /** CONVERT an existing PLAIN day-partitioned parquet directory
+    * (`src/day=YYYY-MM-DD/part-*.parquet` — e.g. a prior
+    * `export_snapshot`, or any Spark `partitionBy("day")` output) into
+    * this lake's first generation — the Delta `CONVERT TO DELTA` shape.
+    * The whole source dir becomes `data/gen=G` via ONE filesystem
+    * rename (zero data rewrite, O(1) data cost at any size; the source
+    * path ceases to exist — conversion is a MOVE), the generation gets
+    * its `_filestats.tsv` sidecar (footer reads only, distributed when
+    * the file set is wide), and a normal manifest commit publishes
+    * every adopted day atomically. File-skipping, metadata-agg and
+    * LIMIT pushdown then work on adopted files exactly as on written
+    * ones.
+    *
+    * With `validate = true` (default) one aggregate scan checks the two
+    * invariants every later MERGE relies on and plain parquet cannot
+    * promise: `keyCol` is unique table-wide (upsert-by-key needs one
+    * live row per key) and each row's `day` dir equals
+    * `to_date(tsCol)` under THIS session's zone (key→day routing).
+    * The scan runs against the SOURCE path, so a validation failure
+    * leaves the source untouched. `validate = false` is the caller's
+    * promise at 100 TB scale.
+    *
+    * CDC note: like [[dropDays]], the adopting commit carries no change
+    * sidecar — feed windows containing it fail loudly in [[cdfGens]].
+    */
+  def adoptParquet(
+      spark: SparkSession, dir: String, srcDir: String,
+      keyCol: String, tsCol: String,
+      validate: Boolean = true,
+      store: ClaimStore = FsClaimStore): (Int, Seq[String]) = {
+    val p = LakePaths(dir)
+    val f = fsOf(spark, dir)
+    require(maxEpoch(spark, dir) < 0,
+      s"$dir already has committed epochs — adoptParquet only births a " +
+        "table; MERGE new data into an existing one instead")
+    val src = new Path(srcDir)
+    require(f.exists(src) && f.getFileStatus(src).isDirectory,
+      s"conversion source $srcDir does not exist (or is not a directory)")
+    require(!f.exists(new Path(srcDir, "manifest")),
+      s"$srcDir already looks like a graft lake (has manifest/) — " +
+        "read it directly instead of converting")
+    val DayName = "day=\\d{4}-\\d{2}-\\d{2}".r
+    val kids = f.listStatus(src).toSeq
+    val strays = kids.filter { st =>
+      val n = st.getPath.getName
+      !(n.startsWith("_") || n.startsWith(".")) &&
+        !(st.isDirectory && DayName.matches(n))
+    }
+    require(strays.isEmpty,
+      s"conversion source $srcDir must contain only day=YYYY-MM-DD " +
+        s"directories (plus _/. metadata files) — found " +
+        strays.map(_.getPath.getName).sorted.take(6).mkString(", "))
+    val dayDirs = kids
+      .filter(st => st.isDirectory && DayName.matches(st.getPath.getName))
+    require(dayDirs.nonEmpty, s"no day=YYYY-MM-DD directories at $srcDir")
+    val badFiles = dayDirs.flatMap { d =>
+      f.listStatus(d.getPath).filter { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith(".") || n.startsWith("part-"))
+      }.map(st => s"${d.getPath.getName}/${st.getPath.getName}")
+    }
+    // the lake's listings (stats staging, DSv2 planning) only see
+    // `part-*` data files — an adopted file outside that convention
+    // would silently vanish from reads, so refuse it up front
+    require(badFiles.isEmpty,
+      s"data files must be named part-* (Spark's own convention) — " +
+        s"found ${badFiles.sorted.take(6).mkString(", ")} at $srcDir")
+    val days = dayDirs.map(_.getPath.getName.stripPrefix("day="))
+      .sorted
+    if (validate) {
+      val rows = spark.read.parquet(srcDir)
+      require(rows.columns.contains(keyCol) && rows.columns.contains(tsCol),
+        s"key '$keyCol' / ts '$tsCol' must be columns of the source " +
+          s"(found ${rows.columns.toSeq.filterNot(_ == "day")})")
+      val bad = rows
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__n"),
+          countDistinct(col("day")).as("__days"),
+          sum(when(to_date(col(tsCol)) =!= col("day").cast("date"), 1L)
+            .otherwise(0L)).as("__misrouted"))
+        .filter(col("__n") > 1 || col("__days") > 1 || col("__misrouted") > 0)
+        .limit(5)
+        .collect()
+      require(bad.isEmpty,
+        "conversion validation failed (duplicate keys, keys spanning " +
+          "days, or day dirs not matching to_date(ts) in this session " +
+          s"zone) — first offending keys: ${bad.mkString("; ")}. Fix the " +
+          "source or pass validate = false to promise these invariants")
+    }
+    val gen = claimGen(spark, dir, 0, store)
+    f.mkdirs(new Path(p.data))
+    val genDir = new Path(s"${p.data}/gen=$gen")
+    require(f.rename(src, genDir),
+      s"rename $srcDir -> $genDir failed (cross-filesystem conversion " +
+        "is not supported — distcp the source next to the table first)")
+    FileStats.stage(spark, genDir.toString)
+    val e = commit(spark, dir, Staged(gen, -1, days, Nil,
+      key = Some(keyCol), extra = Seq("convert" -> "1")))
+    (e, days)
+  }
+
   /** Publish a staged mutation: ONE conditional manifest-row create under
     * the OCC loop (see object scaladoc). Returns the committed epoch.
     */
@@ -1662,7 +1893,7 @@ object LakeSnapshot {
         (if (staged.addcols.nonEmpty) Seq("addcol" ->
           staged.addcols.map { case (p, l) => s"$p>$l" }.mkString(","))
          else Nil) ++
-        staged.key.map("key" -> _).toSeq))
+        staged.key.map("key" -> _).toSeq ++ staged.extra))
         return e
       // lost the epoch race to a non-overlapping commit: re-check, retry
     }
@@ -2236,7 +2467,16 @@ object LakeSnapshot {
     IncrementalDedup.Manifest.read(spark, LakePaths(dir).manifest)
       .filter { case (e, _) => e > from && e <= to }
       .flatMap { case (e, kv) =>
-        if (kv.contains("snapshot")) None // checkpoint: no data change
+        // a RESTORE row carries `snapshot` but IS a data change (it
+        // replaces the live view) — treating it as a checkpoint would
+        // silently skip the rollback in every feed, so it fails loudly
+        // like any sidecar-less mutation
+        if (kv.contains("snapshot") && kv.contains("restore")) sys.error(
+          s"epoch $e at $dir is a RESTORE commit — a rollback has no " +
+            "change sidecar and a write-time feed cannot represent it; " +
+            "use readChanges (snapshot diff) for this window, or restart " +
+            "the feed from the restore epoch")
+        else if (kv.contains("snapshot")) None // checkpoint: no data change
         else if (kv.contains("cdf"))
           // COW commits carry `gen`, row-delta commits `deltagen` — a
           // cdf sidecar rides either kind under the same gen number
@@ -2274,10 +2514,12 @@ object LakeSnapshot {
     val rows = IncrementalDedup.Manifest.read(spark, p.manifest)
     val hist = rows.map { case (e, kv) =>
       val op =
-        if (kv.contains("snapshot")) "checkpoint"
+        if (kv.contains("restore")) "restore"
+        else if (kv.contains("snapshot")) "checkpoint"
         else if (kv.contains("deltagen")) "delta"
         else if (kv.contains("dvgen")) "delete-vector"
         else if (uncsv(kv.getOrElse("dropped", "")).nonEmpty) "delete"
+        else if (kv.contains("convert")) "convert"
         else "write"
       (e, op, kv.getOrElse("deltagen",
         kv.getOrElse("dvgen", kv.getOrElse("gen", "-1"))).toInt,

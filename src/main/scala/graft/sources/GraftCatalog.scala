@@ -581,18 +581,28 @@ class GraftCatalog extends TableCatalog
     dirOf(ident)
   }
 
+  // resolution WITHOUT the existence gate — `convert_parquet` names a
+  // table it is about to create (the procedure itself refuses an
+  // existing declaration)
+  private def tableDirNew(name: String): String = {
+    val parts = name.split('.').toSeq
+    dirOf(Identifier.of(parts.dropRight(1).toArray, parts.last))
+  }
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
       s"graft procedures live under the 'system' namespace, got $ident")
-    GraftProcedures.all(tableDir).getOrElse(ident.name(), sys.error(
-      s"unknown procedure '${ident.name()}' — available: " +
-        GraftProcedures.all(tableDir).keys.toSeq.sorted.mkString(", ")))
+    GraftProcedures.all(tableDir, tableDirNew)
+      .getOrElse(ident.name(), sys.error(
+        s"unknown procedure '${ident.name()}' — available: " +
+          GraftProcedures.all(tableDir, tableDirNew)
+            .keys.toSeq.sorted.mkString(", ")))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      GraftProcedures.all(tableDir).keys.toSeq.sorted
+      GraftProcedures.all(tableDir, tableDirNew).keys.toSeq.sorted
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
@@ -873,7 +883,7 @@ object GraftCatalog {
   private def dirLock(dir: String): Object =
     propsLocks.computeIfAbsent(dir, _ => new Object)
 
-  private def writeMergedProps(
+  private[sources] def writeMergedProps(
       spark: SparkSession, dir: String, kv: Map[String, String]): Unit =
     dirLock(dir).synchronized {
       val merged = readCreateProps(spark, dir) ++ kv

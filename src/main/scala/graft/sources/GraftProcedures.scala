@@ -74,7 +74,13 @@ private[sources] object GraftProcedures {
     }
   }
 
-  def all(dirOf: String => String): Map[String, UnboundProcedure] = Map(
+  /** `dirOf` resolves EXISTING tables (loud on a missing one);
+    * `dirOfNew` resolves a name to its would-be directory without the
+    * existence gate — only `convert_parquet` (which births the table)
+    * uses it.
+    */
+  def all(dirOf: String => String,
+      dirOfNew: String => String): Map[String, UnboundProcedure] = Map(
     "optimize" -> new LakeProcedure("optimize", dirOf,
       Seq(in("table", StringType),
         inDefault("days", StringType, "''")),
@@ -189,13 +195,24 @@ private[sources] object GraftProcedures {
     // this export contract. The destination must not exist (an export is
     // a new artifact, never an overwrite), and the write is day-
     // partitioned so downstream day pruning survives the handoff.
+    // With `since_epoch` (r19 continuation) the export is INCREMENTAL at
+    // day grain: only days whose folded state changed in (since, epoch]
+    // are materialized — derived entirely from the manifest (a day whose
+    // storage state is identical at both epochs is byte-identical by
+    // generation immutability, provably skippable without reading it) —
+    // and days REMOVED from the view land in `_removed_days.txt` so a
+    // consumer can compose: prior full export, minus removed days, with
+    // changed day dirs replaced. The p58 oracle hash-gates exactly that
+    // composition against the live view.
     "export_snapshot" -> new LakeProcedure("export_snapshot", dirOf,
       Seq(in("table", StringType),
         in("dest", StringType),
-        inDefault("epoch", IntegerType, "NULL")),
+        inDefault("epoch", IntegerType, "NULL"),
+        inDefault("since_epoch", IntegerType, "NULL")),
       StructType(Seq(StructField("operation", StringType),
         StructField("epoch", IntegerType),
         StructField("n_days", IntegerType),
+        StructField("n_removed", IntegerType),
         StructField("dest", StringType)))) {
       override protected def run(
           spark: SparkSession, dir: String,
@@ -204,17 +221,138 @@ private[sources] object GraftProcedures {
         val epoch =
           if (args.isNullAt(2)) LakeSnapshot.currentEpoch(spark, dir)
           else args.getInt(2)
+        val since = if (args.isNullAt(3)) None else Some(args.getInt(3))
         val p = new org.apache.hadoop.fs.Path(dest)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(!fs.exists(p),
           s"export destination $dest already exists — exports never " +
             "overwrite; choose a fresh path or delete it first")
-        val view = LakeSnapshot.readAt(spark, dir, epoch)
-        LakeSnapshot.microsWrite(view)(
-          _.write.partitionBy("day").parquet(dest))
+        val removed: Seq[String] = since match {
+          case None =>
+            val view = LakeSnapshot.readAt(spark, dir, epoch)
+            LakeSnapshot.microsWrite(view)(
+              _.write.partitionBy("day").parquet(dest))
+            Nil
+          case Some(s) =>
+            val (changed, gone) =
+              LakeSnapshot.changedDays(spark, dir, s, epoch)
+            if (changed.nonEmpty)
+              LakeSnapshot.microsWrite(LakeSnapshot.readDaysAt(
+                spark, dir, epoch, changed.toSet))(
+                _.write.partitionBy("day").parquet(dest))
+            else fs.mkdirs(p) // an empty window still yields an artifact
+            // a changed day that folded to ZERO rows (every key
+            // delta-deleted, day still in the view) writes no day dir —
+            // the consumer must still drop its stale copy, so it joins
+            // the removed list rather than silently surviving
+            val shipped =
+              fs.listStatus(p).filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("day="))
+                .map(_.getPath.getName.stripPrefix("day=")).toSet
+            val allGone = (gone ++ changed.filterNot(shipped)).sorted
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(p, "_removed_days.txt"), false)
+            try out.write(allGone.mkString("", "\n", "\n").getBytes("UTF-8"))
+            finally out.close()
+            allGone
+        }
         val nDays = fs.listStatus(p)
           .count(st => st.isDirectory && st.getPath.getName.startsWith("day="))
-        Seq(Seq("export_snapshot", epoch, nDays, dest))
+        Seq(Seq("export_snapshot", epoch, nDays, removed.size, dest))
+      }
+    },
+    // RESTORE to a committed epoch (r19 continuation — the Delta
+    // `RESTORE TABLE` verb): one metadata-only manifest row rolls the
+    // live view back; full contract in [[LakeSnapshot.restoreTo]]. The
+    // result row reports the target epoch, the NEW epoch the rollback
+    // committed as, and the restored view's day count so an operator can
+    // sanity-check the rollback landed on the state they meant.
+    "restore" -> new LakeProcedure("restore", dirOf,
+      Seq(in("table", StringType),
+        inDefault("epoch", IntegerType, "NULL"),
+        inDefault("timestamp", StringType, "NULL")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("restored_epoch", IntegerType),
+        StructField("committed_epoch", IntegerType),
+        StructField("n_days", IntegerType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val byEpoch = if (args.isNullAt(1)) None else Some(args.getInt(1))
+        val byTs =
+          if (args.isNullAt(2)) None
+          else Some(args.getUTF8String(2).toString)
+        require(byEpoch.isDefined != byTs.isDefined,
+          "restore takes exactly one of epoch => E / timestamp => '...'")
+        val target = byEpoch.getOrElse {
+          // same instant resolution as TIMESTAMP AS OF reads (session-
+          // zoned local-datetime forms, ISO instants)
+          val tMs = GraftLakeSource.parseInstantMs(byTs.get)
+          LakeSnapshot.epochAtOrBefore(spark, dir, tMs).getOrElse(sys.error(
+            s"timestamp '${byTs.get}' predates every commit at $dir"))
+        }
+        val e = LakeSnapshot.restoreTo(spark, dir, target)
+        val nDays = LakeSnapshot.tableState(spark, dir).days.size
+        Seq(Seq("restore", target, e, nDays))
+      }
+    },
+    // CONVERT plain day-partitioned parquet into a lake table in place
+    // (r19 continuation — the Delta `CONVERT TO DELTA` shape): one
+    // filesystem rename adopts the files as generation 0, zero data
+    // rewrite; full contract in [[LakeSnapshot.adoptParquet]]. The
+    // procedure also writes the catalog declaration (key/ts/schema) so
+    // the adopted table immediately serves SQL (SELECT/MERGE INTO/
+    // time travel) like any CREATEd one, and — when the validation scan
+    // confirmed day == to_date(ts) under this session's zone — records
+    // `ts.zone` so ts→day pruning derivation works on adopted data.
+    "convert_parquet" -> new LakeProcedure("convert_parquet", dirOfNew,
+      Seq(in("table", StringType),
+        in("source", StringType),
+        in("key", StringType),
+        inDefault("ts", StringType, "'ts'"),
+        inDefault("validate", BooleanType, "true")),
+      StructType(Seq(StructField("operation", StringType),
+        StructField("epoch", IntegerType),
+        StructField("n_days", IntegerType),
+        StructField("location", StringType)))) {
+      override protected def run(
+          spark: SparkSession, dir: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val src = args.getUTF8String(1).toString
+        val key = args.getUTF8String(2).toString
+        val ts =
+          if (args.isNullAt(3)) "ts" else args.getUTF8String(3).toString
+        val validate = args.isNullAt(4) || args.getBoolean(4)
+        require(GraftCatalog.readCreateProps(spark, dir).isEmpty,
+          s"table at $dir already exists (has a declaration) — " +
+            "convert_parquet only births tables")
+        // declaration-grade checks BEFORE anything moves: the source
+        // schema (minus the day partition col) must be lake-bridgeable
+        // and must contain the declared key/ts columns
+        val full = spark.read.parquet(src).schema
+        val dataSchema = StructType(full.fields.filterNot(_.name == "day"))
+        LakeSnapshot.keyParts(key).foreach(k =>
+          require(dataSchema.fieldNames.contains(k),
+            s"declared key part '$k' is not a column of " +
+              s"${dataSchema.fieldNames.toSeq}"))
+        require(dataSchema.fieldNames.contains(ts),
+          s"event-time column '$ts' is not a column of " +
+            s"${dataSchema.fieldNames.toSeq}")
+        dataSchema.fields.foreach(f =>
+          GraftCatalog.validateLakeType(f.name, f.dataType))
+        val (e, days) = LakeSnapshot.adoptParquet(
+          spark, dir, src, key, ts, validate = validate)
+        val zoneClaim =
+          if (validate)
+            // the validation scan PROVED day == to_date(ts) under this
+            // session's zone, which is exactly the claim ts.zone records
+            Map("ts.zone" ->
+              spark.sessionState.conf.sessionLocalTimeZone)
+          else Map.empty[String, String]
+        GraftCatalog.writeMergedProps(spark, dir,
+          Map("key" -> key, "ts" -> ts,
+            "schema" -> dataSchema.toDDL) ++ zoneClaim)
+        Seq(Seq("convert_parquet", e, days.size, dir))
       }
     },
     // Crashed-CTAS reclamation (r17 wave 3): a CTAS/RTAS whose driver

@@ -63,13 +63,15 @@ private[sources] class LakeHistoryTable(dir: String)
           val rows = rowKvs
             .map { case (e, kv) =>
               val op =
-                if (kv.contains("snapshot")) "checkpoint"
+                if (kv.contains("restore")) "restore"
+                else if (kv.contains("snapshot")) "checkpoint"
                 else if (kv.contains("deltagen")) "delta"
                 else if (kv.contains("dvgen")) "delete-vector"
                 else if (kv.contains("rename") || kv.contains("dropcol") ||
                   kv.contains("widen"))
                   "alter-column"
                 else if (kv.getOrElse("dropped", "").nonEmpty) "delete"
+                else if (kv.contains("convert")) "convert"
                 else "write"
               val gen = kv.getOrElse("deltagen",
                 kv.getOrElse("dvgen", kv.getOrElse("gen", "-1"))).toInt

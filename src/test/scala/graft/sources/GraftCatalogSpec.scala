@@ -474,4 +474,93 @@ class GraftCatalogSpec extends AnyFunSuite {
     // survives all the metadata churn
     assert(got.get("ts") === Some("ts"))
   }
+
+  test("CALL graft.system.restore — the SQL rollback verb: epoch and " +
+    "timestamp forms, exactly-one-arg enforcement, history row") {
+    spark.sql("CREATE TABLE graft.res (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      spark.sql("INSERT INTO graft.res (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)")
+      val e0 = LakeSnapshot.currentEpoch(spark, s"$wh/res")
+      // an instant strictly between e0's commit and the corruption's —
+      // epoch-millis form (parseInstantMs' first tier)
+      val wallAfterE0 = (System.currentTimeMillis() + 400).toString
+      Thread.sleep(900)
+      spark.sql("INSERT INTO graft.res (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 100.0)")
+      val res = spark.sql("CALL graft.system.restore(" +
+        s"`table` => 'res', epoch => $e0)").head()
+      assert(res.getString(0) === "restore" && res.getInt(1) === e0 &&
+        res.getInt(3) === 2)
+      assert(spark.sql("SELECT sum(value) FROM graft.res")
+        .head().getDouble(0) === 3.0)
+      // timestamp form: an instant between e0 and the corruption
+      // resolves to e0 — restoring there is a no-op-shaped second
+      // rollback that must still commit and land on the same view
+      spark.sql("INSERT INTO graft.res (event_id, ts, value) VALUES " +
+        "(3, TIMESTAMP '2024-01-02 11:00:00', 30.0)")
+      spark.sql("CALL graft.system.restore(`table` => 'res', " +
+        s"timestamp => '$wallAfterE0')")
+      assert(spark.sql("SELECT sum(value) FROM graft.res")
+        .head().getDouble(0) === 3.0)
+      assert(spark.sql("SELECT count(*) FROM graft.res.history " +
+        "WHERE operation = 'restore'").head().getLong(0) === 2L)
+      // exactly one of epoch/timestamp
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.restore(`table` => 'res')").collect()
+      }.getMessage.contains("exactly one"))
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.restore(`table` => 'res', " +
+          s"epoch => $e0, timestamp => '$wallAfterE0')").collect()
+      }.getMessage.contains("exactly one"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.res")
+  }
+
+  test("CALL graft.system.convert_parquet — the SQL adoption verb: " +
+    "declaration written (key/ts/schema + proven ts.zone), immediate " +
+    "SQL service, refusals for bad keys and existing tables") {
+    val src = s"$wh/.plain_conv"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(src)
+    try {
+      // a bad key refuses BEFORE anything moves
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.convert_parquet(`table` => 'conv', " +
+          s"source => '$src', key => 'nope')").collect()
+      }.getMessage.contains("not a column"))
+      assert(Files.exists(Paths.get(src)), "refusal must not move the source")
+      val res = spark.sql("CALL graft.system.convert_parquet(" +
+        s"`table` => 'conv', source => '$src', key => 'event_id')").head()
+      assert(res.getString(0) === "convert_parquet" && res.getInt(2) === 2)
+      // the declaration is complete: key/ts/schema, and the validation
+      // scan proved this session's zone, so ts.zone is recorded
+      val props = GraftCatalog.readCreateProps(spark, s"$wh/conv")
+      assert(props.get("key") === Some("event_id"))
+      assert(props.get("ts") === Some("ts"))
+      assert(props.get("ts.zone") ===
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+      assert(props.get("schema").exists(_.contains("event_id")))
+      // immediate SQL service: SELECT, upsert, time travel
+      assert(spark.sql("SELECT count(*) FROM graft.conv")
+        .head().getLong(0) === 2L)
+      spark.sql("INSERT INTO graft.conv (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 100.0)")
+      assert(spark.sql("SELECT sum(value) FROM graft.conv")
+        .head().getDouble(0) === 102.0)
+      assert(spark.sql("SELECT sum(value) FROM graft.conv VERSION AS OF 0")
+        .head().getDouble(0) === 3.0)
+      assert(spark.sql("SELECT operation FROM graft.conv.history")
+        .collect().map(_.getString(0)).contains("convert"))
+      // converting ONTO an existing table refuses
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.convert_parquet(`table` => 'conv', " +
+          s"source => '$src', key => 'event_id')").collect()
+      }.getMessage.contains("already exists"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.conv")
+  }
 }
