@@ -190,7 +190,10 @@ object ScaleRehearsal {
     // and CONVERT as the plain write + one rename + the stats-sidecar
     // footer pass — "adoption never rewrites data" becomes a ratio
     "p56_restore",
-    "p57_convert_parquet")
+    "p57_convert_parquet",
+    // the incremental export's diff is manifest-derived: its ratio must
+    // track the full build + one changed day's rewrite, never the table
+    "p58_incremental_export")
 
   /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
     * re-run SOLO in a fresh JVM automatically, and the artifact carries
