@@ -2149,6 +2149,68 @@ object LakeSnapshot {
     * accumulate one small file set per touching batch, and the read path
     * pays the file-open tax until rewritten.
     */
+  /** The days an auto-OPTIMIZE should target: at least `minLayers`
+    * merge-on-read layers (row deltas + deletion vectors) stacked on the
+    * day, i.e. the days actually paying the fold tax at read time.
+    * Manifest-only — no listing, no data file touched — so a 100k-day
+    * table answers from the already-folded view. The selection policy
+    * for `CALL graft.system.optimize(min_layers => N)`: at scale,
+    * compacting EVERYTHING rewrites the table; compacting the
+    * fragmented set rewrites only what reads slowly.
+    */
+  def fragmentedDays(
+      spark: SparkSession, dir: String, minLayers: Int): Seq[String] = {
+    require(minLayers >= 1, s"min_layers must be >= 1, got $minLayers")
+    liveView(spark, dir).days.collect {
+      case (d, s) if s.deltas.size + s.dvs.size >= minLayers => d
+    }.toSeq.sorted
+  }
+
+  /** The second fragmentation axis: days whose BASE generation holds at
+    * least `minFiles` data files (a wide-task write, or a pre-compaction
+    * ingest's accumulation) — the days paying the file-open tax rather
+    * than the fold tax. Answered from the `_filestats.tsv` sidecars
+    * (ONE small read per live base generation, never a data listing);
+    * a sidecar-less generation (pre-stats lake) falls back to one
+    * directory listing for exactly its days.
+    */
+  def smallFileDays(
+      spark: SparkSession, dir: String, minFiles: Int): Seq[String] = {
+    require(minFiles >= 2, s"min_files must be >= 2, got $minFiles")
+    val p = LakePaths(dir)
+    val live = liveView(spark, dir)
+    val f = fsOf(spark, dir)
+    val byGen = live.days.toSeq.collect {
+      case (d, s) if s.base >= 0 => (s.base, d)
+    }.groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    byGen.foreach { case (g, dayPairs) =>
+      val genDir = s"${p.data}/gen=$g"
+      val liveHere = dayPairs.map(_._2).toSet
+      FileStats.read(spark, genDir) match {
+        case Some(stats) =>
+          stats.keys.foreach { rel => // "day=D/part-x.parquet"
+            val day = rel.takeWhile(_ != '/').stripPrefix("day=")
+            // the sidecar covers every day the gen WROTE — count only
+            // the days whose LIVE base is this gen (a day superseded at
+            // a higher gen must not inherit this gen's file census)
+            if (liveHere(day))
+              counts.updateWith(day)(c => Some(c.getOrElse(0) + 1))
+          }
+        case None =>
+          dayPairs.foreach { case (_, d) =>
+            val dd = new Path(s"$genDir/day=$d")
+            if (f.exists(dd))
+              counts(d) = f.listStatus(dd)
+                .count(st => st.isFile &&
+                  st.getPath.getName.startsWith("part-"))
+          }
+      }
+    }
+    live.days.keys.filter(d => counts.getOrElse(d, 0) >= minFiles)
+      .toSeq.sorted
+  }
+
   def compactDays(
       spark: SparkSession, dir: String, days: Seq[String] = Nil,
       store: ClaimStore = FsClaimStore): Seq[String] = {

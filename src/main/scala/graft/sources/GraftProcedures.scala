@@ -81,9 +81,17 @@ private[sources] object GraftProcedures {
     */
   def all(dirOf: String => String,
       dirOfNew: String => String): Map[String, UnboundProcedure] = Map(
+    // `min_layers => N` (r19 continuation) makes the verb TARGETED: only
+    // days carrying >= N merge-on-read layers (row deltas + DVs — the
+    // days actually paying the fold tax) are rewritten, selected from
+    // the manifest alone. At 100 TB "OPTIMIZE everything" rewrites the
+    // table; "OPTIMIZE the fragmented set" rewrites what reads slowly.
+    // Composes with an explicit `days` list (intersection).
     "optimize" -> new LakeProcedure("optimize", dirOf,
       Seq(in("table", StringType),
-        inDefault("days", StringType, "''")),
+        inDefault("days", StringType, "''"),
+        inDefault("min_layers", IntegerType, "NULL"),
+        inDefault("min_files", IntegerType, "NULL")),
       StructType(Seq(StructField("operation", StringType),
         StructField("n_days_compacted", IntegerType),
         StructField("days", StringType)))) {
@@ -94,7 +102,28 @@ private[sources] object GraftProcedures {
           if (args.isNullAt(1)) Nil
           else args.getUTF8String(1).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val touched = LakeSnapshot.compactDays(spark, dir, days)
+        val targeted = !args.isNullAt(2) || !args.isNullAt(3)
+        val selected =
+          if (!targeted) days
+          else {
+            // union of the two fragmentation axes: fold-tax days
+            // (min_layers over deltas+DVs, manifest-only) and file-open-
+            // tax days (min_files over the base gen's sidecar census)
+            val frag =
+              (if (args.isNullAt(2)) Nil
+               else LakeSnapshot.fragmentedDays(
+                 spark, dir, args.getInt(2))) ++
+                (if (args.isNullAt(3)) Nil
+                 else LakeSnapshot.smallFileDays(
+                   spark, dir, args.getInt(3)))
+            val set = frag.distinct.sorted
+            if (days.isEmpty) set else days.filter(set.toSet)
+          }
+        // a targeted call with an empty fragmentation set must be a
+        // NO-OP, not the "empty days = compact everything" default
+        val touched =
+          if (targeted && selected.isEmpty) Nil
+          else LakeSnapshot.compactDays(spark, dir, selected)
         Seq(Seq("optimize", touched.size, touched.mkString(",")))
       }
     },

@@ -475,6 +475,97 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got.get("ts") === Some("ts"))
   }
 
+  test("CALL graft.system.optimize(min_layers => N) — targeted " +
+    "compaction: only fold-tax days rewrite, clean days' files are " +
+    "never touched, an unfragmented table is a no-op") {
+    val dir = s"$wh/frag"
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+        (3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 3.0))
+        .toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    // stack TWO delta layers on day 1, one on day 2, none on day 3
+    def delta(id: Long, day: String, v: Double): Unit =
+      LakeSnapshot.mergeDelta(spark, dir,
+        Seq((id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), v))
+          .toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+    delta(1L, "2024-01-01", 10.0)
+    delta(1L, "2024-01-01", 11.0)
+    delta(2L, "2024-01-02", 20.0)
+    assert(LakeSnapshot.fragmentedDays(spark, dir, 2) ===
+      Seq("2024-01-01"))
+    assert(LakeSnapshot.fragmentedDays(spark, dir, 1) ===
+      Seq("2024-01-01", "2024-01-02"))
+    // day 3's base files must survive a targeted optimize UNTOUCHED
+    def day3Files: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir, "data")).iterator().asScala
+        .filter(p => p.toString.contains("day=2024-01-03") &&
+          p.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = day3Files
+    val res = spark.sql("CALL graft.system.optimize(" +
+      "`table` => 'frag', min_layers => 2)").head()
+    assert(res.getInt(1) === 1 && res.getString(2) === "2024-01-01",
+      s"min_layers=2 must rewrite exactly day 1, got $res")
+    assert(day3Files === before, "a targeted optimize must not rewrite " +
+      "clean days")
+    // day 1 is back on the fast path; day 2 still carries its layer
+    val st = LakeSnapshot.tableState(spark, dir)
+    assert(st.days("2024-01-01").deltas.isEmpty)
+    assert(st.days("2024-01-02").deltas.size === 1)
+    // values identical through the maintenance
+    assert(spark.sql("SELECT sum(value) FROM graft.frag").head()
+      .getDouble(0) === 11.0 + 20.0 + 3.0)
+    // nothing at threshold 3 -> no-op, no new epoch
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    val res2 = spark.sql("CALL graft.system.optimize(" +
+      "`table` => 'frag', min_layers => 3)").head()
+    assert(res2.getInt(1) === 0)
+    assert(LakeSnapshot.currentEpoch(spark, dir) === e0,
+      "an empty fragmentation set must commit nothing")
+    // explicit days intersect the fragmentation set
+    val res3 = spark.sql("CALL graft.system.optimize(`table` => 'frag', " +
+      "days => '2024-01-03', min_layers => 1)").head()
+    assert(res3.getInt(1) === 0, "day 3 is clean — the intersection is empty")
+  }
+
+  test("CALL graft.system.optimize(min_files => N) — the file-open-tax " +
+    "axis: sidecar-censused small-file days compact, single-file days " +
+    "don't") {
+    // the engine's own writes are one-file-per-day by construction
+    // (stageMerge/compactDays repartition on day) — multi-file days
+    // enter through ADOPTION, which is also the real migration flow:
+    // convert a task-fragmented plain export, then compact it in place
+    val dir = s"$wh/smallfiles"
+    val src = s"$wh/.plain_smallfiles"
+    val day1 = (1L to 8L).map(i =>
+      (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i.toDouble))
+    val day2 = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 100.0))
+    (day1 ++ day2).toDF("event_id", "ts", "value")
+      .withColumn("day", to_date(col("ts")))
+      .repartition(4)
+      .write.partitionBy("day").parquet(src)
+    LakeSnapshot.adoptParquet(spark, dir, src, "event_id", "ts")
+    GraftCatalog.writeMergedProps(spark, dir,
+      Map("key" -> "event_id", "ts" -> "ts"))
+    val frag = LakeSnapshot.smallFileDays(spark, dir, 3)
+    assert(frag === Seq("2024-01-01"),
+      s"day 1 spreads over ~4 task files, day 2 is one file: $frag")
+    val res = spark.sql("CALL graft.system.optimize(" +
+      "`table` => 'smallfiles', min_files => 3)").head()
+    assert(res.getInt(1) === 1 && res.getString(2) === "2024-01-01")
+    // compacted to the one-file fast path; nothing left at threshold
+    assert(LakeSnapshot.smallFileDays(spark, dir, 2) === Nil)
+    assert(spark.sql("SELECT sum(value) FROM graft.smallfiles").head()
+      .getDouble(0) === day1.map(_._3).sum + 100.0)
+  }
+
   test("CALL graft.system.restore — the SQL rollback verb: epoch and " +
     "timestamp forms, exactly-one-arg enforcement, history row") {
     spark.sql("CREATE TABLE graft.res (event_id BIGINT, ts TIMESTAMP, " +
