@@ -166,8 +166,12 @@ object FileStats {
       isFloat: Boolean, lv: Long, dv: Double, decScale: Int = -1,
       sv: Array[Byte] = null): Boolean =
     st.cols.get(col) match {
-      case None => true                 // column absent from the file
-      case Some(c) if c.family == "n" => true // every value null
+      // `isnull` (r19) inverts the shared null rule: absent/all-null
+      // columns MATCH `IS NULL`, and the skip claim is an exact
+      // recorded null count of zero (-1 unknown = no claim)
+      case None => op != "isnull"       // column absent from the file
+      case Some(c) if c.family == "n" => op != "isnull" // every value null
+      case Some(c) if op == "isnull" => c.nulls == 0L
       // IS NOT NULL (r17): only the all-null/absent cases above skip;
       // any present stats family means the file may hold non-nulls
       case Some(_) if op == "notnull" => false

@@ -119,16 +119,22 @@ class GraftCatalog extends TableCatalog
     // the commit log as SQL (epoch, operation, gen, n_days, n_dropped,
     // commit_time), no Scala call, no custom parser.
     if (!exists(ident) &&
-        (ident.name() == "history" || ident.name() == "files") &&
+        (ident.name() == "history" || ident.name() == "files" ||
+          ident.name() == "detail") &&
         ident.namespace().nonEmpty) {
       val parent = Identifier.of(
         ident.namespace().dropRight(1), ident.namespace().last)
       if (exists(parent))
-        return if (ident.name() == "history")
-          new LakeHistoryTable(dirOf(parent))
-        // `.files` (r17 wave 6): the live storage layout as SQL —
-        // day/kind/gen/file/bytes/rows per committed file
-        else new LakeFilesTable(dirOf(parent))
+        return ident.name() match {
+          case "history" => new LakeHistoryTable(dirOf(parent))
+          // `.files` (r17 wave 6): the live storage layout as SQL —
+          // day/kind/gen/file/bytes/rows per committed file
+          case "files" => new LakeFilesTable(dirOf(parent))
+          // `.detail` (r19 continuation): the one-row table summary —
+          // the DESCRIBE DETAIL shape (declaration, epochs, censuses,
+          // maintenance signals)
+          case _ => new LakeDetailTable(dirOf(parent))
+        }
     }
     loadAt(ident, epoch = None)
   }

@@ -1245,6 +1245,14 @@ object RowGroupFilter {
     // `WHERE new_col IS NOT NULL` backfills
     case sources.IsNotNull(a) if !a.contains(".") =>
       Some(RowGroupFilter(a, "notnull", isFloat = false, 0L, 0d))
+    // IS NULL (r19): the inverse claim — a file/group whose EXACT null
+    // count is recorded as zero can hold no matching row. The
+    // `WHERE enrich_col IS NULL` gap-audit scan then skips every fully-
+    // backfilled file. NOTE the inverted null semantics vs every other
+    // op: absent/all-null columns MATCH (never skip), unknown null
+    // counts make no claim
+    case sources.IsNull(a) if !a.contains(".") =>
+      Some(RowGroupFilter(a, "isnull", isFloat = false, 0L, 0d))
     // LIKE 'prefix%' (r17): matches live in [prefix, successor(prefix))
     // under the same unsigned byte order the stats were recorded in —
     // URL/path/tenant prefixes are the everyday selective string filter
@@ -1519,14 +1527,19 @@ private[sources] object LakeGroupRead {
       if (f.op == "in")
         return f.inSet.nonEmpty && f.inSet.forall(m =>
           filterProvablyEmpty(block, m.copy(col = f.col), fileSchema))
-      if (!fileSchema.containsField(f.col)) true // all-null evolution gap
-      else block.getColumns.asScala
+      // `isnull` inverts the null rule every comparison shares: an
+      // absent or all-null column MATCHES `IS NULL` (never skip), and
+      // the skip claim is "exact null count recorded as zero"
+      if (!fileSchema.containsField(f.col))
+        return f.op != "isnull" // all-null evolution gap
+      block.getColumns.asScala
         .find(_.getPath.toDotString == f.col) match {
-        case None => true // chunk absent: all null in this group
+        case None => f.op != "isnull" // chunk absent: all null in this group
         case Some(cc) =>
           val st = cc.getStatistics
           if (st == null || st.isEmpty) false
-          else if (!st.hasNonNullValue) true // every value null
+          else if (!st.hasNonNullValue) f.op != "isnull" // every value null
+          else if (f.op == "isnull") st.isNumNullsSet && st.getNumNulls == 0L
           else if (f.op == "notnull") false // non-nulls exist: no claim
           else {
             val fileScale =

@@ -475,6 +475,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got.get("ts") === Some("ts"))
   }
 
+  test("SELECT * FROM graft.tbl.detail — the one-row DESCRIBE DETAIL " +
+    "summary: declaration, epochs, file census, maintenance signals") {
+    spark.sql("CREATE TABLE graft.det (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE, note STRING, CONSTRAINT pos CHECK (value >= 0)) " +
+      "TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      spark.sql("INSERT INTO graft.det (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), " +
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)")
+      LakeSnapshot.mergeDelta(spark, s"$wh/det",
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 9.0))
+          .toDF("event_id", "ts", "value"),
+        "event_id", "ts")
+      spark.sql("ALTER TABLE graft.det RENAME COLUMN note TO remark")
+      val d = spark.sql("SELECT * FROM graft.det.detail").head()
+      assert(d.getAs[String]("location") === s"$wh/det")
+      assert(d.getAs[String]("key") === "event_id")
+      assert(d.getAs[String]("ts") === "ts")
+      assert(d.getAs[Int]("epoch") ===
+        LakeSnapshot.currentEpoch(spark, s"$wh/det"))
+      assert(d.getAs[Int]("n_days") === 2)
+      // the catalog INSERT is an insert-only append → pure MoR: zero
+      // base files, three delta layers (one insert gen × 2 days + the
+      // explicit mergeDelta), bytes still censused
+      assert(d.getAs[Long]("n_base_files") === 0L)
+      assert(d.getAs[Long]("bytes") > 0L)
+      assert(d.getAs[Long]("n_delta_layers") === 3L,
+        "the OPTIMIZE signal: the MoR layer census")
+      assert(d.getAs[Int]("n_renamed") === 1)
+      assert(d.getAs[String]("constraints") === "pos")
+      // after maintenance the signals clear and the base census appears
+      spark.sql("CALL graft.system.optimize(`table` => 'det', " +
+        "min_layers => 1)")
+      val d2 = spark.sql("SELECT * FROM graft.det.detail").head()
+      assert(d2.getAs[Long]("n_delta_layers") === 0L)
+      assert(d2.getAs[Long]("n_base_files") === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.det")
+  }
+
   test("CALL graft.system.optimize(min_layers => N) — targeted " +
     "compaction: only fold-tax days rewrite, clean days' files are " +
     "never touched, an unfragmented table is a no-op") {

@@ -352,6 +352,38 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(dsv2(dir).filter(col("src") < "m").count() === 2L)
   }
 
+  test("IS NULL skip hint (r19): zero-null files skip from the exact " +
+    "null census, all-null and column-ABSENT files match (inverted " +
+    "null semantics) — the backfill gap-audit scan") {
+    val dir = freshDir("isnullstats")
+    // day 1 fully backfilled (src never null), day 2 half-null, day 3
+    // written BEFORE src existed (column absent — schema evolution gap)
+    LakeSnapshot.merge(spark, dir,
+      Seq((9L, ts(3), 9.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts")
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0, "a"), (2L, ts(1), 2.0, "b"),
+        (3L, ts(2), 3.0, "c"), (4L, ts(2), 4.0, null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "value", "src"),
+      "event_id", "ts")
+    // the gap audit: exactly the half-null row + the whole absent day
+    graft.etl.FileStats.skippedFiles.set(0L)
+    assert(dsv2(dir).filter(col("src").isNull)
+      .select("event_id").as[Long].collect().sorted.toSeq === Seq(4L, 9L),
+      "all-null and column-absent files MUST match IS NULL")
+    assert(graft.etl.FileStats.skippedFiles.get() > 0,
+      "the fully-backfilled day must file-skip from its zero null count")
+    // row-group layer agrees when the sidecar is gone
+    dropSidecars(dir)
+    LakeGroupRead.skippedGroups.set(0L)
+    assert(dsv2(dir).filter(col("src").isNull).count() === 2L)
+    assert(LakeGroupRead.skippedGroups.get() > 0,
+      "the group layer must skip zero-null groups from footer null counts")
+    // exactness against the Scala read
+    assert(rows(dsv2(dir).filter(col("src").isNull)) ===
+      rows(LakeSnapshot.read(spark, dir).filter(col("src").isNull)))
+  }
+
   test("footerStat folds row groups: longs, doubles, dates, timestamp " +
     "units normalize to micros, all-null and absent columns mark") {
     val dir = freshDir("footerstat")
