@@ -599,16 +599,16 @@ class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
       s"graft procedures live under the 'system' namespace, got $ident")
-    GraftProcedures.all(tableDir, tableDirNew)
+    GraftProcedures.all(tableDir, tableDirNew, () => warehouse)
       .getOrElse(ident.name(), sys.error(
         s"unknown procedure '${ident.name()}' — available: " +
-          GraftProcedures.all(tableDir, tableDirNew)
+          GraftProcedures.all(tableDir, tableDirNew, () => warehouse)
             .keys.toSeq.sorted.mkString(", ")))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      GraftProcedures.all(tableDir, tableDirNew).keys.toSeq.sorted
+      GraftProcedures.all(tableDir, tableDirNew, () => warehouse).keys.toSeq.sorted
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 

@@ -34,6 +34,13 @@ import graft.etl.LakeSnapshot
   */
 private[sources] object GraftProcedures {
 
+  /** The warehouse-relative default transaction-catalog directory the
+    * SQL txn verbs (and vacuum's pin protection) share. Dot-prefixed:
+    * invisible to listTables/exists by the catalog's own rule, so the
+    * txn catalog can never surface as a table.
+    */
+  val DefaultTxn = ".graft_txn"
+
   /** One-row driver-side result (maintenance output is a summary row,
     * never data-sized) — Spark's procedure exec requires the dedicated
     * [[org.apache.spark.sql.connector.read.LocalScan]] shape.
@@ -80,7 +87,8 @@ private[sources] object GraftProcedures {
     * uses it.
     */
   def all(dirOf: String => String,
-      dirOfNew: String => String): Map[String, UnboundProcedure] = Map(
+      dirOfNew: String => String,
+      warehouse: () => String): Map[String, UnboundProcedure] = Map(
     // `min_layers => N` (r19 continuation) makes the verb TARGETED: only
     // days carrying >= N merge-on-read layers (row deltas + DVs — the
     // days actually paying the fold tax) are rewritten, selected from
@@ -163,6 +171,15 @@ private[sources] object GraftProcedures {
           spark: SparkSession, dir: String,
           args: InternalRow): Seq[Seq[Any]] = {
         val force = !args.isNullAt(2) && args.getBoolean(2)
+        // SQL-committed txn pins (r19 continuation) protect here the
+        // way LakeTxn.pinsFor always protected the Scala vacuum: every
+        // generation the pinned epoch's view reaches survives whatever
+        // the retention says. Pins are keyed by the exact name
+        // txn_commit recorded; the default txn dir is the warehouse's
+        // `_graft_txn`.
+        val pins = graft.etl.LakeTxn.pinsFor(spark,
+          s"${warehouse()}/${GraftProcedures.DefaultTxn}",
+          args.getUTF8String(0).toString)
         // VERDICT r14: the no-arg CALL must NOT mean "destroy time
         // travel now" (retain 0) while the library's own default is 7
         // days — an unset retain_ms takes the RetentionPolicy defaults
@@ -172,10 +189,69 @@ private[sources] object GraftProcedures {
         // three surfaces, exactly as before.
         if (args.isNullAt(1))
           LakeSnapshot.vacuumPolicy(spark, dir,
-            LakeSnapshot.RetentionPolicy(), force = force)
+            LakeSnapshot.RetentionPolicy(), pins = pins, force = force)
         else
-          LakeSnapshot.vacuum(spark, dir, args.getLong(1), force)
+          LakeSnapshot.vacuumPolicy(spark, dir,
+            LakeSnapshot.RetentionPolicy(
+              historyMs = args.getLong(1), cdfMs = args.getLong(1),
+              orphanMs = args.getLong(1)),
+            pins = pins, force = force)
         Seq(Seq("vacuum", dir))
+      }
+    },
+    // SQL MULTI-TABLE snapshot transactions (r19 continuation — the
+    // LakeTxn catalog surface): `txn_commit` atomically publishes ONE
+    // pin row binding each listed table to its CURRENT epoch; a
+    // cross-table consumer then reads every table `VERSION AS OF` its
+    // pinned epoch for a mutually-consistent view, however many
+    // mutations land in between. `txn_pins` lists the live pin set.
+    // Pins also protect vacuum (above) — a pinned epoch's generations
+    // survive any retention, the Iceberg "refs protect snapshots" rule.
+    "txn_commit" -> new LakeProcedure("txn_commit", dirOfNew,
+      Seq(in("tables", StringType),
+        inDefault("txn", StringType, s"'${GraftProcedures.DefaultTxn}'")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("pinned_epoch", IntegerType),
+        StructField("txn_epoch", IntegerType)))) {
+      override protected def run(
+          spark: SparkSession, unused: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        // param 0 is `tables` (csv) — the LakeProcedure contract of
+        // "arg 0 resolves via dirOf" is satisfied by dirOfNew (no
+        // existence gate); each listed table must exist and resolves
+        // through the same warehouse mapping
+        val names = args.getUTF8String(0).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty, "txn_commit needs tables => 'a,b,...'")
+        // the txn name is a WAREHOUSE-RELATIVE path (dot-prefixed by
+        // default = invisible), never a table identifier
+        val txnDir = s"${warehouse()}/" + (
+          if (args.isNullAt(1)) GraftProcedures.DefaultTxn
+          else args.getUTF8String(1).toString)
+        val pins = names.map { n =>
+          val d = dirOfNew(n)
+          val e = LakeSnapshot.currentEpoch(spark, d)
+          require(e >= 0, s"table '$n' has no committed epoch to pin")
+          n -> e
+        }
+        val txnEpoch =
+          graft.etl.LakeTxn.commit(spark, txnDir, pins.toMap)
+        pins.map { case (n, e) => Seq(n, e, txnEpoch) }
+      }
+    },
+    "txn_pins" -> new LakeProcedure("txn_pins", dirOfNew,
+      Seq(inDefault("txn", StringType,
+        s"'${GraftProcedures.DefaultTxn}'")),
+      StructType(Seq(StructField("table", StringType),
+        StructField("pinned_epoch", IntegerType)))) {
+      override protected def run(
+          spark: SparkSession, unused: String,
+          args: InternalRow): Seq[Seq[Any]] = {
+        val txnDir = s"${warehouse()}/" + (
+          if (args.isNullAt(0)) GraftProcedures.DefaultTxn
+          else args.getUTF8String(0).toString)
+        graft.etl.LakeTxn.currentPins(spark, txnDir)
+          .toSeq.sortBy(_._1).map { case (t, e) => Seq(t, e) }
       }
     },
     "checkpoint" -> new LakeProcedure("checkpoint", dirOf,

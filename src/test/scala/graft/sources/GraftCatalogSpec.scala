@@ -605,6 +605,70 @@ class GraftCatalogSpec extends AnyFunSuite {
       .getDouble(0) === day1.map(_._3).sum + 100.0)
   }
 
+  test("CALL graft.system.txn_commit/txn_pins — SQL multi-table " +
+    "snapshot transactions: one pin row binds the tables' epochs, " +
+    "VERSION AS OF the pins is the consistent view, and SQL vacuum " +
+    "never reclaims a pinned generation") {
+    spark.sql("CREATE TABLE graft.txa (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    spark.sql("CREATE TABLE graft.txb (event_id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE) TBLPROPERTIES ('key' = 'event_id')")
+    try {
+      spark.sql("INSERT INTO graft.txa (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0)")
+      spark.sql("INSERT INTO graft.txb (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 10.0)")
+      val pins = spark.sql(
+        "CALL graft.system.txn_commit(tables => 'txa,txb')")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(pins === Map("txa" -> 0, "txb" -> 0))
+      // both tables move on; the pinned view stays the consistent pair
+      spark.sql("INSERT INTO graft.txa (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 2.0)")
+      spark.sql("INSERT INTO graft.txb (event_id, ts, value) VALUES " +
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 20.0)")
+      val consistent = (
+        spark.sql(s"SELECT value FROM graft.txa VERSION AS OF ${pins("txa")}")
+          .head().getDouble(0),
+        spark.sql(s"SELECT value FROM graft.txb VERSION AS OF ${pins("txb")}")
+          .head().getDouble(0))
+      assert(consistent === ((1.0, 10.0)))
+      assert(spark.sql("CALL graft.system.txn_pins()").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap ===
+        Map("txa" -> 0, "txb" -> 0))
+      // the txn catalog never surfaces as a table
+      assert(!spark.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).exists(_.contains("graft_txn")))
+      // pin protection: OPTIMIZE absorbs the delta layers (superseding
+      // the pinned epoch's generations), then an explicit retain 0
+      // vacuum — which WOULD reclaim them on an unpinned table — must
+      // keep every generation the pinned epoch still reaches
+      spark.sql("CALL graft.system.optimize(`table` => 'txa')")
+      spark.sql("CALL graft.system.vacuum(`table` => 'txa', " +
+        "retain_ms => 0)")
+      assert(spark.sql(
+        s"SELECT value FROM graft.txa VERSION AS OF ${pins("txa")}")
+        .head().getDouble(0) === 1.0,
+        "the pinned epoch must survive an aggressive vacuum")
+      // re-pin at the (compacted) head: the old generations become fair
+      // game for the next pass (only the latest pin per table protects)
+      spark.sql("CALL graft.system.txn_commit(tables => 'txa,txb')")
+      spark.sql("CALL graft.system.vacuum(`table` => 'txa', " +
+        "retain_ms => 0)")
+      val gone = intercept[Exception] {
+        spark.sql(
+          s"SELECT value FROM graft.txa VERSION AS OF ${pins("txa")}")
+          .collect()
+      }
+      assert(gone != null, "the unpinned historical view is reclaimable")
+      assert(spark.sql("SELECT value FROM graft.txa").head()
+        .getDouble(0) === 2.0, "the live view is untouched")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.txa")
+      spark.sql("DROP TABLE IF EXISTS graft.txb")
+    }
+  }
+
   test("CALL graft.system.restore — the SQL rollback verb: epoch and " +
     "timestamp forms, exactly-one-arg enforcement, history row") {
     spark.sql("CREATE TABLE graft.res (event_id BIGINT, ts TIMESTAMP, " +
