@@ -193,7 +193,13 @@ object ScaleRehearsal {
     "p57_convert_parquet",
     // the incremental export's diff is manifest-derived: its ratio must
     // track the full build + one changed day's rewrite, never the table
-    "p58_incremental_export")
+    "p58_incremental_export",
+    // r19 continuation wave 2: the temperature mix is one per-source
+    // aggregate + a broadcast filter (must price linear in the corpus);
+    // filtered ANN is an IVF build + three pushed-filter probes (the
+    // k3-class build cost, probes O(probed lists))
+    "k40_temperature_mix",
+    "k41_filtered_ann")
 
   /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
     * re-run SOLO in a fresh JVM automatically, and the artifact carries

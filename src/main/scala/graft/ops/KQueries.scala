@@ -2132,6 +2132,169 @@ object KQueries {
        |FROM probed""".stripMargin
   }
 
+  // --- K40: TEMPERATURE-weighted source mixing (r19 continuation) ----------
+  // The pretraining mixture rule k29's equal-cap proxy approximates:
+  // source weights ∝ t_s^α with α = 1/2 (the multilingual-corpus
+  // standard — dominant sources downweighted sub-linearly, small
+  // sources upweighted relatively, nobody zeroed). Everything stays
+  // ORACLE-EXACT: the only non-integer step is floor(sqrt(t_s)), and
+  // IEEE-754 sqrt is correctly rounded — bit-identical in Spark and
+  // DuckDB — so the whole mille-arithmetic selection re-derives. Doc
+  // selection is the k29 id-per-mille rule against each source's rate
+  // = min(1000, 1000·target_s/t_s) for target_s = its weight-share of
+  // the half-corpus budget. At 100 TB: one per-source aggregate, a
+  // broadcast of n_sources thresholds, a narrow filter — no data
+  // shuffle. The entry also REQUIRES the temperature property itself
+  // (the smallest source's acceptance rate ≥ the largest's), so a
+  // wrong exponent direction fails before the oracle even hashes.
+  def k40(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val perSource = docs.groupBy("source").agg(sum("n_tok").as("t_s"))
+      .withColumn("w_s",
+        floor(sqrt(col("t_s").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum("t_s").as("total"), sum("w_s").as("w_tot"))
+    val th = perSource.crossJoin(broadcast(totals))
+      .withColumn("share_mille",
+        expr("CASE WHEN w_tot = 0 THEN 0L ELSE (1000 * w_s) DIV w_tot END"))
+      .withColumn("target_s",
+        expr("(share_mille * (total DIV 2)) DIV 1000"))
+      .withColumn("rate_mille",
+        expr("CASE WHEN t_s = 0 THEN 0L " +
+          "ELSE least(1000L, (1000 * target_s) DIV t_s) END"))
+      .select("source", "t_s", "w_s", "rate_mille")
+    // the temperature property, gated inline: α < 1 must upweight the
+    // smallest source RELATIVE to the largest
+    val rates = th.select("t_s", "rate_mille")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (smallest, largest) =
+      (rates.minBy(_._1), rates.maxBy(_._1))
+    require(smallest._1 == largest._1 || smallest._2 >= largest._2,
+      s"temperature α=1/2 must not downweight the smallest source " +
+        s"below the largest ($smallest vs $largest)")
+    val sel = docs
+      .join(broadcast(th.select("source", "rate_mille")), Seq("source"))
+      .filter(pmod(col("doc_id"), lit(1000)) < col("rate_mille"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("sel_tok"))
+    th.join(sel, Seq("source"), "left")
+      .select(col("source"), col("t_s"), col("w_s"), col("rate_mille"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_tok"), lit(0L)).as("sel_tok"))
+      .orderBy("source")
+  }
+
+  val k40Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tok
+      |  FROM documents),
+      |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s,
+      |              CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT)
+      |                AS w_s
+      |       FROM d GROUP BY source),
+      |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS total,
+      |               CAST(sum(w_s) AS BIGINT) AS w_tot FROM ps),
+      |th AS (
+      |  SELECT source, t_s, w_s,
+      |         CASE WHEN t_s = 0 THEN 0
+      |              ELSE least(1000,
+      |                (1000 * (((1000 * w_s) // w_tot)
+      |                          * (total // 2) // 1000)) // t_s)
+      |         END AS rate_mille
+      |  FROM ps CROSS JOIN tot),
+      |sel AS (
+      |  SELECT d.source, count(*) AS n_sel,
+      |         CAST(sum(d.n_tok) AS BIGINT) AS sel_tok
+      |  FROM d JOIN th ON d.source = th.source
+      |                AND d.doc_id % 1000 < th.rate_mille
+      |  GROUP BY d.source)
+      |SELECT th.source, th.t_s, th.w_s,
+      |       CAST(th.rate_mille AS BIGINT) AS rate_mille,
+      |       COALESCE(sel.n_sel, 0) AS n_sel,
+      |       COALESCE(sel.sel_tok, 0) AS sel_tok
+      |FROM th LEFT JOIN sel USING (source) ORDER BY source""".stripMargin
+
+  // --- K41: FILTERED ANN (r19 continuation) --------------------------------
+  // The retrieval shape every RAG / hard-negative-mining pipeline needs:
+  // "top-k most similar WHERE <metadata predicate>". The hashed output
+  // is the EXACT filtered top-10 (brute cosine over the eligible set —
+  // DuckDB re-derives it verbatim). The scale path is gated inline:
+  // the predicate pushes INTO the IVF probe as a semi-join on the
+  // eligible-id set BEFORE any cosine is paid (candidates outside the
+  // filter never rank — the pre-filter design, vs post-filtering a
+  // top-k that can come back short), and the known filtered-ANN failure
+  // mode — a selective filter starving the probed lists — is answered
+  // by selectivity-aware OVER-PROBING: nProbe widens by the inverse
+  // selectivity. Locks: (a) candidate-set monotonicity — widening the
+  // probe never loses recall; (b) probing ALL lists with the pushdown
+  // equals the exact answer row-for-row (the pushdown itself loses
+  // nothing); (c) the over-probed recall@10 floor (0.5 — holds with
+  // margin at sf0.001/0.01/0.1 on the fixture's random-direction
+  // population, where 3-of-16 lists would otherwise be a coin flip).
+  def k41(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val pred = col("label") % 3 === 0 // ~1/3 of the corpus eligible
+    val exact = emb.filter(col("vec_id") =!= 0 && pred)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (round(GraftFunctions.cosine_sim(col("embedding"), col("qvec")), 4)
+          + 0.0).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+    val exactIds = exact.select("vec_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val index = Similarity.ivfBuild(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+    val eligible = emb.filter(col("vec_id") =!= 0 && pred)
+      .select(col("vec_id").as("id"))
+    def filteredTopK(nProbe: Int): Seq[Long] = {
+      val probeLists = qv.crossJoin(broadcast(index.centroids))
+        .select(col("list_id"),
+          GraftFunctions.cosine_sim(
+            col("centroid"), col("qvec").cast("array<double>")).as("csim"))
+        .orderBy(col("csim").desc, col("list_id"))
+        .limit(nProbe).select("list_id")
+      index.assigned
+        .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+        .join(broadcast(eligible), Seq("id"), "left_semi") // pre-cosine
+        .crossJoin(broadcast(qv))
+        .select(col("id"),
+          (round(GraftFunctions.cosine_sim(col("v"), col("qvec")), 4)
+            + 0.0).as("sim"))
+        .orderBy(col("sim").desc, col("id"))
+        .limit(10)
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq
+    }
+    def recall(ids: Seq[Long]): Double =
+      ids.count(exactIds).toDouble / exactIds.size
+    val narrow = recall(filteredTopK(4))
+    // selectivity-aware over-probe: ~1/3 eligible → probe 3× the lists
+    val over = recall(filteredTopK(12))
+    require(over >= narrow,
+      s"widening the probe must never lose recall ($narrow -> $over)")
+    require(over >= 0.5,
+      s"over-probed filtered recall@10 $over under the 0.5 floor")
+    val full = filteredTopK(16)
+    require(full.toSet == exactIds,
+      s"probing every list with the pushed filter must equal the exact " +
+        s"answer — got $full vs $exactIds")
+    exact
+  }
+
+  val k41Sql: String =
+    """SELECT vec_id, round(list_cosine_similarity(embedding,
+      |         (SELECT embedding FROM embeddings WHERE vec_id = 0)),4)
+      |         AS sim
+      |FROM embeddings WHERE vec_id <> 0 AND label % 3 = 0
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // --- K29: source mixing against a token budget ---------------------------
   // The data-mixing step between corpus prep and packing: cap each source
   // at an equal share of half the corpus (cap = total DIV 2n tokens), so
@@ -3703,6 +3866,8 @@ object KQueries {
     ("k22_sequence_packing", k22 _, Some(k22Sql)),
     ("k39_bpe_packing", k39 _, Some(k39Sql)),
     ("k29_source_mixing", k29 _, Some(k29Sql)),
+    ("k40_temperature_mix", k40 _, Some(k40Sql)),
+    ("k41_filtered_ann", k41 _, Some(k41Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
