@@ -199,7 +199,11 @@ object ScaleRehearsal {
     // filtered ANN is an IVF build + three pushed-filter probes (the
     // k3-class build cost, probes O(probed lists))
     "k40_temperature_mix",
-    "k41_filtered_ann")
+    "k41_filtered_ann",
+    // winner selection rides k10's replica-disjoint cluster structure:
+    // the rank window is cluster-sized partitions, so its ratio must
+    // track the edge/closure build, never blow up on the window
+    "k42_quality_dedup")
 
   /** Out-of-band bound (VERDICT r18 #5): a roster ratio above this is
     * re-run SOLO in a fresh JVM automatically, and the artifact carries

@@ -2132,6 +2132,109 @@ object KQueries {
        |FROM probed""".stripMargin
   }
 
+  // --- K42: QUALITY-AWARE dedup winner selection (r19 continuation) --------
+  // k10 proves the clusters; this entry proves the pipeline's LAST dedup
+  // decision: which member of each near-dup cluster SURVIVES. Arbitrary
+  // winners (min-id) silently prefer whichever shard wrote first; a
+  // corpus-prep pipeline keeps the most informative member. The rank is
+  // deliberately integer-exact — non-space char count desc, id asc —
+  // so the whole selection (clusters AND winners AND the dropped set)
+  // re-derives in DuckDB on top of k10's recursive-CTE closure. Chained
+  // corpora make the choice non-trivial: the full document must beat
+  // its drop-last-word derivatives in every family. Scale shape: the
+  // winner rank is one keyed window over cluster ids (cluster-sized
+  // partitions), never a global sort.
+  def k42(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = chainCorpus(spark, dir)
+    val shingled = corpus
+      .select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val edges =
+      Dedup.exactJaccardPairsFromShingles(shingled, threshold = 0.9)
+    val comp = Components.connectedComponents(edges, "id_a", "id_b")
+    val chars = corpus.select(col("doc_id").as("id"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"))
+    val labeled = shingled.select("id").join(chars, Seq("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"),
+        col("nc"))
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    val ranked = labeled
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col("nc").desc, col("id").asc)))
+      .withColumn("sz", count(lit(1)).over(byComp))
+    ranked.filter(col("sz") >= 2)
+      .agg(
+        countDistinct("comp").as("n_clusters"),
+        sum(when(col("rn") === 1, col("id"))).as("winner_id_sum"),
+        sum(when(col("rn") === 1, col("nc"))).as("winner_chars_sum"),
+        sum(when(col("rn") =!= 1, col("id"))).as("dropped_id_sum"),
+        sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  val k42Sql: String =
+    """WITH RECURSIVE corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 4
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 5
+      |), sh AS MATERIALIZED (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)
+      |  WHERE len(w) >= 3
+      |), pref AS MATERIALIZED (
+      |  SELECT doc_id, unnest(s[1 : CAST(len(s) - ceil(0.9 * len(s)) + 1 AS INT)]) AS h
+      |  FROM sh
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+      |), e AS MATERIALIZED (
+      |  SELECT c.u, c.v
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.u JOIN sh sb ON sb.doc_id = c.v
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |          / len(list_distinct(sa.s || sb.s)) >= 0.9
+      |), es AS MATERIALIZED (
+      |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+      |), reach AS (
+      |  SELECT u AS a, v AS b FROM es
+      |  UNION
+      |  SELECT r.a, es.v AS b FROM reach r JOIN es ON r.b = es.u
+      |), compm AS (
+      |  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+      |), chars AS (
+      |  SELECT doc_id AS id,
+      |         CAST(len(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+      |           AS nc
+      |  FROM corpus
+      |), fullc AS (
+      |  SELECT n.doc_id AS id, coalesce(c.comp, n.doc_id) AS comp
+      |  FROM sh n LEFT JOIN compm c ON n.doc_id = c.id
+      |), ranked AS (
+      |  SELECT f.id, f.comp, ch.nc,
+      |         row_number() OVER (PARTITION BY f.comp
+      |                            ORDER BY ch.nc DESC, f.id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY f.comp) AS sz
+      |  FROM fullc f JOIN chars ch ON ch.id = f.id
+      |)
+      |SELECT count(DISTINCT comp) AS n_clusters,
+      |       CAST(sum(CASE WHEN rn = 1 THEN id END) AS BIGINT)
+      |         AS winner_id_sum,
+      |       CAST(sum(CASE WHEN rn = 1 THEN nc END) AS BIGINT)
+      |         AS winner_chars_sum,
+      |       CAST(sum(CASE WHEN rn <> 1 THEN id END) AS BIGINT)
+      |         AS dropped_id_sum,
+      |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dropped
+      |FROM ranked WHERE sz >= 2""".stripMargin
+
   // --- K40: TEMPERATURE-weighted source mixing (r19 continuation) ----------
   // The pretraining mixture rule k29's equal-cap proxy approximates:
   // source weights ∝ t_s^α with α = 1/2 (the multilingual-corpus
@@ -3868,6 +3971,7 @@ object KQueries {
     ("k29_source_mixing", k29 _, Some(k29Sql)),
     ("k40_temperature_mix", k40 _, Some(k40Sql)),
     ("k41_filtered_ann", k41 _, Some(k41Sql)),
+    ("k42_quality_dedup", k42 _, Some(k42Sql)),
     ("l4_bottomk_sketch", l4 _, Some(l4Sql)),
     ("d9_vector_centroid", d9 _, Some(d9Sql)),
     ("k4_vector_math", k4 _, Some(k4Sql)),
