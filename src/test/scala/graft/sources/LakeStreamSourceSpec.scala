@@ -367,6 +367,51 @@ class LakeStreamSourceSpec extends AnyFunSuite {
         ((1L, 111.0)) + ((500L, 555.0))))
   }
 
+  test("a tail window crossing a RESTORE fails loudly (r19): a feed " +
+    "cannot represent a rollback, so the stream must die naming it — " +
+    "never silently skip; restarting past the restore epoch resumes") {
+    val root = freshDir("tail_restore")
+    val dir = s"$root/lake"
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 1.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    val e0 = LakeSnapshot.currentEpoch(spark, dir)
+    LakeSnapshot.merge(spark, dir,
+      Seq((1L, ts(1), 2.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    LakeSnapshot.restoreTo(spark, dir, e0)
+    val accDir = s"$root/acc"
+    def tail(from: Int, ckpt: String): Either[String, Unit] = {
+      val q = spark.readStream.format("graft-lake")
+        .option("path", dir).option("changes", "true")
+        .option("startingEpoch", from.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(accDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      try { q.awaitTermination(); Right(()) }
+      catch { case e: Exception =>
+        Left(String.valueOf(e.getMessage) + String.valueOf(e.getCause)) }
+    }
+    val boom = tail(e0, s"$root/ckpt1")
+    assert(boom.isLeft && boom.swap.exists(_.contains("RESTORE")),
+      s"the tail window spanning the restore must die naming it: $boom")
+    // the documented recovery: restart the feed PAST the restore epoch
+    val eRestore = LakeSnapshot.currentEpoch(spark, dir)
+    assert(tail(eRestore, s"$root/ckpt2").isRight,
+      "a feed subscribed after the restore epoch must run clean")
+    LakeSnapshot.merge(spark, dir,
+      Seq((9L, ts(2), 9.0)).toDF("event_id", "ts", "value"),
+      "event_id", "ts", cdf = true)
+    assert(tail(eRestore, s"$root/ckpt2").isRight)
+    assert(spark.read.parquet(accDir)
+      .filter(col("event_id") === 9L).count() === 1L,
+      "post-restore commits flow through the restarted feed")
+  }
+
   test("startingEpoch (r17): tail-only subscribe skips the snapshot " +
     "and emits exactly the change images after the pinned epoch — the " +
     "graft-cdc window semantics, so switching formats never shifts it") {
