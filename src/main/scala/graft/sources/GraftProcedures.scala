@@ -415,7 +415,12 @@ private[sources] object GraftProcedures {
         in("source", StringType),
         in("key", StringType),
         inDefault("ts", StringType, "'ts'"),
-        inDefault("validate", BooleanType, "true")),
+        inDefault("validate", BooleanType, "true"),
+        // declare bloom columns AT adoption: the sidecars stage over
+        // the adopted generation immediately (one column-pruned read),
+        // so point lookups skip on day one — same posture as the stats
+        // sidecar, first-class from the first epoch
+        inDefault("bloom", StringType, "NULL")),
       StructType(Seq(StructField("operation", StringType),
         StructField("epoch", IntegerType),
         StructField("n_days", IntegerType),
@@ -454,9 +459,25 @@ private[sources] object GraftProcedures {
             Map("ts.zone" ->
               spark.sessionState.conf.sessionLocalTimeZone)
           else Map.empty[String, String]
+        val bloomDecl =
+          if (args.isNullAt(5)) Map.empty[String, String]
+          else {
+            val cols = args.getUTF8String(5).toString
+              .split(",").map(_.trim).filter(_.nonEmpty)
+            cols.foreach(c => require(dataSchema.fieldNames.contains(c),
+              s"bloom column '$c' is not a column of " +
+                s"${dataSchema.fieldNames.toSeq}"))
+            Map("bloom" -> cols.mkString(","))
+          }
         GraftCatalog.writeMergedProps(spark, dir,
           Map("key" -> key, "ts" -> ts,
-            "schema" -> dataSchema.toDDL) ++ zoneClaim)
+            "schema" -> dataSchema.toDDL) ++ zoneClaim ++ bloomDecl)
+        if (bloomDecl.nonEmpty) {
+          // all adopted days share the one claimed generation
+          val gen = LakeSnapshot.tableState(spark, dir)
+            .days.values.map(_.base).max
+          graft.etl.BloomStats.stage(spark, dir, gen)
+        }
         Seq(Seq("convert_parquet", e, days.size, dir))
       }
     },

@@ -755,6 +755,38 @@ class GraftCatalogSpec extends AnyFunSuite {
         spark.sql("CALL graft.system.convert_parquet(`table` => 'conv', " +
           s"source => '$src', key => 'event_id')").collect()
       }.getMessage.contains("already exists"))
+      // bloom at adoption (r19): a second conversion declaring a bloom
+      // column stages the sidecars over the adopted generation — point
+      // lookups file-skip from epoch 0
+      val src2 = s"$wh/.plain_conv2"
+      // day 1 holds {1, 3}, day 2 holds {2, 4}: a lookup of id 3 is
+      // INSIDE day 2's min/max range (range stats cannot prune it) but
+      // absent — exactly the case the bloom tier exists for
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+        (4L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 4.0))
+        .toDF("event_id", "ts", "value")
+        .withColumn("day", to_date(col("ts")))
+        .coalesce(1) // ONE file per day: its [2,4] range straddles the
+                     // probe, so only the bloom can prune it
+        .write.partitionBy("day").parquet(src2)
+      spark.sql("CALL graft.system.convert_parquet(`table` => 'convb', " +
+        s"source => '$src2', key => 'event_id', bloom => 'event_id')")
+      try {
+        assert(GraftCatalog.readCreateProps(spark, s"$wh/convb")
+          .get("bloom") === Some("event_id"))
+        assert(Files.exists(Paths.get(
+          s"$wh/convb/data/gen=0/day=2024-01-02/_bloom.tsv")),
+          "the adoption must stage the bloom sidecars")
+        graft.etl.BloomStats.skippedFiles.set(0L)
+        assert(spark.sql(
+          "SELECT count(*) FROM graft.convb WHERE event_id = 3")
+          .head().getLong(0) === 1L)
+        assert(graft.etl.BloomStats.skippedFiles.get() > 0,
+          "the adopted generation's bloom sidecars must file-skip the " +
+            "in-range-but-absent day on a point lookup")
+      } finally spark.sql("DROP TABLE IF EXISTS graft.convb")
     } finally spark.sql("DROP TABLE IF EXISTS graft.conv")
   }
 }
