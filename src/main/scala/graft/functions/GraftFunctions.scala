@@ -22,7 +22,9 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
     "word_hashes"       -> (es => WordHashes(es.head)),
     "simhash64"         -> (es => SimHash64(es.head)),
     "sorted_intersect_size" -> (es => SortedIntersectSize(es(0), es(1))),
-    "int8_quantize"     -> (es => Int8Quantize(es.head))
+    "int8_quantize"     -> (es => Int8Quantize(es.head)),
+    "subspace_argmin"   -> (es => SubspaceArgminDouble(es(0), es(1))),
+    "adc_distance"      -> (es => AdcDistance(es(0), es(1)))
   )
 
   /** Session-local flag marking that a [[graft.plans.GlobalWindowGuard]]
@@ -120,6 +122,15 @@ object GraftFunctions extends org.apache.spark.internal.Logging {
       MisraGriesAgg(GraftBridge.expression(term), k).toAggregateExpression())
   def int8_quantize(v: Column): Column =
     GraftBridge.column(Int8Quantize(GraftBridge.expression(v)))
+  def subspace_argmin(v: Column, books: Column): Column =
+    GraftBridge.column(SubspaceArgminDouble(
+      GraftBridge.expression(v), GraftBridge.expression(books)))
+  def pq_encode(v: Column, books: Column, scale: Long): Column =
+    GraftBridge.column(PqEncodeCodes(
+      GraftBridge.expression(v), GraftBridge.expression(books), scale))
+  def adc_distance(codes: Column, tbl: Column): Column =
+    GraftBridge.column(AdcDistance(
+      GraftBridge.expression(codes), GraftBridge.expression(tbl)))
   def kll_quantiles(v: Column, k: Int, probs: Seq[Double]): Column =
     GraftBridge.column(
       KllQuantilesAgg(GraftBridge.expression(v), k, probs).toAggregateExpression())

@@ -168,34 +168,74 @@ object Similarity {
     * inverted lists. The quantizer drifts only as the data distribution
     * does; periodic rebuilds are a maintenance job, not an ingest cost.
     */
+  /** A collected model frame as ONE array literal for the argmin kernels:
+    * `array<struct<m int, code int, c array<double|bigint>>>`, sorted by
+    * (m, code) — the order the kernels' strict-< tie-break relies on. The
+    * collect is model-sized by construction (nLists ≈ √N centroid rows /
+    * nSub × nCodes codebook entries — the same frames the trainers already
+    * collect), exactly the spark.ml shape: the driver holds the model,
+    * never the data.
+    */
+  private def booksLiteral(
+      entries: Seq[(Int, Int, Seq[Any])], elemType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val booksType = ArrayType(StructType(Seq(
+      StructField("m", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("c", ArrayType(elemType, containsNull = false),
+        nullable = false))), containsNull = false)
+    // typed converter, not Literal.create: the untyped convertToCatalyst
+    // leaves tuple elements unconverted and Literal's validation rejects them
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(booksType)
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        conv(entries.sortBy(e => (e._1, e._2))), booksType))
+  }
+
+  /** Collected (list_id, centroid) rows, sorted by list id. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+
   /** Nearest-centroid assignment — the k-means criterion [[ivfAdd]] and
     * [[ivfBuildFixed]] share: argmin squared euclidean, ties to the lower
     * list id. ||v - c||² = ||v||² − 2·v·c + ||c||²; ||v||² is constant per
-    * row, so ranking by (||c||² − 2·v·c) is the same order — two codegen'd
-    * dots, never a driver-side loop.
+    * row, so ranking by (||c||² − 2·v·c) is the same order.
+    *
+    * r19 (optimization round, guide §2.4): previously a
+    * `crossJoin(broadcast(centroids)) → groupBy(id) → min_by` — the
+    * broadcast expansion was map-side but the argmin aggregate's Exchange
+    * re-shuffled the ENTIRE corpus (id + full vector per row) once per
+    * build/append. The centroid frame is model-sized by construction, so
+    * the argmin now runs INSIDE the row via the codegen'd
+    * [[graft.functions.SubspaceArgminDouble]] kernel over a collected
+    * centroid literal: same distance arithmetic (two sequential dots,
+    * d = c·c − 2.0·v·c), same lexicographic (d, list_id) tie-break, ZERO
+    * Exchanges — at 100 TB, assignment is a map over the corpus instead of
+    * a shuffle of it. Plan diff on k3c/k3d-class builds: 1 Exchange → 0.
     */
   private def assignToNearest(
       rows: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val v = col("v").cast("array<double>")
-    val score =
-      GraftFunctions.dot_product(col("centroid"), col("centroid")) -
-        lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
-    // argmin as a min_by AGGREGATION, not a row_number window: the same
-    // (distance, list_id) lexicographic tie-break, but with map-side
-    // partial combine — the shuffle carries one pre-reduced row per id
-    // instead of sorting |rows|×nLists expanded rows per partition.
+      centroids: DataFrame): DataFrame =
+    assignToNearestSeq(rows, idCol, vecCol, collectCentroids(centroids))
+
+  private def assignToNearestSeq(
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val books = booksLiteral(
+      cents.map { case (lid, c) => (0, lid, c) },
+      org.apache.spark.sql.types.DoubleType)
     rows
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__d", score)
-      .groupBy(col("id"))
-      .agg(min_by(
-        struct(col("list_id"), col("v")),
-        struct(col("__d"), col("list_id"))).as("__m"))
-      .select(col("id"), col("__m.v").as("v"), col("__m.list_id").as("list_id"))
+      .withColumn("list_id", element_at(
+        GraftFunctions.subspace_argmin(col("v"), books), 1))
   }
 
   /** Incremental insert WITHOUT refitting the quantizer — how IVF absorbs
@@ -263,7 +303,15 @@ object Similarity {
       corpusSize: Option[Long] = None): IvfIndex = {
     // the √N guard (VERDICT r12 #5): callers who know N must not train
     // an absurdly coarse quantizer — see requireSaneNLists
-    requireSaneNLists(seedCentroids.count(), corpusSize, "ivfBuildTrained")
+    // the quantizer is model-sized and driver-resident for the whole
+    // training loop (the spark.ml shape) — collected ONCE here, so the
+    // count for the √N guard is free and each iteration's assignment is a
+    // kernel literal instead of a broadcast-join + corpus-wide argmin
+    // Exchange (r19 optimization — see assignToNearest; plan diff per
+    // iteration: 2 Exchanges → 1, and the surviving one carries
+    // (list_id, pos, sum) cells, never the corpus)
+    var cents = collectCentroids(seedCentroids)
+    requireSaneNLists(cents.length.toLong, corpusSize, "ivfBuildTrained")
     val spark = df.sparkSession
     import spark.implicits._
     // Train on `trainDf` when given (the production shape: a quantizer is
@@ -273,24 +321,17 @@ object Similarity {
     val base = trainDf.getOrElse(df).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("qv", expr(s"transform(v, x -> floor(x * $QuantScale))"))
-    var cents = seedCentroids.select(
-      col("list_id").cast("int").as("list_id"),
-      col("centroid").cast("array<double>").as("centroid"))
     for (_ <- 1 to iters) {
-      val v = col("v")
-      val score =
-        GraftFunctions.dot_product(col("centroid"), col("centroid")) -
-          lit(2.0) * GraftFunctions.dot_product(v, col("centroid"))
-      // same min_by argmin as assignToNearest, carrying the quantized
-      // vector through so the update step never re-joins the corpus
-      val assigned = base
-        .crossJoin(broadcast(cents))
-        .withColumn("__d", score)
-        .groupBy(col("id"))
-        .agg(min_by(
-          struct(col("list_id"), col("qv")),
-          struct(col("__d"), col("list_id"))).as("__m"))
-        .select(col("__m.qv").as("qv"), col("__m.list_id").as("list_id"))
+      val books = booksLiteral(
+        cents.map { case (lid, c) => (0, lid, c) },
+        org.apache.spark.sql.types.DoubleType)
+      // map-only nearest-centroid assignment (same arithmetic and
+      // tie-break as assignToNearest), carrying the quantized vector
+      // through so the update step never re-joins the corpus
+      val assigned = base.select(
+        col("qv"),
+        element_at(GraftFunctions.subspace_argmin(col("v"), books), 1)
+          .as("list_id"))
       val sums = assigned
         .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "qe")))
         .groupBy("list_id", "pos")
@@ -300,19 +341,17 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
           e => e.getField("s").cast("double") /
             (e.getField("cnt") * lit(QuantScale.toDouble))).as("centroid"))
-      val next = cents.select(col("list_id"), col("centroid").as("prev"))
-        .join(updated, Seq("list_id"), "left")
-        .select(col("list_id"),
-          coalesce(col("centroid"), col("prev")).as("centroid"))
-        // model-sized (nLists rows): collecting is the spark.ml shape —
-        // driver holds the quantizer, never the data — and cuts the
-        // per-iteration lineage growth
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toSeq
-      cents = next.toDF("list_id", "centroid")
+      // model-sized (nLists rows): collecting is the spark.ml shape —
+      // driver holds the quantizer, never the data. Empty lists keep
+      // their previous centroid (deterministic, SQL-mirrored).
+      val updatedMap = updated.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (lid, prev) =>
+        (lid, updatedMap.getOrElse(lid, prev))
+      }
     }
-    IvfIndex(assignToNearest(df, idCol, vecCol, cents), cents)
+    val centsDf = cents.toDF("list_id", "centroid")
+    IvfIndex(assignToNearestSeq(df, idCol, vecCol, cents), centsDf)
   }
 
   /** 2^20 — the exact power-of-two quantization scale [[ivfBuildTrained]]
@@ -379,57 +418,79 @@ object Similarity {
       dim: Int = 64): PqIndex = {
     val sub = dim / nSub
     require(sub * nSub == dim, s"dim $dim not divisible into $nSub subspaces")
-    requireDenseCodes(seeds)
-    val codebooks = seeds
+    // r19: ONE model-sized collect feeds the dense-codes check, nCodes,
+    // the codebooks frame, and the encode literal — previously three
+    // separate jobs over `seeds` (distinct-collect, count, and the
+    // per-encode broadcast). Quantization is the same floor(x · PqScale)
+    // the in-Spark pqQuant ran, per element on the driver.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seedRows = seeds
       .select(col("code").cast("int").as("code"),
-        pqQuant(col("centroid")).as("qc"))
-      .select(col("code"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), " +
-          s"mi -> struct(mi AS m, slice(qc, mi * $sub + 1, $sub) AS qsub))"))
-        .as("e"))
-      .select(col("e.m").as("m"), col("code"), col("e.qsub").as("qsub"))
-    val nCodes = seeds.count().toInt
-    pqEncodeFrom(df, idCol, vecCol, codebooks, nSub, sub, nCodes)
+        col("centroid").cast("array<double>").as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val codes = seedRows.map(_._1).distinct.sorted
+    require(codes == (0 until codes.length),
+      s"PQ seed codes must be dense 0..n-1 (ADC tables index by code); " +
+        s"got ${codes.take(8).mkString(",")}${if (codes.length > 8) ",…" else ""}")
+    val nCodes = codes.length
+    val books = seedRows.flatMap { case (code, c) =>
+      val qc = c.map(x => math.floor(x * PqScale.toDouble).toLong)
+      (0 until nSub).map(mi => (mi, code, qc.slice(mi * sub, (mi + 1) * sub)))
+    }.sortBy(e => (e._1, e._2))
+    val codebooks = books.toDF("m", "code", "qsub")
+    pqEncodeFromSeq(df, idCol, vecCol, codebooks, books, nSub, sub, nCodes)
   }
-
-  /** The per-(row, subspace) quantized sub-vector stream every PQ stage
-    * shares. */
-  private def pqPerSub(
-      df: DataFrame, idCol: String, vecCol: String,
-      nSub: Int, sub: Int): DataFrame =
-    df.select(col(idCol).as("id"), pqQuant(col(vecCol)).as("qv"))
-      .select(col("id"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), " +
-          s"mi -> struct(mi AS m, slice(qv, mi * $sub + 1, $sub) AS qs))"))
-        .as("e"))
-      .select(col("id"), col("e.m").as("m"), col("e.qs").as("qs"))
 
   private val pqIntDist =
     "aggregate(zip_with(qs, qsub, (a, b) -> (a - b) * (a - b)), " +
       "0L, (acc, x) -> acc + x)"
 
+  /** Collected (m, code, qsub) codebook rows, sorted by (m, code). */
+  private def collectCodebooks(codebooks: DataFrame): Seq[(Int, Int, Seq[Long])] =
+    codebooks.select(col("m").cast("int"), col("code").cast("int"), col("qsub"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+      .sortBy(e => (e._1, e._2))
+
+  private def codebooksLiteral(books: Seq[(Int, Int, Seq[Long])]): Column =
+    booksLiteral(books, org.apache.spark.sql.types.LongType)
+
   /** Encode rows against an already-quantized codebooks frame
     * (m, code, qsub) — the shared tail of [[pqBuild]] (fixed seeds) and
-    * [[pqBuildTrained]]. Broadcast argmin per (row, subspace), map-side;
-    * the only shuffle is the per-id code collection.
+    * [[pqBuildTrained]].
+    *
+    * r19 (optimization round, guide §2.4): previously an explode per
+    * (row, subspace) → broadcast join → `groupBy(id, m)` argmin →
+    * `groupBy(id)` code collection → join back to the vectors — THREE
+    * Exchanges, each re-shuffling corpus-sized data (the last one the
+    * full vectors). The codebooks are model-sized (nSub × nCodes rows, the
+    * frame [[pqBuildTrained]] already collects), so encoding now runs
+    * inside the row via the codegen'd [[graft.functions.PqEncodeCodes]]
+    * kernel over a collected codebook literal: identical integer distance
+    * (floor-quantize at [[PqScale]], BIGINT squared-L2, ties to the lower
+    * code), ZERO Exchanges. Plan diff on k3h/k3i-class encodes:
+    * 3 Exchanges → 0.
     */
   private def pqEncodeFrom(
       df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, nSub: Int, sub: Int, nCodes: Int): PqIndex = {
-    // integer squared L2 per (row, subspace, code); argmin via min_by —
-    // map-side combine, ties to the lower code id
-    val assigned = pqPerSub(df, idCol, vecCol, nSub, sub)
-      .join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d", expr(pqIntDist))
-      .groupBy("id", "m")
-      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
-    val codes = assigned.groupBy("id").agg(
-      transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        e => e.getField("code")).as("codes"))
-    PqIndex(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .join(codes, Seq("id")),
-      codebooks, nSub, sub, nCodes)
+      codebooks: DataFrame, nSub: Int, sub: Int, nCodes: Int): PqIndex =
+    pqEncodeFromSeq(df, idCol, vecCol, codebooks,
+      collectCodebooks(codebooks), nSub, sub, nCodes)
+
+  private def pqEncodeFromSeq(
+      df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
+      books: Seq[(Int, Int, Seq[Long])], nSub: Int, sub: Int,
+      nCodes: Int): PqIndex = {
+    val lit = codebooksLiteral(books)
+    val encoded = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("codes",
+        GraftFunctions.pq_encode(col("v"), lit, PqScale).getField("codes"))
+      // rows the join formulation never encoded (NULL / wrong-dim vectors
+      // produced no per-subspace rows, so the inner join dropped them)
+      .filter(col("codes").isNotNull)
+    PqIndex(encoded, codebooks, nSub, sub, nCodes)
   }
 
   /** Total quantization distortion of `df` under a codebooks frame: the
@@ -442,11 +503,14 @@ object Similarity {
   def pqDistortion(
       df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, nSub: Int = 8, dim: Int = 64): DataFrame = {
-    val sub = dim / nSub
-    pqPerSub(df, idCol, vecCol, nSub, sub)
-      .join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d", expr(pqIntDist))
-      .groupBy("id", "m").agg(min(col("__d")).as("dmin"))
+    // r19: one map-only kernel pass + a scalar sum — previously an explode
+    // per (row, subspace) → broadcast join → groupBy(id, m) Exchange of
+    // the exploded corpus. BIGINT throughout: the per-row winning
+    // distances sum to the same exact total in any order.
+    val books = codebooksLiteral(collectCodebooks(codebooks))
+    df.select(
+        GraftFunctions.pq_encode(col(vecCol), books, PqScale)
+          .getField("dist").as("dmin"))
       .agg(sum("dmin").as("distortion"))
   }
 
@@ -480,33 +544,41 @@ object Similarity {
     val base = trainDf.getOrElse(df)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), " +
-          s"mi -> struct(mi AS m, slice(v, mi * $sub + 1, $sub) AS vs))"))
-        .as("e"))
-      .select(col("id"), col("e.m").as("m"), col("e.vs").as("vs"))
-      .withColumn("tq", expr(s"transform(vs, x -> floor(x * $QuantScale))"))
-    var cents = seeds
+      .withColumn("qv", expr(s"transform(v, x -> floor(x * $QuantScale))"))
+    // the sub-codebooks are model-sized (nSub × nCodes rows) and
+    // driver-resident for the whole loop — the same collect the old
+    // per-iteration update already did. Kept in double space; each entry
+    // (m, code, c) carries subspace m's sub-centroid.
+    var cents: Seq[(Int, Int, Seq[Double])] = seeds
       .select(col("code").cast("int").as("code"),
         col("centroid").cast("array<double>").as("c"))
-      .select(col("code"), explode(expr(
-        s"transform(sequence(0, ${nSub - 1}), " +
-          s"mi -> struct(mi AS m, slice(c, mi * $sub + 1, $sub) AS cs))"))
-        .as("e"))
-      .select(col("e.m").as("m"), col("code"), col("e.cs").as("c"))
-    val nCodes = seeds.count().toInt
+      .collect()
+      .flatMap { r =>
+        val code = r.getInt(0)
+        val c = r.getSeq[Double](1)
+        (0 until nSub).map(mi => (mi, code, c.slice(mi * sub, (mi + 1) * sub)))
+      }.toSeq.sortBy(e => (e._1, e._2))
+    val nCodes = cents.map(_._2).distinct.length
     for (_ <- 1 to iters) {
-      val score =
-        GraftFunctions.dot_product(col("c"), col("c")) -
-          lit(2.0) * GraftFunctions.dot_product(col("vs"), col("c"))
-      val assigned = base
-        .join(broadcast(cents), Seq("m"))
-        .withColumn("__d", score)
-        .groupBy(col("id"), col("m"))
-        .agg(min_by(
-          struct(col("code"), col("tq")),
-          struct(col("__d"), col("code"))).as("__a"))
-        .select(col("m"), col("__a.code").as("code"), col("__a.tq").as("tq"))
+      // r19 (guide §2.4): the per-(row, subspace) assignment previously
+      // rode an explode → broadcast join → groupBy(id, m) argmin, whose
+      // Exchange re-shuffled the exploded corpus (sub-vectors included)
+      // every iteration. Same double-space distance (c·c − 2.0·vs·c,
+      // sequential dots) and (d, code) tie-break, now map-only via the
+      // subspace_argmin kernel; the one surviving Exchange per iteration
+      // carries (m, code, pos, sum) cells. Plan diff per iteration:
+      // 2 Exchanges → 1.
+      val books = booksLiteral(cents, org.apache.spark.sql.types.DoubleType)
+      val assigned = base.select(
+        GraftFunctions.subspace_argmin(col("v"), books).as("codes"),
+        col("qv"))
+        .select(explode(expr(
+          s"transform(sequence(0, ${nSub - 1}), " +
+            s"mi -> struct(mi AS m, slice(qv, mi * $sub + 1, $sub) AS tq))"))
+          .as("e"), col("codes"))
+        .select(col("e.m").as("m"),
+          element_at(col("codes"), col("e.m") + 1).as("code"),
+          col("e.tq").as("tq"))
       val sums = assigned
         .select(col("m"), col("code"),
           posexplode(col("tq")).as(Seq("pos", "qe")))
@@ -517,18 +589,21 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
           e => e.getField("s").cast("double") /
             (e.getField("cnt") * lit(QuantScale.toDouble))).as("c"))
-      val next = cents.select(col("m"), col("code"), col("c").as("prev"))
-        .join(updated, Seq("m", "code"), "left")
-        .select(col("m"), col("code"),
-          coalesce(col("c"), col("prev")).as("c"))
-        .collect() // model-sized: nSub × nCodes rows
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .toSeq
-      cents = next.toDF("m", "code", "c")
+      // model-sized collect (nSub × nCodes rows); empty codes keep their
+      // previous centroid (deterministic, SQL-mirrored)
+      val updatedMap = updated.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cents = cents.map { case (m, code, prev) =>
+        (m, code, updatedMap.getOrElse((m, code), prev))
+      }
     }
-    val qbooks = cents.select(col("m"), col("code"),
-      expr(s"transform(c, x -> floor(x * $PqScale))").as("qsub"))
-    pqEncodeFrom(df, idCol, vecCol, qbooks, nSub, sub, nCodes)
+    // floor-quantize the trained books at PqScale on the driver — the same
+    // IEEE ops (x · 1024.0, floor) the previous in-Spark transform ran
+    val qbooksSeq = cents.map { case (m, code, c) =>
+      (m, code, c.map(x => math.floor(x * PqScale.toDouble).toLong))
+    }
+    val qbooks = qbooksSeq.toDF("m", "code", "qsub")
+    pqEncodeFromSeq(df, idCol, vecCol, qbooks, qbooksSeq, nSub, sub, nCodes)
   }
 
   /** ADC candidates: every encoded row with its integer asymmetric
@@ -549,10 +624,11 @@ object Similarity {
         array_sort(collect_list(struct(col("m"), col("code"), col("d")))),
         e => e.getField("d")).as("tbl")) // ordered by (m, code)
     index.encoded.crossJoin(broadcast(tbl))
-      .withColumn("adist", expr(
-        s"aggregate(zip_with(codes, sequence(0, ${index.nSub - 1}), " +
-          s"(c, mi) -> element_at(tbl, mi * ${index.nCodes} + c + 1)), " +
-          "0L, (acc, x) -> acc + x)"))
+      // r19: codegen'd ADC fold (adc_distance kernel) — the previous
+      // aggregate(zip_with(...)) HOF ran interpreted per row on the hot
+      // serving scan; same BIGINT table lookups, bit-identical sums
+      .withColumn("adist",
+        GraftFunctions.adc_distance(col("codes"), col("tbl")))
       .select(col("id"), col("v"), col("adist"))
   }
 
@@ -1155,10 +1231,9 @@ object Similarity {
       .where(col("epoch").isin(epochs: _*) &&
         col("list_id").isin(probeIds: _*))
       .crossJoin(broadcast(tbl))
-      .withColumn("adist", expr(
-        s"aggregate(zip_with(codes, sequence(0, ${nSub - 1}), " +
-          s"(c, mi) -> element_at(tbl, mi * $nCodes + c + 1)), " +
-          "0L, (acc, x) -> acc + x)"))
+      // r19: codegen'd ADC fold — see pqAdcCandidates
+      .withColumn("adist",
+        GraftFunctions.adc_distance(col("codes"), col("tbl")))
       .orderBy(col("adist").asc, col("id"))
       .limit(rerank)
       .select("id")
@@ -1225,10 +1300,9 @@ object Similarity {
         col("list_id").isin(touched: _*))
       .join(probePairs, Seq("list_id")) // fan out only to probing queries
       .join(broadcast(qtbl), Seq("qid"))
-      .withColumn("adist", expr(
-        s"aggregate(zip_with(codes, sequence(0, ${nSub - 1}), " +
-          s"(c, mi) -> element_at(tbl, mi * $nCodes + c + 1)), " +
-          "0L, (acc, x) -> acc + x)"))
+      // r19: codegen'd ADC fold — see pqAdcCandidates
+      .withColumn("adist",
+        GraftFunctions.adc_distance(col("codes"), col("tbl")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist").asc, col("id"))))
       .filter(col("__rn") <= rerank)
@@ -1729,8 +1803,19 @@ object Similarity {
       centroids: DataFrame,
       threshold: Double,
       corpusSize: Option[Long] = None): DataFrame = {
-    requireSaneNLists(centroids.count(), corpusSize, "semanticDedup")
-    val assigned = ivfBuildFixed(df, idCol, vecCol, centroids).assigned
+    // ONE model-sized collect feeds the √N guard and the assignment
+    // literal (previously the centroid plan ran twice per call: a count
+    // job for the guard + the broadcast build), and ONE keyed exchange
+    // feeds all three consumers below (both sides of the within-cluster
+    // self-join and the final flag join): the a/b sides canonicalize to
+    // the same exchange subplan, so ReuseExchange materializes the
+    // assignment once — the sharing the old groupBy-shuffle assignment
+    // provided implicitly, kept without the corpus-wide argmin aggregate
+    // (r19; assignment itself is map-only via subspace_argmin)
+    val cents = collectCentroids(centroids)
+    requireSaneNLists(cents.length.toLong, corpusSize, "semanticDedup")
+    val assigned = assignToNearestSeq(df, idCol, vecCol, cents)
+      .repartition(col("list_id"))
     val a = assigned.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
     // one cluster per row ⇒ each pair forms at most once; no dedup exchange
