@@ -68,4 +68,41 @@ object Tables {
   /** Register every table as a temp view for SQL-formulated queries. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Exact max of an integral column served from the parquet FOOTERS —
+    * zero Spark jobs, driver-side metadata reads only (guide §6: verify
+    * pushdown/stats instead of scanning). The fixture-guard `require`s
+    * (14 sites: "planted ids must not collide with real ones") each ran a
+    * full-column `agg(max(id))` scan job per query build; at sf0.1 that
+    * was ~0.2 s per entry per bench run for the documents table. Footer
+    * min/max for INT64/INT32 columns is exact, so the guard's semantics
+    * are unchanged; returns None (callers fall back to the scan) when any
+    * file's stats are missing/unusable or the column is absent — stats
+    * remain an optimization, never a correctness input.
+    */
+  def footerMaxLong(
+      spark: SparkSession, dir: String, name: String,
+      column: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .map(_.getPath)
+        .filter { f =>
+          val n = f.getName
+          !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+        }
+    if (files.isEmpty) return None
+    val maxes = files.map { f =>
+      graft.etl.FileStats.footerStat(f.toString, conf).cols.get(column) match {
+        case Some(st) if st.family == "l" => Some(st.lmx)
+        case Some(st) if st.family == "n" => None // all-null: no max
+        case _ => return None // absent/unusable in some file: fall back
+      }
+    }
+    maxes.flatten.maxOption
+  }
 }

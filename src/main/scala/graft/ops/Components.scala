@@ -50,26 +50,37 @@ object Components {
     // the job; on a real cluster pass a reliable `checkpoint()`-style
     // truncation instead if the loop must survive executor churn — the
     // loop itself is restart-safe (pure function of `edges`).
-    var e = edges
-      .select(
-        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
-        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-
     // (row count, order-independent hash fold): equal across a round ⇔ the
     // distinct edge set reached the algorithm's fixpoint (stars). XOR, not
     // sum — full-range xxhash64 values overflow a long sum under ANSI mode,
     // and XOR over a DISTINCT row set is an equally sound set fingerprint.
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // r19 (optimization round): the checksum rides an observe() on the
+    // SAME materialization the round's eager localCheckpoint already runs,
+    // instead of a separate aggregate job per round — one Spark job per
+    // round saved, identical values (observe aggregates are computed over
+    // exactly the checkpointed rows).
+    val obsId = java.util.UUID.randomUUID().toString.take(8)
+    var obsN = 0
+    def checkpointWithChecksum(df: DataFrame): (DataFrame, (Long, Long)) = {
+      obsN += 1
+      val name = s"graft.cc.$obsId.$obsN"
+      val observed = df.observe(name,
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
+      val out = observed.localCheckpoint(true)
+      val m = observed.queryExecution.observedMetrics(name)
+      (out, (m.getLong(0), m.getLong(1)))
     }
 
-    var prev = checksum(e)
+    val (e0, prev0) = checkpointWithChecksum(
+      edges
+        .select(
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var e = e0
+    var prev = prev0
     var it = 0
     var converged = prev._1 == 0L
     while (!converged && it < maxIter) {
@@ -90,14 +101,12 @@ object Components {
       // emit (u, m) and (v, m) for v ∈ L \ {m}. On the canonical form L is
       // exactly u's edge partners, so one groupBy-min + one join suffices.
       val minsS = large.groupBy("u").agg(min("v").as("mv"))
-      val small = large.join(minsS, "u")
-        .filter(col("v") =!= col("mv"))
-        .select(col("v").as("u"), col("mv").as("v"))
-        .union(minsS.select(col("u"), col("mv").as("v")))
-        .distinct()
-        .localCheckpoint(true)
-
-      val cur = checksum(small)
+      val (small, cur) = checkpointWithChecksum(
+        large.join(minsS, "u")
+          .filter(col("v") =!= col("mv"))
+          .select(col("v").as("u"), col("mv").as("v"))
+          .union(minsS.select(col("u"), col("mv").as("v")))
+          .distinct())
       unpersistCheckpoint(e) // small has materialized; last round's blocks are dead
       e = small
       converged = cur == prev

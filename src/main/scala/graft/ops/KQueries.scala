@@ -17,6 +17,17 @@ object KQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Fixture-guard max id, served from the parquet FOOTERS (zero Spark
+    * jobs — r19 optimization, guide §6): the 14 planted-id-collision
+    * `require`s each ran a full-column agg scan job per query build
+    * (~0.2 s/entry/run for documents at sf0.1). Footer INT64 max is
+    * exact; a file with missing/unusable stats falls back to the scan.
+    */
+  private def maxIdOf(spark: SparkSession, dir: String, table: String,
+      column: String): Long =
+    Tables.footerMaxLong(spark, dir, table, column).getOrElse(
+      t(spark, dir, table).agg(max(col(column))).head().getLong(0))
+
   // --- K1: exact dedup by content hash (H7) --------------------------------
   def k1(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -126,7 +137,7 @@ object KQueries {
   // boundary and no cross-engine ulp can flip membership.
   def k30(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 100000L,
       "k30 fixture assumes vec_id < 100000 (planted-copy id offset); " +
         "raise the offset in BOTH k30 and k30Sql for this scale factor")
     val base = emb.select(col("vec_id"),
@@ -197,7 +208,7 @@ object KQueries {
   // population — the quantity the √N rule exists to bound.
   def k38(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 100000L,
       "k38 fixture assumes vec_id < 100000 (planted-copy id offset); " +
         "raise the offset in BOTH k38 and k38Sql for this scale factor")
     val base = emb.select(col("vec_id"),
@@ -276,7 +287,7 @@ object KQueries {
   // k28/VacuumRaceSpec's — same storage, same manifest protocol).
   def k37(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 100000L,
       "k37 fixture assumes vec_id < 100000 (planted-copy id offset); " +
         "raise the offset in BOTH k37 and k37Sql for this scale factor")
     val base = emb.select(col("vec_id"),
@@ -827,7 +838,7 @@ object KQueries {
   // the copy's ~1.0 when |q_1| is small.
   def k3Ann(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999998L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999998L,
       "k3b fixture assumes vec_id < 999998 (planted ids); raise the plant " +
         "ids in BOTH k3Ann and k3AnnSql for this scale factor")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -892,7 +903,7 @@ object KQueries {
   // h=1; DuckDB re-derives the candidate set from the stored floats.
   def k3eAnnPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999998L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999998L,
       "k3e fixture assumes vec_id < 999998 (planted ids); raise the plant " +
         "ids in BOTH k3eAnnPersisted and k3eSql for this scale factor")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -955,7 +966,7 @@ object KQueries {
   // planted exact copy that must win its per-query ranking.
   def k3fAnnBatch(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999990L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999990L,
       "k3f fixture assumes vec_id < 999990 (planted ids 999990+qid); raise " +
         "the plant ids in BOTH k3fAnnBatch and k3fSql for this scale factor")
     val queries = emb.filter(col("vec_id") < 5)
@@ -1022,7 +1033,7 @@ object KQueries {
   // the probe set exactly.
   def k3Ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999999L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999999L,
       "k3c fixture assumes vec_id < 999999 (planted id); raise the plant " +
         "id in BOTH k3Ivf and k3IvfSql for this scale factor")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -1058,7 +1069,7 @@ object KQueries {
   def ivfFixture(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999999L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999999L,
       "the k3 IVF fixtures assume vec_id < 999999 (planted id); raise the " +
         "plant id in the k3c/k3d/s17 builders AND k3IvfSql for this scale")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -1781,7 +1792,7 @@ object KQueries {
   // windows.
   def k3nIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 999990L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 999990L,
       "k3n fixture assumes vec_id < 999990 (planted ids); raise the " +
         "plant base in BOTH k3n and k3nSql for this scale factor")
     val qs = emb.filter(col("vec_id") < 4)
@@ -3067,7 +3078,7 @@ object KQueries {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+    require(maxIdOf(spark, dir, "documents", "doc_id") < 200000L,
       "k34 fixture assumes doc_id < 200000 (planted-copy offset); raise " +
         "the offset in BOTH spanFixture and k34Sql for this scale factor")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -3176,7 +3187,7 @@ object KQueries {
     // doc_ids past it, planted ids would collide with real ones and the
     // gate would fail with a confusing hash mismatch — fail here with a
     // clear message instead (ADVICE r8).
-    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+    require(maxIdOf(spark, dir, "documents", "doc_id") < 200000L,
       "k19 fixture assumes doc_id < 200000 (planted-batch id offset); " +
         "raise the offset in BOTH k19 and k19Sql for this scale factor")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -3488,7 +3499,7 @@ object KQueries {
   def incPrepFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    require(docs.agg(max("doc_id")).head().getLong(0) < 200000L,
+    require(maxIdOf(spark, dir, "documents", "doc_id") < 200000L,
       "k26 fixture assumes doc_id < 200000 (batch id offset); raise the " +
         "offset in BOTH incPrepFixture and k26Sql for this scale factor")
     (docs.filter(col("doc_id") % 4 =!= 0),
@@ -3542,7 +3553,7 @@ object KQueries {
   def vecDedupFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // Same fixture-offset guard as k19 (ADVICE r8): planted ids at +100000.
-    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 100000L,
       "k21 fixture assumes vec_id < 100000 (planted-batch id offset); " +
         "raise the offset in BOTH k21 and k21Sql for this scale factor")
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
@@ -3635,7 +3646,7 @@ object KQueries {
   // n_single (h=0).
   def k21b(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    require(emb.agg(max("vec_id")).head().getLong(0) < 100000L,
+    require(maxIdOf(spark, dir, "embeddings", "vec_id") < 100000L,
       "k21b fixture assumes vec_id < 100000 (planted-batch id offsets); " +
         "raise the offsets in BOTH k21b and k21bSql for this scale factor")
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
