@@ -1939,11 +1939,18 @@ object KQueries {
     val (q, corpus, centroids) = ivfFixture(spark, dir)
     val withPlant = corpus.select("vec_id", "embedding").union(
       q.select(lit(999999L).as("vec_id"), col("qvec").as("embedding")))
-    val ivf = Similarity.ivfBuildFixed(
+    // the 4 curve points below consume the assignment ~8× and the codes
+    // 4×; checkpoint each ONCE (r19 — the map-only kernels removed the
+    // argmin shuffles whose ReusedExchange previously shared the build
+    // across points implicitly, so the sharing is now explicit; caught by
+    // the 10× rehearsal, where un-shared rebuilds read 25 s vs 7 s)
+    val ivf0 = Similarity.ivfBuildFixed(
       withPlant, "vec_id", "embedding", centroids)
+    val ivf = ivf0.copy(assigned = ivf0.assigned.localCheckpoint(true))
     val seeds = centroids.select(
       (col("list_id") - 1).cast("int").as("code"), col("centroid"))
-    val pq = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    val pq0 = Similarity.pqBuild(withPlant, "vec_id", "embedding", seeds)
+    val pq = pq0.copy(encoded = pq0.encoded.localCheckpoint(true))
     // the exact answer the curve is measured against (computed once)
     val exact10 = withPlant.crossJoin(broadcast(q))
       .select(col("vec_id"),

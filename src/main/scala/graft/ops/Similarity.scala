@@ -1115,12 +1115,26 @@ object Similarity {
         .flatMap(_._2.get("tag")).contains(tag)) return
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
-    val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
-    val assigned = assignToNearest(rows, idCol, vecCol, centroids)
-    val encoded = pqEncodeFrom(rows, idCol, vecCol, codebooks,
-      nSub, subDim, nCodes).encoded
-    val codes = encoded.select(col("id"), col("codes"))
-      .join(assigned.select(col("id"), col("list_id")), Seq("id"))
+    // r19 (guide §2.4): assignment and encoding are both per-row kernels
+    // over the same batch now, so the codes frame is ONE fused map pass —
+    // previously two separate derivations joined on id, which shuffled the
+    // batch twice just to zip two map outputs back together. Same rows:
+    // the kernels are pure functions of (v, model), and the null-codes
+    // filter reproduces the old inner join's drop of never-encoded rows.
+    val cents = collectCentroids(centroids)
+    val booksC = booksLiteral(
+      cents.map { case (lid, c) => (0, lid, c) },
+      org.apache.spark.sql.types.DoubleType)
+    val booksQ = codebooksLiteral(collectCodebooks(codebooks))
+    val both = rows
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", element_at(
+        GraftFunctions.subspace_argmin(col("v"), booksC), 1))
+      .withColumn("codes",
+        GraftFunctions.pq_encode(col("v"), booksQ, PqScale).getField("codes"))
+    val assigned = both.select(col("id"), col("v"), col("list_id"))
+    val codes = both.filter(col("codes").isNotNull)
+      .select(col("id"), col("codes"), col("list_id"))
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     writeIvfEpoch(p, IvfIndex(assigned, centroids), e, nLists, tag,
       pqCodes = Some(codes), pqCodebooks = Some(codebooks))
