@@ -48,6 +48,12 @@ object Bench {
   val RerunFactor = 1.5
   val RerunAbsSlackSec = 0.25
 
+  /** Cap on the summary line's `suspect_load` attribution map (VERDICT
+    * r19 #3) — worst-loaded suspects first; the full map is always in
+    * `target/bench.json`.
+    */
+  val MaxSuspectLoadEntries = 6
+
   def median(ts: Seq[Double]): Double = {
     require(ts.nonEmpty, "median of empty timings")
     ts.sorted.apply(ts.size / 2)
@@ -480,7 +486,7 @@ object Bench {
     * the untruncatable full audit at `target/bench.json`.
     */
   def summaryJson(
-      results: Seq[QueryTiming], sfDir: String, maxBytes: Int = 1200,
+      results: Seq[QueryTiming], sfDir: String, maxBytes: Int = 1600,
       ofTotal: Option[Int] = None): String = {
     val total = results.map(_.finalMedian).filter(_ >= 0).sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -488,8 +494,17 @@ object Bench {
     // r13 #7: every residual breach carries its load attribution IN THE
     // SUMMARY LINE (max loadavg any of its runs started under, and
     // whether the attributed-min fallback fired) — a reader of just this
-    // line can tell "loaded box" from "real regression"
+    // line can tell "loaded box" from "real regression".
+    // r20 (VERDICT r19 #3): the attribution map is CAPPED to the
+    // worst-loaded [[MaxSuspectLoadEntries]] suspects — an 11-entry blob
+    // squeezed the r19 line's `queries` map down to 7 entries and the
+    // round-over-round comparator minted 4 phantom "dropped" queries.
+    // The queries map is the contract; the full attribution always lives
+    // in target/bench.json. The budget also rose 1200 → 1600 B, still
+    // comfortably under the ~2 KB tail-capture window with the trailing
+    // sbt line (the r19 artifacts show ≥3.4 KB captured).
     val susLoad = results.filter(_.suspect)
+      .sortBy(r => (-r.maxLoad, r.name)).take(MaxSuspectLoadEntries)
       .map(r => "\"" + r.name + "\":" +
         f"""{"max_load":${r.maxLoad}%.2f,"all_loaded":${r.allRunsLoaded}}""")
       .mkString("{", ",", "}")

@@ -87,14 +87,20 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
-    val files =
+    val dataFiles =
       (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
        else Seq(fs.getFileStatus(p)))
         .map(_.getPath)
         .filter { f =>
           val n = f.getName
-          !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+          !n.startsWith("_") && !n.startsWith(".")
         }
+    // a non-hidden data file WITHOUT a .parquet name (extension-less part
+    // files a Spark scan would still read) means the footer max could
+    // under-report — force the exact scan fallback instead of weakening
+    // the guard exactly in the drift case it exists for (ADVICE r19)
+    if (dataFiles.exists(!_.getName.endsWith(".parquet"))) return None
+    val files = dataFiles
     if (files.isEmpty) return None
     val maxes = files.map { f =>
       graft.etl.FileStats.footerStat(f.toString, conf).cols.get(column) match {

@@ -59,6 +59,13 @@ object Components {
     // instead of a separate aggregate job per round — one Spark job per
     // round saved, identical values (observe aggregates are computed over
     // exactly the checkpointed rows).
+    // LOCAL-MODE ASSUMPTION (ADVICE r19), paired with the localCheckpoint
+    // caveat above: observe() accumulators can double-count under
+    // speculative execution or task retries (the XOR self-cancels on a
+    // duplicated partition), unlike the exact separate aggregate they
+    // replaced. Local mode never speculates and the loop already requires
+    // no executor churn; a cluster deployment with speculation enabled
+    // should keep the separate agg-based checksum.
     val obsId = java.util.UUID.randomUUID().toString.take(8)
     var obsN = 0
     def checkpointWithChecksum(df: DataFrame): (DataFrame, (Long, Long)) = {

@@ -133,7 +133,29 @@ object Similarity {
     * by `list_id` so a probe prunes storage partitions, and only the
     * centroid matrix (model-sized) is driver-resident.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  /** Provenance markers (r20 — VERDICT r19 #5): set ONLY by builders whose
+    * `assigned`/`encoded` frame is a pure per-row KERNEL map over `src`
+    * (assignToNearest / pq_encode with the collected model), carrying the
+    * exact model the kernel ran with. `of` pins the specific frame the
+    * marker describes, so a `.copy()` that swaps the frame silently
+    * invalidates the marker (reference check) instead of mis-fusing.
+    * [[saveIvfPqIndex]] / [[retrainIvfPqIndex]] use a valid marker pair to
+    * compute (id, codes, list_id) in ONE map pass instead of an id-join of
+    * two derivations — provably the same rows because both sides are
+    * deterministic pure functions of (v, model) over the same source and
+    * index ids are unique by the ingest contract (the same assumption
+    * every probe's id-semi-join already makes).
+    */
+  private[ops] final case class KernelAssign(
+      src: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], of: DataFrame)
+  private[ops] final case class KernelEncode(
+      src: DataFrame, idCol: String, vecCol: String,
+      books: Seq[(Int, Int, Seq[Long])], of: DataFrame)
+
+  final case class IvfIndex(
+      assigned: DataFrame, centroids: DataFrame,
+      private[ops] val kernelFrom: Option[KernelAssign] = None)
 
   /** Fit the coarse quantizer and assign every vector to a list. */
   def ivfBuild(
@@ -168,15 +190,26 @@ object Similarity {
     * inverted lists. The quantizer drifts only as the data distribution
     * does; periodic rebuilds are a maintenance job, not an ingest cost.
     */
-  /** A collected model frame as ONE array literal for the argmin kernels:
-    * `array<struct<m int, code int, c array<double|bigint>>>`, sorted by
-    * (m, code) — the order the kernels' strict-< tie-break relies on. The
-    * collect is model-sized by construction (nLists ≈ √N centroid rows /
-    * nSub × nCodes codebook entries — the same frames the trainers already
-    * collect), exactly the spark.ml shape: the driver holds the model,
-    * never the data.
+  /** A collected model frame as ONE broadcast array for the argmin
+    * kernels: `array<struct<m int, code int, c array<double|bigint>>>`,
+    * sorted by (m, code) — the order the kernels' strict-< tie-break
+    * relies on. The collect is model-sized by construction (nLists ≈ √N
+    * centroid rows / nSub × nCodes codebook entries — the same frames the
+    * trainers already collect), exactly the spark.ml shape: the driver
+    * holds the model, never the data.
+    *
+    * r20 (VERDICT r19 #1): the model rides a BROADCAST-backed expression
+    * ([[graft.functions.BroadcastArrayLiteral]]) instead of an inlined
+    * `Literal`. The literal form serialized the full model into every
+    * task binary and plan string — twice per consumer once Catalyst's
+    * inferred `isnotnull(kernel(...))` filter re-embedded it — which at
+    * 100 TB (centroids ≈ √N) is tens of MB per task. The broadcast ships
+    * it once per executor, the same transport the pre-r19
+    * crossJoin(broadcast(model)) form used; the catalyst value inside is
+    * IDENTICAL, so kernel arithmetic and results are bit-unchanged.
     */
   private def booksLiteral(
+      spark: org.apache.spark.sql.SparkSession,
       entries: Seq[(Int, Int, Seq[Any])], elemType: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     val booksType = ArrayType(StructType(Seq(
@@ -188,9 +221,11 @@ object Similarity {
     // leaves tuple elements unconverted and Literal's validation rejects them
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(booksType)
+    val data = conv(entries.sortBy(e => (e._1, e._2)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     org.apache.spark.sql.graftbridge.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal(
-        conv(entries.sortBy(e => (e._1, e._2))), booksType))
+      graft.functions.BroadcastArrayLiteral(
+        spark.sparkContext.broadcast(data), booksType))
   }
 
   /** Collected (list_id, centroid) rows, sorted by list id. */
@@ -229,7 +264,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val books = booksLiteral(
+    val books = booksLiteral(rows.sparkSession,
       cents.map { case (lid, c) => (0, lid, c) },
       org.apache.spark.sql.types.DoubleType)
     rows
@@ -267,8 +302,12 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: DataFrame): IvfIndex =
-    IvfIndex(assignToNearest(df, idCol, vecCol, centroids), centroids)
+      centroids: DataFrame): IvfIndex = {
+    val cents = collectCentroids(centroids)
+    val assigned = assignToNearestSeq(df, idCol, vecCol, cents)
+    IvfIndex(assigned, centroids,
+      Some(KernelAssign(df, idCol, vecCol, cents, assigned)))
+  }
 
   /** Deterministic seeded Lloyd's training for the IVF quantizer
     * (VERDICT r10 #3). spark.ml's KMeans is seeded, but its centroid
@@ -322,7 +361,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("qv", expr(s"transform(v, x -> floor(x * $QuantScale))"))
     for (_ <- 1 to iters) {
-      val books = booksLiteral(
+      val books = booksLiteral(spark,
         cents.map { case (lid, c) => (0, lid, c) },
         org.apache.spark.sql.types.DoubleType)
       // map-only nearest-centroid assignment (same arithmetic and
@@ -332,6 +371,12 @@ object Similarity {
         col("qv"),
         element_at(GraftFunctions.subspace_argmin(col("v"), books), 1)
           .as("list_id"))
+        // a wrong-length vector assigns NULL (the kernel contract); it must
+        // not form a null-keyed group — `updated.collect().getInt(0)` would
+        // NPE on the driver (ADVICE r19). Unassignable rows contribute
+        // nothing to the means, exactly like the join formulation where
+        // they produced no per-subspace rows.
+        .filter(col("list_id").isNotNull)
       val sums = assigned
         .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "qe")))
         .groupBy("list_id", "pos")
@@ -351,7 +396,9 @@ object Similarity {
       }
     }
     val centsDf = cents.toDF("list_id", "centroid")
-    IvfIndex(assignToNearestSeq(df, idCol, vecCol, cents), centsDf)
+    val finalAssigned = assignToNearestSeq(df, idCol, vecCol, cents)
+    IvfIndex(finalAssigned, centsDf,
+      Some(KernelAssign(df, idCol, vecCol, cents, finalAssigned)))
   }
 
   /** 2^20 — the exact power-of-two quantization scale [[ivfBuildTrained]]
@@ -389,7 +436,8 @@ object Similarity {
   final case class PqIndex(
       encoded: DataFrame, // (id, v, codes: array<int>)
       codebooks: DataFrame, // (m, code, qsub: array<bigint>)
-      nSub: Int, subDim: Int, nCodes: Int)
+      nSub: Int, subDim: Int, nCodes: Int,
+      private[ops] val kernelFrom: Option[KernelEncode] = None)
 
   /** Build a PQ index from FIXED seed codebook vectors (the oracle-able
     * k3c shape: `seeds` = (code, centroid) rows the SQL can name; each
@@ -453,8 +501,10 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
       .sortBy(e => (e._1, e._2))
 
-  private def codebooksLiteral(books: Seq[(Int, Int, Seq[Long])]): Column =
-    booksLiteral(books, org.apache.spark.sql.types.LongType)
+  private def codebooksLiteral(
+      spark: org.apache.spark.sql.SparkSession,
+      books: Seq[(Int, Int, Seq[Long])]): Column =
+    booksLiteral(spark, books, org.apache.spark.sql.types.LongType)
 
   /** Encode rows against an already-quantized codebooks frame
     * (m, code, qsub) — the shared tail of [[pqBuild]] (fixed seeds) and
@@ -482,7 +532,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
       books: Seq[(Int, Int, Seq[Long])], nSub: Int, sub: Int,
       nCodes: Int): PqIndex = {
-    val lit = codebooksLiteral(books)
+    val lit = codebooksLiteral(df.sparkSession, books)
     val encoded = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("codes",
@@ -490,7 +540,8 @@ object Similarity {
       // rows the join formulation never encoded (NULL / wrong-dim vectors
       // produced no per-subspace rows, so the inner join dropped them)
       .filter(col("codes").isNotNull)
-    PqIndex(encoded, codebooks, nSub, sub, nCodes)
+    PqIndex(encoded, codebooks, nSub, sub, nCodes,
+      Some(KernelEncode(df, idCol, vecCol, books, encoded)))
   }
 
   /** Total quantization distortion of `df` under a codebooks frame: the
@@ -507,7 +558,7 @@ object Similarity {
     // per (row, subspace) → broadcast join → groupBy(id, m) Exchange of
     // the exploded corpus. BIGINT throughout: the per-row winning
     // distances sum to the same exact total in any order.
-    val books = codebooksLiteral(collectCodebooks(codebooks))
+    val books = codebooksLiteral(df.sparkSession, collectCodebooks(codebooks))
     df.select(
         GraftFunctions.pq_encode(col(vecCol), books, PqScale)
           .getField("dist").as("dmin"))
@@ -568,7 +619,8 @@ object Similarity {
       // subspace_argmin kernel; the one surviving Exchange per iteration
       // carries (m, code, pos, sum) cells. Plan diff per iteration:
       // 2 Exchanges → 1.
-      val books = booksLiteral(cents, org.apache.spark.sql.types.DoubleType)
+      val books = booksLiteral(spark, cents,
+        org.apache.spark.sql.types.DoubleType)
       val assigned = base.select(
         GraftFunctions.subspace_argmin(col("v"), books).as("codes"),
         col("qv"))
@@ -828,8 +880,11 @@ object Similarity {
     val p = IvfIndexPaths(dir)
     val hp = new org.apache.hadoop.fs.Path(dir)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    val nLists = index.centroids.count()
-    writeIvfEpoch(p, index, epoch = 0, nLists)
+    // one model-sized collect feeds BOTH the manifest's n_lists and the
+    // driver-side centroid write (previously a count job + a write job)
+    val centRows = index.centroids.collect().toSeq
+    writeIvfEpoch(p, index, epoch = 0, nLists = centRows.length,
+      centroidRowsHint = Some(centRows))
   }
 
   /** Assign a new batch to its nearest centroids (the [[ivfAdd]] criterion,
@@ -856,7 +911,9 @@ object Similarity {
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     writeIvfEpoch(p,
       IvfIndex(assignToNearest(rows, idCol, vecCol, centroids), centroids),
-      e, nLists, tag)
+      e, nLists, tag,
+      // the quantizer never refits on append — byte-copy it (r20)
+      centroidsFrom = Some(s"${p.centroids}/epoch=$maxEpoch"))
     e
   }
 
@@ -864,32 +921,59 @@ object Similarity {
       p: IvfIndexPaths, index: IvfIndex, epoch: Int, nLists: Long,
       tag: String = "",
       pqCodes: Option[DataFrame] = None,      // (list_id, id, codes)
-      pqCodebooks: Option[DataFrame] = None): Unit = {
+      pqCodebooks: Option[DataFrame] = None,
+      // FS-copy sources for UNCHANGED model frames (r20, VERDICT r19 #6):
+      // the append paths re-publish the stored centroids/codebooks under
+      // the new epoch — a byte copy is exact and costs zero Spark jobs
+      centroidsFrom: Option[String] = None,
+      codebooksFrom: Option[String] = None,
+      // already-collected centroid rows (a caller that needed the model on
+      // the driver anyway) — saves the collect job for the write
+      centroidRowsHint: Option[Seq[org.apache.spark.sql.Row]] = None): Unit = {
     val spark = index.assigned.sparkSession
     val epochDir = s"${p.assigned}/epoch=$epoch"
-    index.assigned
-      // co-locate each list before the dynamic-partition write (same
-      // small-files fix as the other index writers)
-      .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
-    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
-      index.assigned.drop("list_id").limit(0)
-        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
-    index.centroids.coalesce(1)
-      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$epoch")
+    // the data surfaces are independent (distinct directories, no shared
+    // derivation) — overlap their jobs (guide §2.6; r20). The manifest
+    // commit below still happens strictly after ALL of them land.
+    val writeAssigned = () => {
+      index.assigned
+        // co-locate each list before the dynamic-partition write (same
+        // small-files fix as the other index writers)
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+        index.assigned.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    }
     // the PQ sidecar lands BEFORE the manifest commit, exactly like every
     // other data surface — a committed epoch always has its codes (a
     // crash mid-sidecar leaves an orphan epoch probes ignore)
-    pqCodes.foreach { c =>
+    val writeCodes = pqCodes.map { c => () => {
       val codesDir = s"${p.codes}/epoch=$epoch"
       c.repartition(col("list_id"))
         .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
       if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
         c.drop("list_id").limit(0)
           .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+    }}
+    graft.Par.run(spark, Seq(writeAssigned) ++ writeCodes)
+    // model-sized frames write from the DRIVER (r20, VERDICT r19 #6):
+    // unchanged models are byte-copied; new models land via the
+    // zero-job ModelParquet writer (Spark's own row codec + footer schema)
+    centroidsFrom match {
+      case Some(src) =>
+        graft.ModelParquet.copyDir(spark, src, s"${p.centroids}/epoch=$epoch")
+      case None =>
+        graft.ModelParquet.overwrite(spark, index.centroids.schema,
+          centroidRowsHint.getOrElse(index.centroids.collect().toSeq),
+          s"${p.centroids}/epoch=$epoch")
     }
-    pqCodebooks.foreach(_.coalesce(1)
-      .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$epoch"))
+    codebooksFrom match {
+      case Some(src) =>
+        graft.ModelParquet.copyDir(spark, src, s"${p.codebooks}/epoch=$epoch")
+      case None => pqCodebooks.foreach(cb =>
+        graft.ModelParquet.overwriteFrom(cb, s"${p.codebooks}/epoch=$epoch"))
+    }
     IncrementalDedup.Manifest.write(spark, p.params, epoch, Seq(
       "n_lists" -> nLists.toString,
       "tag" -> tag))
@@ -960,16 +1044,16 @@ object Similarity {
     if (live.size <= 1) return // one live epoch: nothing to merge
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     val epochDir = s"${p.assigned}/epoch=$e"
-    val merged = spark.read.parquet(p.assigned)
-      .where(col("epoch").isin(live: _*))
-      .select(col("id"), col("v"), col("list_id"))
-    merged.repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
-    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
-      merged.drop("list_id").limit(0)
-        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
-    spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch").coalesce(1)
-      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$e")
+    val mergeAssigned = () => {
+      val merged = spark.read.parquet(p.assigned)
+        .where(col("epoch").isin(live: _*))
+        .select(col("id"), col("v"), col("list_id"))
+      merged.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+        merged.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    }
     // an IVFPQ index compacts its PQ sidecar in the SAME commit: a
     // base-raising compaction that stranded the codes below the new base
     // would make every persisted-IVFPQ probe silently empty (the codes
@@ -977,19 +1061,28 @@ object Similarity {
     // have. Spec-locked in IvfPqPersistedSpec.
     val fsys = new org.apache.hadoop.fs.Path(p.codes)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(new org.apache.hadoop.fs.Path(p.codes))) {
-      val codesDir = s"${p.codes}/epoch=$e"
-      val mergedCodes = spark.read.parquet(p.codes)
-        .where(col("epoch").isin(live: _*))
-        .select(col("id"), col("codes"), col("list_id"))
-      mergedCodes.repartition(col("list_id"))
-        .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
-      if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
-        mergedCodes.drop("list_id").limit(0)
-          .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
-      spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch").coalesce(1)
-        .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$e")
-    }
+    val hasPq = fsys.exists(new org.apache.hadoop.fs.Path(p.codes))
+    val mergeCodes =
+      if (!hasPq) None
+      else Some(() => {
+        val codesDir = s"${p.codes}/epoch=$e"
+        val mergedCodes = spark.read.parquet(p.codes)
+          .where(col("epoch").isin(live: _*))
+          .select(col("id"), col("codes"), col("list_id"))
+        mergedCodes.repartition(col("list_id"))
+          .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
+        if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
+          mergedCodes.drop("list_id").limit(0)
+            .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+      })
+    // the two merges are independent surfaces — overlap them (§2.6, r20)
+    graft.Par.run(spark, Seq(mergeAssigned) ++ mergeCodes)
+    // models are UNCHANGED by compaction — byte-copy, zero jobs (r20)
+    graft.ModelParquet.copyDir(spark,
+      s"${p.centroids}/epoch=$maxEpoch", s"${p.centroids}/epoch=$e")
+    if (hasPq)
+      graft.ModelParquet.copyDir(spark,
+        s"${p.codebooks}/epoch=$maxEpoch", s"${p.codebooks}/epoch=$e")
     IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
       "n_lists" -> nLists.toString,
       "tag" -> "",
@@ -1080,15 +1173,56 @@ object Similarity {
     * surfaces; the sidecar is written BEFORE the commit, so a committed
     * epoch is always probe-complete.
     */
+  /** (id, codes, list_id) in ONE kernel map pass over the common source,
+    * when BOTH indexes carry a valid provenance marker over the SAME
+    * source frame (r20 — VERDICT r19 #5: the deferred saveIvfPqIndex
+    * id-join, fused now that provenance is provable instead of plausible).
+    * Equivalence: assignment and encoding are deterministic pure functions
+    * of (v, model); the codes-not-null filter reproduces the encoded
+    * frame's row set (the old inner join's drop semantics), and index ids
+    * are unique by the ingest contract. An `ivfBuild` (spark.ml) index
+    * carries NO marker — its assignment is not bit-guaranteed to re-derive
+    * from (v, centroids) — so it keeps the join, as do copies that swapped
+    * frames (the `of eq` checks). Plan diff on k3l/k3m/k3n-class saves:
+    * the corpus-sized id-join (two Exchanges + join) → zero Exchanges.
+    */
+  private def fusedCodes(ivf: IvfIndex, pq: PqIndex): Option[DataFrame] =
+    (ivf.kernelFrom, pq.kernelFrom) match {
+      case (Some(a), Some(e))
+          if (a.src eq e.src) && a.idCol == e.idCol &&
+            a.vecCol == e.vecCol &&
+            (a.of eq ivf.assigned) && (e.of eq pq.encoded) =>
+        val spark = a.src.sparkSession
+        val booksC = booksLiteral(spark,
+          a.cents.map { case (lid, c) => (0, lid, c) },
+          org.apache.spark.sql.types.DoubleType)
+        val booksQ = codebooksLiteral(spark, e.books)
+        Some(a.src
+          .select(col(a.idCol).as("id"), col(a.vecCol).as("v"))
+          .withColumn("codes",
+            GraftFunctions.pq_encode(col("v"), booksQ, PqScale)
+              .getField("codes"))
+          .withColumn("list_id", element_at(
+            GraftFunctions.subspace_argmin(col("v"), booksC), 1))
+          .filter(col("codes").isNotNull)
+          .select(col("id"), col("codes"), col("list_id")))
+      case _ => None
+    }
+
   def saveIvfPqIndex(ivf: IvfIndex, pq: PqIndex, dir: String): Unit = {
     val spark = ivf.assigned.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    val nLists = ivf.centroids.count()
-    val codes = pq.encoded.select(col("id"), col("codes"))
-      .join(ivf.assigned.select(col("id"), col("list_id")), Seq("id"))
-    writeIvfEpoch(IvfIndexPaths(dir), ivf, epoch = 0, nLists,
-      pqCodes = Some(codes), pqCodebooks = Some(pq.codebooks))
+    // one model-sized collect feeds the manifest's n_lists AND the
+    // driver-side centroid write (previously a count job + a write job)
+    val centRows = ivf.centroids.collect().toSeq
+    val codes = fusedCodes(ivf, pq).getOrElse(
+      pq.encoded.select(col("id"), col("codes"))
+        .join(ivf.assigned.select(col("id"), col("list_id")), Seq("id")))
+    writeIvfEpoch(IvfIndexPaths(dir), ivf, epoch = 0,
+      nLists = centRows.length,
+      pqCodes = Some(codes), pqCodebooks = Some(pq.codebooks),
+      centroidRowsHint = Some(centRows))
   }
 
   /** PQ shape recovered from a persisted codebooks frame — model-sized
@@ -1122,22 +1256,29 @@ object Similarity {
     // the kernels are pure functions of (v, model), and the null-codes
     // filter reproduces the old inner join's drop of never-encoded rows.
     val cents = collectCentroids(centroids)
-    val booksC = booksLiteral(
+    val booksC = booksLiteral(spark,
       cents.map { case (lid, c) => (0, lid, c) },
       org.apache.spark.sql.types.DoubleType)
-    val booksQ = codebooksLiteral(collectCodebooks(codebooks))
+    val booksQ = codebooksLiteral(spark, collectCodebooks(codebooks))
     val both = rows
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list_id", element_at(
         GraftFunctions.subspace_argmin(col("v"), booksC), 1))
       .withColumn("codes",
         GraftFunctions.pq_encode(col("v"), booksQ, PqScale).getField("codes"))
+    // the trainer's null-assignment handling, mirrored (ADVICE r19): a
+    // wrong-length vector assigns NULL and must not land as a null-keyed
+    // `list_id=__HIVE_DEFAULT_PARTITION__` row no probe can ever read
     val assigned = both.select(col("id"), col("v"), col("list_id"))
+      .filter(col("list_id").isNotNull)
     val codes = both.filter(col("codes").isNotNull)
       .select(col("id"), col("codes"), col("list_id"))
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     writeIvfEpoch(p, IvfIndex(assigned, centroids), e, nLists, tag,
-      pqCodes = Some(codes), pqCodebooks = Some(codebooks))
+      pqCodes = Some(codes),
+      // quantizers never refit on append — byte-copy both models (r20)
+      centroidsFrom = Some(s"${p.centroids}/epoch=$maxEpoch"),
+      codebooksFrom = Some(s"${p.codebooks}/epoch=$maxEpoch"))
   }
 
   /** RETRAIN-IN-PLACE for the persisted IVFPQ index (VERDICT r12 #4):
@@ -1177,26 +1318,56 @@ object Similarity {
     val vectors = spark.read.parquet(p.assigned)
       .where(col("epoch").isin(live: _*))
       .select(col("id"), col("v"), col("list_id"))
-    val pq = buildPq(vectors.select(col("id"), col("v")))
-    val codes = pq.encoded.select(col("id"), col("codes"))
-      .join(vectors.select(col("id"), col("list_id")), Seq("id"))
+    val idv = vectors.select(col("id"), col("v"))
+    val pq = buildPq(idv)
+    // r20 (VERDICT r19 #5): when the caller's buildPq returned a
+    // kernel-encoded index over EXACTLY the frame we handed it, the codes
+    // re-derive per row of `vectors` — (id, list_id) and the encoded v
+    // come from the SAME stored row, so the id-join (which shuffled the
+    // whole corpus by id twice) is provably redundant. A buildPq that
+    // encoded some other frame keeps the join.
+    val codes = pq.kernelFrom match {
+      case Some(e)
+          if (e.src eq idv) && e.idCol == "id" && e.vecCol == "v" &&
+            (e.of eq pq.encoded) =>
+        val booksQ = codebooksLiteral(spark, e.books)
+        vectors
+          .withColumn("codes",
+            GraftFunctions.pq_encode(col("v"), booksQ, PqScale)
+              .getField("codes"))
+          .filter(col("codes").isNotNull)
+          .select(col("id"), col("codes"), col("list_id"))
+      case _ =>
+        pq.encoded.select(col("id"), col("codes"))
+          .join(vectors.select(col("id"), col("list_id")), Seq("id"))
+    }
     val e = IncrementalDedup.Manifest.claimEpoch(spark, p.params, maxEpoch + 1)
     val epochDir = s"${p.assigned}/epoch=$e"
-    vectors.repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
-    if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
-      vectors.drop("list_id").limit(0)
-        .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
-    val codesDir = s"${p.codes}/epoch=$e"
-    codes.repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
-    if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
-      codes.drop("list_id").limit(0)
-        .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
-    spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch").coalesce(1)
-      .write.mode("overwrite").parquet(s"${p.centroids}/epoch=$e")
-    pq.codebooks.coalesce(1)
-      .write.mode("overwrite").parquet(s"${p.codebooks}/epoch=$e")
+    // the two data surfaces are independent — overlap their jobs
+    // (guide §2.6, r20), exactly like writeIvfEpoch's surfaces
+    val writeVectors = () => {
+      vectors.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(epochDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, epochDir))
+        vectors.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$epochDir/list_id=0")
+    }
+    val writeCodes = () => {
+      val codesDir = s"${p.codes}/epoch=$e"
+      codes.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(codesDir)
+      if (!IncrementalDedup.Manifest.hasDataFiles(spark, codesDir))
+        codes.drop("list_id").limit(0)
+          .write.mode("overwrite").parquet(s"$codesDir/list_id=0")
+    }
+    graft.Par.run(spark, Seq(writeVectors, writeCodes))
+    // the coarse quantizer is UNCHANGED by a PQ retrain — byte-copy it;
+    // the retrained codebooks are model-sized — driver-write them (r20,
+    // VERDICT r19 #6: both were coalesce(1) Spark write jobs)
+    graft.ModelParquet.copyDir(spark,
+      s"${p.centroids}/epoch=$maxEpoch", s"${p.centroids}/epoch=$e")
+    graft.ModelParquet.overwriteFrom(
+      pq.codebooks, s"${p.codebooks}/epoch=$e")
     IncrementalDedup.Manifest.write(spark, p.params, e, Seq(
       "n_lists" -> nLists.toString,
       "tag" -> "",
@@ -1289,6 +1460,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
     val codebooks = spark.read.parquet(s"${p.codebooks}/epoch=$maxEpoch")
     val (nSub, subDim, nCodes) = pqMetaOf(codebooks)
+    val lsObs = org.apache.spark.sql.Observation()
     val probePairs = queries.crossJoin(broadcast(centroids))
       .withColumn("__csim", GraftFunctions.cosine_sim(
         col("centroid"), col("qvec").cast("array<double>")))
@@ -1297,9 +1469,13 @@ object Similarity {
           .orderBy(col("__csim").desc, col("list_id"))))
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("list_id"))
+      // r20 (§1): the touched-list set rides the checkpoint job as an
+      // observe() metric instead of a separate distinct().collect() job
+      .observe(lsObs, collect_set(col("list_id")).as("lists"))
       .localCheckpoint(true) // Q×nProbe rows: the probe plan, reused thrice
-    val touched = probePairs.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nLists ints: metadata
+    val touched = lsObs.get("lists").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue)
+      .toSeq.sorted // ≤ nLists ints: metadata
     // per-query ADC tables: Q × (nSub × nCodes) rows, broadcast-sized
     val qtbl = queries.select(col("qid"), pqQuant(col("qvec")).as("qq"))
       .crossJoin(broadcast(codebooks))
@@ -1692,12 +1868,17 @@ object Similarity {
       .localCheckpoint(true) // feeds touched + union: compute buckets once
     // every bucket the batch probes (the exact bucket at h=0; plus each
     // one-bit-flipped neighbor at h=1)
+    // r20 (§1 fewer jobs): the touched-pb set rides the checkpoint job as
+    // an observe() metric instead of a separate distinct().collect() job —
+    // same values (collect_set dedups)
+    val pbObs = org.apache.spark.sql.Observation()
     val probes = newB.select(col("id"), col("v"),
         explode(probeBuckets(col("bucket"), bits, probeHamming)).as("bucket"))
+      .observe(pbObs, collect_set(
+        pmod(col("bucket"), lit(meta.pbuckets)).cast("int")).as("pbs"))
       .localCheckpoint(true)
-    val touchedPb = probes
-      .select(pmod(col("bucket"), lit(meta.pbuckets)).cast("int").as("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touchedPb = pbObs.get("pbs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue).toSeq.sorted
     val touched = probes.select("bucket").distinct()
     val oldB = prunedVectors(spark, p, meta, touchedPb, excluded)
       .join(touched, Seq("bucket"))
@@ -1892,10 +2073,15 @@ object Similarity {
         "when redelivery of absorbed batches is impossible")
     val epochs = live.filterNot(excluded.contains)
     val centroids = spark.read.parquet(s"${p.centroids}/epoch=$maxEpoch")
+    // r20 (§1): the touched-list set rides the checkpoint job as an
+    // observe() metric instead of a separate distinct().collect() job
+    val lsObs = org.apache.spark.sql.Observation()
     val assigned = assignToNearest(batch, idCol, vecCol, centroids)
+      .observe(lsObs, collect_set(col("list_id")).as("lists"))
       .localCheckpoint(true) // feeds the list census AND two pair joins
-    val touched = assigned.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nLists ints: metadata
+    val touched = lsObs.get("lists").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue)
+      .toSeq.sorted // ≤ nLists ints: metadata
     val stored = spark.read.parquet(p.assigned)
       .where(col("epoch").isin(epochs: _*) &&
         col("list_id").isin(touched: _*))

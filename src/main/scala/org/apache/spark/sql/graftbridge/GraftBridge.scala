@@ -46,4 +46,28 @@ object GraftBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
+
+  /** A Hadoop Configuration populated EXACTLY the way Spark's parquet
+    * write path populates a write task's conf — schema, logical-type and
+    * rebase settings, field ids, compression — by running the same
+    * `ParquetUtils.prepareWrite` a real write job runs. Used by
+    * [[graft.ModelParquet]]'s driver-side writer so its files carry the
+    * byte-identical write-support surface of a Spark write job, across
+    * Spark versions, without hand-listing the conf keys `ParquetWriteSupport`
+    * happens to read.
+    */
+  def parquetWriteConf(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      base: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.conf.Configuration = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Job.getInstance copies `base` — the shared conf is never mutated
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(base)
+    val opts = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetOptions(Map.empty[String, String], session.sessionState.conf)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .prepareWrite(session.sessionState.conf, job, schema, opts)
+    job.getConfiguration
+  }
 }

@@ -178,6 +178,91 @@ class ArgminExpressionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("subspace_argmin with non-finite inputs still matches min_by " +
+    "(NaN best must be displaceable — ADVICE r19)") {
+    // +Inf in the vector: dvc = Inf·0 = NaN against a centroid with a 0
+    // there, ±Inf against a nonzero one → mixed NaN/finite distances.
+    // min_by(struct(d, code)) sorts NaN LAST; the kernel's comparison
+    // must displace a stored NaN best with any later finite candidate.
+    val zeroAt0 = 0.0 +: vec(2).tail // code 1: d becomes NaN
+    val nonZeroAt0 = 1.0 +: vec(3).tail // code 2: d stays ±Inf (ordered)
+    val cents = Seq((1, zeroAt0), (2, nonZeroAt0)).toDF("list_id", "centroid")
+    val books = Seq((0, 1, zeroAt0), (0, 2, nonZeroAt0))
+    val infVec = Double.PositiveInfinity +: vec(7).tail
+    val rows = Seq((1L, infVec), (2L, infVec.map(-_))).toDF("id", "v")
+    val got = rows
+      .select(col("id"), element_at(
+        GraftFunctions.subspace_argmin(col("v"), booksCol(books)), 1)
+        .as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = joinAssign(rows, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet == Set(2), "the finite-distance centroid wins")
+  }
+
+  test("adc_distance: a NULL code element yields NULL, like the " +
+    "aggregate(zip_with) HOF (ADVICE r19)") {
+    val nSub = 4
+    val nCodes = 3
+    val tbl = (0 until nSub * nCodes).map(i => (i * 17 + 3).toLong)
+    val rows = Seq(
+      (1L, Seq[Option[Int]](Some(1), Some(2), Some(0), Some(1))),
+      (2L, Seq[Option[Int]](Some(1), None, Some(0), Some(1))) // null element
+    ).toDF("id", "codes").withColumn("tbl", typedLit(tbl))
+    val got = rows
+      .select(col("id"),
+        GraftFunctions.adc_distance(col("codes"), col("tbl")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    val want = rows
+      .withColumn("adist", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${nSub - 1}), " +
+          s"(c, mi) -> element_at(tbl, mi * $nCodes + c + 1)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("id"), col("adist"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(got == want)
+    assert(got(2L).isEmpty, "null code element must not read as 0")
+  }
+
+  test("broadcast-backed model expression == inlined Literal (values), " +
+    "and the plan carries the handle, not the array") {
+    import org.apache.spark.sql.types._
+    val cents = (1 to nLists).map(i => (0, i, vec(i * 100)))
+    val t = ArrayType(StructType(Seq(
+      StructField("m", IntegerType, false),
+      StructField("code", IntegerType, false),
+      StructField("c", ArrayType(DoubleType, false), false))), false)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(t)
+    val data = conv(cents.sortBy(e => (e._1, e._2)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bcCol = org.apache.spark.sql.graftbridge.GraftBridge.column(
+      BroadcastArrayLiteral(spark.sparkContext.broadcast(data), t))
+    // repartition barrier: ConvertToLocalRelation would otherwise eval the
+    // whole projection over the Seq-backed LocalRelation at optimization
+    // time and leave nothing of the kernel in the plan to assert on
+    val viaBc = corpus.repartition(2)
+      .select(col("id"), element_at(
+        GraftFunctions.subspace_argmin(col("v"), bcCol), 1).as("list_id"))
+    val got = viaBc.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = corpus
+      .select(col("id"), element_at(
+        GraftFunctions.subspace_argmin(col("v"), booksCol(cents)), 1)
+        .as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    val plan = viaBc.queryExecution.executedPlan.toString
+    assert(plan.contains("model_broadcast"),
+      s"plan must reference the broadcast handle:\n$plan")
+    // the literal form would inline every centroid element into the plan
+    // string; the broadcast form must not
+    assert(!plan.contains(vec(100).head.toString),
+      "plan must not inline the model array")
+  }
+
   test("interpreted eval equals the codegen DataFrame path") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val cents = (1 to nLists).map(i => (0, i, vec(i * 100)))

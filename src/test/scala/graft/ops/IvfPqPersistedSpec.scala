@@ -166,6 +166,32 @@ class IvfPqPersistedSpec extends AnyFunSuite {
       "retraining back to the true seeds must restore the exact books")
   }
 
+  test("fused save (kernel provenance) == id-join save, surface by " +
+    "surface (r20 — the saveIvfPqIndex id-join fusion)") {
+    val corpus = (1L to 16L).map(i => (i, unitVec(i.toInt))).toDF("id", "v")
+    val centroids = Seq(
+      (0, unitVec(1).map(_.toDouble)), (1, unitVec(5).map(_.toDouble)))
+      .toDF("list_id", "centroid")
+    val seeds = centroids.select(col("list_id").as("code"), col("centroid"))
+    val ivf = Similarity.ivfBuildFixed(corpus, "id", "v", centroids)
+    val pq = Similarity.pqBuild(corpus, "id", "v", seeds, nSub = 8, dim = 64)
+    assert(ivf.kernelFrom.isDefined && pq.kernelFrom.isDefined,
+      "kernel builders must carry provenance markers")
+    val fusedDir = freshDir("fused_save")
+    val joinDir = freshDir("join_save")
+    Similarity.saveIvfPqIndex(ivf, pq, fusedDir)
+    // stripping the markers forces the pre-r20 id-join formulation
+    Similarity.saveIvfPqIndex(
+      ivf.copy(kernelFrom = None), pq.copy(kernelFrom = None), joinDir)
+    for (surface <- Seq("assigned", "codes", "centroids", "codebooks")) {
+      val a = spark.read.parquet(s"$fusedDir/$surface")
+        .collect().map(_.toString).toSeq.sorted
+      val b = spark.read.parquet(s"$joinDir/$surface")
+        .collect().map(_.toString).toSeq.sorted
+      assert(a === b, s"surface '$surface' must be identical")
+    }
+  }
+
   test("RETRAIN crash window: codebooks + codes written but NO manifest " +
     "row leaves every reader on the intact OLD pair") {
     val dir = freshDir("retrain_crash")
