@@ -159,9 +159,15 @@ object CorpusPrep {
     val exact = Dedup.exactDedup(
       qualityRedact(base.filter(col("doc_id") % 50 =!= 0)),
       Seq("txt"), Seq("doc_id"))
-    IncrementalDedup.buildIndex(exact, "doc_id", "txt", s"$stateDir/index")
-    benchShingleHashes(base.filter(col("doc_id") % 50 === 0))
-      .write.mode("overwrite").parquet(s"$stateDir/bench")
+    // the two state surfaces derive independently from the checkpointed
+    // base and land in distinct directories — overlap them (guide §2.6,
+    // r20); the state has no cross-surface commit ordering (readers only
+    // run after buildPrepState returns)
+    graft.Par.run(base.sparkSession, Seq(
+      () => IncrementalDedup
+        .buildIndex(exact, "doc_id", "txt", s"$stateDir/index"),
+      () => benchShingleHashes(base.filter(col("doc_id") % 50 === 0))
+        .write.mode("overwrite").parquet(s"$stateDir/bench")))
   }
 
   /** Run ONE new batch through the full chain against the persisted state
@@ -177,7 +183,12 @@ object CorpusPrep {
       spark: SparkSession, stateDir: String, batch: DataFrame,
       excludeTag: String = ""): DataFrame = {
     val idxDir = s"$stateDir/index"
+    // r20 (§1 fewer jobs): the batch's min id rides the checkpoint job as
+    // an observe() metric (min is retry-idempotent) instead of a separate
+    // agg job over the just-materialized base
+    val minObs = org.apache.spark.sql.Observation()
     val base = batch.select(col("doc_id"), col("lang"), col("text"))
+      .observe(minObs, min(col("doc_id")).as("min_id"))
       .localCheckpoint(true)
     // excludeTag = this batch's own append tag under a streaming caller
     // (the s14 redelivery contract): a REPLAYED batch whose
@@ -186,7 +197,8 @@ object CorpusPrep {
     // high-water mark — or its own texts would exact-drop everything and
     // the hwm require would reject its own ids.
     val hwm = IncrementalDedup.maxMemberId(spark, idxDir, excludeTag)
-    require(base.agg(min(col("doc_id"))).head().getLong(0) > hwm,
+    val batchMin = minObs.get("min_id")
+    require(batchMin != null && batchMin.asInstanceOf[Long] > hwm,
       s"batch ids must exceed the indexed high-water mark $hwm — the " +
         "chain's smaller-id precedence rules are only decomposable " +
         "batch-by-batch in arrival order (see the k26 contract above)")

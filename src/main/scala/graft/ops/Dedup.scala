@@ -225,11 +225,17 @@ object Dedup {
     // (BENCH_r06); checkpointed it is back around the r5 number, and the
     // materialization happens inside the benched region (Bench times the
     // full query-build + run).
-    val members = df
-      .select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
-      .localCheckpoint(true)
-    val shingled = shingledReps(df, idCol, textCol, shingleSize)
-      .localCheckpoint(true)
+    // r20 (guide §2.6): members and the shingled reps derive independently
+    // from df — overlap their materialization jobs; banding follows its
+    // shingled input.
+    var members: DataFrame = null
+    var shingled: DataFrame = null
+    graft.Par.run(df.sparkSession, Seq(
+      () => members = df
+        .select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
+        .localCheckpoint(true),
+      () => shingled = shingledReps(df, idCol, textCol, shingleSize)
+        .localCheckpoint(true)))
     val banded = shingled
       .withColumn("mh", minhashSignature(col("sh"), numHashes))
       .select(
@@ -311,12 +317,17 @@ object Dedup {
     // are referenced 2× and 4× below — eager localCheckpoints truncate the
     // collapse shuffle to one execution (same rationale as minhashPairs;
     // without them each reference re-runs it even off a checkpointed shIn).
-    val members = shIn.select(xxhash64(col("sh")).as("__g"), col("id"))
-      .localCheckpoint(true)
-    val sh = shIn.select(col("id"), col("sh"))
-      .groupBy(xxhash64(col("sh")).as("__g"))
-      .agg(min("id").as("id"), min_by(col("sh"), col("id")).as("sh"))
-      .localCheckpoint(true)
+    // r20 (guide §2.6): the two materializations derive independently from
+    // the (checkpointed) shIn — overlap their jobs from a driver pool
+    var members: DataFrame = null
+    var sh: DataFrame = null
+    graft.Par.run(shIn.sparkSession, Seq(
+      () => members = shIn.select(xxhash64(col("sh")).as("__g"), col("id"))
+        .localCheckpoint(true),
+      () => sh = shIn.select(col("id"), col("sh"))
+        .groupBy(xxhash64(col("sh")).as("__g"))
+        .agg(min("id").as("id"), min_by(col("sh"), col("id")).as("sh"))
+        .localCheckpoint(true)))
     // Prefix filtering is valid under ANY fixed global token order; order
     // by ascending DOCUMENT FREQUENCY (ties by hash) instead of raw hash
     // value so prefixes carry each document's RAREST shingles — the

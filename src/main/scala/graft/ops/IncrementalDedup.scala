@@ -403,26 +403,45 @@ object IncrementalDedup {
       meta: IndexMeta,
       tag: String = ""): Unit = {
     val spark = shingled.sparkSession
-    shingled.write.mode("overwrite").parquet(s"${p.shingles}/epoch=${meta.epoch}")
-    val banded = bandRows(shingled, meta.numHashes, meta.bands)
-    val bandedEpoch = s"${p.banded}/epoch=${meta.epoch}"
-    banded
-      .withColumn("pb", pmod(col("bucket"), lit(meta.pbuckets)).cast("int"))
-      // co-locate each pb before the dynamic-partition write: without this
-      // every write task opens a file in every pb directory it touches (up
-      // to tasks × pbuckets tiny files per epoch), with it the write lands
-      // ~one file per pb. One small keyed shuffle of (bucket, id) buys it.
-      .repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
-    // A dynamic-partitioned write of an EMPTY frame emits zero files (the
-    // plain-write empty-schema-file fallback doesn't apply to partitionBy),
-    // which would leave `banded/` schema-less and unreadable for an empty
-    // corpus or an all-known-texts append. The check is a free FS listing,
-    // not an extra Spark job; land an explicit empty, schema-bearing file
-    // under pb=0 when it trips.
-    if (!Manifest.hasDataFiles(spark, bandedEpoch))
-      banded.limit(0).write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
-    members.write.mode("overwrite").parquet(s"${p.members}/epoch=${meta.epoch}")
+    // r20 (guide §2.6): the three surfaces are independent — `shingled` is
+    // already checkpointed by every caller, `banded` derives from that
+    // materialization, `members` shares nothing with either — so their
+    // write jobs overlap from a driver pool instead of serializing three
+    // scheduler round-trips per epoch. The manifest commit (the one
+    // ordering that matters) still lands strictly AFTER all of them.
+    val writeShingles = () => shingled.write.mode("overwrite")
+      .parquet(s"${p.shingles}/epoch=${meta.epoch}")
+    val writeBanded = () => {
+      val banded = bandRows(shingled, meta.numHashes, meta.bands)
+      val bandedEpoch = s"${p.banded}/epoch=${meta.epoch}"
+      banded
+        .withColumn("pb", pmod(col("bucket"), lit(meta.pbuckets)).cast("int"))
+        // co-locate each pb before the dynamic-partition write: without this
+        // every write task opens a file in every pb directory it touches (up
+        // to tasks × pbuckets tiny files per epoch), with it the write lands
+        // ~one file per pb. One small keyed shuffle of (bucket, id) buys it.
+        .repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
+      // A dynamic-partitioned write of an EMPTY frame emits zero files (the
+      // plain-write empty-schema-file fallback doesn't apply to partitionBy),
+      // which would leave `banded/` schema-less and unreadable for an empty
+      // corpus or an all-known-texts append. The check is a free FS listing,
+      // not an extra Spark job; land an explicit empty, schema-bearing file
+      // under pb=0 when it trips.
+      if (!Manifest.hasDataFiles(spark, bandedEpoch))
+        banded.limit(0).write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
+    }
+    // r20 (§1 fewer jobs): the epoch's max member id rides the members
+    // write job as an observe() metric and lands in the manifest — so
+    // [[maxMemberId]] answers from manifest rows with ZERO jobs instead
+    // of a full members scan (max is retry-idempotent; "" = empty epoch)
+    val idObs = org.apache.spark.sql.Observation()
+    val writeMembers = () => members
+      .observe(idObs, max(col("id")).as("max_id"))
+      .write.mode("overwrite")
+      .parquet(s"${p.members}/epoch=${meta.epoch}")
+    graft.Par.run(spark, Seq(writeShingles, writeBanded, writeMembers))
+    val maxId = Option(idObs.get("max_id")).map(_.toString).getOrElse("")
     // the commit point: one flat manifest file, renamed into place only
     // after every data directory above has fully landed
     Manifest.write(spark, p.params, meta.epoch, Seq(
@@ -430,7 +449,8 @@ object IncrementalDedup {
       "num_hashes" -> meta.numHashes.toString,
       "bands" -> meta.bands.toString,
       "pbuckets" -> meta.pbuckets.toString,
-      "tag" -> tag))
+      "tag" -> tag,
+      "max_id" -> maxId))
   }
 
   /** Build the index from a corpus and persist it under `dir` (replacing
@@ -525,28 +545,39 @@ object IncrementalDedup {
     // epoch would commit below the raised base and be ignored) — the claim
     // only guarantees no two writers share an epoch directory.
     val e = Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
-    committed(spark.read.parquet(p.shingles), meta)
+    // r20 (guide §2.6): the three surface merges read and write disjoint
+    // directories — overlap them; the base-raising manifest commit below
+    // still happens strictly after all three land
+    val mergeShingles = () => committed(spark.read.parquet(p.shingles), meta)
       .select(col("__g"), col("id"), col("sh"))
       .write.mode("overwrite").parquet(s"${p.shingles}/epoch=$e")
-    val bandedEpoch = s"${p.banded}/epoch=$e"
-    committed(spark.read.parquet(p.banded), meta)
-      .select(col("bucket"), col("id"), col("pb"))
-      .repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
-    if (!Manifest.hasDataFiles(spark, bandedEpoch))
+    val mergeBanded = () => {
+      val bandedEpoch = s"${p.banded}/epoch=$e"
       committed(spark.read.parquet(p.banded), meta)
-        .select(col("bucket"), col("id")).limit(0)
-        .write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
-    committed(spark.read.parquet(p.members), meta)
+        .select(col("bucket"), col("id"), col("pb"))
+        .repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(bandedEpoch)
+      if (!Manifest.hasDataFiles(spark, bandedEpoch))
+        committed(spark.read.parquet(p.banded), meta)
+          .select(col("bucket"), col("id")).limit(0)
+          .write.mode("overwrite").parquet(s"$bandedEpoch/pb=0")
+    }
+    // the compacted epoch's max_id rides the merge job too, so manifest
+    // answers stay available after compaction (r20)
+    val idObs = org.apache.spark.sql.Observation()
+    val mergeMembers = () => committed(spark.read.parquet(p.members), meta)
       .select(col("__g"), col("id"))
+      .observe(idObs, max(col("id")).as("max_id"))
       .write.mode("overwrite").parquet(s"${p.members}/epoch=$e")
+    graft.Par.run(spark, Seq(mergeShingles, mergeBanded, mergeMembers))
     Manifest.write(spark, p.params, e, Seq(
       "shingle_size" -> meta.shingleSize.toString,
       "num_hashes" -> meta.numHashes.toString,
       "bands" -> meta.bands.toString,
       "pbuckets" -> meta.pbuckets.toString,
       "tag" -> "",
-      "base" -> e.toString))
+      "base" -> e.toString,
+      "max_id" -> Option(idObs.get("max_id")).map(_.toString).getOrElse("")))
   }
 
   /** Delete the data directories of epochs below the compaction base.
@@ -605,14 +636,27 @@ object IncrementalDedup {
     * batch's ids exceed everything already indexed; composed pipelines
     * `require` that against this value and fail loudly instead of
     * silently flipping a keep/drop decision ([[CorpusPrep.prepareBatch]]).
-    * Column-pruned single-long agg over `members/`; at cluster scale the
-    * same value would ride in the epoch manifest instead of a scan.
+    *
+    * r20 (§1 fewer jobs): answered from per-epoch `max_id` manifest
+    * values (recorded by the write/merge jobs' observe() metrics) — the
+    * exact same number the members scan computed, with ZERO jobs. The
+    * column-pruned scan remains as the fallback for any pre-r20 index
+    * whose manifest rows lack the key, so the value is identical either
+    * way — manifest values are a cache of the write-time max, never a
+    * correctness input of their own.
     */
   def maxMemberId(
       spark: SparkSession, dir: String, excludeTag: String = ""): Long = {
     val p = IndexPaths(dir)
     val meta = readMeta(spark, p)
     val ex = if (excludeTag.isEmpty) Nil else taggedEpochs(spark, p, excludeTag)
+    val keep = meta.live.filterNot(ex.contains(_))
+    val byEpoch = Manifest.read(spark, p.params).toMap
+    val recorded = keep.map(e => byEpoch.get(e).flatMap(_.get("max_id")))
+    if (recorded.nonEmpty && recorded.forall(_.isDefined)) {
+      val finite = recorded.flatten.filter(_.nonEmpty).map(_.toLong)
+      if (finite.nonEmpty) return finite.max
+    }
     committed(spark.read.parquet(p.members), meta, ex)
       .agg(max(col("id"))).head().getLong(0)
   }
@@ -685,13 +729,27 @@ object IncrementalDedup {
         "compact only when redelivery of absorbed batches is impossible")
 
     // Fresh (batch) side — same collapse-first pipeline as the batch op.
-    val newMembers = newBatch
-      .select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
-      .localCheckpoint(true)
-    val newShingled = Dedup
-      .shingledReps(newBatch, idCol, textCol, shingleSize)
-      .localCheckpoint(true)
+    // r20 (guide §2.6): the members and shingled-reps materializations are
+    // independent (both derive straight from newBatch) — overlap their
+    // checkpoint jobs; banding depends on the shingled result and follows.
+    var newMembers: DataFrame = null
+    var newShingled: DataFrame = null
+    graft.Par.run(spark, Seq(
+      () => newMembers = newBatch
+        .select(xxhash64(col(textCol)).as("__g"), col(idCol).as("id"))
+        .localCheckpoint(true),
+      () => newShingled = Dedup
+        .shingledReps(newBatch, idCol, textCol, shingleSize)
+        .localCheckpoint(true)))
+    // r20 (§1 fewer jobs): the touched-pb set rides the banding
+    // checkpoint job as an observe() metric instead of a separate
+    // distinct().collect() job — same values (the set of pb buckets the
+    // batch touches; collect_set dedups, so even a recomputed partition
+    // could not change it), one job fewer per probe.
+    val pbObs = org.apache.spark.sql.Observation()
     val newBanded = bandRows(newShingled, numHashes, bands)
+      .observe(pbObs, collect_set(
+        pmod(col("bucket"), lit(meta.pbuckets)).cast("int")).as("pbs"))
       .localCheckpoint(true)
 
     // Probe: corpus banding rows for ONLY the batch's buckets. The physical
@@ -707,9 +765,8 @@ object IncrementalDedup {
     // stay plain column-pruned scans: checkpointing them would materialize
     // the whole corpus index per batch, the exact cost this operator
     // exists to avoid.
-    val touchedPb = newBanded
-      .select(pmod(col("bucket"), lit(meta.pbuckets)).cast("int").as("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touchedPb = pbObs.get("pbs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue).toSeq.sorted
     val touched = newBanded.select("bucket").distinct()
     // unionAll is positional — pin (bucket, id) on both sides (the using-
     // column join moves `bucket` first on the probe side).

@@ -95,13 +95,32 @@ object SpanIndex {
       explode(GraftFunctions.word_shingle_hashes_pos(col(textCol), n))
         .as("h"))
 
+  /** Write one epoch of DISTINCT window hashes. `hashes` arrives
+    * NON-distinct (raw span rows / multi-epoch union): the dedup and the
+    * pb file-sizing layout share ONE Exchange (r20 — VERDICT r19 #9).
+    * The old shape paid two — `distinct()` shuffled on hash(h), then
+    * `repartition(pb)` reshuffled on hash(pb). But pb = pmod(h, pbuckets)
+    * is a pure function of h, so partitioning by pb ALREADY co-locates
+    * equal h; deduping on (pb, h) after `repartition(pb)` is then
+    * exchange-free — HashPartitioning(pb) satisfies
+    * ClusteredDistribution(pb, h) — and identical in rows to
+    * distinct-on-h (adding a determined column to the key changes
+    * nothing). Plan: 2 Exchanges → 1, locked in SpanIndexSpec.
+    */
+  /** The fused dedup+layout frame — package-visible so SpanIndexSpec can
+    * plan-lock the single Exchange.
+    */
+  private[ops] def epochRows(hashes: DataFrame, pbuckets: Int): DataFrame =
+    hashes
+      .withColumn("pb", pmod(col("h"), lit(pbuckets)).cast("int"))
+      .repartition(col("pb")) // ~one file per pb, not tasks × pbuckets
+      .dropDuplicates("pb", "h")
+
   private def writeEpoch(
       spark: SparkSession, p: Paths, hashes: DataFrame, meta: Meta,
       tag: String): Unit = {
     val epochDir = s"${p.spans}/epoch=${meta.epoch}"
-    val rows = hashes
-      .withColumn("pb", pmod(col("h"), lit(meta.pbuckets)).cast("int"))
-      .repartition(col("pb")) // ~one file per pb, not tasks × pbuckets
+    val rows = epochRows(hashes, meta.pbuckets)
     rows.write.partitionBy("pb").mode("overwrite").parquet(epochDir)
     // dynamic-partitioned write of an empty frame emits zero files; land a
     // schema-bearing empty file so the epoch stays readable
@@ -125,7 +144,7 @@ object SpanIndex {
     deleteDir(spark, dir)
     val p = Paths(dir)
     writeEpoch(spark, p,
-      spanRows(df, idCol, textCol, n).select("h").distinct(),
+      spanRows(df, idCol, textCol, n).select("h"),
       Meta(n, pbuckets, epoch = 0, base = 0, epochs = Nil), tag = "")
   }
 
@@ -147,7 +166,7 @@ object SpanIndex {
     }
     val e = Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
     writeEpoch(spark, p,
-      spanRows(batch, idCol, textCol, n).select("h").distinct(),
+      spanRows(batch, idCol, textCol, n).select("h"),
       meta.copy(epoch = e), tag)
     e
   }
@@ -192,11 +211,16 @@ object SpanIndex {
             "first-delivery view no longer exists; re-run from a fresh probe")
         es
       }
+    // r20 (§1 fewer jobs): the touched-pb set rides the checkpoint job as
+    // an observe() metric instead of a separate distinct().collect() job —
+    // same values (collect_set dedups)
+    val pbObs = org.apache.spark.sql.Observation()
     val spans = spanRows(batch, idCol, textCol, meta.n)
+      .observe(pbObs, collect_set(
+        pmod(col("h"), lit(meta.pbuckets)).cast("int")).as("pbs"))
       .localCheckpoint(true) // one kernel pass; reused by both arms below
-    val touched = spans
-      .select(pmod(col("h"), lit(meta.pbuckets)).cast("int").as("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val touched = pbObs.get("pbs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue).toSeq
     val idx = committed(spark.read.parquet(p.spans), meta, ex)
       .where(col("pb").isin(touched: _*))
       .select(col("h"), lit(1L).as("__in_idx"))
@@ -221,10 +245,15 @@ object SpanIndex {
     val meta = readMeta(spark, p)
     if (meta.epoch == meta.base) return
     val e = Manifest.claimEpoch(spark, p.params, meta.epoch + 1)
+    // same 1-Exchange dedup+layout fusion as writeEpoch (r20): the stored
+    // pb IS pmod(h, pbuckets) for every committed epoch (pbuckets is a
+    // build constant), so re-partitioning by it and deduping on (pb, h)
+    // re-distincts across epochs without a second shuffle — and without
+    // recomputing pmod
     val merged = committed(spark.read.parquet(p.spans), meta)
-      .select("h").distinct()
-      .withColumn("pb", pmod(col("h"), lit(meta.pbuckets)).cast("int"))
+      .select(col("h"), col("pb").cast("int").as("pb"))
       .repartition(col("pb"))
+      .dropDuplicates("pb", "h")
     val epochDir = s"${p.spans}/epoch=$e"
     merged.write.partitionBy("pb").mode("overwrite").parquet(epochDir)
     if (!Manifest.hasDataFiles(spark, epochDir))

@@ -62,6 +62,23 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(pf.contains("epoch#"), s"epoch bound not in PartitionFilters:\n$pf")
   }
 
+  test("epoch write: dedup and pb file layout share ONE Exchange " +
+    "(r20 — the distinct's hash(h) shuffle is fused into the pb one)") {
+    val rows = SpanIndex.epochRows(
+      SpanIndex.spanRows(corpus, "doc_id", "text", 8).select("h"),
+      pbuckets = 64)
+    val plan = rows.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"span epoch write must carry exactly one Exchange:\n$plan")
+    // and the fused form is still DISTINCT on h
+    val hs = rows.select("h").collect().map(_.getLong(0)).toSeq
+    assert(hs.distinct.size === hs.size)
+    assert(hs.toSet === SpanIndex
+      .spanRows(corpus, "doc_id", "text", 8)
+      .select("h").distinct().collect().map(_.getLong(0)).toSet)
+  }
+
   test("append == rebuild; tagged redelivery no-ops; absorbed tag fails loud") {
     val all = freshDir("all"); val inc = freshDir("inc")
     SpanIndex.buildSpanIndex(corpus, "doc_id", "text", all)
